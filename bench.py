@@ -1,0 +1,70 @@
+"""Headline-query benchmark. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is timed to full materialization
+(count of the result) after a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from twitch_chat_analyser_spark import registry
+    from twitch_chat_analyser_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("bench")
+
+    # Headline set: the five reference fact tables + representative
+    # read-path and LLM-pipeline operators (grows as phases land).
+    all_queries = registry.queries()
+    headline = [
+        "channel_stats",
+        "user_stats",
+        "emote_stats",
+        "user_emote_stats",
+        "phrase_stats",
+        "messages_matching_phrase",
+        "channel_stats_totals",
+        "user_emote_stats_totals",
+    ]
+    extra = [n for n in all_queries if n not in headline]
+    names = headline + extra
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = all_queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()  # materialize the whole result without driver collect
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

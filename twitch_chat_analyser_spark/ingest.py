@@ -1,0 +1,112 @@
+"""Sources: testdata table loaders + the events -> messages stream mapping.
+
+The driver's ``events`` parquet plays the Kafka ``Message`` stream
+(FIXTURES.md §4; reference wire record Message.java:11-14):
+
+    timestamp := epoch-millis(ts)      (Message.java:28 epoch-ms parity)
+    channel   := event_type            (5 distinct values = 5 channels)
+    username  := 'user_' || user_id
+    message   := documents.text joined on doc_id = event_id % 500
+
+The text join is deterministic and total at every scale factor (doc_id
+0..499 exist at all SFs). The joined ``documents`` slice is 500 rows —
+broadcast, never shuffled; at 100 TB of events this join stays a
+map-side broadcast hash join.
+
+:func:`messages_cte_sql` renders the identical mapping as ANSI SQL for
+the DuckDB oracle, so every downstream operator is compared on exactly
+the same input relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Number of document rows every SF is guaranteed to contain (sf0.001 has
+# exactly 500); the message text mapping must be SF-independent.
+DOC_MOD = 500
+
+# 15-minute tumbling window, reference aggregation-interval
+# (job.example.properties:14, AbstractStatsAggregation.java:70-71).
+WINDOW_MS = 900_000
+WINDOW_DURATION = "15 minutes"
+
+
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet. With
+# spark.sql.legacy.parquet.nanosAsLong they scan as long nanos; we
+# reconstruct TimestampType by integer-dividing to micros — the same
+# truncation DuckDB applies when it reads nanos parquet, so both engines
+# see identical instants.
+NANO_TS_COLUMNS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANO_TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer division — `/` would round through double and lose
+            # precision above 2^53 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalized chat-message stream relation.
+
+    Columns: ts TIMESTAMP, timestamp BIGINT (epoch ms), channel STRING,
+    username STRING, message STRING.
+    """
+    events = load(spark, sf_dir, "events")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DOC_MOD)
+        .select("doc_id", "text")
+    )
+    return (
+        events.join(
+            F.broadcast(docs), F.col("doc_id") == F.col("event_id") % DOC_MOD
+        )
+        .select(
+            F.col("ts"),
+            F.unix_millis("ts").alias("timestamp"),
+            F.col("event_type").alias("channel"),
+            F.concat(F.lit("user_"), F.col("user_id")).alias("username"),
+            F.col("text").alias("message"),
+        )
+    )
+
+
+def messages_cte_sql() -> str:
+    """DuckDB SQL for exactly the relation :func:`messages` builds."""
+    return f"""
+    SELECT
+        e.ts AS ts,
+        epoch_ms(e.ts) AS timestamp,
+        e.event_type AS channel,
+        'user_' || e.user_id AS username,
+        d.text AS message
+    FROM events e
+    JOIN documents d ON d.doc_id = e.event_id % {DOC_MOD}
+    """

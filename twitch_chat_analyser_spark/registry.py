@@ -1,0 +1,185 @@
+"""Query registry: pairs every implemented operator with its DuckDB oracle.
+
+``__spark_entry__.py`` re-exports :func:`queries` / :func:`oracle_sql`
+from here. Each entry:
+
+- ``queries()[name]``   -> Callable[(SparkSession, sf_dir), DataFrame]
+- ``oracle_sql()[name]`` -> ANSI SQL DuckDB runs on the same parquet
+  views; column names and types are aligned with the Spark output
+  (integers as BIGINT both sides; float outputs rounded identically).
+
+The chat-domain queries share the ``messages`` CTE (ingest.messages_cte_sql)
+and dimension ``VALUES`` CTEs rendered from the same Python constants the
+Spark DataFrames are built from (dims.py) — one source of truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dims, ingest
+from .operators import aggregations as agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# SQL fragment: window-end epoch-ms of the 15-min tumbling window,
+# identical to aggregations.window_end_ms (reference bucket math
+# AbstractStatsAggregation.java:70-71).
+WIN_END = f"(epoch_ms(ts) // {ingest.WINDOW_MS} + 1) * {ingest.WINDOW_MS}"
+
+
+def chat_ctes() -> str:
+    """Shared WITH-clause prelude for chat-domain oracles."""
+    return f"""WITH messages AS ({ingest.messages_cte_sql()}),
+emotes AS ({dims.emotes_values_sql()}),
+channels_dim AS ({dims.channels_values_sql()}),
+phrases AS ({dims.phrases_values_sql()}),
+words AS (
+    SELECT ts, channel, username,
+           unnest(string_split_regex(message, '\\s+')) AS emote
+    FROM messages
+),
+emote_occurrences AS (
+    SELECT w.ts, w.channel, w.username, w.emote
+    FROM words w
+    JOIN (SELECT DISTINCT emote FROM emotes) e USING (emote)
+),
+phrase_matched AS (
+    SELECT m.ts, m.channel, m.username, m.message, p.name, p.log_message,
+           len(regexp_extract_all(m.message, p.regex, 0, 'i')) AS matches
+    FROM messages m
+    CROSS JOIN phrases p
+    WHERE p.channel_filter_regex IS NULL
+       OR regexp_matches(m.channel, '^(?:' || p.channel_filter_regex || ')$', 'i')
+),
+channel_stats AS (
+    SELECT channel, {WIN_END} AS timestamp, count(*) AS messages
+    FROM messages GROUP BY 1, 2
+),
+user_stats AS (
+    SELECT channel, username, {WIN_END} AS timestamp, count(*) AS messages
+    FROM messages GROUP BY 1, 2, 3
+),
+emote_stats AS (
+    SELECT channel, emote, {WIN_END} AS timestamp, count(*) AS occurrences
+    FROM emote_occurrences GROUP BY 1, 2, 3
+),
+user_emote_stats AS (
+    SELECT channel, emote, username, {WIN_END} AS timestamp,
+           count(*) AS occurrences
+    FROM emote_occurrences GROUP BY 1, 2, 3, 4
+),
+phrase_stats AS (
+    SELECT channel, name AS phrase_name, {WIN_END} AS timestamp,
+           CAST(sum(matches) AS BIGINT) AS matches
+    FROM phrase_matched WHERE matches > 0 GROUP BY 1, 2, 3
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Write-path fact tables (SURVEY §2.A / FIXTURES §3)
+# ---------------------------------------------------------------------------
+
+
+def _q_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.channel_stats(ingest.messages(spark, sf_dir))
+
+
+def _q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.user_stats(ingest.messages(spark, sf_dir))
+
+
+def _q_emote_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.emote_stats(ingest.messages(spark, sf_dir), dims.emotes_df(spark))
+
+
+def _q_user_emote_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.user_emote_stats(ingest.messages(spark, sf_dir), dims.emotes_df(spark))
+
+
+def _q_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.phrase_stats(ingest.messages(spark, sf_dir), dims.phrases_df(spark))
+
+
+def _q_messages_matching_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.messages_matching_phrase(
+        ingest.messages(spark, sf_dir), dims.phrases_df(spark)
+    )
+
+
+def _q_channel_stats_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.totals(
+        agg.channel_stats(ingest.messages(spark, sf_dir)), ["channel"], "messages"
+    )
+
+
+def _q_user_emote_stats_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.totals(
+        agg.user_emote_stats(ingest.messages(spark, sf_dir), dims.emotes_df(spark)),
+        ["channel", "emote", "username"],
+        "occurrences",
+    )
+
+
+WRITE_PATH_QUERIES: dict[str, QueryFn] = {
+    "channel_stats": _q_channel_stats,
+    "user_stats": _q_user_stats,
+    "emote_stats": _q_emote_stats,
+    "user_emote_stats": _q_user_emote_stats,
+    "phrase_stats": _q_phrase_stats,
+    "messages_matching_phrase": _q_messages_matching_phrase,
+    "channel_stats_totals": _q_channel_stats_totals,
+    "user_emote_stats_totals": _q_user_emote_stats_totals,
+}
+
+
+def write_path_oracles() -> dict[str, str]:
+    c = chat_ctes()
+    return {
+        "channel_stats": f"{c}\nSELECT * FROM channel_stats",
+        "user_stats": f"{c}\nSELECT * FROM user_stats",
+        "emote_stats": f"{c}\nSELECT * FROM emote_stats",
+        "user_emote_stats": f"{c}\nSELECT * FROM user_emote_stats",
+        "phrase_stats": f"{c}\nSELECT * FROM phrase_stats",
+        "messages_matching_phrase": f"""{c}
+SELECT epoch_ms(ts) AS message_time,
+       channel AS message_channel,
+       username AS message_user,
+       message AS message_text,
+       name AS matched_phrase
+FROM phrase_matched
+WHERE log_message AND matches > 0""",
+        "channel_stats_totals": f"""{c}
+SELECT channel, CAST(0 AS BIGINT) AS timestamp, count(*) AS messages
+FROM messages GROUP BY channel""",
+        "user_emote_stats_totals": f"""{c}
+SELECT channel, emote, username, CAST(0 AS BIGINT) AS timestamp,
+       count(*) AS occurrences
+FROM emote_occurrences GROUP BY 1, 2, 3""",
+    }
+
+
+def queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(WRITE_PATH_QUERIES)
+    from .plans import api  # late import: keeps module import light
+
+    out.update(api.READ_PATH_QUERIES)
+    from .operators import llmops
+
+    out.update(llmops.LLM_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(write_path_oracles())
+    from .plans import api
+
+    out.update(api.read_path_oracles())
+    from .operators import llmops
+
+    out.update(llmops.llm_oracles())
+    return out

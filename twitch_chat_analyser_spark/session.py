@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+Local test profile mirrors the driver harness: ``local[$SPARK_GRAFT_CPUS]``
+(default 32), shuffle partitions sized to cores (not the 200 default —
+wrong for both tiny local data and a real cluster, where you'd size it to
+~2-3x total cores or let AQE coalesce), AQE on so skewed joins and
+over-partitioned shuffles re-plan at runtime, UTC session timezone so
+epoch math matches the DuckDB oracle bit-for-bit.
+
+At 100 TB the same code runs unchanged; only this builder changes
+(cluster master, dynamic allocation, higher shuffle partitions,
+``spark.sql.files.maxPartitionBytes`` tuned to ~128-256 MB so scan tasks
+stay memory-resident).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "twitch-chat-analyser-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # The testdata parquet stores TIMESTAMP(NANOS) (pandas datetime64[ns]),
+        # which Spark's vectorized reader rejects; read as long nanos and
+        # reconstruct timestamps in ingest.load (truncation to micros matches
+        # DuckDB's nanos->micros truncation exactly).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
