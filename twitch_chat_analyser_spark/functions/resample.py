@@ -1,0 +1,159 @@
+"""Time-series resampling with linear interpolation (SURVEY.md B15).
+
+Re-implements the reference dashboard's ``resampleTimeSeries``
+(MainController.php:588-680) as one declarative Spark plan instead of a
+PHP loop:
+
+- target grid: the PHP loop does ``t = ceil(t + step)`` with float
+  ``step = (end-start)/(numPoints-1)``; since ``t`` stays integral,
+  ``ceil(t + step) == t + ceil(step)`` — i.e. the grid is the arithmetic
+  sequence ``range(start, end, ceil(step))`` plus a final clamped
+  ``end`` point (MainController.php:674-676);
+- clamping: grid points at/before the first sample take the first
+  sample's value, at/after the last take the last's
+  (MainController.php:632-641);
+- otherwise linear interpolation between the bracketing samples,
+  ``round()``ed half-away-from-zero (MainController.php:664-667);
+- a sample exactly ON a grid point is its own "before" with k=0
+  (MainController.php:648-661) — returned verbatim.
+
+The bracketing samples are found with a single sort, not a join: grid
+points and samples are unioned, ordered by (ts, is_grid) — a sample at
+the same instant sorts before the grid point, matching the PHP tie rule
+— and filled with last/first ``IGNORE NULLS`` window functions. The
+window is unpartitioned by design: resampling runs per already-reduced
+series (one channel's window buckets — thousands of rows), never on raw
+events; for many-series batch resampling, partition the window by the
+series key instead.
+
+Driver-side branches (count-dependent, MainController.php:598-624):
+empty series -> two default points; ``numPoints >= n`` -> returned
+as-is (never up-samples); zero-span window -> two points 60 s apart.
+These need one cheap ``count()`` action on an already-tiny series —
+the serving path is interactive, so this is fine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def resample_grid(start: int, end: int, num_points: int) -> list[int]:
+    """The PHP loop's grid (integral, stride = ceil(step), end clamped)."""
+    if num_points < 2:
+        num_points = 2
+    stride = math.ceil((end - start) / (num_points - 1))
+    return list(range(start, end, stride)) + [end]
+
+
+def interpolate_on_grid(
+    series: DataFrame, grid: list[int], value_col: str
+) -> DataFrame:
+    """Core interpolation: ``series(timestamp, value_col)`` -> one row per
+    grid point. Pure plan — no driver-side branches."""
+    spark = series.sparkSession
+    grid_df = spark.createDataFrame(
+        [(t,) for t in grid], T.StructType([T.StructField("timestamp", T.LongType())])
+    )
+    u = grid_df.select(
+        "timestamp",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+    ).unionAll(
+        series.select(
+            "timestamp", F.col(value_col).cast("double").alias("v"), F.lit(0)
+        )
+    )
+    w_before = Window.orderBy("timestamp", "is_grid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_after = Window.orderBy("timestamp", "is_grid").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    sample_ts = F.when(F.col("is_grid") == 0, F.col("timestamp"))
+    filled = u.select(
+        "timestamp",
+        "is_grid",
+        F.max(sample_ts).over(w_before).alias("before_ts"),
+        F.last("v", ignorenulls=True).over(w_before).alias("before_v"),
+        F.min(sample_ts).over(w_after).alias("after_ts"),
+        F.first("v", ignorenulls=True).over(w_after).alias("after_v"),
+    )
+    first_ts = F.min(F.when(F.col("is_grid") == 0, F.col("timestamp"))).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # first/last sample values via global window over the union
+    bounds = filled.withColumn("first_ts", first_ts).withColumn(
+        "last_ts",
+        F.max(F.when(F.col("is_grid") == 0, F.col("timestamp"))).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    k = (F.col("timestamp") - F.col("before_ts")) / (
+        F.col("after_ts") - F.col("before_ts")
+    )
+    interp = F.round(F.col("before_v") + k * (F.col("after_v") - F.col("before_v")))
+    # clamp branches: before the first sample, before_v is NULL and the
+    # "after" fill IS the first sample (and vice versa past the last) —
+    # coalesce covers both the strict and the ts==boundary cases
+    value = (
+        F.when(
+            F.col("timestamp") <= F.col("first_ts"),
+            F.coalesce("before_v", "after_v"),
+        )
+        .when(
+            F.col("timestamp") >= F.col("last_ts"),
+            F.coalesce("after_v", "before_v"),
+        )
+        .when(F.col("before_ts") == F.col("timestamp"), F.col("before_v"))
+        .otherwise(interp)
+    )
+    return (
+        bounds.filter(F.col("is_grid") == 1)
+        .select("timestamp", value.cast("long").alias(value_col))
+        .orderBy("timestamp")
+    )
+
+
+def resample_time_series(
+    series: DataFrame,
+    value_col: str,
+    num_points: int = 1000,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Full PHP-parity entry point including the count-dependent branches
+    (MainController.php:598-624). ``series`` must have columns
+    (timestamp BIGINT ms, value_col) and be unique per timestamp."""
+    spark = series.sparkSession
+    if num_points < 2:
+        num_points = 2
+    # one small action on the already-aggregated series (serving path)
+    stats = series.agg(
+        F.count("*").alias("n"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
+    ).collect()[0]
+    n = stats["n"]
+    schema = T.StructType(
+        [
+            T.StructField("timestamp", T.LongType()),
+            T.StructField(value_col, T.LongType()),
+        ]
+    )
+    if n == 0:
+        if start is None or end is None:
+            raise ValueError("empty series and no start/end given")
+        return spark.createDataFrame([(start, 0), (end, 0)], schema)
+    if num_points >= n:  # never up-sample
+        return series.orderBy("timestamp").select("timestamp", value_col)
+    start = start if start is not None else stats["first_ts"]
+    end = end if end is not None else stats["last_ts"]
+    if end - start == 0:
+        end = start + 60_000
+        num_points = 2
+    return interpolate_on_grid(series, resample_grid(start, end, num_points), value_col)

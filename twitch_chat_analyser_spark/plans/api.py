@@ -1,9 +1,525 @@
-"""Read-path operators B1-B21 (SURVEY.md §2.B) — filled in phase 2."""
+"""Read-path operators B1-B18 (SURVEY.md §2.B) — the dashboard/API query
+semantics of the reference (MainController.php / ApiController.php),
+each a pure DataFrame function over the fact tables the write path
+maintains.
+
+Where the reference runs SQL + PHP post-processing loops (cumulative
+sums, resampling, ranking), this module folds everything into one
+Catalyst plan — one job per page instead of the reference's N+1 PDO
+round trips (SURVEY.md §3.3).
+
+Every top-k/LIMIT query carries a deterministic tiebreaker (the key
+columns) so results are stable across engines and partitionings.
+
+Scale notes (100 TB): the fact tables these read are pre-aggregated
+15-min buckets — orders of magnitude smaller than raw events; filters
+on (channel, timestamp) prune partitions when the serving store is
+partitioned by channel (streaming/pipeline.py writes it that way).
+Leaderboards are TakeOrderedAndProject (per-partition top-k + driver
+merge, no full sort); window functions partition by channel, so the
+only unpartitioned sort is the final ≤1000-row presentation ORDER BY.
+"""
 
 from __future__ import annotations
 
-READ_PATH_QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import dims, ingest
+from ..functions.resample import interpolate_on_grid, resample_grid
+from ..operators import aggregations as agg
+from ..registry import WIN_END, chat_ctes
+
+# Deterministic query parameters (testdata spans 2024-01-01..01-30 UTC).
+CHANNEL = "click"
+USERNAME = "user_7"
+EMOTE = "spark"
+START_MS = 1_704_672_000_000  # 2024-01-08T00:00:00Z
+END_MS = 1_705_881_600_000  # 2024-01-22T00:00:00Z
+TOP_LIMIT = 25
+RESAMPLE_POINTS = 100
+
+
+# ---------------------------------------------------------------------------
+# Composable read-path operators (inputs: fact/dim DataFrames)
+# ---------------------------------------------------------------------------
+
+
+def visible_only(df: DataFrame, channels: DataFrame) -> DataFrame:
+    """B8 hidden-channel semi-join filter (MainController.php:739-742):
+    ``channel IN (SELECT channel FROM channels WHERE hidden IS false)``."""
+    vis = channels.filter(~F.col("hidden")).select("channel")
+    return df.join(F.broadcast(vis), "channel", "left_semi")
+
+
+def exclude_bots(df: DataFrame, bots: list[str]) -> DataFrame:
+    """B9 excluded-chatters anti filter (MainController.php:348-350)."""
+    return df.filter(~F.col("username").isin(bots))
+
+
+def index_totals(channel_totals: DataFrame, channels: DataFrame) -> DataFrame:
+    """B1+B10: all-time per-channel totals for visible channels
+    (MainController.php:41)."""
+    return visible_only(
+        channel_totals.select("channel", "messages").distinct(), channels
+    )
+
+
+def range_series(stats: DataFrame, channel: str, start: int, end: int) -> DataFrame:
+    """B2 window series (MainController.php:61-63)."""
+    return (
+        stats.filter(
+            (F.col("channel") == channel)
+            & (F.col("timestamp") >= start)
+            & (F.col("timestamp") <= end)
+        )
+        .select("timestamp", "messages")
+        .orderBy("timestamp")
+    )
+
+
+def pre_window_total(stats: DataFrame, channel: str, start: int) -> DataFrame:
+    """B3 cumulative base at window start (MainController.php:50-58)."""
+    return stats.filter(
+        (F.col("channel") == channel)
+        & (F.col("timestamp") > 0)
+        & (F.col("timestamp") < start)
+    ).agg(F.coalesce(F.sum("messages"), F.lit(0)).cast("long").alias("messages"))
+
+
+def top_chatters(
+    user_stats: DataFrame, channel: str, start: int, end: int, limit: int
+) -> DataFrame:
+    """B4+B5+B9+B17: in-window chatter leaderboard with bot exclusion and
+    rank (MainController.php:175-191, :438-455). Bots are skipped without
+    consuming a rank — the anti filter runs BEFORE ranking."""
+    ranked = (
+        exclude_bots(user_stats, dims.EXCLUDED_USERS)
+        .filter(
+            (F.col("channel") == channel)
+            & (F.col("timestamp") >= start)
+            & (F.col("timestamp") <= end)
+        )
+        .groupBy("username")
+        .agg(F.sum("messages").alias("messages"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("messages"), F.asc("username"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= limit).orderBy("rank")
+
+
+def top_emotes_window(
+    emote_stats: DataFrame, channel: str, start: int, end: int, limit: int
+) -> DataFrame:
+    """B4+B5: in-window emote leaderboard (MainController.php:194-208,
+    ApiController.php:183 top-10)."""
+    return (
+        emote_stats.filter(
+            (F.col("channel") == channel)
+            & (F.col("timestamp") >= start)
+            & (F.col("timestamp") <= end)
+        )
+        .groupBy("emote")
+        .agg(F.sum("occurrences").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("emote"))
+        .limit(limit)
+    )
+
+
+def emote_leaderboard(
+    emotes: DataFrame, emote_totals: DataFrame, channel: str
+) -> DataFrame:
+    """B6: dim LEFT JOIN totals, keep occurrences > 0
+    (MainController.php:232-237, LIMIT 1000 at :348-351)."""
+    totals = emote_totals.filter(F.col("channel") == channel).select(
+        "emote", "occurrences"
+    )
+    return (
+        emotes.select("emote", "type")
+        .join(totals, "emote", "left")
+        .filter(F.col("occurrences") > 0)
+        .orderBy(F.desc("occurrences"), F.asc("emote"))
+        .limit(1000)
+    )
+
+
+def user_emote_across_channels(
+    channel_stats: DataFrame, user_emote_totals: DataFrame, emote: str, username: str
+) -> DataFrame:
+    """B7: DISTINCT channel driver LEFT JOIN user-emote totals, NULL->0
+    (ApiController.php:105-116)."""
+    channels = channel_stats.select("channel").distinct()
+    stats = user_emote_totals.filter(
+        (F.col("emote") == emote) & (F.col("username") == username)
+    ).select("channel", "occurrences")
+    return (
+        channels.join(stats, "channel", "left")
+        .na.fill({"occurrences": 0})
+        .select("channel", "occurrences")
+    )
+
+
+def last_seen(user_stats: DataFrame, username: str) -> DataFrame:
+    """B11 max-per-group + ms->s floor (ApiController.php:85-94)."""
+    return (
+        user_stats.filter(
+            (F.col("username") == username) & (F.col("timestamp") > 0)
+        )
+        .groupBy("channel")
+        .agg(F.max("timestamp").alias("last_seen_ms"))
+        .select("channel", F.floor(F.col("last_seen_ms") / 1000).alias("last_seen"))
+    )
+
+
+def sum_of_per_group_max(user_emote_stats: DataFrame, username: str) -> DataFrame:
+    """B12 nested aggregate: SUM over per-emote MAX occurrences for one
+    user (MainController.php:496-499, :335-339)."""
+    per_emote = (
+        user_emote_stats.filter(
+            (F.col("username") == username) & (F.col("timestamp") > 0)
+        )
+        .groupBy("emote")
+        .agg(F.max("occurrences").alias("max_occurrences"))
+    )
+    return per_emote.agg(
+        F.coalesce(F.sum("max_occurrences"), F.lit(0))
+        .cast("long")
+        .alias("total_occurrences")
+    )
+
+
+def rolling_sums(channel_stats: DataFrame, channel: str) -> DataFrame:
+    """B13 rolling last-N sums for N in {5min, 1h, 24h, 7d, 30d}
+    (ApiController.php:154-178) — one conditional-aggregation pass
+    instead of the reference's five queries. 'now' is the channel's max
+    window timestamp (deterministic over static testdata)."""
+    deltas = {
+        "last_5m": 5 * 60_000,
+        "last_1h": 3_600_000,
+        "last_24h": 86_400_000,
+        "last_7d": 7 * 86_400_000,
+        "last_30d": 30 * 86_400_000,
+    }
+    base = channel_stats.filter(
+        (F.col("channel") == channel) & (F.col("timestamp") > 0)
+    )
+    now = base.agg(F.max("timestamp").alias("now_ms"))
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("timestamp") > F.col("now_ms") - d, F.col("messages"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(name)
+        for name, d in deltas.items()
+    ]
+    return base.crossJoin(F.broadcast(now)).agg(*aggs)
+
+
+def cumulative_series(
+    channel_stats: DataFrame, channel: str, start: int, end: int
+) -> DataFrame:
+    """B14 rates->cumulative sums seeded with the pre-window base
+    (MainController.php:682-690 applied at :72-73): running sum over the
+    ordered in-window series + B3 base, in one plan."""
+    base = pre_window_total(channel_stats, channel, start).select(
+        F.col("messages").alias("base")
+    )
+    series = range_series(channel_stats, channel, start, end)
+    w = Window.orderBy("timestamp").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        series.crossJoin(F.broadcast(base))
+        .select(
+            "timestamp",
+            (F.sum("messages").over(w) + F.col("base")).alias("messages"),
+        )
+        .orderBy("timestamp")
+    )
+
+
+def channel_series_resampled(
+    channel_stats: DataFrame, channel: str, start: int, end: int, num_points: int
+) -> DataFrame:
+    """The full dashboard chart chain (MainController.php:137-139):
+    B2 range scan -> B14 cumulative -> B15 resample-interpolate."""
+    cum = cumulative_series(channel_stats, channel, start, end)
+    grid = resample_grid(start, end, num_points)
+    return interpolate_on_grid(cum, grid, "messages")
+
+
+def percentage_of_total(
+    user_emote_totals: DataFrame, channel: str, emote: str
+) -> DataFrame:
+    """B18: each user's share of an emote's total occurrences
+    (MainController.php:360), rank-ordered (B17)."""
+    base = user_emote_totals.filter(
+        (F.col("channel") == channel) & (F.col("emote") == emote)
+    )
+    total = Window.partitionBy()  # grand total over the filtered slice
+    return (
+        base.select(
+            "username",
+            "occurrences",
+            # raw double, no rounding: both engines evaluate the identical
+            # IEEE expression, so values hash bit-for-bit
+            (
+                F.lit(100.0)
+                * F.col("occurrences")
+                / F.sum("occurrences").over(total)
+            ).alias("pct"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("occurrences"), F.asc("username"))
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() entries + oracles (fixed deterministic parameters)
+# ---------------------------------------------------------------------------
+
+
+def _facts(spark: SparkSession, sf_dir: str):
+    msgs = ingest.messages(spark, sf_dir)
+    return msgs
+
+
+def _q_index_totals(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    totals = agg.totals(agg.channel_stats(msgs), ["channel"], "messages")
+    return index_totals(totals, dims.channels_df(spark))
+
+
+def _q_range_series(spark, sf_dir):
+    return range_series(
+        agg.channel_stats(_facts(spark, sf_dir)), CHANNEL, START_MS, END_MS
+    )
+
+
+def _q_pre_window_total(spark, sf_dir):
+    return pre_window_total(
+        agg.channel_stats(_facts(spark, sf_dir)), CHANNEL, START_MS
+    )
+
+
+def _q_top_chatters(spark, sf_dir):
+    return top_chatters(
+        agg.user_stats(_facts(spark, sf_dir)), CHANNEL, START_MS, END_MS, TOP_LIMIT
+    )
+
+
+def _q_top_emotes(spark, sf_dir):
+    return top_emotes_window(
+        agg.emote_stats(_facts(spark, sf_dir), dims.emotes_df(spark)),
+        CHANNEL,
+        START_MS,
+        END_MS,
+        10,
+    )
+
+
+def _q_emote_leaderboard(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    emote_totals = agg.totals(
+        agg.emote_stats(msgs, dims.emotes_df(spark)), ["channel", "emote"], "occurrences"
+    )
+    return emote_leaderboard(dims.emotes_df(spark), emote_totals, CHANNEL)
+
+
+def _q_user_emote_across_channels(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    ue_totals = agg.totals(
+        agg.user_emote_stats(msgs, dims.emotes_df(spark)),
+        ["channel", "emote", "username"],
+        "occurrences",
+    )
+    return user_emote_across_channels(
+        agg.channel_stats(msgs), ue_totals, EMOTE, USERNAME
+    )
+
+
+def _q_last_seen(spark, sf_dir):
+    return last_seen(agg.user_stats(_facts(spark, sf_dir)), USERNAME)
+
+
+def _q_sum_of_per_group_max(spark, sf_dir):
+    return sum_of_per_group_max(
+        agg.user_emote_stats(_facts(spark, sf_dir), dims.emotes_df(spark)), USERNAME
+    )
+
+
+def _q_rolling_sums(spark, sf_dir):
+    return rolling_sums(agg.channel_stats(_facts(spark, sf_dir)), CHANNEL)
+
+
+def _q_cumulative_series(spark, sf_dir):
+    return cumulative_series(
+        agg.channel_stats(_facts(spark, sf_dir)), CHANNEL, START_MS, END_MS
+    )
+
+
+def _q_series_resampled(spark, sf_dir):
+    return channel_series_resampled(
+        agg.channel_stats(_facts(spark, sf_dir)),
+        CHANNEL,
+        START_MS,
+        END_MS,
+        RESAMPLE_POINTS,
+    )
+
+
+def _q_pct_of_total(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    ue_totals = agg.totals(
+        agg.user_emote_stats(msgs, dims.emotes_df(spark)),
+        ["channel", "emote", "username"],
+        "occurrences",
+    )
+    return percentage_of_total(ue_totals, CHANNEL, EMOTE)
+
+
+READ_PATH_QUERIES = {
+    "b1_index_totals": _q_index_totals,
+    "b2_range_series": _q_range_series,
+    "b3_pre_window_total": _q_pre_window_total,
+    "b4_top_chatters": _q_top_chatters,
+    "b5_top_emotes_window": _q_top_emotes,
+    "b6_emote_leaderboard": _q_emote_leaderboard,
+    "b7_user_emote_across_channels": _q_user_emote_across_channels,
+    "b11_last_seen": _q_last_seen,
+    "b12_sum_of_per_group_max": _q_sum_of_per_group_max,
+    "b13_rolling_sums": _q_rolling_sums,
+    "b14_cumulative_series": _q_cumulative_series,
+    "b15_series_resampled": _q_series_resampled,
+    "b18_pct_of_total": _q_pct_of_total,
+}
 
 
 def read_path_oracles() -> dict[str, str]:
-    return {}
+    c = chat_ctes()
+    bots = dims.excluded_users_sql()
+    grid = resample_grid(START_MS, END_MS, RESAMPLE_POINTS)
+    grid_values = ", ".join(f"({t})" for t in grid)
+    return {
+        "b1_index_totals": f"""{c}
+SELECT DISTINCT s.channel, s.messages
+FROM (SELECT channel, count(*) AS messages FROM messages GROUP BY channel) s
+WHERE s.channel IN (SELECT channel FROM channels_dim WHERE hidden IS false)""",
+        "b2_range_series": f"""{c}
+SELECT timestamp, messages FROM channel_stats
+WHERE channel = '{CHANNEL}' AND timestamp >= {START_MS} AND timestamp <= {END_MS}""",
+        "b3_pre_window_total": f"""{c}
+SELECT CAST(coalesce(sum(messages), 0) AS BIGINT) AS messages FROM channel_stats
+WHERE channel = '{CHANNEL}' AND timestamp > 0 AND timestamp < {START_MS}""",
+        "b4_top_chatters": f"""{c}
+SELECT username, messages, rank FROM (
+    SELECT username, CAST(sum(messages) AS BIGINT) AS messages,
+           CAST(row_number() OVER (ORDER BY sum(messages) DESC, username ASC) AS INT) AS rank
+    FROM user_stats
+    WHERE channel = '{CHANNEL}' AND timestamp >= {START_MS} AND timestamp <= {END_MS}
+      AND username NOT IN ({bots})
+    GROUP BY username
+) WHERE rank <= {TOP_LIMIT}""",
+        "b5_top_emotes_window": f"""{c}
+SELECT emote, CAST(sum(occurrences) AS BIGINT) AS occurrences
+FROM emote_stats
+WHERE channel = '{CHANNEL}' AND timestamp >= {START_MS} AND timestamp <= {END_MS}
+GROUP BY emote ORDER BY occurrences DESC, emote ASC LIMIT 10""",
+        "b6_emote_leaderboard": f"""{c}
+SELECT e.emote, CAST(e.type AS SMALLINT) AS type, s.occurrences
+FROM emotes e
+LEFT JOIN (
+    SELECT emote, count(*) AS occurrences FROM emote_occurrences
+    WHERE channel = '{CHANNEL}' GROUP BY emote
+) s ON s.emote = e.emote
+WHERE s.occurrences > 0
+ORDER BY s.occurrences DESC, e.emote ASC LIMIT 1000""",
+        "b7_user_emote_across_channels": f"""{c}
+SELECT c.channel, coalesce(s.occurrences, 0) AS occurrences
+FROM (SELECT DISTINCT channel FROM channel_stats) c
+LEFT JOIN (
+    SELECT channel, count(*) AS occurrences FROM emote_occurrences
+    WHERE emote = '{EMOTE}' AND username = '{USERNAME}' GROUP BY channel
+) s ON s.channel = c.channel""",
+        "b11_last_seen": f"""{c}
+SELECT channel, max(timestamp) // 1000 AS last_seen
+FROM user_stats WHERE username = '{USERNAME}' AND timestamp > 0
+GROUP BY channel""",
+        "b12_sum_of_per_group_max": f"""{c}
+SELECT CAST(coalesce(sum(max_occurrences), 0) AS BIGINT) AS total_occurrences
+FROM (
+    SELECT emote, max(occurrences) AS max_occurrences FROM user_emote_stats
+    WHERE username = '{USERNAME}' AND timestamp > 0 GROUP BY emote
+)""",
+        "b13_rolling_sums": f"""{c},
+now_t AS (SELECT max(timestamp) AS now_ms FROM channel_stats
+          WHERE channel = '{CHANNEL}' AND timestamp > 0)
+SELECT
+  CAST(coalesce(sum(CASE WHEN timestamp > now_ms - 300000 THEN messages END), 0) AS BIGINT) AS last_5m,
+  CAST(coalesce(sum(CASE WHEN timestamp > now_ms - 3600000 THEN messages END), 0) AS BIGINT) AS last_1h,
+  CAST(coalesce(sum(CASE WHEN timestamp > now_ms - 86400000 THEN messages END), 0) AS BIGINT) AS last_24h,
+  CAST(coalesce(sum(CASE WHEN timestamp > now_ms - {7 * 86400000} THEN messages END), 0) AS BIGINT) AS last_7d,
+  CAST(coalesce(sum(CASE WHEN timestamp > now_ms - {30 * 86400000} THEN messages END), 0) AS BIGINT) AS last_30d
+FROM channel_stats, now_t
+WHERE channel = '{CHANNEL}' AND timestamp > 0""",
+        "b14_cumulative_series": f"""{c},
+base AS (SELECT coalesce(sum(messages), 0) AS base FROM channel_stats
+         WHERE channel = '{CHANNEL}' AND timestamp > 0 AND timestamp < {START_MS})
+SELECT timestamp,
+       CAST(sum(messages) OVER (ORDER BY timestamp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + base AS BIGINT) AS messages
+FROM channel_stats, base
+WHERE channel = '{CHANNEL}' AND timestamp >= {START_MS} AND timestamp <= {END_MS}""",
+        "b15_series_resampled": f"""{c},
+base AS (SELECT coalesce(sum(messages), 0) AS base FROM channel_stats
+         WHERE channel = '{CHANNEL}' AND timestamp > 0 AND timestamp < {START_MS}),
+series AS (
+    SELECT timestamp,
+           sum(messages) OVER (ORDER BY timestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + base AS v
+    FROM channel_stats, base
+    WHERE channel = '{CHANNEL}' AND timestamp >= {START_MS} AND timestamp <= {END_MS}
+),
+grid AS (SELECT * FROM (VALUES {grid_values}) g(t)),
+u AS (
+    SELECT t AS ts, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM grid
+    UNION ALL
+    SELECT timestamp AS ts, CAST(v AS DOUBLE) AS v, 0 AS is_grid FROM series
+),
+filled AS (
+    SELECT ts, is_grid,
+        max(CASE WHEN is_grid = 0 THEN ts END) OVER w_before AS before_ts,
+        last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER w_before AS before_v,
+        min(CASE WHEN is_grid = 0 THEN ts END) OVER w_after AS after_ts,
+        first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER w_after AS after_v,
+        min(CASE WHEN is_grid = 0 THEN ts END) OVER () AS first_ts,
+        max(CASE WHEN is_grid = 0 THEN ts END) OVER () AS last_ts
+    FROM u
+    WINDOW
+      w_before AS (ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_after AS (ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT ts AS timestamp,
+    CAST(CASE WHEN ts <= first_ts THEN coalesce(before_v, after_v)
+              WHEN ts >= last_ts THEN coalesce(after_v, before_v)
+              WHEN before_ts = ts THEN before_v
+              ELSE round(before_v + (ts - before_ts) / (after_ts - before_ts) * (after_v - before_v))
+         END AS BIGINT) AS messages
+FROM filled WHERE is_grid = 1""",
+        "b18_pct_of_total": f"""{c}
+SELECT username, occurrences,
+       CAST(100.0 AS DOUBLE) * occurrences / sum(occurrences) OVER () AS pct,
+       CAST(row_number() OVER (ORDER BY occurrences DESC, username ASC) AS INT) AS rank
+FROM (
+    SELECT username, count(*) AS occurrences FROM emote_occurrences
+    WHERE channel = '{CHANNEL}' AND emote = '{EMOTE}' GROUP BY username
+)""",
+    }
