@@ -1,0 +1,159 @@
+"""Golden tests for dedup / similarity / text operators on fixtures with
+REAL duplicates and known-similar vectors (the synthetic documents table
+is all-unique, so semantics are proven here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_chat_analyser_spark.operators import dedup, similarity, textops
+
+DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s1", 44),
+    (2, "THE  Quick   Brown fox jumps over the lazy dog", "en", "s1", 47),  # exact dup after norm
+    (3, "the quick brown fox jumps over the lazy cat", "en", "s1", 44),  # near dup
+    (4, "completely different words here about spark engines", "en", "s1", 52),
+    (5, "der schnelle braune fuchs und der faule hund", "de", "s2", 44),
+]
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, DOC_SCHEMA)
+
+
+def test_exact_dedup_normalizes(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2  # doc 2 collapses into doc 1 (case/whitespace)
+    assert 2 not in by_id  # survivor is min doc_id
+    assert by_id[3] == 1 and by_id[4] == 1
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, num_hashes=8, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 3) in got  # near dup: 8/10 distinct-token jaccard
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_minhash_jaccard_value(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, num_hashes=8, threshold=0.5).collect()
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}[(1, 3)]
+    # tokens(1): {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
+    # tokens(3): same minus dog plus cat -> |i|=7, |u|=9
+    assert j == pytest.approx(7 / 9)
+
+
+def test_simhash_close_for_near_dups(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham = lambda a, b: bin(sig[a] ^ sig[b]).count("1")
+    assert ham(1, 3) < ham(1, 5)  # near-dup closer than unrelated doc
+    assert all(0 <= s < (1 << 16) for s in sig.values())
+
+
+def test_ngram_jaccard_blocks_by_lang_source(docs):
+    out = dedup.ngram_jaccard_pairs(docs, top_n=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 5) not in pairs  # different (lang, source) block
+    top = out[0]
+    assert (top["doc_a"], top["doc_b"]) == (1, 3)
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0], 0),
+    (2, [0.0, 1.0, 0.0], 1),
+    (3, [0.0, 0.95, 0.05], 1),
+    (4, [-1.0, 0.0, 0.0], 2),
+]
+VEC_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, VEC_SCHEMA)
+
+
+def test_brute_force_topk_orders_by_cosine(vecs):
+    out = similarity.brute_force_topk(vecs, [0], k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] > 0.98
+
+
+def test_ivf_probes_only_own_cluster(vecs):
+    # centroids = vecs 0,1,2 and each assigns to itself; vec 3 -> c2
+    # (cos≈0.999) and vec 4 -> c2 (cos 0 beats -1/-0.9), so clusters are
+    # {0}, {1}, {2,3,4}
+    out = similarity.ivf_topk(vecs, [2], num_centroids=3, k=4).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert ids == [3, 4]  # pruned: 0 and 1 never scored despite cos >= 0
+
+
+def test_blas_matches_declarative(vecs):
+    a = similarity.brute_force_topk(vecs, [0, 2], k=3).collect()
+    b = similarity.ann_topk_blas(vecs, [0, 2], k=3).collect()
+    ka = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in a]
+    kb = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in b]
+    assert ka == kb
+    for ra, rb in zip(a, b):
+        assert ra["cos_sim"] == pytest.approx(rb["cos_sim"], abs=1e-12)
+
+
+def test_language_id_prefers_matching_stopwords(docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in textops.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"  # 'der' x2 + 'und' beat zero en hits
+
+
+def test_quality_score_features(spark):
+    d = spark.createDataFrame(
+        [(1, "the the the", "en", "s", 11), (2, "!!! ??? ...", "xx", "s", 11)],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in textops.quality_score(d).collect()}
+    assert out[1]["stopword_ratio"] == 1.0
+    assert out[1]["punct_ratio"] == 0.0
+    assert out[2]["stopword_ratio"] == 0.0
+    assert out[2]["punct_ratio"] == pytest.approx(9 / 11)
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame([(1, "ab3cd ef-gh", "en", "s", 11)], DOC_SCHEMA)
+    r = textops.token_counts(d).collect()[0]
+    assert r["ws_tokens"] == 2
+    # ab|3|cd|ef|-|gh
+    assert r["bpe_ish_tokens"] == 6
+
+
+def test_fingerprints_bag_vs_content(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c", "en", "s", 5), (2, "c b a a", "en", "s", 7), (3, "a b d", "en", "s", 5)],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in textops.fingerprints(d).collect()}
+    assert out[1]["bag_fp"] == out[2]["bag_fp"]  # same token set
+    assert out[1]["content_fp"] != out[2]["content_fp"]
+    assert out[1]["bag_fp"] != out[3]["bag_fp"]
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 0, "2024-01-01 00:00:00"),
+        (2, 0, "2024-01-01 00:10:00"),  # same session (10 min gap)
+        (3, 0, "2024-01-01 01:00:00"),  # new session (50 min gap)
+        (4, 1, "2024-01-01 00:00:00"),  # other user
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = textops.sessionize(ev).collect()
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
+    assert got == {(0, 1): 2, (0, 2): 1, (1, 1): 1}
+    durs = {(r["user_id"], r["session_id"]): r["duration_ms"] for r in out}
+    assert durs[(0, 1)] == 600_000

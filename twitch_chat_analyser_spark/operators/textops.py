@@ -1,0 +1,183 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §7.5):
+language ID, quality scoring, token counting, fingerprinting — plus
+gaps-and-islands sessionization over ``events``.
+
+Everything is built-in-function only (JVM-side, whole-stage codegen);
+double-valued scores are produced by identical expression trees in the
+DuckDB oracle, so values match bit-for-bit.
+
+Scale notes: all per-document operators are embarrassingly parallel
+projections/aggregations — no joins, no skew; sessionization shuffles
+once on user_id (uniform key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Tiny deterministic stopword profiles for the n-gram/stopword-hit
+# language heuristic. Real deployments plug in fastText/CLD3 via a
+# pandas UDF; the engine surface (schema, grouping) is identical.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+# BPE-ish word-piece pattern: letter runs, digit runs, or single
+# non-space symbols (a cheap proxy for a BPE pre-tokenizer).
+BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language identification with deterministic argmax
+    (ties broken by profile order en > de > fr).
+
+    -> doc_id, lang, predicted_lang, en_hits, de_hits, fr_hits
+    """
+    tok = docs.select("doc_id", "lang", F.explode(tokens()).alias("token"))
+    hits = [
+        F.sum(F.when(F.col("token").isin(words), 1).otherwise(0))
+        .cast("long")
+        .alias(f"{lang}_hits")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    scored = tok.groupBy("doc_id", "lang").agg(*hits)
+    predicted = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits")),
+            F.lit("en"),
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select(
+        "doc_id", "lang", predicted.alias("predicted_lang"),
+        "en_hits", "de_hits", "fr_hits",
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + combined score
+    (length/stopword/punctuation ratios — the C4/Gopher-style cheap
+    filters).
+
+    -> doc_id, n_chars_text, n_tokens, stopword_ratio, punct_ratio,
+       avg_token_len, quality_score
+    """
+    all_stop = sorted({w for ws in LANG_PROFILES.values() for w in ws})
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isin(all_stop), 1).otherwise(0))
+        .cast("long")
+        .alias("stop_hits"),
+        F.sum(F.length("token")).cast("long").alias("token_chars"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
+        )
+        .cast("long")
+        .alias("punct_chars"),
+    )
+    j = base.join(per_doc, "doc_id")
+    stopword_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    punct_ratio = F.col("punct_chars").cast("double") / F.col("n_chars_text")
+    avg_token_len = F.col("token_chars").cast("double") / F.col("n_tokens")
+    # fixed linear combination — same expression tree as the oracle
+    score = (
+        stopword_ratio * 0.4
+        - punct_ratio * 0.3
+        + F.least(F.col("n_tokens"), F.lit(100)).cast("double") / 100.0 * 0.3
+    )
+    return j.select(
+        "doc_id",
+        "n_chars_text",
+        "n_tokens",
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish word-piece count
+    (regex-based proxy for a BPE pre-tokenizer).
+
+    -> doc_id, ws_tokens, bpe_ish_tokens
+    """
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("ws_tokens"),
+        # Python-API regexp_count: the pattern is passed verbatim (a SQL
+        # string literal would re-process backslash escapes)
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Two content fingerprints: md5 of normalized text (order-sensitive)
+    and md5 of the sorted distinct token set (bag-of-words, order- and
+    multiplicity-insensitive).
+
+    -> doc_id, content_fp, bag_fp
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )
+
+
+SESSION_GAP_MS = 1_800_000  # 30 min
+
+
+def sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Gaps-and-islands sessionization of the event stream: a new session
+    starts after ``gap_ms`` of user inactivity. One row per session.
+
+    Single shuffle on user_id; windows are per-user and ordered by
+    (ts, event_id) for full determinism under timestamp ties.
+
+    -> user_id, session_id, n_events, session_start_ms, duration_ms
+    """
+    ev = events.select(
+        "user_id", F.col("event_id"), F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ms").over(w).isNull()
+            | ((F.col("ms") - F.lag("ms").over(w)) > gap_ms),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ms").alias("session_start_ms"),
+            (F.max("ms") - F.min("ms")).alias("duration_ms"),
+        )
+        .orderBy("user_id", "session_id")
+    )
