@@ -1,0 +1,207 @@
+"""Streaming write path: the five fact-table pipelines behind
+Structured Streaming with exactly-once upsert sinks (SURVEY.md §7.4).
+
+Reference mapping:
+- Kafka source + committed offsets (EmoteAnalyser.java:65-78) ->
+  ``readStream`` (file source in tests; swap ``.format("kafka")`` with
+  the same downstream plan for production) with offsets tracked in the
+  Spark checkpoint.
+- keyed tumbling-window state + processing-time partial flush
+  (AbstractStatsAggregation.java:63-115) -> ``groupBy(window(...))`` in
+  **update** output mode with a processing-time trigger: each trigger
+  emits the per-window CUMULATIVE count for every key changed in that
+  batch. NO watermark by default — parity with the reference's
+  unbounded-lateness design (a late event lands in its old bucket);
+  pass ``watermark=`` to bound state at scale (SURVEY §7.6 item 4).
+- XA two-phase-commit upsert sink (XAPostgresSink.java:89-175) ->
+  ``foreachBatch`` + key-based MERGE where the merge action is
+  ``SET value = source.value`` (update mode emits cumulative counts, so
+  the merge is naturally idempotent across batch replays — the replay
+  hazard of the reference's additive ``cnt = cnt + EXCLUDED.cnt`` upsert
+  disappears; design decision D3, SURVEY §7.0).
+
+End-to-end latency: Spark commits sink + offsets per micro-batch, so the
+worst case is one trigger interval — strictly better than the
+reference's aggregation-interval + checkpoint-interval bound
+(README.md:62-67).
+
+The local merge sink rewrites a parquet directory via left-anti union +
+atomic directory swap — the portable stand-in for ``MERGE INTO`` on
+Delta/Iceberg (jars not in this image) or JDBC ``INSERT .. ON CONFLICT
+DO UPDATE SET x = EXCLUDED.x``. At 100 TB use Delta MERGE partitioned by
+channel: the per-batch changed-key set is tiny relative to the table, so
+the rewrite cost is per touched partition, not per table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import dims
+from ..operators import aggregations as agg
+
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("channel", T.StringType(), False),
+        T.StructField("username", T.StringType(), False),
+        T.StructField("message", T.StringType(), False),
+    ]
+)
+
+
+def read_message_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based message stream (tests / replay). For Kafka:
+    ``spark.readStream.format("kafka")...`` then ``from_json`` to the
+    same schema — every downstream transformation is unchanged."""
+    reader = spark.readStream.schema(MESSAGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def merge_upsert(spark: SparkSession, path: str, src: DataFrame, keys: list[str]) -> None:
+    """Idempotent key-based MERGE into a local parquet table:
+    delete-matching + insert (SET = source semantics), atomic directory
+    swap. Stand-in for Delta ``MERGE INTO`` / JDBC upsert."""
+    src = src.cache()
+    try:
+        if os.path.isdir(path):
+            old = spark.read.parquet(path)
+            merged = old.join(src.select(*keys), keys, "left_anti").unionByName(src)
+        else:
+            merged = src
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        had_old = os.path.isdir(path)
+        if had_old:
+            os.rename(path, back)
+        os.rename(tmp, path)
+        if had_old:
+            shutil.rmtree(back, ignore_errors=True)
+    finally:
+        src.unpersist()
+
+
+@dataclass
+class Pipeline:
+    """One fact-table pipeline: a pure transform + its merge keys."""
+
+    name: str
+    transform: callable  # messages DataFrame -> stats DataFrame
+    keys: list[str]
+
+
+def default_pipelines(spark: SparkSession) -> list[Pipeline]:
+    emotes = dims.emotes_df(spark)
+    phrases = dims.phrases_df(spark)
+    return [
+        Pipeline("channel_stats", agg.channel_stats, ["channel", "timestamp"]),
+        Pipeline(
+            "user_stats", agg.user_stats, ["channel", "username", "timestamp"]
+        ),
+        Pipeline(
+            "emote_stats",
+            lambda m: agg.emote_stats(m, emotes),
+            ["channel", "emote", "timestamp"],
+        ),
+        Pipeline(
+            "user_emote_stats",
+            lambda m: agg.user_emote_stats(m, emotes),
+            ["channel", "emote", "username", "timestamp"],
+        ),
+        Pipeline(
+            "phrase_stats",
+            lambda m: agg.phrase_stats(m, phrases),
+            ["channel", "phrase_name", "timestamp"],
+        ),
+    ]
+
+
+def start_pipeline(
+    spark: SparkSession,
+    messages_stream: DataFrame,
+    pipeline: Pipeline,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    watermark: str | None = None,
+):
+    """Start one streaming query: transform -> update-mode streaming agg
+    -> foreachBatch MERGE. Returns the StreamingQuery handle."""
+    src = messages_stream
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    stats = pipeline.transform(src)
+    target = os.path.join(out_dir, pipeline.name)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(spark, target, batch_df, pipeline.keys)
+
+    writer = (
+        stats.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, pipeline.name))
+        .foreachBatch(sink)
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def run_all(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+    watermark: str | None = None,
+) -> None:
+    """Run all five fact pipelines over the message stream until the
+    available data is exhausted (availableNow by default — replayable,
+    resumes from the checkpoint like the reference's Kafka reprocessing
+    flow, README.md:86-101)."""
+    stream = read_message_stream(spark, source_dir, max_files_per_trigger)
+    queries = [
+        start_pipeline(
+            spark, stream, p, out_dir, checkpoint_dir, trigger, watermark
+        )
+        for p in default_pipelines(spark)
+    ]
+    for q in queries:
+        q.awaitTermination()
+
+
+def matched_messages_side_output(
+    spark: SparkSession,
+    messages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """The reference's side-output append log (A13,
+    MessagesMatchingPhraseExporter.java:16-50): same parent stream,
+    second sink, plain append — no merge needed (append-only log)."""
+    phrases = dims.phrases_df(spark)
+    matched = agg.messages_matching_phrase(messages_stream, phrases)
+    return (
+        matched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "messages_matching_phrase"))
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, "messages_matching_phrase"),
+        )
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
