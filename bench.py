@@ -44,6 +44,14 @@ def main() -> None:
     extra = [n for n in all_queries if n not in headline]
     names = headline + extra
 
+    # Warm-up: file listing, parquet footers, JVM/codegen paths — so
+    # per-query timings measure the queries, not session cold start.
+    from twitch_chat_analyser_spark import ingest
+
+    for t in ingest.TABLES:
+        ingest.load(spark, sf_dir, t).count()
+    all_queries["channel_stats"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = all_queries[name]

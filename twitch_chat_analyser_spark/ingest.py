@@ -46,25 +46,44 @@ WINDOW_MS = 900_000
 WINDOW_DURATION = "15 minutes"
 
 
-# Columns stored as TIMESTAMP(NANOS) in the testdata parquet. With
-# spark.sql.legacy.parquet.nanosAsLong they scan as long nanos; we
-# reconstruct TimestampType by integer-dividing to micros — the same
-# truncation DuckDB applies when it reads nanos parquet, so both engines
-# see identical instants.
-NANO_TS_COLUMNS = {
+# Timestamp columns in the testdata parquet come in mixed physical
+# precisions: TIMESTAMP(NANOS) (scanned as long nanos under
+# spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS) without
+# timezone (scanned as TIMESTAMP_NTZ). Normalize both to TimestampType
+# with the UTC session zone: nanos are integer-divided to micros — the
+# same truncation DuckDB applies — and NTZ wall-clock is interpreted as
+# UTC, matching DuckDB's naive-UTC timestamps.
+TS_COLUMNS = {
     "events": ["ts"],
     "lineitem": ["l_shipdate"],
     "orders": ["o_orderdate"],
 }
 
 
+# Tables whose downstream pipelines are CPU-bound in the scan stage
+# (explode + regex, shingle hashing, vector folds). The testdata files
+# are single-row-group parquet, so the scan is ONE task and everything
+# fused into it runs on one core; a cheap round-robin repartition after
+# the scan unlocks full-width map parallelism. Guarded on the actual
+# scan partition count: at 100 TB (thousands of splits) this is a no-op,
+# so no gratuitous shuffle is ever added at scale.
+PARALLELIZE = {"events", "documents", "embeddings"}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in NANO_TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
+    dtypes = dict(df.dtypes)
+    for c in TS_COLUMNS.get(name, []):
+        if dtypes.get(c) == "bigint":
             # integer division — `/` would round through double and lose
             # precision above 2^53 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if name in PARALLELIZE:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

@@ -79,30 +79,38 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
-    """MinHash signature per (doc, seed): min over shingles of
-    md5(seed || '|' || shingle). Long format — (doc_id, seed, minhash) —
-    which makes LSH banding a plain equi-join.
+    """MinHash signature per (doc, seed): min over shingles of the
+    seed's hash slot. Long format — (doc_id, seed, minhash) — which
+    makes LSH banding a plain equi-join.
+
+    Hash family: slot ``i`` is the 8-hex-char substring ``[(i%4)*8+1,
+    +8)`` of ``md5('x' * (i//4) || shingle)`` — four independent 32-bit
+    slots per digest, so 8 hash functions cost TWO md5 evaluations per
+    shingle, not eight (subexpression elimination shares each digest
+    across its four substrings). MinHash only needs a consistent total
+    order per hash function; lexicographic order on fixed-width hex is
+    one, and identical in DuckDB.
 
     The min-aggregation is partial (map-side combine) before any
     shuffle: per input partition Spark reduces each doc's shingles to at
     most ``num_hashes`` candidate minima.
     """
-    seeds = docs.sparkSession.range(num_hashes).select(
-        F.col("id").cast("int").alias("seed")
-    )
     sh = (
         docs.withColumn("toks", tokens())
         .select("doc_id", F.explode(shingles("toks", shingle_k)).alias("sh"))
     )
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
-            ).alias("minhash")
-        )
+    slots = F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit("x" * (i // 4)), F.col("sh"))),
+                (i % 4) * 8 + 1,
+                8,
+            )
+            for i in range(num_hashes)
+        ]
     )
+    hashed = sh.select("doc_id", F.posexplode(slots).alias("seed", "h"))
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:

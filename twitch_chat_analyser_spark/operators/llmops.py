@@ -147,16 +147,16 @@ doc_shingles AS (
 
 _EMB_CTES = """
 emb AS (
-    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+    FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 )
 """
 
 
-def _cos(a: str, b: str) -> str:
-    return (
-        f"list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-    )
+def _cos(a: str, b: str, a_nrm: str, b_nrm: str) -> str:
+    """dot / (|a| * |b|) with precomputed norms — mirrors
+    similarity.cosine's expression structure exactly (bit-identical)."""
+    return f"list_dot_product({a}, {b}) / ({a_nrm} * {b_nrm})"
 
 
 def _simhash_sql() -> str:
@@ -202,8 +202,11 @@ FROM hashed GROUP BY content_hash""",
 WITH {_DOC_CTES},
 seeds AS (SELECT CAST(x AS INT) AS seed FROM range({NUM_HASHES}) t(x)),
 sigs AS (
+    -- slot i = 8-hex-char window (i%4) of md5('x'*(i//4) || shingle),
+    -- mirroring dedup.minhash_signatures' hash family exactly
     SELECT doc_id, seed,
-           min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+           min(substr(md5(repeat('x', seed // 4) || sh),
+                      (seed % 4) * 8 + 1, 8)) AS minhash
     FROM doc_shingles, seeds GROUP BY 1, 2
 ),
 cands AS (
@@ -244,14 +247,16 @@ FROM gram_sets a JOIN gram_sets b
 ORDER BY jaccard DESC, doc_a, doc_b LIMIT {NGRAM_TOP_N}""",
         "dedup_embedding_cosine": f"""
 WITH {_EMB_CTES}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos('a.v', 'b.v')} AS cos_sim
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cos_sim
 FROM emb a, emb b WHERE a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
         "ann_brute_topk": f"""
 WITH {_EMB_CTES},
-q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {len(ANN_QUERY_IDS)}),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm FROM emb
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
 scored AS (
-    SELECT query_id, e.vec_id AS neighbor_id, {_cos('qv', 'e.v')} AS cos_sim
+    SELECT query_id, e.vec_id AS neighbor_id,
+           {_cos('qv', 'e.v', 'q_nrm', 'e.nrm')} AS cos_sim
     FROM emb e, q WHERE e.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -261,20 +266,22 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= {ANN_K}""",
         "ann_ivf_topk": f"""
 WITH {_EMB_CTES},
-centroids AS (SELECT vec_id AS centroid_id, v AS cv FROM emb
+centroids AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS c_nrm FROM emb
               WHERE vec_id < {IVF_CENTROIDS}),
 assigned AS (
-    SELECT vec_id, v, centroid_id FROM (
-        SELECT e.vec_id, e.v, c.centroid_id,
+    SELECT vec_id, v, nrm, centroid_id FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY {_cos('e.v', 'c.cv')} DESC, c.centroid_id) AS rn
+                   ORDER BY {_cos('e.v', 'c.cv', 'e.nrm', 'c.c_nrm')} DESC,
+                            c.centroid_id) AS rn
         FROM emb e, centroids c
     ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM assigned
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm, centroid_id FROM assigned
       WHERE vec_id < {len(ANN_QUERY_IDS)}),
 scored AS (
-    SELECT q.query_id, a.vec_id AS neighbor_id, {_cos('q.qv', 'a.v')} AS cos_sim
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           {_cos('q.qv', 'a.v', 'q.q_nrm', 'a.nrm')} AS cos_sim
     FROM assigned a JOIN q USING (centroid_id)
     WHERE a.vec_id != q.query_id
 )

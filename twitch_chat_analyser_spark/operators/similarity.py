@@ -27,24 +27,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-COS_EXPR = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    " / (sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
-    " * sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)))"
-)
+DOT_EXPR = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
 def as_double_vec(df: DataFrame, out: str = "v") -> DataFrame:
-    """Cast ARRAY<FLOAT> -> ARRAY<DOUBLE> once up front (exact widening)."""
-    return df.select(
+    """Cast ARRAY<FLOAT> -> ARRAY<DOUBLE> once up front (exact widening)
+    and precompute the vector norm ONCE per vector — pairwise scoring
+    then needs a single fold per pair instead of three (3x fewer flops
+    in the O(N^2)/O(QxN) hot loops)."""
+    base = df.select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x AS double))").alias(out),
     )
+    return base.withColumn(
+        f"{out}_nrm", F.sqrt(F.expr(DOT_EXPR.format(a=out, b=out)))
+    )
 
 
-def cosine(a: str, b: str):
-    return F.expr(COS_EXPR.format(a=a, b=b))
+def cosine(a: str, b: str, a_nrm: str | None = None, b_nrm: str | None = None):
+    """cos(a,b) = dot / (|a| * |b|) with precomputed norms; the division
+    structure matches the DuckDB oracle expression exactly, so results
+    are bit-identical."""
+    a_nrm = a_nrm or f"{a}_nrm"
+    b_nrm = b_nrm or f"{b}_nrm"
+    return F.expr(DOT_EXPR.format(a=a, b=b)) / (F.col(a_nrm) * F.col(b_nrm))
 
 
 def brute_force_topk(
@@ -56,10 +63,12 @@ def brute_force_topk(
     """
     vecs = as_double_vec(embeddings)
     queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("v_nrm").alias("q_nrm"),
     )
     scored = (
-        vecs.select(F.col("vec_id").alias("neighbor_id"), "v")
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "v_nrm")
         .crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine("q", "v").alias("cos_sim"))
@@ -88,7 +97,9 @@ def ivf_topk(
     """
     vecs = as_double_vec(embeddings)
     centroids = vecs.filter(F.col("vec_id") < num_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("c"),
+        F.col("v_nrm").alias("c_nrm"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), "centroid_id"
@@ -96,20 +107,22 @@ def ivf_topk(
     assigned = (
         vecs.crossJoin(F.broadcast(centroids))
         .select(
-            "vec_id", "v", "centroid_id", cosine("v", "c").alias("cos_c")
+            "vec_id", "v", "v_nrm", "centroid_id",
+            cosine("v", "c").alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
+        .select("vec_id", "v", "v_nrm", "centroid_id")
     )
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q"),
+        F.col("v_nrm").alias("q_nrm"),
         "centroid_id",
     )
     scored = (
         assigned.select(
-            F.col("vec_id").alias("neighbor_id"), "v", "centroid_id"
+            F.col("vec_id").alias("neighbor_id"), "v", "v_nrm", "centroid_id"
         )
         .join(F.broadcast(queries), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -132,8 +145,16 @@ def embedding_dedup_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
     -> vec_a, vec_b, cos_sim
     """
     vecs = as_double_vec(embeddings)
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("v_nrm").alias("va_nrm"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("v_nrm").alias("vb_nrm"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))

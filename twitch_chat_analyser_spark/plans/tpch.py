@@ -1,0 +1,274 @@
+"""Relational-breadth queries on the TPC-H-ish testdata tables — the
+capabilities the reference lacks but Spark provides for free (SURVEY.md
+§2.D: set ops, rollup, multi-way joins, distinct aggregates), plus the
+classic scan/agg/join shapes used as bench headliners.
+
+Float determinism policy: monetary aggregates are summed as
+DECIMAL(18,4) (exact, order-independent — safe against shuffle
+nondeterminism) and only the final result is cast to DOUBLE, which both
+engines round identically; raw stored doubles pass through untouched.
+
+Scale notes (100 TB):
+- q1 is a pure scan+agg: predicate and the 7-column projection push to
+  the parquet scan; partial aggregation reduces each task to ≤ |groups|
+  rows before the single shuffle.
+- q3/q5 join small-dimension-filtered sides into the big fact; Catalyst
+  broadcasts customer/nation/region-sized inputs (verified via explain
+  in tests) so lineitem never shuffles for the join — only for the
+  final group-by.
+- top-k per group is a window + filter: shuffle on the partition key,
+  no global sort; global top-k (q3's LIMIT) is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import ingest
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+Q3_DATE = "1996-03-15 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_YEAR_START = "1996-01-01 00:00:00"
+Q5_YEAR_END = "1997-01-01 00:00:00"
+ACCTBAL_CUT = 5000.0
+
+DEC = "decimal(18,4)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = ingest.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= Q1_CUTOFF
+    )
+    qd, pd_, dd, td = (
+        _dec("l_quantity"),
+        _dec("l_extendedprice"),
+        _dec("l_discount"),
+        _dec("l_tax"),
+    )
+    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qd).alias("sq"),
+        F.sum(pd_).alias("sp"),
+        F.sum(pd_ * (F.lit(1).cast(DEC) - dd)).alias("sdp"),
+        F.sum(pd_ * (F.lit(1).cast(DEC) - dd) * (F.lit(1).cast(DEC) + td)).alias(
+            "sc"
+        ),
+        F.count("*").alias("count_order"),
+    )
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sp").cast("double").alias("sum_base_price"),
+        F.col("sdp").cast("double").alias("sum_disc_price"),
+        F.col("sc").cast("double").alias("sum_charge"),
+        (F.col("sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ingest.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = ingest.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_DATE
+    )
+    li = ingest.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_DATE
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_orderpriority",
+        )
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = ingest.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = ingest.load(spark, sf_dir, "nation")
+    cust = ingest.load(spark, sf_dir, "customer")
+    orders = ingest.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q5_YEAR_START)
+        & (F.col("o_orderdate") < Q5_YEAR_END)
+    )
+    li = ingest.load(spark, sf_dir, "lineitem")
+    supp = ingest.load(spark, sf_dir, "supplier")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(
+                cust.join(
+                    F.broadcast(
+                        nation.join(
+                            F.broadcast(region),
+                            nation.n_regionkey == region.r_regionkey,
+                        )
+                    ),
+                    cust.c_nationkey == nation.n_nationkey,
+                )
+            ),
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — grouping-set capability beyond the reference."""
+    li = ingest.load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    orders = ingest.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+def except_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT) — beyond-reference capability."""
+    orders = ingest.load(spark, sf_dir, "orders")
+    cust = ingest.load(spark, sf_dir, "customer")
+    active = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    rich = cust.filter(F.col("c_acctbal") > ACCTBAL_CUT).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return active.exceptAll(rich.distinct()).orderBy("custkey")
+
+
+def distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct chatters per channel (SURVEY §7.5) over the
+    messages relation."""
+    msgs = ingest.messages(spark, sf_dir)
+    return msgs.groupBy("channel").agg(
+        F.countDistinct("username").cast("long").alias("n_chatters")
+    )
+
+
+def approx_distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — engine-specific sketch, rows-only check
+    (DuckDB's approx_count_distinct uses a different sketch)."""
+    msgs = ingest.messages(spark, sf_dir)
+    return msgs.groupBy("channel").agg(
+        F.approx_count_distinct("username").alias("approx_chatters")
+    )
+
+
+TPCH_QUERIES = {
+    "tpch_q1_pricing_summary": q1_pricing_summary,
+    "tpch_q3_shipping_priority": q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": q5_local_supplier_volume,
+    "rollup_order_counts": rollup_order_counts,
+    "topk_orders_per_priority": topk_orders_per_priority,
+    "except_high_balance_customers": except_high_balance_customers,
+    "distinct_chatters": distinct_chatters,
+    "approx_distinct_chatters": approx_distinct_chatters,  # rows-only
+}
+
+
+def tpch_oracles() -> dict[str, str]:
+    from ..registry import chat_ctes
+
+    return {
+        "tpch_q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        AS sum_disc_price,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+         * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
+        AS sum_charge,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+    count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3_shipping_priority": f"""
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "tpch_q5_local_supplier_volume": f"""
+SELECT n_name,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_YEAR_START}'
+  AND o_orderdate < TIMESTAMP '{Q5_YEAR_END}'
+GROUP BY n_name""",
+        "rollup_order_counts": """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "topk_orders_per_priority": """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+    FROM orders
+) WHERE rank <= 3""",
+        "except_high_balance_customers": f"""
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > {ACCTBAL_CUT}""",
+        "distinct_chatters": chat_ctes()
+        + """
+SELECT channel, CAST(count(DISTINCT username) AS BIGINT) AS n_chatters
+FROM messages GROUP BY channel""",
+    }

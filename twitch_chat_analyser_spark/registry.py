@@ -170,6 +170,9 @@ def queries() -> dict[str, QueryFn]:
     from .operators import llmops
 
     out.update(llmops.LLM_QUERIES)
+    from .plans import tpch
+
+    out.update(tpch.TPCH_QUERIES)
     return out
 
 
@@ -182,4 +185,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators import llmops
 
     out.update(llmops.llm_oracles())
+    from .plans import tpch
+
+    out.update(tpch.tpch_oracles())
     return out
