@@ -1,0 +1,109 @@
+"""Physical-plan shape assertions — the scale contract (SURVEY.md §4.3).
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one that survives 100x data: dimension joins broadcast (no fact-table
+shuffle for the join), filters reach the parquet scan (PushedFilters),
+global top-k is TakeOrderedAndProject (no full sort), and the relational
+hot paths stay inside whole-stage codegen with zero Python nodes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from twitch_chat_analyser_spark import dims, ingest
+from twitch_chat_analyser_spark.operators import aggregations as agg
+from twitch_chat_analyser_spark.plans import api, tpch
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tpch_q3_broadcasts_customer_and_pushes_date_filters(spark, sf_dir):
+    plan = plan_of(tpch.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # date predicates reach the parquet scans (partition/row-group pruning
+    # at scale). l_shipdate arrives as nanos BIGINT, so the pushed filter
+    # is on the raw long column.
+    assert "PushedFilters" in plan
+    assert plan.count("IsNotNull") >= 2
+    # global top-10 must be TakeOrderedAndProject, not Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_dimension_chain_broadcasts(spark, sf_dir):
+    plan = plan_of(tpch.q5_local_supplier_volume(spark, sf_dir))
+    # region->nation->customer chain collapses into broadcast joins;
+    # lineitem/orders never shuffle for those joins
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_emote_stats_broadcasts_dim_and_stays_jvm_side(spark, sf_dir):
+    df = agg.emote_stats(ingest.messages(spark, sf_dir), dims.emotes_df(spark))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # emotes dim semi-join (A9)
+    assert "Python" not in plan  # explode+join, no UDF
+    # the dim must be a literal plan (Range->Generate), not an RDD scan
+    assert "ExistingRDD" not in plan
+
+
+def test_range_series_pushes_channel_and_bounds(spark, sf_dir):
+    df = api.range_series(
+        agg.channel_stats(ingest.messages(spark, sf_dir)),
+        api.CHANNEL,
+        api.START_MS,
+        api.END_MS,
+    )
+    plan = plan_of(df)
+    # the channel predicate prunes BEFORE aggregation: it must appear as
+    # a scan-level pushed filter on events' event_type column
+    assert "PushedFilters" in plan
+    assert "event_type" in plan and "click" in plan
+
+
+def test_top_emotes_is_take_ordered(spark, sf_dir):
+    df = api.top_emotes_window(
+        agg.emote_stats(ingest.messages(spark, sf_dir), dims.emotes_df(spark)),
+        api.CHANNEL,
+        api.START_MS,
+        api.END_MS,
+        10,
+    )
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_write_path_aggregations_partial_before_shuffle(spark, sf_dir):
+    """groupBy compiles to partial + final HashAggregate around ONE
+    shuffle — the map-side combine the reference hand-rolled (A5/A6)."""
+    plan = plan_of(agg.channel_stats(ingest.messages(spark, sf_dir)))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "channel_stats",
+        "user_stats",
+        "emote_stats",
+        "user_emote_stats",
+        "phrase_stats",
+        "tpch_q1_pricing_summary",
+        "b4_top_chatters",
+        "b14_cumulative_series",
+        "dedup_minhash_lsh",
+        "text_language_id",
+    ],
+)
+def test_no_python_nodes_in_relational_hot_paths(spark, sf_dir, name):
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()[name](spark, sf_dir))
+    assert "Python" not in plan, f"{name} fell out of codegen:\n{plan[:2000]}"

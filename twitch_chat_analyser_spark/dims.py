@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # EmoteType enum parity: reference emote/EmoteType.java:3-9.
@@ -112,16 +113,39 @@ PHRASES_SCHEMA = T.StructType(
 )
 
 
+def _literal_df(spark: SparkSession, rows: list[tuple], schema: T.StructType) -> DataFrame:
+    """Constant rows as a pure-expression plan (explode of an array of
+    literal structs). Unlike ``spark.createDataFrame(list)`` — which
+    plans a Scan ExistingRDD fed by applySchemaToPythonRDD — this stays
+    entirely JVM-side: no Python evaluation at runtime, and the dim is
+    trivially broadcastable in every micro-batch replan."""
+    fields = schema.fields
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for f, v in zip(fields, row)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+    )
+
+
 def emotes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(EMOTES, EMOTES_SCHEMA)
+    return _literal_df(spark, EMOTES, EMOTES_SCHEMA)
 
 
 def channels_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(CHANNELS, CHANNELS_SCHEMA)
+    return _literal_df(spark, CHANNELS, CHANNELS_SCHEMA)
 
 
 def phrases_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(valid_phrases(), PHRASES_SCHEMA)
+    return _literal_df(spark, valid_phrases(), PHRASES_SCHEMA)
 
 
 def _sql_lit(v) -> str:

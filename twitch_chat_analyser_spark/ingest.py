@@ -70,7 +70,9 @@ TS_COLUMNS = {
 PARALLELIZE = {"events", "documents", "embeddings"}
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in TS_COLUMNS.get(name, []):
@@ -80,7 +82,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif dtypes.get(c) == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    if name in PARALLELIZE:
+    if parallelize is None:
+        parallelize = name in PARALLELIZE
+    if parallelize:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
@@ -98,8 +102,10 @@ def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     username STRING, message STRING.
     """
     events = load(spark, sf_dir, "events")
+    # broadcast side: never repartition — the rows are collected to the
+    # driver for the broadcast anyway, a pre-shuffle is pure overhead
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", parallelize=False)
         .filter(F.col("doc_id") < DOC_MOD)
         .select("doc_id", "text")
     )

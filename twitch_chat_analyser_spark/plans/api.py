@@ -251,6 +251,51 @@ def channel_series_resampled(
     return interpolate_on_grid(cum, grid, "messages")
 
 
+def empty_series_default(
+    series: DataFrame, start: int, end: int, value_col: str = "messages"
+) -> DataFrame:
+    """B16 empty-series default (MainController.php:697-706): an empty
+    series becomes two synthetic zero points at the window bounds.
+
+    Single-plan formulation (no driver-side isEmpty branch): the
+    fallback rows are gated on a broadcast 1-row count of the series, so
+    the check rides inside the job.
+    """
+    spark = series.sparkSession
+    n = series.agg(F.count(F.lit(1)).alias("n"))
+    fallback = (
+        spark.createDataFrame(
+            [(start, 0), (end, 0)], f"timestamp long, {value_col} long"
+        )
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n") == 0)
+        .select("timestamp", value_col)
+    )
+    return series.select("timestamp", value_col).unionAll(fallback)
+
+
+def dynamic_sort(df: DataFrame, sort_by: str, descending: bool) -> DataFrame:
+    """B19 request-parameter sort key (MainController.php:274-283) with
+    a deterministic key tiebreaker."""
+    key = F.desc(sort_by) if descending else F.asc(sort_by)
+    return df.orderBy(key, F.asc("emote"))
+
+
+def emotes_per_channel_json(emote_totals: DataFrame) -> DataFrame:
+    """B20 nested JSON reshaping (ApiController.php:49-64): per-channel
+    ``{"emote": occurrences, ...}`` objects. Entries sorted by emote so
+    the rendered JSON is deterministic across partitionings."""
+    return emote_totals.groupBy("channel").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("emote"), F.col("occurrences")))
+                )
+            )
+        ).alias("emotes_json")
+    )
+
+
 def percentage_of_total(
     user_emote_totals: DataFrame, channel: str, emote: str
 ) -> DataFrame:
@@ -376,6 +421,33 @@ def _q_series_resampled(spark, sf_dir):
     )
 
 
+def _q_empty_series(spark, sf_dir):
+    # a channel that never chats -> the synthetic two-point fallback
+    series = range_series(
+        agg.channel_stats(_facts(spark, sf_dir)), "__no_such_channel__", START_MS, END_MS
+    )
+    return empty_series_default(series, START_MS, END_MS)
+
+
+def _q_dynamic_sort(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    emote_totals = agg.totals(
+        agg.emote_stats(msgs, dims.emotes_df(spark)), ["channel", "emote"], "occurrences"
+    )
+    board = emote_leaderboard(dims.emotes_df(spark), emote_totals, CHANNEL)
+    return dynamic_sort(board, "type", descending=True)
+
+
+def _q_emotes_per_channel_json(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    emote_totals = agg.totals(
+        agg.emote_stats(msgs, dims.emotes_df(spark)), ["channel", "emote"], "occurrences"
+    )
+    return emotes_per_channel_json(
+        emote_totals.filter(F.col("timestamp") == 0)
+    )
+
+
 def _q_pct_of_total(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
     ue_totals = agg.totals(
@@ -399,7 +471,10 @@ READ_PATH_QUERIES = {
     "b13_rolling_sums": _q_rolling_sums,
     "b14_cumulative_series": _q_cumulative_series,
     "b15_series_resampled": _q_series_resampled,
+    "b16_empty_series_default": _q_empty_series,
     "b18_pct_of_total": _q_pct_of_total,
+    "b19_dynamic_sort": _q_dynamic_sort,
+    "b20_emotes_per_channel_json": _q_emotes_per_channel_json,
 }
 
 
@@ -514,6 +589,32 @@ SELECT ts AS timestamp,
               ELSE round(before_v + (ts - before_ts) / (after_ts - before_ts) * (after_v - before_v))
          END AS BIGINT) AS messages
 FROM filled WHERE is_grid = 1""",
+        "b16_empty_series_default": f"""{c},
+series AS (
+    SELECT timestamp, messages FROM channel_stats
+    WHERE channel = '__no_such_channel__'
+      AND timestamp >= {START_MS} AND timestamp <= {END_MS}
+)
+SELECT timestamp, messages FROM series
+UNION ALL
+SELECT * FROM (VALUES ({START_MS}, CAST(0 AS BIGINT)),
+                      ({END_MS}, CAST(0 AS BIGINT))) f(timestamp, messages)
+WHERE (SELECT count(*) FROM series) = 0""",
+        "b19_dynamic_sort": f"""{c}
+SELECT e.emote, CAST(e.type AS SMALLINT) AS type, s.occurrences
+FROM emotes e
+JOIN (
+    SELECT emote, count(*) AS occurrences FROM emote_occurrences
+    WHERE channel = '{CHANNEL}' GROUP BY emote
+) s ON s.emote = e.emote""",
+        "b20_emotes_per_channel_json": f"""{c}
+SELECT channel,
+       '{{' || string_agg('"' || emote || '":' || occurrences, ',' ORDER BY emote)
+            || '}}' AS emotes_json
+FROM (
+    SELECT channel, emote, count(*) AS occurrences
+    FROM emote_occurrences GROUP BY 1, 2
+) GROUP BY channel""",
         "b18_pct_of_total": f"""{c}
 SELECT username, occurrences,
        CAST(100.0 AS DOUBLE) * occurrences / sum(occurrences) OVER () AS pct,
