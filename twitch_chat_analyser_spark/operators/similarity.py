@@ -178,7 +178,11 @@ def ann_topk_blas(
     import numpy as np
     import pandas as pd
 
-    vecs = as_double_vec(embeddings)
+    # lean projection for the Arrow transfer: ids + vectors only (norms
+    # are recomputed vectorized inside the kernel anyway)
+    vecs = embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
     qrows = vecs.filter(F.col("vec_id").isin(query_ids)).collect()
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = np.array([r["v"] for r in qrows])  # (Q, D)
@@ -188,17 +192,30 @@ def ann_topk_blas(
     def score(batches):
         bqids, bq = bc.value
         for pdf in batches:
-            mat = np.array(list(pdf["v"]))  # (B, D)
+            mat = np.vstack(pdf["v"].to_numpy())  # (B, D)
             nids = pdf["vec_id"].to_numpy()
             mnorm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mnorm @ bq.T  # (B, Q)
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(bqids, len(nids)),
-                    "neighbor_id": np.tile(nids, len(bqids)),
-                    "cos_sim": sims.T.ravel(),
-                }
-            )
+            # partial top-k PER BATCH (combiner pattern): each batch emits
+            # at most Q*(k+1) candidate rows instead of Q*B, so the
+            # downstream shuffle + window sees a tiny candidate set.
+            # k+1 covers the query row itself appearing in the batch;
+            # lexsort on (-cos, neighbor_id) keeps the global tiebreak
+            # exact, so the merged result equals the unbatched top-k.
+            kk = min(k + 1, len(nids))
+            frames = []
+            for qi in range(len(bqids)):
+                top = np.lexsort((nids, -sims[:, qi]))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": bqids[qi],
+                            "neighbor_id": nids[top],
+                            "cos_sim": sims[top, qi],
+                        }
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
             yield out[out.query_id != out.neighbor_id]
 
     scored = vecs.mapInPandas(
