@@ -51,3 +51,24 @@ def test_frame_sample_plan(media):
 def test_decode_drops_payload_column(media):
     df = multimodal.decode_features(media)
     assert "payload" not in df.columns
+
+
+def test_resize_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(b"xx", 8, 8)
+
+
+def test_resize_images_shape_and_determinism(media):
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 4).collect()}
+    # only images pass through; the video row is filtered out
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["target_w"] == 8 and r["target_h"] == 4
+        assert len(r["out_bytes"]) == 8 * 4  # byte budget scales with geometry
+        assert hashlib.sha256(bytes(r["out_bytes"])).hexdigest() == r["out_sha256"]
+    # deterministic: same input -> identical bytes
+    again = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 4).collect()}
+    assert bytes(again[1]["out_bytes"]) == bytes(out[1]["out_bytes"])
+    # different geometry -> different content
+    other = {r["media_id"]: r for r in multimodal.resize_images(media, 4, 4).collect()}
+    assert bytes(other[1]["out_bytes"]) != bytes(out[1]["out_bytes"])[:16]

@@ -1,0 +1,83 @@
+"""Custom stateful operator: streaming sessionization via
+applyInPandasWithState must match the batch gaps-and-islands operator
+for every session it closes, including sessions spanning micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from twitch_chat_analyser_spark.operators import textops
+from twitch_chat_analyser_spark.streaming import stateful
+
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+GAP = 30 * 60 * 1000
+
+EVENTS_SCHEMA = "ts timestamp, user_id long, event_id long"
+
+# (minute-offset, user, event_id): user 1 has two sessions (gap at 90min),
+# the second session SPANS the two files; user 2 has one open session.
+FILE_1 = [(0, 1, 10), (5, 1, 11), (90, 1, 12), (0, 2, 20)]
+FILE_2 = [(95, 1, 13), (200, 1, 14), (3, 2, 21)]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [
+            (EPOCH + dt.timedelta(minutes=m), u, e)
+            for m, u, e in rows
+        ],
+        EVENTS_SCHEMA,
+    )
+
+
+def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, FILE_1).coalesce(1).write.mode("append").parquet(src)
+    _mk(spark, FILE_2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.sessionize_stream(stream, gap_ms=GAP)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms, r.duration_ms)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # batch truth over all events; streaming emits every CLOSED session
+    # (each user's final session stays open awaiting timeout)
+    batch = textops.sessionize(
+        _mk(spark, FILE_1 + FILE_2).withColumnRenamed("ts", "ts"), gap_ms=GAP
+    )
+    batch_rows = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms, r.duration_ms)
+        for r in batch.collect()
+    }
+    last_open = {
+        u: max(sid for (uu, sid) in batch_rows if uu == u)
+        for u in {u for (u, _) in batch_rows}
+    }
+    expected = {
+        k: v for k, v in batch_rows.items() if k[1] != last_open[k[0]]
+    }
+    assert got == expected
+    # the cross-file session (user 1: events at 90 & 95 min) closed as ONE
+    # session with 2 events — state stitched across micro-batches
+    assert got[(1, 2)][0] == 2

@@ -122,6 +122,61 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, target_w int, target_h int, "
+    "out_bytes binary, out_sha256 string"
+)
+
+
+def resize_stub(payload: bytes, target_w: int, target_h: int, fake: bool = False):
+    """Placeholder for a real resize kernel. ``fake=True`` produces a
+    deterministic pseudo-thumbnail: sha256(payload||dims) repeated to
+    target_w*target_h bytes — stable content whose SIZE scales with the
+    target geometry, so batch-shape and byte-budget tests are real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires an imaging library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
+    n = target_w * target_h
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 32, target_h: int = 32, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched resize stage (binary in -> binary out). Unlike
+    ``decode_features`` this RETURNS payload-sized data, so at scale the
+    stage must run map-side and write straight to the sink — never feed
+    resized bytes into a shuffle (module docstring).
+
+    -> RESIZED_SCHEMA rows
+    """
+    import pandas as pd
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                out = resize_stub(bytes(r["payload"]), target_w, target_h, fake=fake)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "target_w": target_w,
+                        "target_h": target_h,
+                        "out_bytes": out,
+                        "out_sha256": hashlib.sha256(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    ).mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each video row into one row
     per target frame timestamp (sequence + explode, JVM-side); the

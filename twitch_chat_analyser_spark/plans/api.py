@@ -296,6 +296,35 @@ def emotes_per_channel_json(emote_totals: DataFrame) -> DataFrame:
     )
 
 
+def legacy_deviation(user_stats: DataFrame) -> DataFrame:
+    """B22 legacy deviation (MainController.php:547-558, usage commented
+    out at :266-270): despite the name, the reference computes
+    ``sqrt(sum(x^2) / (n - 1))`` — deviation from zero with a sample
+    denominator (``$val`` is overwritten and never used). Reproduced
+    bit-for-bit, NULL for n <= 1. x = per-user total messages in the
+    channel.
+
+    -> channel, n_users, deviation
+    """
+    per_user = (
+        user_stats.filter(F.col("timestamp") > 0)
+        .groupBy("channel", "username")
+        .agg(F.sum("messages").alias("x"))
+    )
+    per_channel = per_user.groupBy("channel").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.pow("x", 2)).alias("sum_sq"),
+    )
+    return per_channel.select(
+        "channel",
+        "n_users",
+        F.when(
+            F.col("n_users") > 1,
+            F.sqrt(F.col("sum_sq") / (F.col("n_users") - 1)),
+        ).alias("deviation"),
+    )
+
+
 def percentage_of_total(
     user_emote_totals: DataFrame, channel: str, emote: str
 ) -> DataFrame:
@@ -448,6 +477,10 @@ def _q_emotes_per_channel_json(spark, sf_dir):
     )
 
 
+def _q_legacy_deviation(spark, sf_dir):
+    return legacy_deviation(agg.user_stats(_facts(spark, sf_dir)))
+
+
 def _q_pct_of_total(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
     ue_totals = agg.totals(
@@ -475,6 +508,7 @@ READ_PATH_QUERIES = {
     "b18_pct_of_total": _q_pct_of_total,
     "b19_dynamic_sort": _q_dynamic_sort,
     "b20_emotes_per_channel_json": _q_emotes_per_channel_json,
+    "b22_legacy_deviation": _q_legacy_deviation,
 }
 
 
@@ -615,6 +649,16 @@ FROM (
     SELECT channel, emote, count(*) AS occurrences
     FROM emote_occurrences GROUP BY 1, 2
 ) GROUP BY channel""",
+        "b22_legacy_deviation": f"""{c}
+SELECT channel, n_users,
+       CASE WHEN n_users > 1 THEN sqrt(sum_sq / (n_users - 1)) END AS deviation
+FROM (
+    SELECT channel, count(*) AS n_users, sum(pow(x, 2)) AS sum_sq
+    FROM (
+        SELECT channel, username, CAST(sum(messages) AS BIGINT) AS x
+        FROM user_stats WHERE timestamp > 0 GROUP BY channel, username
+    ) GROUP BY channel
+)""",
         "b18_pct_of_total": f"""{c}
 SELECT username, occurrences,
        CAST(100.0 AS DOUBLE) * occurrences / sum(occurrences) OVER () AS pct,

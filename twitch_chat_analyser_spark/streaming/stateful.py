@@ -1,0 +1,136 @@
+"""Custom stateful streaming operator (SURVEY.md §7.6 item 6 surface):
+per-key session tracking with explicit GroupState via
+``applyInPandasWithState``.
+
+The reference's only stateful operator is the generic keyed
+window-accumulate-and-flush (AbstractStatsAggregation.java:63-115),
+which Spark's built-in windowed aggregation covers (A5/A6). This module
+exercises the surface Spark offers for operators the built-ins CANNOT
+express: arbitrary per-key state machines. Sessionization-with-gap is
+the canonical case — ``session_window`` exists for windowed aggs, but
+emitting one row per CLOSED session, stitching sessions across
+micro-batches, and expiring idle keys by timeout needs explicit state.
+
+Semantics match the batch gaps-and-islands operator
+(``operators.textops.sessionize``): a session closes when a later event
+arrives more than ``gap_ms`` after the session's last event (emitted in
+that batch), or when the key's processing-time timeout fires with an
+open session (emitted then). Session ids are 1-based per key, in arrival
+order — identical numbering to the batch operator.
+
+Scale notes: state per key is four longs — millions of concurrent users
+fit comfortably in the state store; the shuffle is the single groupBy on
+user_id. Timeouts bound state for churned users; late events beyond a
+closed session open a NEW session rather than mutating history (the
+streaming-vs-batch divergence documented here — the batch op would have
+merged them; run batch backfills for exact reconciliation, duality D4).
+
+Idle-timeout flushing (``idle_timeout_ms``) is OFF by default: a query
+with registered processing-time timers never terminates under
+``availableNow`` (it stays up to service future timer fires), so bounded
+replay/backfill runs must use ``NoTimeout`` and let each user's final
+session stay open; a 24/7 service run turns the timeout on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "session_start_ms long, duration_ms long"
+)
+# (next_session_id, start_ms, last_ms, n_events) of the OPEN session
+STATE_SCHEMA = "sid long, start long, last long, n long"
+
+DEFAULT_GAP_MS = 30 * 60 * 1000
+
+
+def _session_fn(gap_ms: int, idle_timeout_ms: int | None):
+    import pandas as pd
+
+    def fn(key, pdfs: Iterable["pd.DataFrame"], state: GroupState):
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                sid, start, last, n = state.get
+                closed.append((user_id, sid, n, start, last - start))
+                state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_id",
+                    "n_events",
+                    "session_start_ms",
+                    "duration_ms",
+                ],
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ms", "event_id"])
+
+        if state.exists:
+            sid, start, last, n = state.get
+        else:
+            sid, start, last, n = 0, None, None, 0
+
+        for ms in rows["ms"]:
+            ms = int(ms)
+            if start is None:
+                sid, start, last, n = sid + 1, ms, ms, 1
+            elif ms - last > gap_ms:
+                closed.append((user_id, sid, n, start, last - start))
+                sid, start, last, n = sid + 1, ms, ms, 1
+            else:
+                last, n = ms, n + 1
+
+        state.update((sid, start, last, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_id",
+                "n_events",
+                "session_start_ms",
+                "duration_ms",
+            ],
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_ms: int = DEFAULT_GAP_MS,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """events(ts TIMESTAMP, user_id, event_id) streaming DataFrame ->
+    append-mode stream of closed session rows (SESSION_OUTPUT_SCHEMA).
+
+    ``idle_timeout_ms=None`` (default): no processing-time timers —
+    required for bounded availableNow runs (see module docstring)."""
+    prepared = events.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_ms, idle_timeout_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
