@@ -109,6 +109,31 @@ def _session_fn(gap_ms: int, idle_timeout_ms: int | None):
     return fn
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "0 seconds"
+) -> DataFrame:
+    """The BUILT-IN alternative (``F.session_window``): per-user session
+    event counts with window bounds. Works identically on batch frames
+    (watermark ignored) and streaming frames (append mode — a session
+    emits once the watermark passes its close). Use this when windowed
+    aggregates per session suffice; use :func:`sessionize_stream` when
+    custom state/emission semantics are needed.
+
+    -> user_id, session_start_ms, session_end_ms, n_events
+    """
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events")).select(
+        "user_id",
+        F.unix_millis("w.start").alias("session_start_ms"),
+        F.unix_millis("w.end").alias("session_end_ms"),
+        "n_events",
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_ms: int = DEFAULT_GAP_MS,
