@@ -72,3 +72,24 @@ def test_resize_images_shape_and_determinism(media):
     # different geometry -> different content
     other = {r["media_id"]: r for r in multimodal.resize_images(media, 4, 4).collect()}
     assert bytes(other[1]["out_bytes"]) != bytes(out[1]["out_bytes"])[:16]
+
+
+def test_audio_features_stub_and_plumbing(spark):
+    rows = [
+        (10, "audio", b"RIFF-fake-wav-payload" * 100, ("audio/wav", None, None, 2500)),
+        (11, "image", b"\x89PNG-x", ("image/png", 8, 8, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        multimodal.audio_features_stub(b"xx")
+    out = multimodal.audio_features(media).collect()
+    assert len(out) == 1 and out[0].media_id == 10  # image filtered out
+    r = out[0]
+    assert r.n_bytes == 2100
+    assert r.est_sample_rate in {8000, 16000, 24000, 32000, 40000}
+    assert r.est_duration_ms >= 1 and r.rms > 0
+    # deterministic
+    again = multimodal.audio_features(media).collect()[0]
+    assert (again.est_sample_rate, again.est_duration_ms, again.rms) == (
+        r.est_sample_rate, r.est_duration_ms, r.rms
+    )

@@ -99,18 +99,29 @@ def minhash_signatures(
         docs.withColumn("toks", tokens())
         .select("doc_id", F.explode(shingles("toks", shingle_k)).alias("sh"))
     )
-    slots = F.array(
+    # one min-aggregate PER SLOT over the shingle rows — no row
+    # multiplication before the shuffle (a posexplode of the slots would
+    # 8x the exploded-shingle row count); the groupBy ships at most
+    # num_hashes partial minima per (doc, input-partition)
+    mins = sh.groupBy("doc_id").agg(
         *[
-            F.substring(
-                F.md5(F.concat(F.lit("x" * (i // 4)), F.col("sh"))),
-                (i % 4) * 8 + 1,
-                8,
-            )
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit("x" * (i // 4)), F.col("sh"))),
+                    (i % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )
-    hashed = sh.select("doc_id", F.posexplode(slots).alias("seed", "h"))
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    # tiny post-shuffle reshape: num_hashes rows per doc
+    return mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        ).alias("seed", "minhash"),
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:

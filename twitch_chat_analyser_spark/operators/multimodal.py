@@ -122,6 +122,57 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+AUDIO_SCHEMA = (
+    "media_id long, n_bytes long, est_sample_rate int, est_duration_ms long, "
+    "rms double"
+)
+
+
+def audio_features_stub(payload: bytes, fake: bool = False):
+    """Placeholder for a real audio decoder (soundfile/librosa not in
+    this container). ``fake=True`` derives deterministic pseudo-features
+    from the bytes (byte-level RMS as the stand-in signal statistic)."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    rate = 8000 + (hashlib.sha256(payload).digest()[0] % 5) * 8000
+    duration_ms = max(1, len(payload) * 1000 // (rate * 2))
+    rms = (sum(b * b for b in payload) / max(1, len(payload))) ** 0.5
+    return rate, duration_ms, rms
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched audio feature extraction (same plumbing pattern as
+    :func:`decode_features`): features only leave the stage.
+
+    -> AUDIO_SCHEMA rows
+    """
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                rate, dur, rms = audio_features_stub(payload, fake=fake)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(payload),
+                        "est_sample_rate": rate,
+                        "est_duration_ms": dur,
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_id long, kind string, target_w int, target_h int, "
     "out_bytes binary, out_sha256 string"
