@@ -125,3 +125,41 @@ def test_grid_matches_php_stepping():
             if t > end:
                 t = end
         assert grid == php
+
+
+# --- property-based sweep against the PHP transcription ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def series_and_window(draw):
+    ts = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=5_000_000),
+            min_size=2,
+            max_size=40,
+            unique=True,
+        )
+    )
+    ts.sort()
+    series = [(t, draw(st.integers(min_value=-1000, max_value=100_000))) for t in ts]
+    num_points = draw(st.integers(min_value=2, max_value=len(series) + 5))
+    # window may start before/inside the series and end inside/after it
+    start = draw(st.integers(min_value=-100_000, max_value=ts[-1]))
+    end = draw(st.integers(min_value=max(start + 1, ts[0]), max_value=5_200_000))
+    return series, num_points, start, end
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(case=series_and_window())
+def test_property_matches_php_algorithm(spark, case):
+    series, num_points, start, end = case
+    assert run_spark(spark, series, num_points, start, end) == php_resample(
+        series, num_points, start, end
+    )

@@ -103,6 +103,26 @@ def _q_multimodal_meta(spark, sf_dir):
     return multimodal.binary_metadata(_docs(spark, sf_dir))
 
 
+def _q_session_windows(spark, sf_dir):
+    from ..streaming import stateful
+
+    ev = ingest.load(spark, sf_dir, "events").select("ts", "user_id", "event_id")
+    return stateful.session_window_counts(ev, "30 minutes")
+
+
+def _q_salted_channel_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .skew import salted_aggregate
+
+    msgs = ingest.messages(spark, sf_dir).select(
+        "channel", F.lit(1).alias("one")
+    )
+    return salted_aggregate(
+        msgs, ["channel"], [("one", "count", "messages")], num_salts=16
+    )
+
+
 LLM_QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_lsh": _q_dedup_minhash,
@@ -117,6 +137,8 @@ LLM_QUERIES = {
     "text_token_counts": _q_token_counts,
     "text_fingerprints": _q_fingerprints,
     "events_sessionize": _q_sessionize,
+    "events_session_windows": _q_session_windows,
+    "salted_channel_counts": _q_salted_channel_counts,
     "multimodal_meta": _q_multimodal_meta,
 }
 
@@ -181,6 +203,8 @@ simhashes AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bit_sums)
 
 
 def llm_oracles() -> dict[str, str]:
+    from ..registry import chat_ctes
+
     stop_en = ", ".join(f"'{w}'" for w in textops.LANG_PROFILES["en"])
     stop_de = ", ".join(f"'{w}'" for w in textops.LANG_PROFILES["de"])
     stop_fr = ", ".join(f"'{w}'" for w in textops.LANG_PROFILES["fr"])
@@ -362,6 +386,28 @@ sessioned AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ms) AS session_start_ms, max(ms) - min(ms) AS duration_ms
 FROM sessioned GROUP BY 1, 2""",
+        "events_session_windows": f"""
+WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+flagged AS (
+    SELECT user_id, event_id, ms,
+        CASE WHEN lag(ms) OVER w IS NULL
+                  OR ms - lag(ms) OVER w > {textops.SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS new_s
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+sessioned AS (
+    SELECT user_id, ms,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, min(ms) AS session_start_ms,
+       max(ms) + {textops.SESSION_GAP_MS} AS session_end_ms,
+       count(*) AS n_events
+FROM sessioned GROUP BY user_id, session_id""",
+        "salted_channel_counts": chat_ctes()
+        + """
+SELECT channel, count(*) AS messages FROM messages GROUP BY channel""",
         "multimodal_meta": """
 SELECT doc_id,
     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
