@@ -91,3 +91,42 @@ def test_delta_replay_is_exactly_once(spark, dirs):
         spark, target, deltas, ["channel", "timestamp"], "messages", applied[0]
     )
     assert _sorted_rows(_table(spark, out, "channel_stats")) == expected
+
+
+def test_watermark_opt_in_drops_too_late_data(spark, dirs):
+    """D2 opt-in (SURVEY §7.6 item 4): with a watermark, state is
+    bounded and events later than the watermark are DROPPED instead of
+    landing in their old bucket (the no-watermark default keeps
+    reference parity: unbounded lateness)."""
+    src, out, ckpt = dirs
+    base = 1_704_067_200_000
+    W = 900_000
+    # batch 1: two events in bucket 1 + one far-future event that pushes
+    # the watermark (10h - 30min) way past bucket 1
+    _mk_messages(
+        spark,
+        [(0, "click", "u1", "a"), (10_000, "click", "u2", "b"),
+         (36_000_000, "click", "u3", "c")],
+    ).coalesce(1).write.mode("append").parquet(src)
+    pipe = sp.Pipeline("channel_stats", agg.channel_stats, ["channel", "timestamp"])
+    q = sp.start_pipeline(spark, sp.read_message_stream(spark, src), pipe,
+                          out, ckpt, watermark="30 minutes")
+    q.awaitTermination()
+    table = {
+        (r["channel"], r["timestamp"]): r["messages"]
+        for r in _table(spark, out, "channel_stats").collect()
+    }
+    assert table[("click", base + W)] == 2
+
+    # batch 2: a LATE event for bucket 1 (beyond watermark) -> dropped
+    _mk_messages(spark, [(20_000, "click", "u9", "late")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = sp.start_pipeline(spark, sp.read_message_stream(spark, src), pipe,
+                          out, ckpt, watermark="30 minutes")
+    q.awaitTermination()
+    table = {
+        (r["channel"], r["timestamp"]): r["messages"]
+        for r in _table(spark, out, "channel_stats").collect()
+    }
+    assert table[("click", base + W)] == 2  # unchanged: late row dropped

@@ -53,15 +53,30 @@ def window_end_ms(ts_col: str = "ts") -> Column:
     return F.unix_millis(F.window(ts_col, WINDOW_DURATION)["end"]).alias("timestamp")
 
 
+def _windowed_count(
+    df: DataFrame, dims: list, agg_col: Column, out_cols: list[str]
+) -> DataFrame:
+    """Tumbling-window count keyed on dims. Groups on the ``window(ts)``
+    STRUCT (not a derived epoch column): the struct is what carries the
+    event-time watermark tag, so streaming state eviction and
+    too-late-row filtering actually engage when a watermark is set
+    (grouping on ``unix_millis(window.end)`` would silently strip it).
+    The ms projection happens after the aggregation — identical batch
+    results, watermark-compatible streaming."""
+    return (
+        df.groupBy(F.window("ts", WINDOW_DURATION).alias("w"), *dims)
+        .agg(agg_col)
+        .select(*dims, F.unix_millis("w.end").alias("timestamp"), *out_cols)
+    )
+
+
 def channel_stats(msgs: DataFrame) -> DataFrame:
     """Per-channel message counts per window (ChannelStatsAggregation.java:29-33).
 
     -> channel, timestamp, messages
     """
-    return (
-        msgs.groupBy(window_end_ms(), "channel")
-        .agg(F.count("*").alias("messages"))
-        .select("channel", "timestamp", "messages")
+    return _windowed_count(
+        msgs, ["channel"], F.count("*").alias("messages"), ["messages"]
     )
 
 
@@ -70,10 +85,11 @@ def user_stats(msgs: DataFrame) -> DataFrame:
 
     -> channel, username, timestamp, messages
     """
-    return (
-        msgs.groupBy(window_end_ms(), "channel", "username")
-        .agg(F.count("*").alias("messages"))
-        .select("channel", "username", "timestamp", "messages")
+    return _windowed_count(
+        msgs,
+        ["channel", "username"],
+        F.count("*").alias("messages"),
+        ["messages"],
     )
 
 
@@ -103,11 +119,11 @@ def emote_stats(msgs: DataFrame, emotes: DataFrame) -> DataFrame:
 
     -> channel, emote, timestamp, occurrences
     """
-    return (
-        emote_occurrences(msgs, emotes)
-        .groupBy(window_end_ms(), "channel", "emote")
-        .agg(F.count("*").alias("occurrences"))
-        .select("channel", "emote", "timestamp", "occurrences")
+    return _windowed_count(
+        emote_occurrences(msgs, emotes),
+        ["channel", "emote"],
+        F.count("*").alias("occurrences"),
+        ["occurrences"],
     )
 
 
@@ -117,11 +133,11 @@ def user_emote_stats(msgs: DataFrame, emotes: DataFrame) -> DataFrame:
 
     -> channel, emote, username, timestamp, occurrences
     """
-    return (
-        emote_occurrences(msgs, emotes)
-        .groupBy(window_end_ms(), "channel", "emote", "username")
-        .agg(F.count("*").alias("occurrences"))
-        .select("channel", "emote", "username", "timestamp", "occurrences")
+    return _windowed_count(
+        emote_occurrences(msgs, emotes),
+        ["channel", "emote", "username"],
+        F.count("*").alias("occurrences"),
+        ["occurrences"],
     )
 
 
@@ -162,11 +178,11 @@ def phrase_stats(msgs: DataFrame, phrases: DataFrame) -> DataFrame:
 
     -> channel, phrase_name, timestamp, matches
     """
-    return (
-        phrase_matches(msgs, phrases)
-        .groupBy(window_end_ms(), "channel", F.col("name").alias("phrase_name"))
-        .agg(F.sum("matches").alias("matches"))
-        .select("channel", "phrase_name", "timestamp", "matches")
+    return _windowed_count(
+        phrase_matches(msgs, phrases).withColumnRenamed("name", "phrase_name"),
+        ["channel", "phrase_name"],
+        F.sum("matches").alias("matches"),
+        ["matches"],
     )
 
 

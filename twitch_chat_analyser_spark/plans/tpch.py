@@ -150,6 +150,33 @@ def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    li = ingest.load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (NULL group
+    values vs real NULLs)."""
+    li = ingest.load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 def topk_orders_per_priority(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     orders = ingest.load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
@@ -197,6 +224,8 @@ TPCH_QUERIES = {
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_local_supplier_volume": q5_local_supplier_volume,
     "rollup_order_counts": rollup_order_counts,
+    "cube_order_counts": cube_order_counts,
+    "grouping_sets_revenue": grouping_sets_revenue,
     "topk_orders_per_priority": topk_orders_per_priority,
     "except_high_balance_customers": except_high_balance_customers,
     "distinct_chatters": distinct_chatters,
@@ -256,6 +285,16 @@ GROUP BY n_name""",
         "rollup_order_counts": """
 SELECT l_returnflag, l_linestatus, count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "cube_order_counts": """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "grouping_sets_revenue": """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
         "topk_orders_per_priority": """
 SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
     SELECT o_orderpriority, o_orderkey, o_totalprice,
