@@ -110,6 +110,36 @@ def _q_session_windows(spark, sf_dir):
     return stateful.session_window_counts(ev, "30 minutes")
 
 
+def _q_corpus_prep(spark, sf_dir):
+    return corpus_prep(_docs(spark, sf_dir))
+
+
+def corpus_prep(docs, min_quality: float = 0.2):
+    """End-to-end training-corpus prep (the composition story): quality
+    filter -> exact near-dup removal -> per-language token budget. Pure
+    composition of the individual operators; one Catalyst plan.
+
+    -> lang, n_docs, ws_tokens, bpe_ish_tokens
+    """
+    from pyspark.sql import functions as F
+
+    q = textops.quality_score(docs).select("doc_id", "quality_score")
+    kept = docs.join(
+        q.filter(F.col("quality_score") >= min_quality).select("doc_id"), "doc_id"
+    )
+    hashed = kept.withColumn("h", F.md5(dedup.norm_text()))
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    surv = hashed.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    counted = surv.select("doc_id", "lang").join(
+        textops.token_counts(surv), "doc_id"
+    )
+    return counted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum("bpe_ish_tokens").alias("bpe_ish_tokens"),
+    )
+
+
 def _q_salted_channel_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -139,6 +169,7 @@ LLM_QUERIES = {
     "events_sessionize": _q_sessionize,
     "events_session_windows": _q_session_windows,
     "salted_channel_counts": _q_salted_channel_counts,
+    "corpus_prep": _q_corpus_prep,
     "multimodal_meta": _q_multimodal_meta,
 }
 
@@ -408,6 +439,40 @@ FROM sessioned GROUP BY user_id, session_id""",
         "salted_channel_counts": chat_ctes()
         + """
 SELECT channel, count(*) AS messages FROM messages GROUP BY channel""",
+        "corpus_prep": f"""
+WITH doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+    FROM doc_tokens GROUP BY doc_id
+),
+scored AS (
+    SELECT d.doc_id,
+        CAST(p.stop_hits AS DOUBLE) / p.n_tokens * 0.4
+          - CAST(length(d.text) - length(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                 AS DOUBLE) / length(d.text) * 0.3
+          + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3 AS quality_score
+    FROM documents d JOIN per_doc p USING (doc_id)
+),
+kept AS (
+    SELECT d.* FROM documents d
+    JOIN scored s USING (doc_id) WHERE s.quality_score >= 0.2
+),
+hashed AS (
+    SELECT doc_id, lang, text,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+    FROM kept
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h),
+surv AS (SELECT h.* FROM hashed h JOIN keepers USING (doc_id))
+SELECT lang, count(*) AS n_docs,
+    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+    CAST(sum(len(regexp_extract_all(text, '{bpe}', 0))) AS BIGINT) AS bpe_ish_tokens
+FROM surv GROUP BY lang""",
         "multimodal_meta": """
 SELECT doc_id,
     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
