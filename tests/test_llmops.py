@@ -157,3 +157,25 @@ def test_sessionize_gap_splits(spark):
     assert got == {(0, 1): 2, (0, 2): 1, (1, 1): 1}
     durs = {(r["user_id"], r["session_id"]): r["duration_ms"] for r in out}
     assert durs[(0, 1)] == 600_000
+
+
+def test_kmeans_centroids_iterative(vecs):
+    from pyspark.sql import functions as F
+
+    cents = similarity.kmeans_centroids(vecs, k=2, iterations=2).collect()
+    assert {r["centroid_id"] for r in cents} <= {0, 1}
+    dim = len(vecs.select("embedding").first()[0])
+    for r in cents:
+        assert len(r["c"]) == dim
+    # centroids are means of assigned vectors -> norm > 0, finite
+    import math
+
+    for r in cents:
+        n = math.sqrt(sum(x * x for x in r["c"]))
+        assert n > 0 and math.isfinite(n)
+    # iterating must not change the number of centroids and stays
+    # deterministic across runs
+    again = similarity.kmeans_centroids(vecs, k=2, iterations=2).collect()
+    assert sorted((r["centroid_id"], tuple(r["c"])) for r in again) == sorted(
+        (r["centroid_id"], tuple(r["c"])) for r in cents
+    )

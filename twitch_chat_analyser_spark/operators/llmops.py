@@ -77,6 +77,14 @@ def _q_ann_blas(spark, sf_dir):
     return similarity.ann_topk_blas(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
+def _q_ann_ivf_kmeans(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    trained = similarity.kmeans_centroids(emb, k=IVF_CENTROIDS, iterations=2)
+    return similarity.ivf_topk(
+        emb, ANN_QUERY_IDS, IVF_CENTROIDS, IVF_K, centroids=trained
+    )
+
+
 def _q_langid(spark, sf_dir):
     return textops.language_id(_docs(spark, sf_dir))
 
@@ -162,6 +170,10 @@ LLM_QUERIES = {
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
     "ann_blas_topk": _q_ann_blas,  # oracle-less by design (see module doc)
+    # iterative k-means codebook -> float means vary with partial-sum
+    # order, so rows-only (the static-codebook ann_ivf_topk carries the
+    # oracle for the probe logic)
+    "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
     "text_token_counts": _q_token_counts,

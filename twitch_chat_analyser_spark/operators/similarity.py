@@ -86,21 +86,27 @@ def ivf_topk(
     query_ids: list[int],
     num_centroids: int = 8,
     k: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: the first ``num_centroids`` vectors act as the
-    coarse codebook (deterministic stand-in for k-means — the plumbing,
-    partitioning and probe logic are the real thing); every vector is
-    assigned to its nearest centroid; a query probes only its own
-    centroid's inverted list.
+    """IVF-style ANN: a coarse codebook (by default the first
+    ``num_centroids`` vectors — deterministic, oracle-friendly; pass
+    ``centroids=kmeans_centroids(...)`` for a trained codebook); every
+    vector is assigned to its nearest centroid; a query probes only its
+    own centroid's inverted list.
 
     -> query_id, neighbor_id, cos_sim, rank
     """
     vecs = as_double_vec(embeddings)
-    centroids = vecs.filter(F.col("vec_id") < num_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("c"),
-        F.col("v_nrm").alias("c_nrm"),
-    )
+    if centroids is None:
+        centroids = vecs.filter(F.col("vec_id") < num_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("c"),
+            F.col("v_nrm").alias("c_nrm"),
+        )
+    elif "c_nrm" not in centroids.columns:
+        centroids = centroids.withColumn(
+            "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
+        )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), "centroid_id"
     )
@@ -162,6 +168,59 @@ def embedding_dedup_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(top_n)
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iterations: int = 3
+) -> DataFrame:
+    """Lloyd's k-means in pure DataFrame ops — the iterative-algorithm
+    capability (each iteration: broadcast the k centroids, assign by max
+    cosine, recompute means). Deterministic: initialized from the first
+    ``k`` vec_ids, ties broken by centroid_id.
+
+    Iteration note (100 TB): each round is one broadcast join + one
+    groupBy over the corpus — k rounds = k linear passes, no shuffle
+    growth; checkpoint/localCheckpoint between rounds if lineage depth
+    ever matters (k is small here).
+
+    -> centroid_id, c (array<double> centroid mean)
+    """
+    vecs = as_double_vec(embeddings).select("vec_id", "v", "v_nrm")
+    centroids = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("c"),
+        F.col("v_nrm").alias("c_nrm"),
+    )
+    for _ in range(iterations):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "v",
+                "centroid_id",
+                cosine("v", "c", "v_nrm", "c_nrm").alias("cos_c"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        # elementwise mean per cluster WITHOUT collecting vectors:
+        # explode by dimension, sum/avg per (centroid, dim) — k*D group
+        # keys regardless of corpus size — then reassemble the array in
+        # dim order (collect_list here is D small structs per centroid)
+        per_dim = assigned.select(
+            "centroid_id", F.posexplode("v").alias("d", "x")
+        ).groupBy("centroid_id", "d").agg(F.avg("x").alias("m"))
+        centroids = (
+            per_dim.groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, m))), s -> s.m)"
+                ).alias("c")
+            )
+            .withColumn("c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c"))))
+        )
+    return centroids.select("centroid_id", "c")
 
 
 def ann_topk_blas(
