@@ -1,0 +1,193 @@
+"""Temporal join operators: as-of join and interval/range join.
+
+The reference has no such operators (SURVEY §2.D), but its data model
+implies them: the ``streams`` uptime-span table (Bot.java:74-81,
+SURVEY §1.1 "interval/range predicates on read") is exactly the
+span side of a range join, and "attribute this message to the stream
+that was live" is an as-of lookup. They are also staples of any
+large-scale event pipeline, so both are built scale-first:
+
+- **As-of join** — implemented with the union-merge pattern, NOT a
+  range join: tag both sides, union, one window over
+  ``(key, ts, side)``, ``last(..., ignoreNulls)`` carries the most
+  recent left-side attribute forward. ONE shuffle on the equality key,
+  zero row amplification, no inequality-join blowup — at 100 TB this
+  is a single sort-shuffle, the same cost as the groupBy aggregations.
+- **Range join** — bucketized: intervals of width W are exploded to
+  the (at most two) W-sized time buckets they overlap; the point side
+  computes its single bucket; the join is then a plain equi-join on
+  bucket with the range predicate as a residual filter. Catalyst would
+  otherwise plan a broadcast-nested-loop over the inequality — the
+  bucket key turns it into a shuffled hash join that scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import ingest
+
+INCIDENT_WINDOW_MS = 3_600_000  # 1 h incident window per error event
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ingest.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+
+
+def asof_last_click(events_ms: DataFrame) -> DataFrame:
+    """For every ``purchase`` event: the most recent ``click`` by the
+    same user at or before the purchase (DuckDB ``ASOF LEFT JOIN``
+    semantics, ``>=`` on the timestamp), plus the lag between them.
+
+    Clicks are first collapsed to one per (user, ms) — max event_id —
+    so tie-breaking is deterministic in both engines.
+
+    -> event_id, user_id, ms, click_event_id, click_ms, lag_ms
+    """
+    clicks = (
+        events_ms.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ms")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = events_ms.filter(F.col("event_type") == "purchase")
+    tagged = clicks.select(
+        "user_id",
+        "ms",
+        F.lit(0).alias("side"),
+        "click_event_id",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ms",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("click_event_id"),
+            "event_id",
+        )
+    )
+    # side=0 sorts before side=1 at equal ms => a click at exactly the
+    # purchase ms is visible to it (the >= of ASOF JOIN)
+    w = Window.partitionBy("user_id").orderBy("ms", "side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = tagged.withColumn(
+        "last_click_id", F.last("click_event_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_click_ms",
+        F.last(
+            F.when(F.col("side") == 0, F.col("ms")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ms",
+        F.col("last_click_id").alias("click_event_id"),
+        F.col("last_click_ms").alias("click_ms"),
+        (F.col("ms") - F.col("last_click_ms")).alias("lag_ms"),
+    )
+
+
+def incident_purchase_counts(
+    events_ms: DataFrame, window_ms: int = INCIDENT_WINDOW_MS
+) -> DataFrame:
+    """Range join: every ``error`` event opens an incident interval
+    ``[ms, ms + window_ms)``; count the ``purchase`` events (any user)
+    falling inside each interval. Intervals overlap freely.
+
+    Bucket width == interval width, so each interval overlaps exactly
+    two buckets and each purchase lands in exactly one — the equi-join
+    on bucket never double-counts and amplifies the interval side 2x,
+    independent of data volume.
+
+    -> error_event_id, start_ms, n_purchases
+    """
+    errors = events_ms.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("ms").alias("start_ms"),
+    )
+    purchases = events_ms.filter(F.col("event_type") == "purchase").select(
+        F.col("ms").alias("p_ms")
+    )
+    b0 = F.expr(f"start_ms div {window_ms}")
+    e_buckets = errors.withColumn(
+        "bucket", F.explode(F.array(b0, b0 + F.lit(1)))
+    )
+    p_buckets = purchases.withColumn(
+        "bucket", F.expr(f"p_ms div {window_ms}")
+    )
+    hits = (
+        e_buckets.join(p_buckets, "bucket")
+        .filter(
+            (F.col("p_ms") >= F.col("start_ms"))
+            & (F.col("p_ms") < F.col("start_ms") + window_ms)
+        )
+        .groupBy("error_event_id", "start_ms")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return errors.join(
+        hits, ["error_event_id", "start_ms"], "left"
+    ).select(
+        "error_event_id",
+        "start_ms",
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry entries
+# --------------------------------------------------------------------------
+
+
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_last_click(_events_ms(spark, sf_dir))
+
+
+def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incident_purchase_counts(_events_ms(spark, sf_dir))
+
+
+TEMPORAL_QUERIES = {
+    "asof_purchase_last_click": _q_asof,
+    "range_incident_purchases": _q_range,
+}
+
+_EV_CTE = (
+    "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events"
+)
+
+
+def temporal_oracles() -> dict[str, str]:
+    return {
+        "asof_purchase_last_click": f"""
+WITH ev AS ({_EV_CTE}),
+clicks AS (
+    SELECT user_id, ms, max(event_id) AS click_event_id
+    FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+    SELECT event_id, user_id, ms FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ms,
+       c.click_event_id, c.ms AS click_ms, p.ms - c.ms AS lag_ms
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ms >= c.ms""",
+        "range_incident_purchases": f"""
+WITH ev AS ({_EV_CTE}),
+errors AS (
+    SELECT event_id AS error_event_id, ms AS start_ms
+    FROM ev WHERE event_type = 'error'
+),
+purchases AS (SELECT ms AS p_ms FROM ev WHERE event_type = 'purchase')
+SELECT e.error_event_id, e.start_ms,
+       CAST(count(p.p_ms) AS BIGINT) AS n_purchases
+FROM errors e
+LEFT JOIN purchases p
+  ON p.p_ms >= e.start_ms AND p.p_ms < e.start_ms + {INCIDENT_WINDOW_MS}
+GROUP BY 1, 2""",
+    }

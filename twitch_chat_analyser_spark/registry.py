@@ -173,6 +173,9 @@ def queries() -> dict[str, QueryFn]:
     from .plans import tpch
 
     out.update(tpch.TPCH_QUERIES)
+    from .operators import temporal
+
+    out.update(temporal.TEMPORAL_QUERIES)
     return out
 
 
@@ -188,4 +191,7 @@ def oracle_sql() -> dict[str, str]:
     from .plans import tpch
 
     out.update(tpch.tpch_oracles())
+    from .operators import temporal
+
+    out.update(temporal.temporal_oracles())
     return out
