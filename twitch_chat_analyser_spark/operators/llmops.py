@@ -26,6 +26,7 @@ ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
 IVF_CENTROIDS = 8
 IVF_K = 3
+LSH_PLANES = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +76,10 @@ def _q_ann_ivf(spark, sf_dir):
 
 def _q_ann_blas(spark, sf_dir):
     return similarity.ann_topk_blas(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return similarity.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, LSH_PLANES, IVF_K)
 
 
 def _q_ann_ivf_kmeans(spark, sf_dir):
@@ -169,6 +174,7 @@ LLM_QUERIES = {
     "dedup_embedding_cosine": _q_dedup_embedding,
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
+    "ann_lsh_topk": _q_ann_lsh,
     "ann_blas_topk": _q_ann_blas,  # oracle-less by design (see module doc)
     # iterative k-means codebook -> float means vary with partial-sum
     # order, so rows-only (the static-codebook ann_ivf_topk carries the
@@ -350,6 +356,32 @@ scored AS (
     SELECT q.query_id, a.vec_id AS neighbor_id,
            {_cos('q.qv', 'a.v', 'q.q_nrm', 'a.nrm')} AS cos_sim
     FROM assigned a JOIN q USING (centroid_id)
+    WHERE a.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {IVF_K}""",
+        "ann_lsh_topk": f"""
+WITH {_EMB_CTES},
+planes AS (SELECT vec_id AS plane_id, v AS pv FROM emb
+           WHERE vec_id < {LSH_PLANES}),
+buckets AS (
+    SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                         THEN 1 << p.plane_id ELSE 0 END) AS BIGINT) AS bucket
+    FROM emb e CROSS JOIN planes p GROUP BY 1
+),
+assigned AS (
+    SELECT e.vec_id, e.v, e.nrm, b.bucket FROM emb e JOIN buckets b USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm, bucket FROM assigned
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
+scored AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           {_cos('q.qv', 'a.v', 'q.q_nrm', 'a.nrm')} AS cos_sim
+    FROM assigned a JOIN q USING (bucket)
     WHERE a.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -1,0 +1,107 @@
+"""Hierarchical time-series rollups — hypertable-style continuous
+aggregates (15 min -> 1 h -> 1 d) over the window-end fact tables.
+
+The reference stores exactly one resolution (15-min buckets,
+``job.example.properties:14``) plus the all-time sentinel row; its
+dashboard then re-aggregates in SQL per request. At 100 TB a dashboard
+hitting the 15-min facts for a year-long chart re-sums ~35k buckets per
+key per request — the standard fix (TimescaleDB continuous aggregates,
+Druid rollup segments) is a cascade of materialized coarser rollups.
+
+Scale design:
+- Each level consumes the PREVIOUS level, never raw events: the 15-min
+  facts are already ~4 orders of magnitude smaller than the message
+  stream, so the 1 h and 1 d levels are nearly-free aggregations.
+- Bucket math is pure integer arithmetic on the window-end epoch-ms
+  (``((ts + W-1) div W) * W`` — ceiling to the enclosing coarser
+  window-end), exact at any magnitude; no float division that could
+  misround at epoch scale.
+- The cascade preserves the partitioning key prefix (dims), so with the
+  fact table bucketed by dims (storage.write_bucketed) every level
+  aggregates shuffle-free.
+- Incremental maintenance falls out of the delta streaming mode
+  (streaming/pipeline.py): a late 15-min delta re-aggregates into its
+  single enclosing 1 h and 1 d bucket — one row per level, the same
+  upsert the base table already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+
+def rollup(fact: DataFrame, dims: list[str], value_col: str, to_ms: int) -> DataFrame:
+    """Re-bucket a window-end fact table into coarser buckets of width
+    ``to_ms`` (ms), summing ``value_col``. A fine window-end that lands
+    exactly on a coarse boundary belongs to that coarse window (the
+    15-min window ending at 01:00:00 is part of the hour ending
+    01:00:00), hence the integer ceiling."""
+    bucket = F.expr(f"((timestamp + {to_ms - 1}) div {to_ms}) * {to_ms}")
+    return (
+        fact.groupBy(*dims, bucket.alias("timestamp"))
+        .agg(F.sum(value_col).alias(value_col))
+    )
+
+
+def rollup_hierarchy(fact: DataFrame, dims: list[str], value_col: str) -> DataFrame:
+    """The full cascade, stacked with a ``resolution`` tag: the base
+    15-min facts plus hourly and daily rollups (daily derived from
+    hourly, not from base — the continuous-aggregate chain).
+
+    -> *dims, timestamp, <value_col>, resolution
+    """
+    hourly = rollup(fact, dims, value_col, HOUR_MS)
+    daily = rollup(hourly, dims, value_col, DAY_MS)
+    return (
+        fact.withColumn("resolution", F.lit("15m"))
+        .unionByName(hourly.withColumn("resolution", F.lit("1h")))
+        .unionByName(daily.withColumn("resolution", F.lit("1d")))
+    )
+
+
+# --------------------------------------------------------------------------
+# registry entries
+# --------------------------------------------------------------------------
+
+
+def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import ingest
+    from . import aggregations as agg
+
+    cs = agg.channel_stats(ingest.messages(spark, sf_dir))
+    return rollup_hierarchy(cs, ["channel"], "messages")
+
+
+ROLLUP_QUERIES = {
+    "rollup_timeseries_hierarchy": _q_rollup_hierarchy,
+}
+
+
+def rollup_oracles() -> dict[str, str]:
+    from ..registry import chat_ctes
+
+    def bucket(w: int) -> str:
+        return f"((timestamp + {w - 1}) // {w}) * {w}"
+
+    return {
+        "rollup_timeseries_hierarchy": f"""{chat_ctes()},
+hourly AS (
+    SELECT channel, {bucket(HOUR_MS)} AS timestamp,
+           CAST(sum(messages) AS BIGINT) AS messages
+    FROM channel_stats GROUP BY 1, 2
+),
+daily AS (
+    SELECT channel, {bucket(DAY_MS)} AS timestamp,
+           CAST(sum(messages) AS BIGINT) AS messages
+    FROM hourly GROUP BY 1, 2
+)
+SELECT channel, timestamp, messages, '15m' AS resolution FROM channel_stats
+UNION ALL
+SELECT channel, timestamp, messages, '1h' AS resolution FROM hourly
+UNION ALL
+SELECT channel, timestamp, messages, '1d' AS resolution FROM daily""",
+    }

@@ -142,6 +142,68 @@ def ivf_topk(
     )
 
 
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    num_planes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """LSH-bucketed ANN — the random-hyperplane (sign-bit) family: each
+    vector's bucket is the ``num_planes``-bit signature of the signs of
+    its dot products with a fixed set of hyperplanes; a query probes
+    only its own bucket, where exact cosine re-ranks.
+
+    Hyperplanes are the first ``num_planes`` corpus vectors
+    (deterministic, oracle-expressible — a production deployment would
+    use seeded Gaussian planes; the plan shape is identical).
+
+    Scale notes (100 TB): the signature is a broadcast nested-loop over
+    P tiny planes (N x P intermediate, collapsed by a groupBy on vec_id
+    before anything wide moves), and the probe is an equi-join on
+    ``bucket`` — a shuffled hash join that partitions the corpus into
+    2^P cells, the same linear-scaling shape as :func:`ivf_topk`. The
+    corpus table would be bucket-partitioned on disk so a probe is a
+    partition-pruned scan.
+
+    -> query_id, neighbor_id, cos_sim, rank
+    """
+    vecs = as_double_vec(embeddings)
+    planes = vecs.filter(F.col("vec_id") < num_planes).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
+    )
+    bits = vecs.select("vec_id", "v").crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        F.when(
+            F.expr(DOT_EXPR.format(a="v", b="p")) > 0,
+            F.expr("shiftleft(1L, cast(plane_id AS int))"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bit"),
+    )
+    buckets = bits.groupBy("vec_id").agg(F.sum("bit").alias("bucket"))
+    assigned = vecs.join(buckets, "vec_id")
+    queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("v_nrm").alias("q_nrm"),
+        "bucket",
+    )
+    scored = (
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"), "v", "v_nrm", "bucket"
+        )
+        .join(F.broadcast(queries), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("q", "v").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_dedup_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
     """Embedding-cosine near-dup: most-similar vector pairs (the
     embedding analog of MinHash verification). Full pair join at test

@@ -219,6 +219,48 @@ def approx_distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p90 of order value per priority — Spark's exact
+    ``percentile`` (sort-based, linear interpolation at rank
+    ``1 + p*(n-1)``), the same definition as ANSI ``percentile_cont``
+    that DuckDB's ``quantile_cont`` implements.
+
+    Scale note: exact percentile shuffles each group's values; at
+    100 TB swap in ``approx_percentile`` (t-digest, partial-mergeable,
+    one pass) — shape kept here exact so the oracle can verify the
+    arithmetic.
+    """
+    orders = ingest.load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9D)").alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events reshaped to one row per day with one count column
+    per event type. The value list is explicit, so the plan is a single
+    partial-aggregated groupBy (no second pass to discover columns) —
+    the only pivot shape that scales.
+
+    -> day_ms, click, error, purchase, signup, view
+    """
+    ev = ingest.load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "day_ms", F.unix_millis(F.date_trunc("day", F.col("ts")))
+        )
+        .groupBy("day_ms")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
 TPCH_QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "tpch_q3_shipping_priority": q3_shipping_priority,
@@ -230,6 +272,8 @@ TPCH_QUERIES = {
     "except_high_balance_customers": except_high_balance_customers,
     "distinct_chatters": distinct_chatters,
     "approx_distinct_chatters": approx_distinct_chatters,  # rows-only
+    "percentile_order_values": percentile_order_values,
+    "pivot_event_type_daily": pivot_event_type_daily,
 }
 
 
@@ -310,4 +354,18 @@ SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > {ACCTBAL_CUT}""",
         + """
 SELECT channel, CAST(count(DISTINCT username) AS BIGINT) AS n_chatters
 FROM messages GROUP BY channel""",
+        "percentile_order_values": """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority""",
+        "pivot_event_type_daily": """
+SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1""",
     }

@@ -176,6 +176,9 @@ def queries() -> dict[str, QueryFn]:
     from .operators import temporal
 
     out.update(temporal.TEMPORAL_QUERIES)
+    from .operators import rollups
+
+    out.update(rollups.ROLLUP_QUERIES)
     return out
 
 
@@ -194,4 +197,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators import temporal
 
     out.update(temporal.temporal_oracles())
+    from .operators import rollups
+
+    out.update(rollups.rollup_oracles())
     return out
