@@ -1,0 +1,211 @@
+"""Window-analytics and distribution operators over the chat fact
+tables: window-over-window deltas and moving sums, ntile quartiles,
+fixed-width histograms, and channel co-occurrence similarity.
+
+These extend the dashboard read path (SURVEY §2.B) with the standard
+analytic-function repertoire the reference's PHP post-processing never
+needed but any SQL consumer of the same fact tables would expect
+(`MainController.php` reimplements cumulative sums in PHP at
+:682-690 — lag/lead/moving windows are the same family, done engine-side).
+
+Scale notes (100 TB): every window function here partitions by a
+dimension key (channel / username) and orders within the partition —
+one shuffle, per-key sorts, no global ordering anywhere. The histogram
+is a pure projection + aggregation (bucket key has fixed cardinality).
+Co-occurrence self-joins on username after a distinct — the pair count
+is bounded by (channels choose 2), tiny, while the heavy side stays
+hash-partitioned on the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import ingest
+from . import aggregations as agg
+
+MOVING_WINDOWS = 4  # trailing 1 h of 15-min buckets
+LENGTH_BUCKET = 25  # histogram bucket width in characters
+QUARTILES = 4
+
+
+def window_deltas(fact: DataFrame, dims: list[str], value_col: str) -> DataFrame:
+    """Window-over-window analytics on a window-end fact table: the
+    delta vs the previous bucket (lag) and the trailing
+    ``MOVING_WINDOWS``-bucket moving sum, per dimension key.
+
+    All-integer arithmetic — exact under any shuffle order.
+
+    -> *dims, timestamp, <value_col>, delta, moving_sum
+    """
+    w = Window.partitionBy(*dims).orderBy("timestamp")
+    moving = w.rowsBetween(-(MOVING_WINDOWS - 1), Window.currentRow)
+    return fact.select(
+        *dims,
+        "timestamp",
+        value_col,
+        (F.col(value_col) - F.lag(value_col).over(w)).alias("delta"),
+        F.sum(value_col).over(moving).alias("moving_sum"),
+    )
+
+
+def user_quartiles(user_totals: DataFrame) -> DataFrame:
+    """ntile bucketing of users into activity quartiles by total message
+    count (leaderboard percentile bands). Deterministic tie-break on
+    username keeps the assignment stable.
+
+    ntile needs a total order: a single-partition sort at the user-total
+    grain — already aggregated, ~|users| rows, not the raw stream. At
+    100 TB grain prefer `percent_rank` banded per hash-partition or an
+    approx-quantile cut; the exact form is kept oracle-checkable.
+
+    -> username, messages, quartile
+    """
+    w = Window.orderBy(F.desc("messages"), F.asc("username"))
+    return user_totals.select(
+        "username",
+        "messages",
+        F.ntile(QUARTILES).over(w).alias("quartile"),
+    )
+
+
+def message_length_histogram(messages: DataFrame) -> DataFrame:
+    """Fixed-width histogram of message lengths: bucket lower bound ->
+    count. Projection + bounded-cardinality groupBy; fully map-side
+    combinable.
+
+    -> bucket_lo, n_messages
+    """
+    bucket = F.expr(
+        f"CAST((length(message) div {LENGTH_BUCKET}) * {LENGTH_BUCKET} AS BIGINT)"
+    )
+    return (
+        messages.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count("*").alias("n_messages"))
+    )
+
+
+def channel_cooccurrence(messages: DataFrame) -> DataFrame:
+    """Channel-pair audience overlap: Jaccard similarity of the chatter
+    sets of every channel pair (who shares an audience with whom).
+
+    Shape: distinct (channel, username) — one aggregation — then a
+    self-equi-join on username to count shared users. The pair space is
+    (channels choose 2); channel cardinality is small in this domain, so
+    the result is tiny even when the input is 100 TB, and the join
+    shuffles on username (high-cardinality, uniform).
+
+    -> channel_a, channel_b, shared_users, users_a, users_b, jaccard
+    """
+    cu = messages.select("channel", "username").distinct()
+    per_channel = cu.groupBy("channel").agg(F.count("*").alias("n_users"))
+    a = cu.select(F.col("channel").alias("channel_a"), "username")
+    b = cu.select(F.col("channel").alias("channel_b"), "username")
+    shared = (
+        a.join(b, "username")
+        .filter(F.col("channel_a") < F.col("channel_b"))
+        .groupBy("channel_a", "channel_b")
+        .agg(F.count("*").alias("shared_users"))
+    )
+    pa = per_channel.select(
+        F.col("channel").alias("channel_a"), F.col("n_users").alias("users_a")
+    )
+    pb = per_channel.select(
+        F.col("channel").alias("channel_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "channel_a")
+        .join(F.broadcast(pb), "channel_b")
+        .select(
+            "channel_a",
+            "channel_b",
+            "shared_users",
+            "users_a",
+            "users_b",
+            (
+                F.col("shared_users").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("shared_users"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registry entries
+# --------------------------------------------------------------------------
+
+
+def _q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = agg.channel_stats(ingest.messages(spark, sf_dir))
+    return window_deltas(cs, ["channel"], "messages")
+
+
+def _q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    totals = (
+        agg.user_stats(ingest.messages(spark, sf_dir))
+        .groupBy("username")
+        .agg(F.sum("messages").alias("messages"))
+    )
+    return user_quartiles(totals)
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return message_length_histogram(ingest.messages(spark, sf_dir))
+
+
+def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return channel_cooccurrence(ingest.messages(spark, sf_dir))
+
+
+ANALYTICS_QUERIES = {
+    "channel_window_deltas": _q_window_deltas,
+    "user_activity_quartiles": _q_user_quartiles,
+    "message_length_histogram": _q_length_histogram,
+    "channel_cooccurrence_jaccard": _q_cooccurrence,
+}
+
+
+def analytics_oracles() -> dict[str, str]:
+    from ..registry import chat_ctes
+
+    c = chat_ctes()
+    return {
+        "channel_window_deltas": f"""{c}
+SELECT channel, timestamp, messages,
+       messages - lag(messages) OVER w AS delta,
+       CAST(sum(messages) OVER (PARTITION BY channel ORDER BY timestamp
+            ROWS BETWEEN {MOVING_WINDOWS - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS moving_sum
+FROM channel_stats
+WINDOW w AS (PARTITION BY channel ORDER BY timestamp)""",
+        "user_activity_quartiles": f"""{c},
+totals AS (
+    SELECT username, CAST(sum(messages) AS BIGINT) AS messages
+    FROM user_stats GROUP BY username
+)
+SELECT username, messages,
+       CAST(ntile({QUARTILES}) OVER (ORDER BY messages DESC, username) AS INT)
+           AS quartile
+FROM totals""",
+        "message_length_histogram": f"""{c}
+SELECT (length(message) // {LENGTH_BUCKET}) * {LENGTH_BUCKET} AS bucket_lo,
+       count(*) AS n_messages
+FROM messages GROUP BY 1""",
+        "channel_cooccurrence_jaccard": f"""{c},
+cu AS (SELECT DISTINCT channel, username FROM messages),
+per_channel AS (SELECT channel, count(*) AS n_users FROM cu GROUP BY channel),
+shared AS (
+    SELECT a.channel AS channel_a, b.channel AS channel_b,
+           count(*) AS shared_users
+    FROM cu a JOIN cu b ON a.username = b.username AND a.channel < b.channel
+    GROUP BY 1, 2
+)
+SELECT channel_a, channel_b, shared_users,
+       pa.n_users AS users_a, pb.n_users AS users_b,
+       CAST(shared_users AS DOUBLE)
+           / (pa.n_users + pb.n_users - shared_users) AS jaccard
+FROM shared
+JOIN per_channel pa ON pa.channel = channel_a
+JOIN per_channel pb ON pb.channel = channel_b""",
+    }

@@ -1,0 +1,221 @@
+"""Deterministic corpus-selection operators for training-data pipelines:
+Bernoulli sampling, train/test splitting, per-group stratified sampling,
+and TF-IDF term extraction over the ``documents`` table.
+
+All selection is hash-based (md5 of the document id), never RNG-based:
+the sample a row belongs to is a pure function of the row, so the
+operators are idempotent across retries/reruns, need no driver-side
+state or seed plumbing, and produce identical results in the DuckDB
+oracle (md5 hex is identical in both engines).
+
+Scale notes (100 TB): every operator here is a narrow projection +
+filter over the corpus — no join, no shuffle, no skew — except the
+stratified sampler (one shuffle on the small group key) and TF-IDF's
+document-frequency join (token-keyed aggregation; the df side is
+``O(vocabulary)``, small enough to broadcast back). Hash-threshold
+sampling composes with predicate pushdown: the md5 filter runs in the
+scan stage, so a 1 % sample reads all rows but materializes ~1 %.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 4-hex-digit hash prefix -> 65536 evenly-sized cells. A fraction maps
+# to a prefix threshold; comparison is plain string ordering on the
+# lowercase hex, identical in Spark and DuckDB.
+HASH_CELLS = 16 * 16 * 16 * 16
+
+
+def _hash_prefix(col: str = "doc_id"):
+    return F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 4)
+
+
+def hash_threshold(fraction: float) -> str:
+    """Hex prefix threshold selecting ~``fraction`` of the id space."""
+    return format(int(HASH_CELLS * fraction), "04x")
+
+
+def deterministic_sample(docs: DataFrame, fraction: float) -> DataFrame:
+    """Hash-Bernoulli sample: keep a document iff the md5 prefix of its
+    id falls below the fraction threshold. Membership is stable across
+    runs and across engines — the property RNG ``df.sample`` lacks.
+
+    -> doc_id, lang, source
+    """
+    return (
+        docs.withColumn("hp", _hash_prefix())
+        .filter(F.col("hp") < hash_threshold(fraction))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def train_test_split(docs: DataFrame, train_fraction: float = 0.8) -> DataFrame:
+    """Deterministic split assignment: every document gets a stable
+    'train' / 'test' label from its id hash. Documents added later keep
+    existing assignments unchanged (no reshuffling on corpus growth).
+
+    -> doc_id, split
+    """
+    thr = hash_threshold(train_fraction)
+    return docs.select(
+        "doc_id",
+        F.when(_hash_prefix() < thr, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(docs: DataFrame, per_group: int = 50) -> DataFrame:
+    """Equal-quota stratified sample: the ``per_group`` documents with
+    the smallest id-hash per language — a deterministic uniform draw
+    within each stratum (hash order is uncorrelated with content).
+
+    One shuffle on the language key; with heavy strata the window sort
+    is the cost, so at 100 TB pre-filter with a generous hash threshold
+    (e.g. 10x the quota / stratum size) before ranking.
+
+    -> doc_id, lang, strat_rank
+    """
+    w = Window.partitionBy("lang").orderBy("hp", "doc_id")
+    return (
+        docs.withColumn("hp", _hash_prefix())
+        .withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= per_group)
+        .select("doc_id", "lang", "strat_rank")
+    )
+
+
+TFIDF_TOP_N = 3
+
+
+def tfidf_top_terms(docs: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
+    """Top terms per document by term frequency, scored with TF-IDF
+    (``tf * ln(N/df)``). Ranking uses only integer keys
+    (tf desc, df asc, token asc) so result membership never depends on
+    float rounding; the tfidf score is carried as a value column.
+
+    Plan: one token-explode aggregation for tf, one reaggregation for
+    df (vocabulary-sized — tiny relative to the corpus), one join back
+    on token, and a per-document top-n window. At 100 TB the df side is
+    broadcastable and the window partitions by doc_id (no skew: bounded
+    tokens per document).
+
+    -> doc_id, token, tf, df, tfidf, term_rank
+    """
+    from .dedup import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+    )
+
+
+# --------------------------------------------------------------------------
+# registry entries
+# --------------------------------------------------------------------------
+
+SAMPLE_FRACTION = 0.25
+TRAIN_FRACTION = 0.8
+STRATA_QUOTA = 50
+
+
+def _q_sample(spark, sf_dir):
+    from .. import ingest
+
+    return deterministic_sample(
+        ingest.load(spark, sf_dir, "documents"), SAMPLE_FRACTION
+    )
+
+
+def _q_split(spark, sf_dir):
+    from .. import ingest
+
+    return train_test_split(ingest.load(spark, sf_dir, "documents"), TRAIN_FRACTION)
+
+
+def _q_stratified(spark, sf_dir):
+    from .. import ingest
+
+    return stratified_sample(ingest.load(spark, sf_dir, "documents"), STRATA_QUOTA)
+
+
+def _q_tfidf(spark, sf_dir):
+    from .. import ingest
+
+    return tfidf_top_terms(ingest.load(spark, sf_dir, "documents"))
+
+
+SAMPLING_QUERIES = {
+    "sample_deterministic": _q_sample,
+    "sample_train_test_split": _q_split,
+    "sample_stratified": _q_stratified,
+    "tfidf_top_terms": _q_tfidf,
+}
+
+
+def sampling_oracles() -> dict[str, str]:
+    thr_sample = hash_threshold(SAMPLE_FRACTION)
+    thr_train = hash_threshold(TRAIN_FRACTION)
+    return {
+        "sample_deterministic": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thr_sample}'""",
+        "sample_train_test_split": f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thr_train}'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents""",
+        "sample_stratified": f"""
+WITH hashed AS (
+    SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hp
+    FROM documents
+)
+SELECT doc_id, lang, strat_rank FROM (
+    SELECT doc_id, lang, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY hp, doc_id) AS INT) AS strat_rank
+    FROM hashed
+) WHERE strat_rank <= {STRATA_QUOTA}""",
+        "tfidf_top_terms": f"""
+WITH doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM doc_tokens GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           tf.tf * ln(n.n_docs / df.df) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf, term_rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) AS INT
+    ) AS term_rank
+    FROM scored
+) WHERE term_rank <= {TFIDF_TOP_N}""",
+    }

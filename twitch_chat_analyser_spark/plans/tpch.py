@@ -261,6 +261,21 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op INTERSECT: customers who placed orders in BOTH 1995 and
+    1996 (completes the set-op family next to EXCEPT/UNION elsewhere).
+    Catalyst plans INTERSECT as a left-semi join over pre-aggregated
+    sides — no row explosion.
+
+    -> custkey
+    """
+    orders = ingest.load(spark, sf_dir, "orders")
+    by_year = lambda y: orders.filter(  # noqa: E731
+        F.year("o_orderdate") == y
+    ).select(F.col("o_custkey").alias("custkey"))
+    return by_year(1995).intersect(by_year(1996))
+
+
 TPCH_QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "tpch_q3_shipping_priority": q3_shipping_priority,
@@ -274,6 +289,7 @@ TPCH_QUERIES = {
     "approx_distinct_chatters": approx_distinct_chatters,  # rows-only
     "percentile_order_values": percentile_order_values,
     "pivot_event_type_daily": pivot_event_type_daily,
+    "intersect_repeat_customers": intersect_repeat_customers,
 }
 
 
@@ -368,4 +384,8 @@ SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
     CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
     CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY 1""",
+        "intersect_repeat_customers": """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996""",
     }

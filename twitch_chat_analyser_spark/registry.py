@@ -179,6 +179,10 @@ def queries() -> dict[str, QueryFn]:
     from .operators import rollups
 
     out.update(rollups.ROLLUP_QUERIES)
+    from .operators import analytics, sampling
+
+    out.update(sampling.SAMPLING_QUERIES)
+    out.update(analytics.ANALYTICS_QUERIES)
     return out
 
 
@@ -200,4 +204,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators import rollups
 
     out.update(rollups.rollup_oracles())
+    from .operators import analytics, sampling
+
+    out.update(sampling.sampling_oracles())
+    out.update(analytics.analytics_oracles())
     return out
