@@ -42,6 +42,55 @@ def test_hierarchy_levels_preserve_totals(spark):
     assert sums == {"15m": 15, "1h": 15, "1d": 15}
 
 
+def test_streaming_rollup_cascade_matches_batch(spark, tmp_path):
+    # Two micro-batches (the second contains a LATE event) through the
+    # continuous-aggregate pipeline must equal batch rollups of the full
+    # data at every resolution.
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark.operators import aggregations as agg
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    from test_streaming import BATCH_1, BATCH_2, _mk_messages, _sorted_rows
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def run():
+        q = rollups.start_rollup_pipeline(
+            spark,
+            sp.read_message_stream(spark, src, max_files_per_trigger=1),
+            agg.channel_stats,
+            ["channel"],
+            "messages",
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    all_msgs = _mk_messages(spark, BATCH_1 + BATCH_2).withColumn(
+        "timestamp", F.unix_millis("ts")
+    )
+    base = agg.channel_stats(all_msgs)
+    expected = {
+        "channel_stats": base,
+        "channel_stats_1h": rollups.rollup(base, ["channel"], "messages", H),
+        "channel_stats_1d": rollups.rollup(
+            rollups.rollup(base, ["channel"], "messages", H),
+            ["channel"], "messages", rollups.DAY_MS,
+        ),
+    }
+    import os
+
+    for name, exp in expected.items():
+        got = spark.read.parquet(os.path.join(out, name))
+        assert _sorted_rows(got) == _sorted_rows(exp), name
+
+
 def test_lsh_probe_is_subset_of_brute_force_candidates(spark):
     # Every LSH result must be a true neighbor (exists in the corpus,
     # not the query itself) and, when the bucket holds the whole true

@@ -63,6 +63,63 @@ def rollup_hierarchy(fact: DataFrame, dims: list[str], value_col: str) -> DataFr
     )
 
 
+def start_rollup_pipeline(
+    spark: SparkSession,
+    messages_stream: DataFrame,
+    transform,
+    dims: list[str],
+    value_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    name: str = "channel_stats",
+    trigger: dict | None = None,
+):
+    """Streaming continuous-aggregate maintenance: one stream, three
+    incrementally-maintained tables (``<name>``, ``<name>_1h``,
+    ``<name>_1d``).
+
+    Each micro-batch is aggregated alone (batch/stream duality D4) into
+    15-min deltas; because SUM is additive, re-bucketing the BATCH's
+    deltas gives exactly the hourly/daily deltas, so every level is the
+    same additive journaled merge the base table uses
+    (pipeline.additive_merge — exactly-once under replay per target).
+    A late event lands additively in its enclosing bucket at every
+    resolution with unbounded lateness; the streaming plan itself is
+    stateless (state bounding as in AbstractStatsAggregation.java:108-112,
+    with the store holding history).
+
+    At 100 TB the coarse levels cost ~nothing: each consumes the batch's
+    already-aggregated deltas (tiny), not the raw stream.
+    """
+    import os
+
+    from ..streaming.pipeline import additive_merge
+
+    keys = [*dims, "timestamp"]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats = transform(batch_df)
+        hourly = rollup(stats, dims, value_col, HOUR_MS)
+        daily = rollup(hourly, dims, value_col, DAY_MS)
+        for suffix, deltas in (("", stats), ("_1h", hourly), ("_1d", daily)):
+            additive_merge(
+                spark,
+                os.path.join(out_dir, name + suffix),
+                deltas,
+                keys,
+                value_col,
+                batch_id,
+            )
+
+    return (
+        messages_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name + "_rollup"))
+        .foreachBatch(sink)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 # --------------------------------------------------------------------------
 # registry entries
 # --------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""SQL query surface: every engine relation registered as a temp view,
+so users query the same fact tables with ANSI SQL instead of (or mixed
+with) the DataFrame API.
+
+The reference has NO query language — its "API" is fixed REST routes
+(`ApiController.php`) and every new question means new PHP
+(SURVEY §2.D). Spark SQL closes that gap for free: one registration
+call, then arbitrary SQL over Catalyst with the same optimizations
+(pushdown, pruning, AQE) the DataFrame plans get — both APIs build the
+same logical plans.
+
+Registered views: the ten raw testdata tables, the normalized
+``messages`` relation, the three dimension tables, and the five fact
+tables (computed views — in production these point at the
+sink-maintained store instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import dims, ingest
+from ..operators import aggregations as agg
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ingest.TABLES:
+        ingest.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    msgs = ingest.messages(spark, sf_dir)
+    msgs.createOrReplaceTempView("messages")
+    dims.emotes_df(spark).createOrReplaceTempView("emotes")
+    dims.channels_df(spark).createOrReplaceTempView("channels_dim")
+    dims.phrases_df(spark).createOrReplaceTempView("phrases")
+    agg.channel_stats(msgs).createOrReplaceTempView("channel_stats")
+    agg.user_stats(msgs).createOrReplaceTempView("user_stats")
+    emotes = dims.emotes_df(spark)
+    agg.emote_stats(msgs, emotes).createOrReplaceTempView("emote_stats")
+    agg.user_emote_stats(msgs, emotes).createOrReplaceTempView("user_emote_stats")
+    agg.phrase_stats(msgs, dims.phrases_df(spark)).createOrReplaceTempView(
+        "phrase_stats"
+    )
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Ad-hoc SQL over the engine's relations."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+# A representative ad-hoc question NOT prebuilt anywhere in the read
+# path: busiest hour per channel with its share of the channel's total.
+# Exercises the SQL surface end-to-end (views -> Catalyst -> result);
+# the DuckDB oracle runs the same SQL over the same logical relations.
+ADHOC_SQL = """
+WITH hourly AS (
+    SELECT channel, (timestamp div 3600000) * 3600000 AS hour_ms,
+           CAST(sum(messages) AS BIGINT) AS messages
+    FROM channel_stats GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY channel ORDER BY messages DESC, hour_ms) AS rn,
+        CAST(sum(messages) OVER (PARTITION BY channel) AS BIGINT) AS channel_total
+    FROM hourly
+)
+SELECT channel, hour_ms, messages AS peak_messages,
+       CAST(messages AS DOUBLE) / channel_total AS share_of_total
+FROM ranked WHERE rn = 1
+"""
+
+
+def _q_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, ADHOC_SQL)
+
+
+SQL_QUERIES = {
+    "sql_adhoc_peak_hour": _q_adhoc,
+}
+
+
+def sql_oracles() -> dict[str, str]:
+    from ..registry import chat_ctes
+
+    # same query, DuckDB dialect (// for integer division)
+    return {
+        "sql_adhoc_peak_hour": f"""{chat_ctes()},
+hourly AS (
+    SELECT channel, (timestamp // 3600000) * 3600000 AS hour_ms,
+           CAST(sum(messages) AS BIGINT) AS messages
+    FROM channel_stats GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY channel ORDER BY messages DESC, hour_ms) AS rn,
+        CAST(sum(messages) OVER (PARTITION BY channel) AS BIGINT) AS channel_total
+    FROM hourly
+)
+SELECT channel, hour_ms, messages AS peak_messages,
+       CAST(messages AS DOUBLE) / channel_total AS share_of_total
+FROM ranked WHERE rn = 1""",
+    }

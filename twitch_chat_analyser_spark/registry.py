@@ -183,6 +183,9 @@ def queries() -> dict[str, QueryFn]:
 
     out.update(sampling.SAMPLING_QUERIES)
     out.update(analytics.ANALYTICS_QUERIES)
+    from .plans import sqlviews
+
+    out.update(sqlviews.SQL_QUERIES)
     return out
 
 
@@ -208,4 +211,7 @@ def oracle_sql() -> dict[str, str]:
 
     out.update(sampling.sampling_oracles())
     out.update(analytics.analytics_oracles())
+    from .plans import sqlviews
+
+    out.update(sqlviews.sql_oracles())
     return out

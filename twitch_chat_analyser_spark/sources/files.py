@@ -1,0 +1,87 @@
+"""File-based message sources/sinks beyond parquet: JSON-lines and CSV,
+batch and streaming, all normalizing to the canonical message schema.
+
+The reference's only wire format is the Kafka JSON envelope
+(``Message.java:26-43`` — ``{"timestamp": ms, "channel": ..,
+"username": .., "message": ..}``). These readers accept exactly that
+envelope from files (the standard replay/backfill path: a dumped topic
+is a directory of JSON-lines), plus CSV for spreadsheet-ish exports.
+Every reader returns the same columns as ``ingest.messages``, so the
+whole operator surface runs unchanged on any source.
+
+Scale notes: both formats are splittable line-oriented text (gzip'd
+files are not — use zstd/bzip2 or uncompressed at 100 TB); schema is
+explicit everywhere (no inference pass over the data); malformed rows
+are dropped, not failed, matching the Kafka decoder's behavior
+(sources/kafka.py::decode_messages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the Kafka JSON envelope fields (Message.java:26-33): epoch-ms long
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.LongType(), False),
+        T.StructField("channel", T.StringType(), False),
+        T.StructField("username", T.StringType(), False),
+        T.StructField("message", T.StringType(), False),
+    ]
+)
+
+
+def _normalize(raw: DataFrame) -> DataFrame:
+    """wire columns -> canonical message relation (adds event-time ts,
+    drops rows missing any required field — decoder-parity)."""
+    return (
+        raw.filter(
+            F.col("timestamp").isNotNull()
+            & F.col("channel").isNotNull()
+            & F.col("username").isNotNull()
+            & F.col("message").isNotNull()
+        )
+        .select(
+            F.timestamp_millis("timestamp").alias("ts"),
+            "timestamp",
+            "channel",
+            "username",
+            "message",
+        )
+    )
+
+
+def read_messages_json(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """JSON-lines messages (the dumped-Kafka-topic replay format).
+    Explicit schema — no inference scan; corrupt lines become all-null
+    rows (PERMISSIVE) and are dropped by the normalizer."""
+    reader = spark.readStream if streaming else spark.read
+    return _normalize(reader.schema(WIRE_SCHEMA).json(path))
+
+
+def read_messages_csv(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    reader = spark.readStream if streaming else spark.read
+    return _normalize(
+        reader.schema(WIRE_SCHEMA).option("header", "true").csv(path)
+    )
+
+
+def write_messages_json(messages: DataFrame, path: str) -> None:
+    """Dump the canonical relation back to the wire format (replay
+    round-trip: write_messages_json -> read_messages_json is identity
+    on the wire columns)."""
+    messages.select("timestamp", "channel", "username", "message").write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def write_messages_csv(messages: DataFrame, path: str) -> None:
+    messages.select("timestamp", "channel", "username", "message").write.mode(
+        "overwrite"
+    ).option("header", "true").csv(path)
