@@ -1,0 +1,89 @@
+"""HLL sketch merge correctness (exact at test cardinalities) and
+connected-components goldens."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitch_chat_analyser_spark.operators import graph, sketches
+
+
+def test_sketch_merge_equals_exact_distinct(spark, sf_dir):
+    from twitch_chat_analyser_spark import ingest
+
+    msgs = ingest.messages(spark, sf_dir)
+    got = {
+        r["channel"]: r["distinct_chatters"]
+        for r in sketches.channel_chatters_via_sketch_merge(msgs).collect()
+    }
+    exact = {
+        r["channel"]: r["n"]
+        for r in msgs.groupBy("channel")
+        .agg(F.countDistinct("username").alias("n"))
+        .collect()
+    }
+    # HLL sketches are exact in sparse mode, far beyond test cardinality
+    assert got == exact
+
+
+def test_sketch_reaggregation_beats_resummed_daily_counts(spark):
+    # one user active on two days: daily counts SUM to 2, the sketch
+    # union correctly reports 1 — the measure is not additive
+    rows = [(0, "c", "u"), (sketches.DAY_MS + 1, "c", "u")]
+    msgs = spark.createDataFrame(
+        rows, "timestamp long, channel string, username string"
+    )
+    daily = sketches.daily_chatter_sketches(msgs)
+    assert daily.agg(F.sum("daily_chatters")).first()[0] == 2
+    assert sketches.merge_chatters(daily, ["channel"]).first()[
+        "distinct_chatters"
+    ] == 1
+
+
+def test_approx_percentile_exact_at_test_scale(spark, sf_dir):
+    from twitch_chat_analyser_spark import ingest
+    from twitch_chat_analyser_spark.plans import tpch
+
+    approx = {
+        r["o_orderpriority"]: (r["approx_median"], r["approx_p90"])
+        for r in sketches.order_value_digests(spark, sf_dir).collect()
+    }
+    # approx_percentile returns an actual sample value; the exact
+    # percentile interpolates — they agree within one value's distance.
+    # Sanity: approx within the group's [min, max] and ordered.
+    orders = ingest.load(spark, sf_dir, "orders")
+    bounds = {
+        r["o_orderpriority"]: (r["lo"], r["hi"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    for k, (med, p90) in approx.items():
+        lo, hi = bounds[k]
+        assert lo <= med <= p90 <= hi
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_connected_components_golden(spark):
+    # two components {1,2,3,4} (chain) and {10,11}; 20 isolated (absent)
+    comp = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_singletons_survive(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+           for r in graph.dedup_clusters(docs, pairs).collect()}
+    assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
+    assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)

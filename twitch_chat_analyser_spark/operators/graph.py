@@ -1,0 +1,149 @@
+"""Connected components over similarity-pair edges: the step that turns
+pairwise near-duplicate findings (minhash/simhash/embedding pairs) into
+dedup CLUSTERS with one canonical survivor each — what a training-data
+pipeline actually needs (keep one doc per duplicate group, not one per
+pair).
+
+Algorithm: alternating large-star / small-star label propagation
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) expressed purely in DataFrame ops — each iteration is a
+groupBy/min + join, both shuffle-partitioned on the node key, and the
+iteration count is O(log^2 n) on pathological chains, O(log n)
+typically. Each round's result is checkpointed via localCheckpoint to
+cut the growing lineage (iterative-algorithm hygiene on Spark; same
+pattern as similarity.kmeans_centroids).
+
+At 100 TB the edge set (near-dup pairs) is orders of magnitude smaller
+than the corpus — components run on pairs only; membership joins back
+to the corpus with a broadcast when components fit, hash join otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERATIONS = 20
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> DataFrame:
+    """Minimum-label connected components on an undirected edge list
+    ``(src, dst)``. Converges when labels stop changing (checked with a
+    cheap aggregate per round, driver-side loop — the standard Spark
+    iterative-algorithm shape).
+
+    -> node, component (the minimum node id in the component)
+    """
+    # label(node) = min neighbor-or-self, iterated to fixpoint with
+    # pointer jumping (path halving) so rounds are O(log diameter),
+    # not O(diameter).
+    # Materialize the symmetric edge list ONCE — every iteration (and
+    # every convergence check) joins against it, and its upstream
+    # lineage (e.g. a minhash pair computation) must not re-execute.
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # right-size the per-round shuffles: component iterations run on the
+    # EDGE set (pairs), which is far smaller than the corpus — at test
+    # scale 32-way shuffles are pure overhead per round, at scale the
+    # cap keeps full width
+    spark = edges.sparkSession
+    default_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    n_parts = max(1, min(default_parts, sym.count() // 20_000 + 1))
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .repartition(n_parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # propagate: each node takes min(own label, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
+        )
+        propagated = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: follow the label one hop (component := label of
+        # the component node) — halves remaining path length each round
+        hop = propagated.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("jumped"),
+        )
+        new_labels = (
+            propagated.join(hop, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("jumped", "component")
+                ).alias("component"),
+            )
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Compose near-dup pairs into dedup clusters: every document joined
+    to its component (singletons keep their own id), with the canonical
+    survivor = the minimum doc_id of the cluster.
+
+    -> doc_id, cluster_id, is_survivor
+    """
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# registry entry: minhash pairs -> clusters over documents (rows-only:
+# the iterative fixpoint isn't single-statement SQL; correctness is
+# pinned by pytest goldens and the oracle-checked pair input)
+# --------------------------------------------------------------------------
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from .. import ingest
+    from . import dedup, llmops
+
+    docs = ingest.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, llmops.NUM_HASHES, llmops.SHINGLE_K,
+        llmops.MINHASH_JACCARD_THRESHOLD,
+    )
+    return dedup_clusters(docs, pairs).filter(~F.col("is_survivor"))
+
+
+GRAPH_QUERIES = {
+    "dedup_connected_clusters": _q_dedup_clusters,
+}

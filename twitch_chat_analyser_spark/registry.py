@@ -186,6 +186,10 @@ def queries() -> dict[str, QueryFn]:
     from .plans import sqlviews
 
     out.update(sqlviews.SQL_QUERIES)
+    from .operators import graph, sketches
+
+    out.update(sketches.SKETCH_QUERIES)  # rows-only (sketch estimates)
+    out.update(graph.GRAPH_QUERIES)  # rows-only (iterative fixpoint)
     return out
 
 
