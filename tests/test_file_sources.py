@@ -41,6 +41,12 @@ def test_csv_round_trip_preserves_commas(spark, tmp_path):
     assert _key(files.read_messages_csv(spark, p)) == _key(_wire(spark))
 
 
+def test_orc_round_trip(spark, tmp_path):
+    p = str(tmp_path / "o")
+    files.write_messages_orc(_wire(spark), p)
+    assert _key(files.read_messages_orc(spark, p)) == _key(_wire(spark))
+
+
 def test_malformed_json_rows_are_dropped(spark, tmp_path):
     p = tmp_path / "m"
     p.mkdir()

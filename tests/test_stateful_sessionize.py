@@ -81,3 +81,68 @@ def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
     # the cross-file session (user 1: events at 90 & 95 min) closed as ONE
     # session with 2 events — state stitched across micro-batches
     assert got[(1, 2)][0] == 2
+
+
+def test_tws_processor_matches_group_state_version(spark, tmp_path):
+    # Spark 4 transformWithStateInPandas variant: identical closed-
+    # session output to the applyInPandasWithState operator on the same
+    # two-micro-batch stream (RocksDB state store provider required).
+    # The TWS state-server protocol needs google.protobuf, absent in
+    # this container -> operator raises ImportError and we skip.
+    pytest.importorskip("google.protobuf")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, FILE_1).coalesce(1).write.mode("append").parquet(src)
+    _mk(spark, FILE_2).coalesce(1).write.mode("append").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful.sessionize_stream_tws(stream, gap_ms=GAP)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms, r.duration_ms)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, 1): (2, 1704067200000, 5 * 60 * 1000),
+        (1, 2): (2, 1704067200000 + 90 * 60 * 1000, 5 * 60 * 1000),
+        (2, 1): (2, 1704067200000, 3 * 60 * 1000),
+    }
+
+
+def test_tws_gate_raises_clear_importerror_without_protobuf(spark):
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf available — gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="protobuf"):
+        stateful.sessionize_stream_tws(_mk(spark, FILE_1))
