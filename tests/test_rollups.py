@@ -115,3 +115,15 @@ def test_lsh_probe_is_subset_of_brute_force_candidates(spark):
     assert all(n < 8 for n in by_q[0])
     assert all(n >= 8 for n in by_q[8])
     assert len(by_q[0]) == 3 and len(by_q[8]) == 3
+
+
+def test_fill_gaps_zero_fills_missing_buckets(spark):
+    fact = spark.createDataFrame(
+        [("a", 900_000, 5), ("a", 2_700_000, 7)],  # missing 1_800_000
+        "channel string, timestamp long, messages long",
+    )
+    out = {
+        r["timestamp"]: r["messages"]
+        for r in rollups.fill_gaps(fact, ["channel"], "messages").collect()
+    }
+    assert out == {900_000: 5, 1_800_000: 0, 2_700_000: 7}

@@ -63,6 +63,41 @@ def rollup_hierarchy(fact: DataFrame, dims: list[str], value_col: str) -> DataFr
     )
 
 
+WINDOW_MS = 900_000
+
+
+def fill_gaps(
+    fact: DataFrame, dims: list[str], value_col: str, step_ms: int = WINDOW_MS
+) -> DataFrame:
+    """Densify a window-end series: emit every ``step_ms`` bucket
+    between each key's first and last observed bucket, zero-filling the
+    gaps — what chart rendering and window-function math (lag, moving
+    averages) need to be correct over sparse series.
+
+    Plan shape: per-key min/max (one aggregation), ``sequence`` +
+    ``explode`` to generate the grid (rows materialize executor-side,
+    never on the driver), left join back to facts on (dims, timestamp).
+    Grid size is bounded by time-range/step per key — independent of
+    raw-event volume, so at 100 TB this costs the same as at 100 GB for
+    the same time span.
+
+    -> *dims, timestamp, <value_col> (gaps as 0)
+    """
+    bounds = fact.groupBy(*dims).agg(
+        F.min("timestamp").alias("t_lo"), F.max("timestamp").alias("t_hi")
+    )
+    grid = bounds.select(
+        *dims,
+        F.explode(
+            F.sequence("t_lo", "t_hi", F.lit(step_ms).cast("long"))
+        ).alias("timestamp"),
+    )
+    return (
+        grid.join(fact, [*dims, "timestamp"], "left")
+        .na.fill({value_col: 0})
+    )
+
+
 def start_rollup_pipeline(
     spark: SparkSession,
     messages_stream: DataFrame,
@@ -133,8 +168,17 @@ def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_hierarchy(cs, ["channel"], "messages")
 
 
+def _q_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import ingest
+    from . import aggregations as agg
+
+    cs = agg.channel_stats(ingest.messages(spark, sf_dir))
+    return fill_gaps(cs, ["channel"], "messages")
+
+
 ROLLUP_QUERIES = {
     "rollup_timeseries_hierarchy": _q_rollup_hierarchy,
+    "timeseries_fill_gaps": _q_fill_gaps,
 }
 
 
@@ -161,4 +205,16 @@ UNION ALL
 SELECT channel, timestamp, messages, '1h' AS resolution FROM hourly
 UNION ALL
 SELECT channel, timestamp, messages, '1d' AS resolution FROM daily""",
+        "timeseries_fill_gaps": f"""{chat_ctes()},
+bounds AS (
+    SELECT channel, min(timestamp) AS t_lo, max(timestamp) AS t_hi
+    FROM channel_stats GROUP BY channel
+),
+grid AS (
+    SELECT channel, unnest(generate_series(t_lo, t_hi, {WINDOW_MS})) AS timestamp
+    FROM bounds
+)
+SELECT g.channel, g.timestamp,
+       CAST(coalesce(s.messages, 0) AS BIGINT) AS messages
+FROM grid g LEFT JOIN channel_stats s USING (channel, timestamp)""",
     }

@@ -356,6 +356,54 @@ def percentage_of_total(
     )
 
 
+def index_page(
+    channel_stats: DataFrame,
+    user_stats: DataFrame,
+    channels: DataFrame,
+    bots: list[str],
+    start_ms: int,
+) -> DataFrame:
+    """The whole index page as ONE plan: per visible channel — all-time
+    total, in-window recent messages, and the top non-bot chatter. The
+    reference renders this with a pair of PDO queries PER channel
+    (N+1 pattern, MainController.php:48-77); here the three aggregates
+    compute in parallel branches of a single Catalyst plan and meet in
+    two broadcast-sized joins (per-channel rows only).
+
+    -> channel, total_messages, recent_messages, top_chatter,
+       top_chatter_messages
+    """
+    totals = channel_stats.groupBy("channel").agg(
+        F.sum("messages").alias("total_messages")
+    )
+    recent = (
+        channel_stats.filter(F.col("timestamp") >= start_ms)
+        .groupBy("channel")
+        .agg(F.sum("messages").alias("recent_messages"))
+    )
+    per_user = (
+        exclude_bots(user_stats, bots)
+        .groupBy("channel", "username")
+        .agg(F.sum("messages").alias("m"))
+    )
+    w = Window.partitionBy("channel").orderBy(F.desc("m"), F.asc("username"))
+    top = (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "channel",
+            F.col("username").alias("top_chatter"),
+            F.col("m").alias("top_chatter_messages"),
+        )
+    )
+    return (
+        visible_only(totals, channels)
+        .join(recent, "channel", "left")
+        .join(top, "channel", "left")
+        .na.fill({"recent_messages": 0})
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries() entries + oracles (fixed deterministic parameters)
 # ---------------------------------------------------------------------------
@@ -491,7 +539,19 @@ def _q_pct_of_total(spark, sf_dir):
     return percentage_of_total(ue_totals, CHANNEL, EMOTE)
 
 
+def _q_index_page(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    return index_page(
+        agg.channel_stats(msgs),
+        agg.user_stats(msgs),
+        dims.channels_df(spark),
+        dims.EXCLUDED_USERS,
+        START_MS,
+    )
+
+
 READ_PATH_QUERIES = {
+    "index_page_single_plan": _q_index_page,
     "b1_index_totals": _q_index_totals,
     "b2_range_series": _q_range_series,
     "b3_pre_window_total": _q_pre_window_total,
@@ -518,6 +578,31 @@ def read_path_oracles() -> dict[str, str]:
     grid = resample_grid(START_MS, END_MS, RESAMPLE_POINTS)
     grid_values = ", ".join(f"({t})" for t in grid)
     return {
+        "index_page_single_plan": f"""{c},
+totals AS (
+    SELECT channel, CAST(sum(messages) AS BIGINT) AS total_messages
+    FROM channel_stats GROUP BY channel
+),
+recent AS (
+    SELECT channel, CAST(sum(messages) AS BIGINT) AS recent_messages
+    FROM channel_stats WHERE timestamp >= {START_MS} GROUP BY channel
+),
+top_c AS (
+    SELECT channel, username AS top_chatter, m AS top_chatter_messages FROM (
+        SELECT channel, username, CAST(sum(messages) AS BIGINT) AS m,
+               row_number() OVER (PARTITION BY channel
+                   ORDER BY sum(messages) DESC, username ASC) AS rn
+        FROM user_stats WHERE username NOT IN ({bots})
+        GROUP BY channel, username
+    ) WHERE rn = 1
+)
+SELECT t.channel, t.total_messages,
+       coalesce(r.recent_messages, 0) AS recent_messages,
+       tc.top_chatter, tc.top_chatter_messages
+FROM totals t
+LEFT JOIN recent r USING (channel)
+LEFT JOIN top_c tc USING (channel)
+WHERE t.channel IN (SELECT channel FROM channels_dim WHERE hidden IS false)""",
         "b1_index_totals": f"""{c}
 SELECT DISTINCT s.channel, s.messages
 FROM (SELECT channel, count(*) AS messages FROM messages GROUP BY channel) s

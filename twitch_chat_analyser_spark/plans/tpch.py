@@ -261,6 +261,19 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse reshaping of
+    :func:`pivot_event_type_daily`: the wide per-day table back to one
+    (day, event_type, n) row per cell, zero cells included. ``unpivot``
+    is a pure projection (each input row expands to a fixed 5 rows) —
+    no shuffle beyond the upstream pivot's.
+
+    -> day_ms, event_type, n
+    """
+    wide = pivot_event_type_daily(spark, sf_dir)
+    return wide.unpivot("day_ms", EVENT_TYPES, "event_type", "n")
+
+
 def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op INTERSECT: customers who placed orders in BOTH 1995 and
     1996 (completes the set-op family next to EXCEPT/UNION elsewhere).
@@ -290,6 +303,7 @@ TPCH_QUERIES = {
     "percentile_order_values": percentile_order_values,
     "pivot_event_type_daily": pivot_event_type_daily,
     "intersect_repeat_customers": intersect_repeat_customers,
+    "unpivot_event_type_daily": unpivot_event_type_daily,
 }
 
 
@@ -388,4 +402,17 @@ FROM events GROUP BY 1""",
 SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
 INTERSECT
 SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996""",
+        "unpivot_event_type_daily": f"""
+WITH days AS (
+    SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day_ms FROM events
+),
+types AS (SELECT unnest({EVENT_TYPES!r}) AS event_type),
+counts AS (
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT d.day_ms, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c USING (day_ms, event_type)""",
     }
