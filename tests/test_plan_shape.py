@@ -107,3 +107,29 @@ def test_no_python_nodes_in_relational_hot_paths(spark, sf_dir, name):
 
     plan = plan_of(queries()[name](spark, sf_dir))
     assert "Python" not in plan, f"{name} fell out of codegen:\n{plan[:2000]}"
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from twitch_chat_analyser_spark.plans import subqueries
+
+    plan = plan_of(subqueries.exists_high_qty_orders(spark, sf_dir))
+    # Catalyst must rewrite EXISTS into a semi join (hash or broadcast),
+    # never a per-row subquery
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan  # quantity + date predicates reach scans
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    from twitch_chat_analyser_spark.plans import subqueries
+
+    plan = plan_of(subqueries.not_exists_lapsed_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_correlated_scalar_subquery_becomes_aggregate_join(spark, sf_dir):
+    from twitch_chat_analyser_spark.plans import subqueries
+
+    plan = plan_of(subqueries.small_quantity_revenue(spark, sf_dir))
+    # the per-partkey avg is an aggregate joined back, not a loop
+    assert "HashAggregate" in plan
+    assert plan.count("Join") >= 2
+    assert "Python" not in plan

@@ -186,6 +186,9 @@ def queries() -> dict[str, QueryFn]:
     from .plans import sqlviews
 
     out.update(sqlviews.SQL_QUERIES)
+    from .plans import subqueries
+
+    out.update(subqueries.SUBQUERY_QUERIES)
     from .operators import graph, sketches
 
     out.update(sketches.SKETCH_QUERIES)  # rows-only (sketch estimates)
@@ -218,4 +221,7 @@ def oracle_sql() -> dict[str, str]:
     from .plans import sqlviews
 
     out.update(sqlviews.sql_oracles())
+    from .plans import subqueries
+
+    out.update(subqueries.subquery_oracles())
     return out
