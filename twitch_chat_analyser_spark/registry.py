@@ -189,10 +189,11 @@ def queries() -> dict[str, QueryFn]:
     from .plans import subqueries
 
     out.update(subqueries.SUBQUERY_QUERIES)
-    from .operators import graph, sketches
+    from .operators import frequency, graph, sketches
 
     out.update(sketches.SKETCH_QUERIES)  # rows-only (sketch estimates)
     out.update(graph.GRAPH_QUERIES)  # rows-only (iterative fixpoint)
+    out.update(frequency.FREQUENCY_QUERIES)
     return out
 
 
@@ -224,4 +225,7 @@ def oracle_sql() -> dict[str, str]:
     from .plans import subqueries
 
     out.update(subqueries.subquery_oracles())
+    from .operators import frequency
+
+    out.update(frequency.frequency_oracles())
     return out
