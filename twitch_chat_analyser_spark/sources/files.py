@@ -100,3 +100,54 @@ def write_messages_csv(messages: DataFrame, path: str) -> None:
     messages.select("timestamp", "channel", "username", "message").write.mode(
         "overwrite"
     ).option("header", "true").csv(path)
+
+
+# MIME by extension for the binaryFile ingest below.
+_MIME = {
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+}
+
+
+def read_binary_media(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media files -> the multimodal ``media_table`` relation via
+    Spark's built-in ``binaryFile`` source (one row per file: path,
+    modificationTime, length, content — payload bytes never pass through
+    Python). media_id is the trailing integer in the file stem; kind is
+    the extension's MIME class; intrinsic dims stay null until the
+    (stubbed) decode stage fills them (operators/multimodal.py).
+
+    -> media_id long, kind string, payload binary,
+       meta struct<mime,width,height,duration_ms>
+
+    Scale notes: ``pathGlobFilter`` prunes non-media files before any
+    byte is read; per-file size is capped by
+    ``spark.sql.sources.binaryFile.maxLength``. As everywhere in the
+    multimodal path: extract features BEFORE any shuffle —
+    payload-bearing rows are never join/agg inputs.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.(\w+)$", 1))
+    mime = F.create_map(*[F.lit(x) for kv in _MIME.items() for x in kv])[ext]
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.\w+$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.split(mime, "/")[0].alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    ).filter(F.col("media_id").isNotNull() & mime.isNotNull())
