@@ -87,3 +87,26 @@ def test_dedup_clusters_singletons_survive(spark):
            for r in graph.dedup_clusters(docs, pairs).collect()}
     assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
     assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
+
+
+def test_connected_components_both_paths_agree(spark):
+    # the adaptive small-graph (driver union-find) and distributed
+    # (label propagation) paths must produce identical min-label
+    # components on a mix of chains, stars, and singles
+    pairs = (
+        [(i, i + 1) for i in range(0, 20)]  # one long chain 0..20
+        + [(100, x) for x in range(101, 110)]  # a star
+        + [(200, 201), (300, 301), (301, 302)]
+    )
+    fast = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(_edges(spark, pairs)).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(
+            _edges(spark, pairs), small_graph_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast[20] == 0 and fast[109] == 100 and fast[302] == 300

@@ -301,6 +301,80 @@ def start_delta_pipeline(
     )
 
 
+def run_all_single_pass(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+    include_matched_messages: bool = True,
+) -> None:
+    """All five fact tables + the matched-message side output from ONE
+    streaming query — the reference's actual topology: a single Kafka
+    consumer fans out into five aggregation dataflows plus a side output
+    (EmoteAnalyser.java:65-151), the stream is consumed once.
+
+    ``run_all`` (above) runs five queries, each re-reading the source —
+    simple, independently restartable, but at 100 TB/day of replay that
+    is 5x the source scan and 5x the checkpoint bookkeeping. Here each
+    micro-batch is persisted once and every fact transform runs against
+    the cached batch (batch-mode duality D4), so per trigger the source
+    is scanned exactly once; the per-batch deltas land through the
+    journaled additive merge (sentinel ``timestamp=0`` totals included),
+    so a replayed batch is a no-op on every table and the streaming plan
+    itself is stateless — state bounding identical to the reference's
+    flush-and-clear + DB accumulation (AbstractStatsAggregation.java:
+    108-112).
+
+    The side output is written ``overwrite`` into a ``batch=<id>``
+    subdirectory: a replay overwrites the same directory, keeping the
+    append log exactly-once too (MessagesMatchingPhraseExporter.java:
+    16-50 gets the same guarantee from the XA wrapper).
+    """
+    pipelines = default_pipelines(spark)
+    phrases = dims.phrases_df(spark)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for p in pipelines:
+                stats = p.transform(batch_df)
+                value_col = [c for c in stats.columns if c not in p.keys][0]
+                deltas = with_total_rows(stats, p.keys, value_col)
+                additive_merge(
+                    spark,
+                    os.path.join(out_dir, p.name),
+                    deltas,
+                    p.keys,
+                    value_col,
+                    batch_id,
+                )
+            if include_matched_messages:
+                matched = agg.messages_matching_phrase(batch_df, phrases)
+                matched.write.mode("overwrite").parquet(
+                    os.path.join(
+                        out_dir,
+                        "messages_matching_phrase",
+                        f"batch={batch_id}",
+                    )
+                )
+        finally:
+            batch_df.unpersist()
+
+    stream = read_message_stream(spark, source_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "single_pass")
+        )
+        .foreachBatch(sink)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+    q.awaitTermination()
+
+
 def matched_messages_side_output(
     spark: SparkSession,
     messages_stream: DataFrame,
