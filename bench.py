@@ -126,10 +126,18 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         t0 = time.time()
         sp.run_all(spark, src, out, ckpt)
         wall = time.time() - t0
+        # same workload through the one-scan-per-trigger topology
+        out1 = os.path.join(tmp, "out1")
+        ckpt1 = os.path.join(tmp, "ckpt1")
+        t0 = time.time()
+        sp.run_all_single_pass(spark, src, out1, ckpt1)
+        wall1 = time.time() - t0
         return {
             "streaming_messages": n,
             "streaming_wall_sec": round(wall, 3),
             "streaming_msgs_per_sec": round(n / wall, 1),
+            "streaming_single_pass_wall_sec": round(wall1, 3),
+            "streaming_single_pass_msgs_per_sec": round(n / wall1, 1),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

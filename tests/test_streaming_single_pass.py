@@ -1,0 +1,90 @@
+"""Single-pass streaming topology: ONE query maintains all five fact
+tables + the matched-message side output from one persisted micro-batch
+— the reference's actual dataflow shape (one Kafka consumer feeding five
+aggregations + a side output, EmoteAnalyser.java:65-151)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_chat_analyser_spark import dims
+from twitch_chat_analyser_spark.operators import aggregations as agg
+from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+from test_streaming import BATCH_1, BATCH_2, _mk_messages, _sorted_rows, _table
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return (str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+
+def _expected_tables(spark, rows):
+    msgs = _mk_messages(spark, rows).withColumn("timestamp", F.unix_millis("ts"))
+    emotes = dims.emotes_df(spark)
+    phrases = dims.phrases_df(spark)
+    out = {}
+    for name, stats, keys in [
+        ("channel_stats", agg.channel_stats(msgs), ["channel", "timestamp"]),
+        ("user_stats", agg.user_stats(msgs), ["channel", "username", "timestamp"]),
+        ("emote_stats", agg.emote_stats(msgs, emotes), ["channel", "emote", "timestamp"]),
+        (
+            "user_emote_stats",
+            agg.user_emote_stats(msgs, emotes),
+            ["channel", "emote", "username", "timestamp"],
+        ),
+        (
+            "phrase_stats",
+            agg.phrase_stats(msgs, phrases),
+            ["channel", "phrase_name", "timestamp"],
+        ),
+    ]:
+        value_col = [c for c in stats.columns if c not in keys][0]
+        out[name] = _sorted_rows(sp.with_total_rows(stats, keys, value_col))
+    out["messages_matching_phrase"] = _sorted_rows(
+        agg.messages_matching_phrase(msgs, phrases)
+    )
+    return out
+
+
+def _actual_tables(spark, out_dir):
+    got = {}
+    for name in [
+        "channel_stats",
+        "user_stats",
+        "emote_stats",
+        "user_emote_stats",
+        "phrase_stats",
+    ]:
+        got[name] = _sorted_rows(_table(spark, out_dir, name))
+    # side output carries a batch=<id> partition dir for replay
+    # idempotence — not part of the logical schema
+    matched = _table(spark, out_dir, "messages_matching_phrase").drop("batch")
+    got["messages_matching_phrase"] = _sorted_rows(matched)
+    return got
+
+
+def test_single_pass_all_tables_with_totals_and_side_output(spark, dirs):
+    src, out, ckpt = dirs
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    assert _actual_tables(spark, out) == _expected_tables(spark, BATCH_1)
+
+
+def test_single_pass_late_data_accumulates_and_replay_is_idempotent(spark, dirs):
+    src, out, ckpt = dirs
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+
+    # second file includes a LATE event -> adds into its old bucket and
+    # the timestamp=0 sentinel keeps the running total
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    expected = _expected_tables(spark, BATCH_1 + BATCH_2)
+    assert _actual_tables(spark, out) == expected
+
+    # restart from the same checkpoint with no new data: all tables and
+    # the side output unchanged (exactly-once across every sink)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    assert _actual_tables(spark, out) == expected

@@ -336,29 +336,46 @@ def run_all_single_pass(
     phrases = dims.phrases_df(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         batch_df.persist()
+        # materialize the cache once so the concurrent downstream jobs
+        # all hit it instead of racing to fill it
+        batch_df.count()
+
+        def merge_one(p: Pipeline) -> None:
+            stats = p.transform(batch_df)
+            value_col = [c for c in stats.columns if c not in p.keys][0]
+            deltas = with_total_rows(stats, p.keys, value_col)
+            additive_merge(
+                spark,
+                os.path.join(out_dir, p.name),
+                deltas,
+                p.keys,
+                value_col,
+                batch_id,
+            )
+
+        def side_output() -> None:
+            matched = agg.messages_matching_phrase(batch_df, phrases)
+            matched.write.mode("overwrite").parquet(
+                os.path.join(
+                    out_dir, "messages_matching_phrase", f"batch={batch_id}"
+                )
+            )
+
         try:
-            for p in pipelines:
-                stats = p.transform(batch_df)
-                value_col = [c for c in stats.columns if c not in p.keys][0]
-                deltas = with_total_rows(stats, p.keys, value_col)
-                additive_merge(
-                    spark,
-                    os.path.join(out_dir, p.name),
-                    deltas,
-                    p.keys,
-                    value_col,
-                    batch_id,
-                )
+            # Spark driver actions are thread-safe; each table's jobs run
+            # concurrently on the shared executor pool (the FIFO
+            # scheduler interleaves stages), recovering the parallelism
+            # of run_all's five independent queries while scanning the
+            # source exactly once.
+            jobs = [lambda p=p: merge_one(p) for p in pipelines]
             if include_matched_messages:
-                matched = agg.messages_matching_phrase(batch_df, phrases)
-                matched.write.mode("overwrite").parquet(
-                    os.path.join(
-                        out_dir,
-                        "messages_matching_phrase",
-                        f"batch={batch_id}",
-                    )
-                )
+                jobs.append(side_output)
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                for f in [pool.submit(j) for j in jobs]:
+                    f.result()
         finally:
             batch_df.unpersist()
 
