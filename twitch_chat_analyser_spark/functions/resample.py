@@ -68,6 +68,10 @@ def interpolate_on_grid(
             "timestamp", F.col(value_col).cast("double").alias("v"), F.lit(0)
         )
     )
+    # single-ordered-pass windows: inherent to interpolating ONE series,
+    # and bounded — |grid| <= 500 (dashboard resolution caps,
+    # MainController.php:21) + |series| <= the queried window's buckets.
+    # Resampling many series at once would partition these by the dims.
     w_before = Window.orderBy("timestamp", "is_grid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

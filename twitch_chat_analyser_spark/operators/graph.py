@@ -73,9 +73,12 @@ def connected_components(
     # label(node) = min neighbor-or-self, iterated to fixpoint with
     # pointer jumping (path halving) so rounds are O(log diameter),
     # not O(diameter).
-    # Materialize the symmetric edge list ONCE — every iteration (and
-    # every convergence check) joins against it, and its upstream
-    # lineage (e.g. a minhash pair computation) must not re-execute.
+    # Materialize the RAW edge list first: the symmetrizing union below
+    # references `edges` in BOTH branches, so an un-materialized upstream
+    # lineage (e.g. the minhash pair computation) would execute twice.
+    # Then materialize the symmetric list too — every iteration (and
+    # every convergence check) joins against it.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))

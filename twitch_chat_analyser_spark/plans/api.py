@@ -92,8 +92,15 @@ def top_chatters(
 ) -> DataFrame:
     """B4+B5+B9+B17: in-window chatter leaderboard with bot exclusion and
     rank (MainController.php:175-191, :438-455). Bots are skipped without
-    consuming a rank — the anti filter runs BEFORE ranking."""
-    ranked = (
+    consuming a rank — the anti filter runs BEFORE ranking.
+
+    Scale shape: top-k FIRST (`orderBy().limit()` compiles to
+    TakeOrderedAndProject — each partition keeps its local top `limit`,
+    the driver merges heaps; no all-row single-partition shuffle), then
+    row_number over the surviving <= `limit` rows. Identical result to
+    rank-then-filter because the rank order IS the sort order, but the
+    global-ordering pass touches `limit` rows instead of |users|."""
+    topk = (
         exclude_bots(user_stats, dims.EXCLUDED_USERS)
         .filter(
             (F.col("channel") == channel)
@@ -102,14 +109,13 @@ def top_chatters(
         )
         .groupBy("username")
         .agg(F.sum("messages").alias("messages"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("messages"), F.asc("username"))
-            ),
-        )
+        .orderBy(F.desc("messages"), F.asc("username"))
+        .limit(limit)
     )
-    return ranked.filter(F.col("rank") <= limit).orderBy("rank")
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("messages"), F.asc("username"))),
+    ).orderBy("rank")
 
 
 def top_emotes_window(
@@ -329,21 +335,29 @@ def percentage_of_total(
     user_emote_totals: DataFrame, channel: str, emote: str
 ) -> DataFrame:
     """B18: each user's share of an emote's total occurrences
-    (MainController.php:360), rank-ordered (B17)."""
+    (MainController.php:360), rank-ordered (B17).
+
+    The grand total is an aggregate broadcast back onto the rows (one
+    number) rather than `sum() OVER ()` — the empty-frame window form
+    funnels every row through a single-partition WindowExec; the
+    aggregate form is a partial+final hash agg plus a broadcast join.
+    The full ranking that follows is inherently a total order (single
+    ordered pass), bounded here by one (channel, emote) slice's user
+    count — cap with a leaderboard limit at 100 TB (the reference pages
+    it with LIMIT 1000, MainController.php:348-351)."""
     base = user_emote_totals.filter(
         (F.col("channel") == channel) & (F.col("emote") == emote)
     )
-    total = Window.partitionBy()  # grand total over the filtered slice
+    total = base.agg(F.sum("occurrences").alias("_total"))
     return (
-        base.select(
+        base.crossJoin(F.broadcast(total))
+        .select(
             "username",
             "occurrences",
             # raw double, no rounding: both engines evaluate the identical
             # IEEE expression, so values hash bit-for-bit
             (
-                F.lit(100.0)
-                * F.col("occurrences")
-                / F.sum("occurrences").over(total)
+                F.lit(100.0) * F.col("occurrences") / F.col("_total")
             ).alias("pct"),
         )
         .withColumn(
