@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from twitch_chat_analyser_spark.operators import dedup, similarity, textops
+from twitch_chat_analyser_spark.operators import dedup, llmops, similarity, textops
 
 DOCS = [
     # (doc_id, text, lang, source, n_chars)
@@ -179,3 +179,50 @@ def test_kmeans_centroids_iterative(vecs):
     assert sorted((r["centroid_id"], tuple(r["c"])) for r in again) == sorted(
         (r["centroid_id"], tuple(r["c"])) for r in cents
     )
+
+
+def test_redact_pii_goldens(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "write to bob.smith+x@corp.example.org today"),
+            (1, "server 192.168.0.1 and 10.0.0.255 rebooted"),
+            (2, "call +1 (415) 555-0100 now"),
+            (3, "no pii here at all"),
+            (4, "a@b.io from 8.8.8.8 dial +44 20 7946 0958"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.redact_pii(docs).collect()}
+    assert out[0]["redacted"] == "write to <EMAIL> today"
+    assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 0
+    assert out[1]["redacted"] == "server <IP> and <IP> rebooted"
+    assert out[1]["n_ip"] == 2
+    assert out[2]["redacted"] == "call <PHONE> now"
+    assert out[2]["n_phone"] == 1
+    assert out[3]["redacted"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[4]["redacted"] == "<EMAIL> from <IP> dial <PHONE>"
+
+
+def test_pack_sequences_chunk_math(spark):
+    # token counts: 3, 4, 2 in one source; budget 5 =>
+    # doc 0 spans tokens [0,3) -> chunk 0
+    # doc 1 spans [3,7)  -> chunks 0..1 (crosses the boundary)
+    # doc 2 spans [7,9)  -> chunk 1
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "s1"),
+            (1, "a b c d", "s1"),
+            (2, "a b", "s1"),
+            (10, "x y z w v u", "s2"),  # independent source packs alone
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: (r["start_offset"], r["chunk_first"], r["chunk_last"])
+        for r in llmops.pack_sequences(docs, budget=5).collect()
+    }
+    assert out[0] == (0, 0, 0)
+    assert out[1] == (3, 0, 1)
+    assert out[2] == (7, 1, 1)
+    assert out[10] == (0, 0, 1)

@@ -127,6 +127,75 @@ def _q_corpus_prep(spark, sf_dir):
     return corpus_prep(_docs(spark, sf_dir))
 
 
+PACK_BUDGET_TOKENS = 512
+
+# Deterministic PII enrichment for the redaction oracle: the synthetic
+# documents contain no PII, so both engines append the same synthetic
+# email/IP/phone derived from doc_id — the oracle then genuinely
+# exercises every redaction pattern on every row.
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    " '@mail.example.com from 10.2.', CAST(doc_id % 256 AS STRING),"
+    " '.7 call +1 415 555 01', lpad(CAST(doc_id % 100 AS STRING), 2, '0'))"
+)
+_PII_SUFFIX_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.2.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call +1 415 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+def _q_pii_redaction(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text")
+    )
+    return textops.redact_pii(enriched)
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET_TOKENS):
+    """Concat-and-chunk sequence packing (pretraining data layout): the
+    corpus is laid out as one token stream per ``source`` (docs in
+    doc_id order) and cut into fixed ``budget``-token training
+    sequences; a document records the chunk range its tokens span.
+
+    Scale shape: one window partitioned by ``source`` (the natural
+    packing unit — shards pack independently), ordered by doc_id. No
+    global order, no driver loop; adding sources scales out, not up.
+
+    -> doc_id, source, n_tokens, start_offset, chunk_first, chunk_last
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = F.size(dedup.tokens()).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select("doc_id", "source", n.alias("n_tokens"))
+    off = base.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return off.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("chunk_first"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+        .cast("long")
+        .alias("chunk_last"),
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 def corpus_prep(docs, min_quality: float = 0.2):
     """End-to-end training-corpus prep (the composition story): quality
     filter -> exact near-dup removal -> per-language token budget. Pure
@@ -189,6 +258,8 @@ LLM_QUERIES = {
     "salted_channel_counts": _q_salted_channel_counts,
     "corpus_prep": _q_corpus_prep,
     "multimodal_meta": _q_multimodal_meta,
+    "text_pii_redaction": _q_pii_redaction,
+    "pack_sequences": _q_pack_sequences,
 }
 
 
@@ -522,4 +593,53 @@ SELECT doc_id,
     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
     md5(text) AS content_hash, lang, source
 FROM documents""",
+        "text_pii_redaction": _pii_oracle_sql(),
+        "pack_sequences": f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+    FROM t
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // {PACK_BUDGET_TOKENS} AS chunk_first,
+       (start_offset + n_tokens - 1) // {PACK_BUDGET_TOKENS} AS chunk_last
+FROM c""",
     }
+
+
+def _pii_oracle_sql() -> str:
+    # assembled by concatenation: the regexes contain {m,n} repetitions
+    # that would need escaping inside an f-string
+    email_re, ip_re, phone_re = (p for _, p, _ in textops.PII_PATTERNS)
+    redact = (
+        "regexp_replace(regexp_replace(regexp_replace(text, '"
+        + email_re
+        + "', '<EMAIL>', 'g'), '"
+        + ip_re
+        + "', '<IP>', 'g'), '"
+        + phone_re
+        + "', '<PHONE>', 'g')"
+    )
+    return (
+        "WITH enriched AS (SELECT doc_id, "
+        + _PII_SUFFIX_DUCK
+        + " AS text FROM documents)\nSELECT doc_id,\n    "
+        + redact
+        + " AS redacted,\n"
+        + "    CAST(len(regexp_extract_all(text, '"
+        + email_re
+        + "')) AS BIGINT) AS n_email,\n"
+        + "    CAST(len(regexp_extract_all(text, '"
+        + ip_re
+        + "')) AS BIGINT) AS n_ip,\n"
+        + "    CAST(len(regexp_extract_all(text, '"
+        + phone_re
+        + "')) AS BIGINT) AS n_phone\nFROM enriched"
+    )

@@ -152,9 +152,55 @@ def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incident_purchase_counts(_events_ms(spark, sf_dir))
 
 
+ATTRIBUTION_HORIZON_MS = 1_800_000  # attribute clicks within 30 min
+
+
+def click_attribution(
+    events_ms: DataFrame, horizon_ms: int = ATTRIBUTION_HORIZON_MS
+) -> DataFrame:
+    """Every (purchase, click) pair where the same user clicked within
+    ``horizon_ms`` before (or at) the purchase — the batch dual of the
+    stream-stream interval join in ``streaming/joins.py`` (design D4:
+    the same join condition runs over two streams with watermarks).
+
+    Scale shape: the inequality rides as a residual predicate on a
+    plain shuffled equi-join on ``user_id`` — no nested-loop; the time
+    bound caps per-user amplification at (clicks in horizon).
+
+    -> purchase_event_id, user_id, purchase_ms, click_event_id,
+       click_ms, lag_ms
+    """
+    clicks = events_ms.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ms").alias("click_ms"),
+    )
+    purchases = events_ms.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ms").alias("purchase_ms"),
+    )
+    return purchases.join(clicks, "user_id").filter(
+        (F.col("click_ms") <= F.col("purchase_ms"))
+        & (F.col("click_ms") > F.col("purchase_ms") - horizon_ms)
+    ).select(
+        "purchase_event_id",
+        "user_id",
+        "purchase_ms",
+        "click_event_id",
+        "click_ms",
+        (F.col("purchase_ms") - F.col("click_ms")).alias("lag_ms"),
+    )
+
+
+def _q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return click_attribution(_events_ms(spark, sf_dir))
+
+
 TEMPORAL_QUERIES = {
     "asof_purchase_last_click": _q_asof,
     "range_incident_purchases": _q_range,
+    "stream_join_click_attribution": _q_click_attribution,
 }
 
 _EV_CTE = (
@@ -190,4 +236,22 @@ FROM errors e
 LEFT JOIN purchases p
   ON p.p_ms >= e.start_ms AND p.p_ms < e.start_ms + {INCIDENT_WINDOW_MS}
 GROUP BY 1, 2""",
+        "stream_join_click_attribution": f"""
+WITH ev AS ({_EV_CTE}),
+clicks AS (
+    SELECT user_id, event_id AS click_event_id, ms AS click_ms
+    FROM ev WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT event_id AS purchase_event_id, user_id, ms AS purchase_ms
+    FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.purchase_event_id, p.user_id, p.purchase_ms,
+       c.click_event_id, c.click_ms,
+       p.purchase_ms - c.click_ms AS lag_ms
+FROM purchases p
+JOIN clicks c
+  ON c.user_id = p.user_id
+ AND c.click_ms <= p.purchase_ms
+ AND c.click_ms > p.purchase_ms - {ATTRIBUTION_HORIZON_MS}""",
     }

@@ -181,3 +181,38 @@ def sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# PII redaction patterns, applied in order. The regex subset is chosen
+# to mean the same thing in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b, \d — no backreferences or
+# lookaround. Replacement chain order matters: emails first (their local
+# part may contain digits/dots), then dotted quads, then phone-shaped
+# digit runs (which cannot span a '.' so an already-redacted <IP> tag or
+# a dotted quad never merges into a phone match).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d ()-]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus PII scrubbing: regex-redact emails, IPv4
+    addresses, and international-format phone numbers; per-pattern match
+    counts are taken on the ORIGINAL text (before any replacement).
+
+    Pure projection — embarrassingly parallel, whole-stage codegen,
+    no shuffle; the shape survives any scale-up.
+
+    -> doc_id, redacted, n_email, n_ip, n_phone
+    """
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, tag in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return docs.select("doc_id", redacted.alias("redacted"), *counts)

@@ -46,3 +46,48 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files (the streaming upsert
+    sink produces one file batch per trigger — the classic small-file
+    problem; at 100 TB, scan cost is dominated by file-open/footer
+    overhead long before bytes).
+
+    Rewrites to ``ceil(rows / target_rows_per_file)`` files via an
+    atomic directory swap (same pattern as the merge sinks). Pass
+    ``sort_within_by`` (e.g. ``["channel", "timestamp"]``) to lay rows
+    out sorted inside each file so parquet row-group min/max stats make
+    selective scans skip — the file-level analog of the reference's
+    serving PK index (SURVEY §4.1).
+
+    Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    if sort_within_by:
+        # range-partition on the sort key, then sort inside each file:
+        # every file owns a disjoint key range, so min/max footer stats
+        # prune whole files for selective predicates
+        out = df.repartitionByRange(n_files, *sort_within_by)
+        out = out.sortWithinPartitions(*sort_within_by)
+    else:
+        out = df.repartition(n_files)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    back = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back, ignore_errors=True)
+    return n_files
