@@ -70,8 +70,32 @@ TS_COLUMNS = {
 PARALLELIZE = {"events", "documents", "embeddings"}
 
 
+# Plan cache: DataFrames are immutable logical plans and the testdata
+# dirs never change, so the (session, dir, table, parallelize) plan is
+# built once — repeat loads otherwise re-read parquet footers and pay a
+# driver-side .rdd partition probe each (~0.2s/table, and every
+# read-path query loads 1-3 tables).
+_LOAD_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
+) -> DataFrame:
+    if parallelize is None:
+        parallelize = name in PARALLELIZE
+    # applicationId (not id(spark)): a stopped-and-recreated session must
+    # not resurrect plans bound to the dead one
+    key = (spark.sparkContext.applicationId, sf_dir, name, parallelize)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_uncached(spark, sf_dir, name, parallelize)
+    _LOAD_CACHE[key] = df
+    return df
+
+
+def _load_uncached(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool
 ) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
@@ -82,8 +106,6 @@ def load(
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif dtypes.get(c) == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    if parallelize is None:
-        parallelize = name in PARALLELIZE
     if parallelize:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

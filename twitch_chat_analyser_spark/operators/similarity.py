@@ -116,18 +116,24 @@ def ivf_topk(
         centroids = centroids.withColumn(
             "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
         )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), "centroid_id"
-    )
+    # argmax via max_by in a hash aggregate (partial+final, map-side
+    # combinable) instead of a row_number window: the window form
+    # shuffles AND sorts all N x C scored rows by vec_id; max_by reduces
+    # them map-side. Tie-break identical: max cos_c, then min centroid.
     assigned = (
         vecs.crossJoin(F.broadcast(centroids))
         .select(
             "vec_id", "v", "v_nrm", "centroid_id",
             cosine("v", "c").alias("cos_c"),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "v_nrm", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(v, v_nrm, centroid_id),"
+                " struct(cos_c, -centroid_id)) AS best"
+            )
+        )
+        .select("vec_id", "best.v", "best.v_nrm", "best.centroid_id")
     )
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -263,7 +269,7 @@ def kmeans_centroids(
         F.col("v_nrm").alias("c_nrm"),
     )
     for _ in range(iterations):
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
+        # same max_by argmax as ivf_topk: hash agg, no per-vec_id sort
         assigned = (
             vecs.crossJoin(F.broadcast(centroids))
             .select(
@@ -272,8 +278,14 @@ def kmeans_centroids(
                 "centroid_id",
                 cosine("v", "c", "v_nrm", "c_nrm").alias("cos_c"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "max_by(struct(v, centroid_id),"
+                    " struct(cos_c, -centroid_id)) AS best"
+                )
+            )
+            .select("vec_id", "best.v", "best.centroid_id")
         )
         # elementwise mean per cluster WITHOUT collecting vectors:
         # explode by dimension, sum/avg per (centroid, dim) — k*D group
