@@ -226,3 +226,21 @@ def test_pack_sequences_chunk_math(spark):
     assert out[1] == (3, 0, 1)
     assert out[2] == (7, 1, 1)
     assert out[10] == (0, 0, 1)
+
+
+def test_repetition_signals_goldens(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),     # bigrams: ab ba ab ba ab -> 5, distinct 2
+            (1, "w x y z"),         # all bigrams unique
+            (2, "solo"),            # shorter than k: single degenerate shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_signals(docs).collect()}
+    assert out[0]["n_2grams"] == 5
+    assert out[0]["dup_2gram_ratio"] == pytest.approx(3 / 5)
+    assert out[1]["dup_2gram_ratio"] == 0.0
+    assert out[2]["n_2grams"] == 1 and out[2]["dup_2gram_ratio"] == 0.0
+    assert out[0]["n_3grams"] == 4
+    assert out[0]["dup_3gram_ratio"] == pytest.approx(2 / 4)

@@ -196,6 +196,10 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir))
 
 
+def _q_repetition(spark, sf_dir):
+    return textops.repetition_signals(_docs(spark, sf_dir))
+
+
 def corpus_prep(docs, min_quality: float = 0.2):
     """End-to-end training-corpus prep (the composition story): quality
     filter -> exact near-dup removal -> per-language token budget. Pure
@@ -260,6 +264,7 @@ LLM_QUERIES = {
     "multimodal_meta": _q_multimodal_meta,
     "text_pii_redaction": _q_pii_redaction,
     "pack_sequences": _q_pack_sequences,
+    "text_repetition_signals": _q_repetition,
 }
 
 
@@ -594,6 +599,29 @@ SELECT doc_id,
     md5(text) AS content_hash, lang, source
 FROM documents""",
         "text_pii_redaction": _pii_oracle_sql(),
+        "text_repetition_signals": """
+WITH doc_toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1]) END AS sh2,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        END AS sh3
+    FROM doc_toks
+)
+SELECT doc_id,
+    CAST(len(sh2) AS BIGINT) AS n_2grams,
+    CAST(len(sh2) - len(list_distinct(sh2)) AS DOUBLE) / len(sh2)
+        AS dup_2gram_ratio,
+    CAST(len(sh3) AS BIGINT) AS n_3grams,
+    CAST(len(sh3) - len(list_distinct(sh3)) AS DOUBLE) / len(sh3)
+        AS dup_3gram_ratio
+FROM sh""",
         "pack_sequences": f"""
 WITH t AS (
     SELECT doc_id, source,

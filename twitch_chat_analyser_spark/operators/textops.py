@@ -216,3 +216,38 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, tag in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, tag)
     return docs.select("doc_id", redacted.alias("redacted"), *counts)
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules):
+    the fraction of duplicated word 2-grams / 3-grams inside each doc.
+    Highly repetitive documents (boilerplate, generated spam, scraper
+    loops) score high and get filtered from training corpora.
+
+    Pure projection over the shingle arrays — no shuffle, no join.
+
+    -> doc_id, n_2grams, dup_2gram_ratio, n_3grams, dup_3gram_ratio
+    """
+    from .dedup import shingles
+
+    df = docs.select("doc_id", tokens().alias("toks"))
+    for k in (2, 3):
+        df = (
+            df.withColumn(f"_sh{k}", shingles("toks", k))
+            .withColumn(f"n_{k}grams", F.size(f"_sh{k}").cast("long"))
+            .withColumn(
+                f"dup_{k}gram_ratio",
+                (
+                    F.col(f"n_{k}grams")
+                    - F.size(F.array_distinct(f"_sh{k}"))
+                ).cast("double")
+                / F.col(f"n_{k}grams"),
+            )
+        )
+    return df.select(
+        "doc_id",
+        "n_2grams",
+        "dup_2gram_ratio",
+        "n_3grams",
+        "dup_3gram_ratio",
+    )
