@@ -85,3 +85,46 @@ def test_tfidf_rare_term_outranks_common_at_equal_tf(spark):
     alpha = [r for r in sampling.tfidf_top_terms(docs, top_n=2).collect()
              if r["token"] == "alpha"]
     assert all(abs(r["tfidf"]) < 1e-12 for r in alpha)
+
+
+def test_mixture_equalize_downsamples_to_smallest_source(spark):
+    from twitch_chat_analyser_spark.operators.sampling import mixture_equalize
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(10_000 + i, "mid") for i in range(1000)]
+        + [(20_000 + i, "small") for i in range(200)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_equalize(docs)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # smallest source survives intact; others land near its size
+    # (hash-Bernoulli -> binomial noise, allow a wide band)
+    assert counts["small"] == 200
+    assert 140 <= counts["big"] <= 260
+    assert 140 <= counts["mid"] <= 260
+    # deterministic: the same call selects the same rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in mixture_equalize(docs).collect())
+    assert a == b
+
+
+def test_decontamination_flags_overlapping_docs(spark):
+    from twitch_chat_analyser_spark.operators.llmops import decontamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # eval doc
+            (1, "zeta eta theta iota"),             # eval doc
+            (2, "alpha beta gamma something else"), # shares 'alpha beta gamma'
+            (3, "completely different words here"),
+            (4, "x zeta eta theta iota y"),         # shares 2 eval shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in decontamination(docs, [0, 1]).collect()
+    }
+    assert out == {2: 1, 4: 2}

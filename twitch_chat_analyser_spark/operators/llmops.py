@@ -200,6 +200,48 @@ def _q_repetition(spark, sf_dir):
     return textops.repetition_signals(_docs(spark, sf_dir))
 
 
+# Stand-in "benchmark" for decontamination at test scale: the first 10
+# documents play the eval set.
+DECONTAM_EVAL_IDS = list(range(10))
+
+
+def decontamination(docs: DataFrame, eval_ids: list[int]) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word k-shingle with the held-out eval set (the standard n-gram
+    overlap check run before pretraining). Returns only contaminated
+    docs with their distinct-shared-shingle count.
+
+    Scale shape: the eval side collapses to DISTINCT shingles — tiny
+    relative to the corpus, broadcast — so the check is a broadcast
+    semi-style join over the exploded training shingles plus one
+    aggregation on doc_id. The corpus is scanned once.
+
+    -> doc_id, n_shared_shingles
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import shingles, tokens
+
+    base = docs.select("doc_id", tokens().alias("toks"))
+    sh = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("toks", SHINGLE_K))).alias("sh"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id").isin(eval_ids)).select("sh").distinct()
+    )
+    return (
+        sh.filter(~F.col("doc_id").isin(eval_ids))
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+def _q_decontamination(spark, sf_dir):
+    return decontamination(_docs(spark, sf_dir), DECONTAM_EVAL_IDS)
+
+
 def corpus_prep(docs, min_quality: float = 0.2):
     """End-to-end training-corpus prep (the composition story): quality
     filter -> exact near-dup removal -> per-language token budget. Pure
@@ -265,6 +307,7 @@ LLM_QUERIES = {
     "text_pii_redaction": _q_pii_redaction,
     "pack_sequences": _q_pack_sequences,
     "text_repetition_signals": _q_repetition,
+    "decontaminate_ngram_overlap": _q_decontamination,
 }
 
 
@@ -599,6 +642,18 @@ SELECT doc_id,
     md5(text) AS content_hash, lang, source
 FROM documents""",
         "text_pii_redaction": _pii_oracle_sql(),
+        "decontaminate_ngram_overlap": f"""
+WITH {_DOC_CTES.strip()},
+dsh AS (SELECT DISTINCT doc_id, sh FROM doc_shingles),
+eval_sh AS (
+    SELECT DISTINCT sh FROM dsh
+    WHERE doc_id IN ({", ".join(map(str, DECONTAM_EVAL_IDS))})
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM dsh d
+JOIN eval_sh USING (sh)
+WHERE d.doc_id NOT IN ({", ".join(map(str, DECONTAM_EVAL_IDS))})
+GROUP BY 1""",
         "text_repetition_signals": """
 WITH doc_toks AS (
     SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents

@@ -132,6 +132,52 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
     )
 
 
+def mixture_equalize(docs: DataFrame) -> DataFrame:
+    """Domain-mixture resampling: deterministically downsample each
+    ``source`` so the surviving corpus has a uniform source mixture
+    (the per-source keep probability is ``min_count / count_s``; the
+    smallest source keeps everything). The per-row decision is the same
+    hash-Bernoulli draw as :func:`deterministic_sample`, with the
+    threshold computed IN the plan from the per-source counts — no
+    driver round-trip, no collect.
+
+    Scale shape: one tiny per-source aggregate (|sources| rows,
+    broadcast back) + a narrow filter over the corpus.
+
+    Thresholds compare as 5-hex-digit strings so the keep-all case
+    (p = 1 -> 0x10000) still orders above every 4-digit hash prefix.
+
+    -> doc_id, source
+    """
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    min_n = counts.agg(F.min("n_s").alias("min_n"))
+    thresholds = (
+        counts.crossJoin(F.broadcast(min_n))
+        .select(
+            "source",
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.floor(
+                            F.col("min_n").cast("double")
+                            / F.col("n_s")
+                            * HASH_CELLS
+                        ).cast("long")
+                    )
+                ),
+                5,
+                "0",
+            ).alias("thr"),
+        )
+    )
+    return (
+        docs.withColumn("hp5", F.lpad(_hash_prefix(), 5, "0"))
+        .join(F.broadcast(thresholds), "source")
+        .filter(F.col("hp5") < F.col("thr"))
+        .select("doc_id", "source")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry entries
 # --------------------------------------------------------------------------
@@ -167,11 +213,18 @@ def _q_tfidf(spark, sf_dir):
     return tfidf_top_terms(ingest.load(spark, sf_dir, "documents"))
 
 
+def _q_mixture(spark, sf_dir):
+    from .. import ingest
+
+    return mixture_equalize(ingest.load(spark, sf_dir, "documents"))
+
+
 SAMPLING_QUERIES = {
     "sample_deterministic": _q_sample,
     "sample_train_test_split": _q_split,
     "sample_stratified": _q_stratified,
     "tfidf_top_terms": _q_tfidf,
+    "sample_mixture_equalize": _q_mixture,
 }
 
 
@@ -218,4 +271,17 @@ SELECT doc_id, token, tf, df, tfidf, term_rank FROM (
     ) AS term_rank
     FROM scored
 ) WHERE term_rank <= {TFIDF_TOP_N}""",
+        "sample_mixture_equalize": """
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+mn AS (SELECT min(n_s) AS min_n FROM counts),
+thresholds AS (
+    SELECT source,
+           lpad(lower(to_hex(CAST(floor(CAST(min_n AS DOUBLE) / n_s * 65536)
+                AS BIGINT))), 5, '0') AS thr
+    FROM counts CROSS JOIN mn
+)
+SELECT doc_id, d.source
+FROM documents d
+JOIN thresholds t ON t.source = d.source
+WHERE lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0') < t.thr""",
     }
