@@ -93,3 +93,53 @@ def test_binary_file_source_feeds_multimodal_plumbing(spark, tmp_path):
     ).collect()
     assert {r["media_id"] for r in decoded} == {1, 2}
     assert all(r["n_bytes"] > 0 and r["width"] > 0 for r in decoded)
+
+
+def test_incremental_corpus_dedup_across_batches_and_replay(spark, tmp_path):
+    import os
+
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, sd.DOC_SCHEMA)
+
+    # file 1: one internal duplicate pair (1 ~ 2 after normalization)
+    mk(
+        [
+            (1, "Hello  World", "en", "s", 11),
+            (2, "hello world", "en", "s", 11),
+            (3, "unique first", "en", "s", 12),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    sd.start_incremental_corpus_dedup(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+
+    # file 2: a historical duplicate (of doc 3) + a new doc
+    mk(
+        [
+            (10, "UNIQUE   first", "en", "s", 12),
+            (11, "brand new", "en", "s", 9),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    sd.start_incremental_corpus_dedup(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    kept = sorted(r["doc_id"] for r in corpus.collect())
+    assert kept == [1, 3, 11]  # 2 in-batch dup, 10 historical dup
+
+    # replay with no new data: nothing changes
+    sd.start_incremental_corpus_dedup(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+    again = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    )
+    assert again == kept

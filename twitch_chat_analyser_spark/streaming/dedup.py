@@ -67,3 +67,85 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-run incremental corpus dedup: history in STORAGE, not stream state
+# --------------------------------------------------------------------------
+
+DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+def start_incremental_corpus_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuously-ingested training corpus with EXACT dedup against
+    all history: each micro-batch is deduped in-batch (min doc_id per
+    content fingerprint), anti-joined against the persistent fingerprint
+    store, and the survivors appended to the corpus with their
+    fingerprints added to the store.
+
+    Scale design: `dropDuplicatesWithinWatermark` (above) bounds dedup
+    to a time window because stream STATE must stay bounded; a corpus
+    ingest needs dedup against ALL history, so the fingerprint set lives
+    in the store instead — the same state-in-storage move the reference
+    makes with Postgres accumulation (AbstractStatsAggregation.java:
+    108-112). The anti-join is fingerprint-keyed (uniform md5 — no
+    skew); at 100 TB the store is bucketed by fingerprint so the join
+    co-locates without a shuffle of history.
+
+    Exactly-once: survivors and fingerprints land in ``batch=<id>``
+    subdirectories written with overwrite — a replayed batch rewrites
+    the same paths bit-identically instead of appending twice.
+
+    Layout: ``out_dir/corpus/batch=N/*.parquet`` (the deduped corpus)
+    and ``out_dir/fingerprints/batch=N/*.parquet`` (fp + doc_id).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import norm_text
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    fp_path = os.path.join(out_dir, "fingerprints")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.withColumn("fp", F.md5(norm_text()))
+        # in-batch: keep the smallest doc_id per fingerprint
+        keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        batch_unique = hashed.join(
+            keeper, ["fp", "doc_id"], "left_semi"
+        )
+        # against history: fingerprints of every prior batch
+        if os.path.isdir(fp_path):
+            seen = spark.read.parquet(fp_path).select("fp")
+            fresh = batch_unique.join(seen, "fp", "left_anti")
+        else:
+            fresh = batch_unique
+        fresh = fresh.cache()
+        try:
+            fresh.drop("fp").write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"batch={batch_id}")
+            )
+            fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
+                os.path.join(fp_path, f"batch={batch_id}")
+            )
+        finally:
+            fresh.unpersist()
+
+    stream = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        stream.parquet(docs_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
