@@ -344,7 +344,10 @@ def run_all_single_pass(
         batch_df.count()
 
         def merge_one(p: Pipeline) -> None:
-            stats = p.transform(batch_df)
+            # materialize the (small, post-aggregation) stats ONCE:
+            # with_total_rows references it in both union branches, and
+            # un-materialized that evaluates the full aggregation twice
+            stats = p.transform(batch_df).localCheckpoint(eager=True)
             value_col = [c for c in stats.columns if c not in p.keys][0]
             deltas = with_total_rows(stats, p.keys, value_col)
             additive_merge(
