@@ -289,8 +289,163 @@ def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_year(1995).intersect(by_year(1996))
 
 
+Q7_SUPP_NATION = "NATION_1"
+Q7_CUST_NATION = "NATION_2"
+Q7_YEARS = (1996, 1997)
+Q10_START = "1996-01-01 00:00:00"
+Q10_END = "1996-04-01 00:00:00"
+Q2_PART_SIZE = 50
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7 shape: revenue shipped from one nation's suppliers to another
+    nation's customers, by ship year. Two dim-filtered broadcast sides
+    into the fact; the only lineitem shuffle is the final group-by.
+
+    -> supp_nation, cust_nation, l_year, revenue
+    """
+    nation = ingest.load(spark, sf_dir, "nation")
+    supp = (
+        ingest.load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == Q7_SUPP_NATION)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cust = (
+        ingest.load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == Q7_CUST_NATION)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = ingest.load(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = ingest.load(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(*Q7_YEARS)
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(revenue.cast("double").alias("revenue"))
+        .select(
+            F.lit(Q7_SUPP_NATION).alias("supp_nation"),
+            F.lit(Q7_CUST_NATION).alias("cust_nation"),
+            "l_year",
+            "revenue",
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 shape: customers who returned items in a quarter, ranked by
+    lost revenue, top 20 (TakeOrderedAndProject after the group-by).
+
+    -> c_custkey, c_name, n_name, c_acctbal, revenue
+    """
+    orders = ingest.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_START) & (F.col("o_orderdate") < Q10_END)
+    )
+    li = ingest.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = ingest.load(spark, sf_dir, "customer").join(
+        F.broadcast(ingest.load(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 shape: OR-of-ANDs predicate across the part-lineitem join.
+    Catalyst extracts the common join key and pushes the per-table
+    conjuncts below the join (p_brand/p_size to the part scan,
+    l_quantity to the lineitem scan via the OR-simplification).
+
+    -> revenue (one row)
+    """
+    part = ingest.load(spark, sf_dir, "part")
+    li = ingest.load(spark, sf_dir, "lineitem")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond1 | cond2)
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape (adapted — no partsupp table in the testdata): for each
+    part of the target size, the supplier with the minimum account
+    balance among suppliers who ever shipped it, ties broken by min
+    suppkey. The correlated-min subquery decorrelates to an aggregate
+    joined back on (part, min balance) — two shuffles on l_partkey,
+    no window over the fact.
+
+    -> p_partkey, p_brand, s_suppkey, s_acctbal
+    """
+    part = ingest.load(spark, sf_dir, "part").filter(
+        F.col("p_size") == Q2_PART_SIZE
+    )
+    assoc = (
+        ingest.load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_brand", "l_suppkey")
+        .distinct()
+    )
+    joined = assoc.join(
+        F.broadcast(ingest.load(spark, sf_dir, "supplier")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    best = joined.groupBy("p_partkey").agg(
+        F.min("s_acctbal").alias("s_acctbal")
+    )
+    return (
+        joined.join(best, ["p_partkey", "s_acctbal"])
+        .groupBy("p_partkey", "p_brand", "s_acctbal")
+        .agg(F.min("s_suppkey").alias("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_acctbal")
+    )
+
+
 TPCH_QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
+    "tpch_q7_volume_shipping": q7_volume_shipping,
+    "tpch_q10_returned_items": q10_returned_items,
+    "tpch_q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "tpch_q2_min_acctbal_supplier": q2_min_acctbal_supplier,
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_local_supplier_volume": q5_local_supplier_volume,
     "rollup_order_counts": rollup_order_counts,
@@ -311,6 +466,60 @@ def tpch_oracles() -> dict[str, str]:
     from ..registry import chat_ctes
 
     return {
+        "tpch_q7_volume_shipping": f"""
+SELECT '{Q7_SUPP_NATION}' AS supp_nation, '{Q7_CUST_NATION}' AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey AND ns.n_name = '{Q7_SUPP_NATION}'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey AND nc.n_name = '{Q7_CUST_NATION}'
+WHERE year(l_shipdate) IN ({Q7_YEARS[0]}, {Q7_YEARS[1]})
+GROUP BY 3""",
+        "tpch_q10_returned_items": f"""
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o_orderdate < TIMESTAMP '{Q10_END}'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "tpch_q19_disjunctive_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)""",
+        "tpch_q2_min_acctbal_supplier": f"""
+WITH assoc AS (
+    SELECT DISTINCT p_partkey, p_brand, l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = {Q2_PART_SIZE}
+),
+joined AS (
+    SELECT a.p_partkey, a.p_brand, s.s_suppkey, s.s_acctbal
+    FROM assoc a JOIN supplier s ON a.l_suppkey = s.s_suppkey
+),
+best AS (
+    SELECT p_partkey, min(s_acctbal) AS s_acctbal FROM joined GROUP BY 1
+)
+SELECT j.p_partkey, j.p_brand,
+       min(j.s_suppkey) AS s_suppkey, j.s_acctbal
+FROM joined j JOIN best USING (p_partkey, s_acctbal)
+GROUP BY j.p_partkey, j.p_brand, j.s_acctbal""",
         "tpch_q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
