@@ -133,3 +133,31 @@ def test_correlated_scalar_subquery_becomes_aggregate_join(spark, sf_dir):
     assert "HashAggregate" in plan
     assert plan.count("Join") >= 2
     assert "Python" not in plan
+
+
+def test_q19_disjunctive_predicates_push_below_join(spark, sf_dir):
+    from twitch_chat_analyser_spark.plans import tpch
+
+    plan = plan_of(tpch.q19_disjunctive_revenue(spark, sf_dir))
+    # the OR-of-ANDs must not block pushdown entirely: the common
+    # l_partkey join key stays an equi-join (broadcast) and per-table
+    # predicate fragments reach the scans
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    assert "Python" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    from twitch_chat_analyser_spark.plans import tpch
+
+    plan = plan_of(tpch.q10_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_q2_min_supplier_is_aggregate_join(spark, sf_dir):
+    from twitch_chat_analyser_spark.plans import tpch
+
+    plan = plan_of(tpch.q2_min_acctbal_supplier(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Python" not in plan
