@@ -262,7 +262,14 @@ def kmeans_centroids(
 
     -> centroid_id, c (array<double> centroid mean)
     """
-    vecs = as_double_vec(embeddings).select("vec_id", "v", "v_nrm")
+    # materialize the cast+norm projection once — every iteration cross
+    # joins against it, and un-materialized each round would recompute
+    # the per-vector norm fold over the corpus
+    vecs = (
+        as_double_vec(embeddings)
+        .select("vec_id", "v", "v_nrm")
+        .localCheckpoint(eager=True)
+    )
     centroids = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("c"),
@@ -303,7 +310,9 @@ def kmeans_centroids(
             )
             .withColumn("c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c"))))
         )
-    return centroids.select("centroid_id", "c")
+    # k tiny rows; materialize so downstream broadcasts (ivf assignment
+    # uses the codebook more than once) don't re-run the Lloyd's lineage
+    return centroids.select("centroid_id", "c").localCheckpoint(eager=True)
 
 
 def ann_topk_blas(
