@@ -131,6 +131,67 @@ def channel_cooccurrence(messages: DataFrame) -> DataFrame:
     )
 
 
+BURST_BASELINE = 8  # trailing 2 h of 15-min buckets
+BURST_Z = 3.0
+BURST_MIN_BASELINE = 4  # need this many trailing buckets for a stable z
+
+
+def burst_detection(
+    fact: DataFrame,
+    dims: list[str],
+    value_col: str,
+    baseline: int = BURST_BASELINE,
+    z_cut: float = BURST_Z,
+) -> DataFrame:
+    """Rate-spike detection on a window-end fact table: each bucket's
+    z-score against the trailing ``baseline`` buckets (current bucket
+    excluded), flagged when z > ``z_cut``.
+
+    Float-parity design: the moving mean/variance are derived from
+    moving SUM and SUM-OF-SQUARES — exact BIGINT window sums in both
+    engines — so the only floating-point steps are the final divisions
+    and sqrt, evaluated as the identical expression tree in the DuckDB
+    oracle (engine-native stddev implementations differ numerically;
+    integer sums cannot). Sample variance:
+    (sum_sq - sum^2 / n) / (n - 1).
+
+    One shuffle on the dimension key; per-key ordered frames.
+
+    -> *dims, timestamp, <value_col>, n_base, z, is_burst
+    """
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy("timestamp")
+        .rowsBetween(-baseline, -1)
+    )
+    x = F.col(value_col).cast("double")
+    n = F.count(value_col).over(w).alias("n_base")
+    s = F.sum(value_col).over(w)
+    sq = F.sum(F.col(value_col) * F.col(value_col)).over(w)
+    base = fact.select(
+        *dims,
+        "timestamp",
+        value_col,
+        n,
+        s.alias("_s"),
+        sq.alias("_sq"),
+    ).filter(F.col("n_base") >= BURST_MIN_BASELINE)
+    nn = F.col("n_base").cast("double")
+    mean = F.col("_s") / nn
+    var = (F.col("_sq") - F.col("_s") * F.col("_s") / nn) / (nn - 1)
+    # guard var = 0 (flat baseline) -> z NULL, not NaN/inf — IEEE
+    # specials don't round-trip identically through both engines' hashes
+    z = F.when(var > 0, (x - mean) / F.sqrt(var))
+    return base.select(
+        *dims,
+        "timestamp",
+        value_col,
+        "n_base",
+        z.alias("z"),
+        (z > z_cut).alias("is_burst"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry entries
 # --------------------------------------------------------------------------
@@ -158,11 +219,17 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return channel_cooccurrence(ingest.messages(spark, sf_dir))
 
 
+def _q_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = agg.channel_stats(ingest.messages(spark, sf_dir))
+    return burst_detection(cs, ["channel"], "messages")
+
+
 ANALYTICS_QUERIES = {
     "channel_window_deltas": _q_window_deltas,
     "user_activity_quartiles": _q_user_quartiles,
     "message_length_histogram": _q_length_histogram,
     "channel_cooccurrence_jaccard": _q_cooccurrence,
+    "channel_burst_detection": _q_burst,
 }
 
 
@@ -208,4 +275,28 @@ SELECT channel_a, channel_b, shared_users,
 FROM shared
 JOIN per_channel pa ON pa.channel = channel_a
 JOIN per_channel pb ON pb.channel = channel_b""",
+        "channel_burst_detection": f"""{c},
+framed AS (
+    SELECT channel, timestamp, messages,
+        count(messages) OVER w AS n_base,
+        CAST(sum(messages) OVER w AS BIGINT) AS s,
+        CAST(sum(messages * messages) OVER w AS BIGINT) AS sq
+    FROM channel_stats
+    WINDOW w AS (PARTITION BY channel ORDER BY timestamp
+                 ROWS BETWEEN {BURST_BASELINE} PRECEDING AND 1 PRECEDING)
+)
+SELECT channel, timestamp, messages, n_base,
+    CASE WHEN (sq - s * s / CAST(n_base AS DOUBLE))
+              / (CAST(n_base AS DOUBLE) - 1) > 0
+         THEN (CAST(messages AS DOUBLE) - s / CAST(n_base AS DOUBLE))
+              / sqrt((sq - s * s / CAST(n_base AS DOUBLE))
+                     / (CAST(n_base AS DOUBLE) - 1))
+    END AS z,
+    CASE WHEN (sq - s * s / CAST(n_base AS DOUBLE))
+              / (CAST(n_base AS DOUBLE) - 1) > 0
+         THEN (CAST(messages AS DOUBLE) - s / CAST(n_base AS DOUBLE))
+              / sqrt((sq - s * s / CAST(n_base AS DOUBLE))
+                     / (CAST(n_base AS DOUBLE) - 1)) > {BURST_Z}
+    END AS is_burst
+FROM framed WHERE n_base >= {BURST_MIN_BASELINE}""",
     }
