@@ -163,3 +163,34 @@ def test_property_matches_php_algorithm(spark, case):
     assert run_spark(spark, series, num_points, start, end) == php_resample(
         series, num_points, start, end
     )
+
+
+def test_multi_series_equals_per_series(spark):
+    from twitch_chat_analyser_spark.functions.resample import (
+        interpolate_on_grid,
+        interpolate_on_grid_multi,
+        resample_grid,
+    )
+
+    series = {
+        "a": [(0, 10), (1000, 20), (5000, 100), (9000, 0)],
+        "b": [(500, 7), (2500, 77)],
+        "c": [(4000, 1)],  # single point: clamped everywhere
+    }
+    grid = resample_grid(0, 9000, 7)
+    rows = [
+        (ch, ts, v) for ch, pts in series.items() for ts, v in pts
+    ]
+    df = spark.createDataFrame(rows, "channel string, timestamp long, messages long")
+
+    multi = {
+        (r["channel"], r["timestamp"]): r["messages"]
+        for r in interpolate_on_grid_multi(df, ["channel"], grid, "messages").collect()
+    }
+    for ch, pts in series.items():
+        single = spark.createDataFrame(pts, "timestamp long, messages long")
+        expected = {
+            (ch, r["timestamp"]): r["messages"]
+            for r in interpolate_on_grid(single, grid, "messages").collect()
+        }
+        assert {k: v for k, v in multi.items() if k[0] == ch} == expected, ch

@@ -123,6 +123,90 @@ def interpolate_on_grid(
     )
 
 
+def interpolate_on_grid_multi(
+    series: DataFrame, dims: list[str], grid: list[int], value_col: str
+) -> DataFrame:
+    """Many-series resampling in ONE plan: identical interpolation
+    semantics to :func:`interpolate_on_grid`, with every window
+    partitioned by the series key — the scale path the single-series
+    form documents. One shuffle on the dims; per-series sorted frames;
+    series count scales out, not up. Equality with the per-series
+    operator is pinned by a pytest.
+
+    ``series`` needs (*dims, timestamp, value_col); every series gets
+    the full grid (the grid side is |grid| x |series| rows — grid is
+    <= 500 points by the dashboard caps, so the union stays dominated
+    by the data).
+
+    -> *dims, timestamp, <value_col>
+    """
+    spark = series.sparkSession
+    grid_df = spark.createDataFrame(
+        [(t,) for t in grid],
+        T.StructType([T.StructField("timestamp", T.LongType())]),
+    )
+    keys = series.select(*dims).distinct()
+    u = keys.crossJoin(grid_df).select(
+        *dims,
+        "timestamp",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+    ).unionAll(
+        series.select(
+            *dims,
+            "timestamp",
+            F.col(value_col).cast("double").alias("v"),
+            F.lit(0),
+        )
+    )
+    w_before = (
+        Window.partitionBy(*dims)
+        .orderBy("timestamp", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_after = (
+        Window.partitionBy(*dims)
+        .orderBy("timestamp", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = Window.partitionBy(*dims).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sample_ts = F.when(F.col("is_grid") == 0, F.col("timestamp"))
+    bounds = u.select(
+        *dims,
+        "timestamp",
+        "is_grid",
+        F.max(sample_ts).over(w_before).alias("before_ts"),
+        F.last("v", ignorenulls=True).over(w_before).alias("before_v"),
+        F.min(sample_ts).over(w_after).alias("after_ts"),
+        F.first("v", ignorenulls=True).over(w_after).alias("after_v"),
+        F.min(sample_ts).over(w_all).alias("first_ts"),
+        F.max(sample_ts).over(w_all).alias("last_ts"),
+    )
+    k = (F.col("timestamp") - F.col("before_ts")) / (
+        F.col("after_ts") - F.col("before_ts")
+    )
+    interp = F.round(F.col("before_v") + k * (F.col("after_v") - F.col("before_v")))
+    value = (
+        F.when(
+            F.col("timestamp") <= F.col("first_ts"),
+            F.coalesce("before_v", "after_v"),
+        )
+        .when(
+            F.col("timestamp") >= F.col("last_ts"),
+            F.coalesce("after_v", "before_v"),
+        )
+        .when(F.col("before_ts") == F.col("timestamp"), F.col("before_v"))
+        .otherwise(interp)
+    )
+    return (
+        bounds.filter(F.col("is_grid") == 1)
+        .select(*dims, "timestamp", value.cast("long").alias(value_col))
+        .orderBy(*dims, "timestamp")
+    )
+
+
 def resample_time_series(
     series: DataFrame,
     value_col: str,

@@ -512,6 +512,23 @@ def _q_series_resampled(spark, sf_dir):
     )
 
 
+def _q_series_resampled_multi(spark, sf_dir):
+    """EVERY channel's in-window series resampled in one partitioned
+    plan — the scale path for B15 (one shuffle on channel instead of a
+    query per series)."""
+    from ..functions.resample import interpolate_on_grid_multi
+
+    cs = (
+        agg.channel_stats(_facts(spark, sf_dir))
+        .filter(
+            (F.col("timestamp") >= START_MS) & (F.col("timestamp") <= END_MS)
+        )
+        .select("channel", "timestamp", "messages")
+    )
+    grid = resample_grid(START_MS, END_MS, RESAMPLE_POINTS)
+    return interpolate_on_grid_multi(cs, ["channel"], grid, "messages")
+
+
 def _q_empty_series(spark, sf_dir):
     # a channel that never chats -> the synthetic two-point fallback
     series = range_series(
@@ -578,6 +595,7 @@ READ_PATH_QUERIES = {
     "b13_rolling_sums": _q_rolling_sums,
     "b14_cumulative_series": _q_cumulative_series,
     "b15_series_resampled": _q_series_resampled,
+    "b15_series_resampled_multi": _q_series_resampled_multi,
     "b16_empty_series_default": _q_empty_series,
     "b18_pct_of_total": _q_pct_of_total,
     "b19_dynamic_sort": _q_dynamic_sort,
@@ -716,6 +734,43 @@ filled AS (
       w_after AS (ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT ts AS timestamp,
+    CAST(CASE WHEN ts <= first_ts THEN coalesce(before_v, after_v)
+              WHEN ts >= last_ts THEN coalesce(after_v, before_v)
+              WHEN before_ts = ts THEN before_v
+              ELSE round(before_v + (ts - before_ts) / (after_ts - before_ts) * (after_v - before_v))
+         END AS BIGINT) AS messages
+FROM filled WHERE is_grid = 1""",
+        "b15_series_resampled_multi": f"""{c},
+series AS (
+    SELECT channel, timestamp, messages FROM channel_stats
+    WHERE timestamp >= {START_MS} AND timestamp <= {END_MS}
+),
+grid AS (SELECT * FROM (VALUES {grid_values}) g(t)),
+chans AS (SELECT DISTINCT channel FROM series),
+u AS (
+    SELECT c.channel, g.t AS ts, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+    FROM chans c CROSS JOIN grid g
+    UNION ALL
+    SELECT channel, timestamp AS ts, CAST(messages AS DOUBLE) AS v, 0 AS is_grid
+    FROM series
+),
+filled AS (
+    SELECT channel, ts, is_grid,
+        max(CASE WHEN is_grid = 0 THEN ts END) OVER w_before AS before_ts,
+        last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER w_before AS before_v,
+        min(CASE WHEN is_grid = 0 THEN ts END) OVER w_after AS after_ts,
+        first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER w_after AS after_v,
+        min(CASE WHEN is_grid = 0 THEN ts END) OVER w_all AS first_ts,
+        max(CASE WHEN is_grid = 0 THEN ts END) OVER w_all AS last_ts
+    FROM u
+    WINDOW
+      w_before AS (PARTITION BY channel ORDER BY ts, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_after AS (PARTITION BY channel ORDER BY ts, is_grid
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+      w_all AS (PARTITION BY channel)
+)
+SELECT channel, ts AS timestamp,
     CAST(CASE WHEN ts <= first_ts THEN coalesce(before_v, after_v)
               WHEN ts >= last_ts THEN coalesce(after_v, before_v)
               WHEN before_ts = ts THEN before_v
