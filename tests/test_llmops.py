@@ -244,3 +244,37 @@ def test_repetition_signals_goldens(spark):
     assert out[2]["n_2grams"] == 1 and out[2]["dup_2gram_ratio"] == 0.0
     assert out[0]["n_3grams"] == 4
     assert out[0]["dup_3gram_ratio"] == pytest.approx(2 / 4)
+
+
+def test_pack_sequences_invariants_property(spark):
+    """Property check over random corpora: per source, start offsets
+    tile the token stream exactly (no gaps/overlaps), and chunk spans
+    are consistent with the budget."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    for source in ("sa", "sb", "sc"):
+        for _ in range(rng.randint(1, 40)):
+            n_tok = rng.randint(1, 23)
+            rows.append((did, " ".join(["w"] * n_tok), source))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budget = 10
+    out = llmops.pack_sequences(docs, budget=budget).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, recs in by_source.items():
+        recs.sort(key=lambda r: r["doc_id"])
+        expect_offset = 0
+        for r in recs:
+            assert r["start_offset"] == expect_offset, (source, r)
+            assert r["chunk_first"] == r["start_offset"] // budget
+            assert (
+                r["chunk_last"]
+                == (r["start_offset"] + r["n_tokens"] - 1) // budget
+            )
+            assert r["chunk_first"] <= r["chunk_last"]
+            expect_offset += r["n_tokens"]
