@@ -278,3 +278,50 @@ def test_pack_sequences_invariants_property(spark):
             )
             assert r["chunk_first"] <= r["chunk_last"]
             expect_offset += r["n_tokens"]
+
+
+def test_chunk_documents_tiling(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 450, "en", "s1", 450), (2, "", "en", "s1", 0),
+         (3, "xy", "en", "s1", 2)],
+        DOC_SCHEMA,
+    )
+    out = llmops.chunk_documents(docs, chunk_size=200, overlap=40)
+    rows = {r["doc_id"]: sorted(
+        (x["chunk_id"], x["chunk_start"], x["chunk_len"]) for x in out.collect()
+        if x["doc_id"] == r["doc_id"]) for r in out.collect()}
+    # 450 chars, stride 160: starts 0,160,320 — last chunk truncated to 130
+    assert rows[1] == [(0, 0, 200), (1, 160, 200), (2, 320, 130)]
+    # empty doc still yields exactly one (empty) chunk
+    assert rows[2] == [(0, 0, 0)]
+    assert rows[3] == [(0, 0, 2)]
+    # consecutive chunks overlap by exactly `overlap` characters
+    chunks = {r["chunk_id"]: r["chunk_text"]
+              for r in out.filter(F.col("doc_id") == 1).collect()}
+    assert chunks[0][-40:] == chunks[1][:40]
+    assert chunks[1][-40:] == chunks[2][:40]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "abc", "en", "s1", 3)], DOC_SCHEMA)
+    with pytest.raises(ValueError):
+        llmops.chunk_documents(docs, chunk_size=10, overlap=10)
+
+
+def test_bm25_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark", "en", "s1", 17),       # high tf, short
+            (2, "spark " + "filler " * 50, "en", "s1", 306),  # tf 1, long
+            (3, "merge window", "en", "s1", 12),            # two rarer terms
+            (4, "nothing relevant at all", "en", "s1", 23),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in llmops.bm25_retrieval(docs).collect()}
+    assert 4 not in out                      # no query term -> absent
+    assert out[3]["n_matched"] == 2
+    assert out[1]["n_matched"] == out[2]["n_matched"] == 1
+    # tf saturation + length normalization: doc 1 (tf=3, short) beats
+    # doc 2 (tf=1, long) for the same term
+    assert out[1]["bm25"] > out[2]["bm25"] > 0

@@ -268,6 +268,143 @@ def corpus_prep(docs, min_quality: float = 0.2):
     )
 
 
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 40
+BM25_QUERY = ("spark", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """RAG-style document chunking: fixed-width character chunks with a
+    fixed overlap (stride = size - overlap). Empty documents yield one
+    empty chunk so no document silently disappears from the chunk set.
+
+    Scale shape: pure per-row ``sequence``/``posexplode``/``substr`` —
+    narrow transformations only, zero shuffles; chunking 100 TB is a
+    map-only pass that parallelizes with the input splits.
+
+    -> doc_id, chunk_id, chunk_start, chunk_text, chunk_len
+    """
+    from pyspark.sql import functions as F
+
+    step = chunk_size - overlap
+    if step <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length("text") - 1, F.lit(0)),
+                F.lit(step),
+            )
+        ).alias("chunk_id", "chunk_start"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.expr(f"substr(text, chunk_start + 1, {chunk_size})").alias(
+            "chunk_text"
+        ),
+        F.length(
+            F.expr(f"substr(text, chunk_start + 1, {chunk_size})")
+        ).cast("long").alias("chunk_len"),
+    )
+
+
+def _q_chunk_documents(spark, sf_dir):
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def bm25_retrieval(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus for a fixed query-term
+    list: every document containing at least one query term, scored
+    with the Robertson/Sparck-Jones BM25 formula
+    (idf = ln((N - df + .5)/(df + .5) + 1), tf saturation k1, length
+    normalization b against the corpus mean doc length).
+
+    Float determinism: per-term scores are pivoted into one fixed-order
+    column per query term and added left-to-right — no shuffle-order
+    float summation, so Spark and the SQL oracle produce bit-identical
+    doubles. No LIMIT: membership is decided by the exact tf > 0
+    predicate, not a float rank cutoff.
+
+    Scale shape: the corpus is scanned once (explode + filter to query
+    terms only — the filter prunes the exploded stream immediately);
+    df/N/avgdl are tiny aggregates broadcast back. groupBy doc_id is
+    the single data-sized shuffle.
+
+    -> doc_id, n_matched, bm25
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id", F.explode(dedup.tokens()).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # avgdl from the exact integer sum (not engine-internal avg, whose
+    # accumulation strategy differs between engines)
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*query_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = joined.select("doc_id", "token", term_score.alias("s"))
+    pivot_cols = [
+        F.max(F.when(F.col("token") == t, F.col("s"))).alias(f"s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(*pivot_cols)
+    total = None
+    for i in range(len(query_terms)):
+        c = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    n_matched = None
+    for i in range(len(query_terms)):
+        c = F.when(F.col(f"s{i}").isNotNull(), 1).otherwise(0)
+        n_matched = c if n_matched is None else n_matched + c
+    return per_doc.select(
+        "doc_id",
+        n_matched.cast("int").alias("n_matched"),
+        total.alias("bm25"),
+    )
+
+
+def _q_bm25(spark, sf_dir):
+    return bm25_retrieval(_docs(spark, sf_dir))
+
+
 def _q_salted_channel_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -308,6 +445,8 @@ LLM_QUERIES = {
     "pack_sequences": _q_pack_sequences,
     "text_repetition_signals": _q_repetition,
     "decontaminate_ngram_overlap": _q_decontamination,
+    "chunk_documents": _q_chunk_documents,
+    "bm25_retrieval": _q_bm25,
 }
 
 
@@ -694,7 +833,60 @@ SELECT doc_id, source, n_tokens, start_offset,
        start_offset // {PACK_BUDGET_TOKENS} AS chunk_first,
        (start_offset + n_tokens - 1) // {PACK_BUDGET_TOKENS} AS chunk_last
 FROM c""",
+        "chunk_documents": f"""
+SELECT doc_id,
+       CAST(chunk_start // {CHUNK_SIZE - CHUNK_OVERLAP} AS INT) AS chunk_id,
+       chunk_start,
+       substr(text, CAST(chunk_start + 1 AS INT), {CHUNK_SIZE}) AS chunk_text,
+       CAST(len(substr(text, CAST(chunk_start + 1 AS INT), {CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len
+FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(0, greatest(len(text) - 1, 0),
+                  {CHUNK_SIZE - CHUNK_OVERLAP})) AS chunk_start
+    FROM documents
+)""",
+        "bm25_retrieval": _bm25_oracle_sql(),
     }
+
+
+def _bm25_oracle_sql() -> str:
+    """BM25 with the per-term pivot summed in the same fixed order as
+    bm25_retrieval, so float addition order matches bit-for-bit."""
+    terms_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    pivots = ", ".join(
+        f"max(CASE WHEN token = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    total = " + ".join(f"coalesce(s{i}, 0.0)" for i in range(len(BM25_QUERY)))
+    matched = " + ".join(
+        f"(CASE WHEN s{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM toks
+    WHERE token IN ({terms_list}) GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1.0)
+              / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * dl / avgdl))) AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
+),
+pivoted AS (SELECT doc_id, {pivots} FROM scored GROUP BY 1)
+SELECT doc_id, CAST({matched} AS INT) AS n_matched, {total} AS bm25
+FROM pivoted"""
 
 
 def _pii_oracle_sql() -> str:

@@ -440,6 +440,224 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_START = "1996-01-01 00:00:00"
+Q6_END = "1997-01-01 00:00:00"
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_1"
+Q8_PART_SIZE_MAX = 15
+Q12_LATE_DAYS = 60
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q15_START = "1996-01-01 00:00:00"
+Q15_END = "1996-04-01 00:00:00"
+Q21_LATE_DAYS = 90
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6 shape: single-table scan under a tight conjunctive predicate
+    with a global sum — the canonical predicate-pushdown/row-group-skip
+    probe. All four predicates reach the parquet scan (shipdate min/max
+    skips whole row groups); the aggregate is partial/final with a
+    one-row shuffle.
+
+    -> revenue
+    """
+    li = ingest.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q6_START)
+        & (F.col("l_shipdate") < Q6_END)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 shape (adapted: the share is keyed on the supplier's nation
+    and the part filter is on p_size — the testdata has no p_type
+    taxonomy worth filtering): for customers in region ASIA buying
+    small parts, the fraction of yearly revenue supplied by NATION_1.
+
+    Five joins, but lineitem never shuffles for any of them: part,
+    supplier+nation, and customer+nation+region all broadcast; the only
+    shuffle is the final group-by on year. The ratio is computed from
+    two exact DECIMAL sums cast to double at the end.
+
+    -> o_year, mkt_share
+    """
+    part = ingest.load(spark, sf_dir, "part").filter(
+        F.col("p_size") <= Q8_PART_SIZE_MAX
+    )
+    nation = ingest.load(spark, sf_dir, "nation")
+    region = ingest.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    cust_in_region = (
+        ingest.load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = ingest.load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    li = ingest.load(spark, sf_dir, "lineitem")
+    orders = ingest.load(spark, sf_dir, "orders")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    grouped = joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("nation_vol"),
+        F.sum(vol).alias("total_vol"),
+    )
+    return grouped.select(
+        "o_year",
+        (
+            F.col("nation_vol").cast("double") / F.col("total_vol").cast("double")
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 shape (adapted: the testdata has no l_shipmode/l_commitdate,
+    so the group key is a derived lateness bucket — shipped more than
+    60 days after the order date): per bucket, how many lineitems
+    belong to high- vs low-priority orders. Join + CASE conditional
+    aggregation; orders broadcasts nothing — both sides are large, so
+    this is the one intentionally shuffling join in the family (hash
+    on orderkey), which is also how it must run at 100 TB.
+
+    -> bucket, high_line_count, low_line_count
+    """
+    li = ingest.load(spark, sf_dir, "lineitem")
+    orders = ingest.load(spark, sf_dir, "orders")
+    high = F.when(F.col("o_orderpriority").isin(*Q12_HIGH), 1).otherwise(0)
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q12_LATE_DAYS,
+        "LATE",
+    ).otherwise("ONTIME")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: revenue per supplier over a quarter, then the
+    supplier(s) whose revenue equals the maximum — the classic
+    view + scalar-subquery-max pattern. The max is a one-row aggregate
+    broadcast back onto the per-supplier revenues; the equality
+    comparison happens on the exact DECIMAL sums (order-independent),
+    so ties and the winner are deterministic across engines.
+
+    -> s_suppkey, s_name, total_revenue
+    """
+    li = ingest.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_START) & (F.col("l_shipdate") < Q15_END)
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        ).alias("rev")
+    )
+    max_rev = revenue.agg(F.max("rev").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("rev") == F.col("max_rev"))
+        .join(
+            F.broadcast(ingest.load(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape (adapted: "late" = shipped more than 90 days after the
+    order date, since the testdata has no commit/receipt dates):
+    suppliers with a late lineitem in a finished multi-supplier order
+    where every OTHER supplier shipped on time. The reference EXISTS /
+    NOT EXISTS pair becomes a semi join against the distinct
+    (order, supplier) pairs and an anti join against the late pairs —
+    both pair sets are aggregates far smaller than lineitem, and the
+    semi/anti probes hash-shuffle on l_orderkey only.
+
+    -> s_name, numwait
+    """
+    orders = ingest.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = ingest.load(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = li.filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q21_LATE_DAYS
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = late.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey")
+    )
+    sibling = pairs.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("sib_skey")
+    )
+    late_sibling = late_pairs.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("lsib_skey")
+    )
+    qualified = (
+        l1.join(
+            sibling,
+            (l1.okey == sibling.okey) & (F.col("skey") != F.col("sib_skey")),
+            "left_semi",
+        )
+        .join(
+            late_sibling,
+            (l1.okey == late_sibling.okey)
+            & (F.col("skey") != F.col("lsib_skey")),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(
+            F.broadcast(ingest.load(spark, sf_dir, "supplier")),
+            F.col("skey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 TPCH_QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "tpch_q7_volume_shipping": q7_volume_shipping,
@@ -448,6 +666,11 @@ TPCH_QUERIES = {
     "tpch_q2_min_acctbal_supplier": q2_min_acctbal_supplier,
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_local_supplier_volume": q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": q6_forecast_revenue,
+    "tpch_q8_market_share": q8_market_share,
+    "tpch_q12_late_shipment_priority": q12_late_shipment_priority,
+    "tpch_q15_top_supplier": q15_top_supplier,
+    "tpch_q21_waiting_suppliers": q21_waiting_suppliers,
     "rollup_order_counts": rollup_order_counts,
     "cube_order_counts": cube_order_counts,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -565,6 +788,72 @@ WHERE r_name = '{Q5_REGION}'
   AND o_orderdate >= TIMESTAMP '{Q5_YEAR_START}'
   AND o_orderdate < TIMESTAMP '{Q5_YEAR_END}'
 GROUP BY n_name""",
+        "tpch_q6_forecast_revenue": f"""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+         * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
+  AND l_shipdate < TIMESTAMP '{Q6_END}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "tpch_q8_market_share": f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_size <= {Q8_PART_SIZE_MAX}
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1""",
+        "tpch_q12_late_shipment_priority": f"""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > {Q12_LATE_DAYS}
+            THEN 'LATE' ELSE 'ONTIME' END AS bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1""",
+        "tpch_q15_top_supplier": f"""
+WITH revenue AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+      AND l_shipdate < TIMESTAMP '{Q15_END}'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)""",
+        "tpch_q21_waiting_suppliers": f"""
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           date_diff('day', o_orderdate, l_shipdate) > {Q21_LATE_DAYS} AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20""",
         "rollup_order_counts": """
 SELECT l_returnflag, l_linestatus, count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
