@@ -658,6 +658,342 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_START = "1996-01-01 00:00:00"
+Q4_END = "1996-04-01 00:00:00"
+Q9_NAME_FRAG = "red"
+Q9_COST_RATE = "0.1"  # cost proxy: 10% of retail price per unit
+Q11_NATIONKEY_MAX = 5
+Q11_FRACTION_INV = 1000  # threshold = total/1000
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+Q14_START = "1996-01-01 00:00:00"
+Q14_END = "1996-02-01 00:00:00"
+Q16_EXCLUDED_BRAND = "Brand#1"
+Q16_SIZES = [1, 5, 10, 15, 20, 25, 30, 35]
+Q17_BRAND = "Brand#23"
+Q18_MIN_QTY = 250
+Q20_NAME_PREFIX = "red"
+Q20_MIN_QTY = 50
+Q20_START = "1996-01-01 00:00:00"
+Q20_END = "1997-01-01 00:00:00"
+Q22_DORMANT_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 shape (adapted: "late line" = shipped after the order date,
+    since the testdata has no commitdate): count of orders per priority
+    in a quarter having at least one late lineitem. The EXISTS becomes
+    a left-semi join — the probe shuffles on the join key only and the
+    non-equi shipdate conjunct rides along as a join condition, so no
+    row amplification ever materializes.
+
+    -> o_orderpriority, order_count
+    """
+    orders = ingest.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_START) & (F.col("o_orderdate") < Q4_END)
+    )
+    li = ingest.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 shape (adapted: no partsupp/ps_supplycost in the testdata —
+    unit cost proxied as 10% of p_retailprice): profit by supplier
+    nation and order year over parts whose name contains a fragment.
+    part/supplier/nation broadcast into lineitem; the one big-big join
+    (lineitem⋈orders for the year) shuffles on orderkey; the group-by
+    is partial-aggregated to |nations × years| rows per task.
+
+    -> n_name, o_year, profit
+    """
+    part = ingest.load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_FRAG)
+    )
+    supp = ingest.load(spark, sf_dir, "supplier")
+    nation = ingest.load(spark, sf_dir, "nation")
+    orders = ingest.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = ingest.load(spark, sf_dir, "lineitem")
+    amount = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        - F.lit(Q9_COST_RATE).cast(DEC) * _dec("p_retailprice") * _dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(amount.cast("double").alias("profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape (adapted: part "value" = lineitem extended price
+    shipped by suppliers of the low-key nations, standing in for
+    ps_supplycost*ps_availqty): parts whose value exceeds 1/1000 of
+    the global total. The scalar subquery is a one-row broadcast
+    (cross join) over the already-aggregated per-part values — the
+    fact is scanned once; the threshold compare is exact decimal
+    (value*1000 > total), immune to float nondeterminism.
+
+    -> partkey, value
+    """
+    supp = ingest.load(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < Q11_NATIONKEY_MAX
+    )
+    li = ingest.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * Q11_FRACTION_INV > F.col("total"))
+        .select("partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 shape: distribution of order counts per customer, orders
+    filtered inside the join (priority exclusion standing in for the
+    comment LIKE filter — the testdata has no o_comment). Left outer
+    join so zero-order customers land in the c_count=0 bucket; the
+    second aggregation is over ≤|customers| rows.
+
+    -> c_count, custdist
+    """
+    cust = ingest.load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        ingest.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 shape: conditional-aggregate ratio — share of one month's
+    revenue from PROMO-type parts. Part broadcasts into the
+    month-pruned lineitem scan; one pass, two decimal sums, the ratio
+    taken in double only at the end.
+
+    -> promo_revenue (one row)
+    """
+    li = ingest.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_START) & (F.col("l_shipdate") < Q14_END)
+    )
+    part = ingest.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("p"),
+            F.sum(disc).alias("t"),
+        )
+        .select(
+            (
+                F.lit(100.0) * F.col("p").cast("double")
+                / F.col("t").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape (adapted: the supplier "complaints" NOT IN subquery
+    keys on negative account balance — no s_comment in the testdata;
+    supplier-part association comes from lineitem — no partsupp):
+    distinct supplier count per (brand, type, size) for a size IN-list
+    with one brand excluded. The NOT IN is an anti join against a tiny
+    broadcast side; count(DISTINCT) shuffles once on the group keys
+    with the suppkey de-dup handled by the two-phase distinct
+    aggregate.
+
+    -> p_brand, p_type, p_size, supplier_cnt
+    """
+    part = ingest.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & F.col("p_size").isin(Q16_SIZES)
+    )
+    bad_supp = ingest.load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = ingest.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: revenue from lineitems of one brand's parts whose
+    quantity is below 20% of that part's average quantity. The
+    correlated AVG decorrelates to a per-part aggregate joined back on
+    partkey; the comparison is restated exactly in integers-free
+    decimal arithmetic (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg), so both
+    engines decide each row identically — no float threshold wobble.
+
+    -> avg_yearly (one row)
+    """
+    li = ingest.load(spark, sf_dir, "lineitem")
+    part = ingest.load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sq"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.lit(5).cast(DEC) * _dec("l_quantity") * F.col("cnt")
+            < F.col("sq")
+        )
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18 shape: orders whose total quantity exceeds a threshold,
+    with customer attribution, top 100 by price. The HAVING subquery
+    and the outer per-order sum are the same aggregate, so it is
+    computed once (single lineitem shuffle on orderkey) and joined to
+    orders — no second pass over the fact as in the textbook SQL.
+
+    -> c_name, c_custkey, o_orderkey, o_orderdate_ms, o_totalprice, total_qty
+    """
+    big = (
+        ingest.load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > F.lit(Q18_MIN_QTY).cast(DEC))
+    )
+    orders = ingest.load(spark, sf_dir, "orders")
+    cust = ingest.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_totalprice",
+            F.col("sq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape (adapted: "excess availability" = shipped more than a
+    threshold quantity of a prefix-named part within the year, since
+    the testdata has no partsupp.availqty): suppliers having such a
+    part-association. Both nested INs collapse into one aggregate of
+    lineitem grouped by (part, supplier) — filtered by a broadcast
+    semi join on the part prefix — then a semi join into supplier.
+
+    -> s_suppkey, s_name
+    """
+    part = ingest.load(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    ).select("p_partkey")
+    shipped = (
+        ingest.load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= Q20_START) & (F.col("l_shipdate") < Q20_END)
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > F.lit(Q20_MIN_QTY).cast(DEC))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        ingest.load(spark, sf_dir, "supplier")
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape (adapted: "no orders" would be empty — every testdata
+    customer has orders — so dormancy means no orders after a cutoff;
+    the phone-prefix country code becomes c_nationkey): count and
+    total balance of above-average-balance dormant customers per
+    nation. The global AVG is a one-row broadcast; the compare is
+    restated exactly in decimal (bal·cnt > sum ⟺ bal > avg); the NOT
+    EXISTS is an anti join against the cutoff-filtered orders.
+
+    -> c_nationkey, numcust, totacctbal
+    """
+    cust = ingest.load(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("s"), F.count("*").alias("n")
+    )
+    recent = ingest.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= Q22_DORMANT_CUTOFF
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 TPCH_QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "tpch_q7_volume_shipping": q7_volume_shipping,
@@ -671,6 +1007,16 @@ TPCH_QUERIES = {
     "tpch_q12_late_shipment_priority": q12_late_shipment_priority,
     "tpch_q15_top_supplier": q15_top_supplier,
     "tpch_q21_waiting_suppliers": q21_waiting_suppliers,
+    "tpch_q4_order_priority": q4_order_priority,
+    "tpch_q9_product_type_profit": q9_product_type_profit,
+    "tpch_q11_important_parts": q11_important_parts,
+    "tpch_q13_customer_distribution": q13_customer_distribution,
+    "tpch_q14_promo_revenue": q14_promo_revenue,
+    "tpch_q16_supplier_part_counts": q16_supplier_part_counts,
+    "tpch_q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "tpch_q18_large_volume_customers": q18_large_volume_customers,
+    "tpch_q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
+    "tpch_q22_dormant_rich_customers": q22_dormant_rich_customers,
     "rollup_order_counts": rollup_order_counts,
     "cube_order_counts": cube_order_counts,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -854,6 +1200,120 @@ WHERE l1.is_late
                     AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
 GROUP BY s_name
 ORDER BY numwait DESC, s_name LIMIT 20""",
+        "tpch_q4_order_priority": f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o_orderdate < TIMESTAMP '{Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+        "tpch_q9_product_type_profit": f"""
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                - CAST({Q9_COST_RATE} AS DECIMAL(18,4))
+                  * CAST(p_retailprice AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%{Q9_NAME_FRAG}%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2""",
+        "tpch_q11_important_parts": f"""
+WITH v AS (
+    SELECT l_partkey AS partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey < {Q11_NATIONKEY_MAX}
+    GROUP BY 1
+)
+SELECT partkey, CAST(val AS DOUBLE) AS value
+FROM v
+WHERE val * {Q11_FRACTION_INV} > (SELECT sum(val) FROM v)""",
+        "tpch_q13_customer_distribution": f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+    GROUP BY c_custkey
+)
+GROUP BY c_count""",
+        "tpch_q14_promo_revenue": f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+  AND l_shipdate < TIMESTAMP '{Q14_END}'""",
+        "tpch_q16_supplier_part_counts": f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+  AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+        "tpch_q17_small_quantity_revenue": f"""
+WITH pa AS (
+    SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+           count(*) AS cnt
+    FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = '{Q17_BRAND}'
+JOIN pa ON l_partkey = pk
+WHERE CAST(5 AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) * cnt < sq""",
+        "tpch_q18_large_volume_customers": f"""
+SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_totalprice, CAST(sq AS DOUBLE) AS total_qty
+FROM (
+    SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+    FROM lineitem GROUP BY 1
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,4)))
+           > CAST({Q18_MIN_QTY} AS DECIMAL(18,4))
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "tpch_q20_excess_inventory_suppliers": f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+      AND l_shipdate >= TIMESTAMP '{Q20_START}'
+      AND l_shipdate < TIMESTAMP '{Q20_END}'
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,4)))
+           > CAST({Q20_MIN_QTY} AS DECIMAL(18,4))
+)
+ORDER BY s_suppkey""",
+        "tpch_q22_dormant_rich_customers": f"""
+WITH pos AS (
+    SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s, count(*) AS n
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_DORMANT_CUTOFF}')
+GROUP BY c_nationkey""",
         "rollup_order_counts": """
 SELECT l_returnflag, l_linestatus, count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
