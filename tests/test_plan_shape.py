@@ -161,3 +161,51 @@ def test_q2_min_supplier_is_aggregate_join(spark, sf_dir):
     plan = plan_of(tpch.q2_min_acctbal_supplier(spark, sf_dir))
     assert "HashAggregate" in plan
     assert "Python" not in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark, sf_dir):
+    plan = plan_of(tpch.q4_order_priority(spark, sf_dir))
+    # EXISTS must plan as a semi join; the quarter bounds reach the
+    # orders scan so only ~1/24 of orders ever probes the join
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan
+    assert "Python" not in plan
+
+
+def test_q9_dimension_sides_broadcast(spark, sf_dir):
+    plan = plan_of(tpch.q9_product_type_profit(spark, sf_dir))
+    # part/supplier/nation all broadcast — lineitem shuffles only for
+    # the orders join and the final group-by
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q11_threshold_is_one_row_broadcast(spark, sf_dir):
+    plan = plan_of(tpch.q11_important_parts(spark, sf_dir))
+    # the global-total scalar is a broadcast nested-loop over one row,
+    # not a shuffle of the per-part aggregate
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_q16_complaints_anti_join_broadcasts(spark, sf_dir):
+    plan = plan_of(tpch.q16_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # distinct-count plans as the two-phase expand/aggregate — at least
+    # partial+final HashAggregate pairs, never a global distinct sort
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan
+
+
+def test_q18_top100_is_take_ordered(spark, sf_dir):
+    plan = plan_of(tpch.q18_large_volume_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the HAVING aggregate is computed once: exactly one grouping of
+    # lineitem by orderkey (partial+final pair), no second fact pass
+    assert "Python" not in plan
+
+
+def test_q22_global_avg_broadcast_and_anti_join(spark, sf_dir):
+    plan = plan_of(tpch.q22_dormant_rich_customers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # one-row avg gate
+    assert "LeftAnti" in plan  # NOT EXISTS dormancy probe
+    assert "Python" not in plan
