@@ -75,13 +75,21 @@ def main() -> None:
         "rn", F.row_number().over(_W.partitionBy("channel").orderBy("timestamp"))
     ).count()  # (c)
 
+    # Best-of-2 per query: a single pass in a long-lived session folds
+    # one-time JIT/GC events into whichever query they land on (measured:
+    # a query at 1.2s steady-state recorded 15s when a C2 compile hit it).
+    # The min of two runs is the steady-state cost of the PLAN — the
+    # number that scales — not the session's allocation noise.
     timings: dict[str, float] = {}
     for name in names:
         fn = all_queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.count()  # materialize the whole result without driver collect
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.count()  # materialize fully without driver collect
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -99,6 +107,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "timing": "min_of_2_runs",
                 "sf": sf,
                 **streaming,
             }

@@ -194,6 +194,9 @@ def queries() -> dict[str, QueryFn]:
     out.update(sketches.SKETCH_QUERIES)  # rows-only (sketch estimates)
     out.update(graph.GRAPH_QUERIES)  # rows-only (iterative fixpoint)
     out.update(frequency.FREQUENCY_QUERIES)
+    from .operators import zorder
+
+    out.update(zorder.ZORDER_QUERIES)
     return out
 
 
@@ -228,4 +231,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators import frequency
 
     out.update(frequency.frequency_oracles())
+    from .operators import zorder
+
+    out.update(zorder.zorder_oracles())
     return out
