@@ -1,0 +1,82 @@
+"""Funnel ordering and cohort-retention semantics on hand-built events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from twitch_chat_analyser_spark.operators import behavior
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 0, "view"), (1, 1, 1, "click"), (1, 1, 2, "purchase"),
+        # user 2: clicked BEFORE first view -> stops at step 1
+        (2, 1, 1, "click"), (2, 1, 2, "view"),
+        # user 3: view then purchase (no click) -> stops at step 1
+        (3, 1, 0, "view"), (3, 1, 1, "purchase"),
+        # user 4: never viewed -> not even step 1
+        (4, 1, 0, "click"), (4, 1, 1, "purchase"),
+        # user 5: view, click, but purchase between view and click -> step 2
+        (5, 1, 0, "view"), (5, 1, 1, "purchase"), (5, 1, 2, "click"),
+    ]
+    out = {
+        r.step: r.users
+        for r in behavior.funnel_counts(ev(spark, rows)).collect()
+    }
+    assert out == {"view": 4, "view>click": 2, "view>click>purchase": 1}
+
+
+def test_funnel_uses_earliest_qualifying_step(spark):
+    # user's first click is before view; the SECOND click qualifies, and
+    # a purchase after that second click completes the funnel
+    rows = [
+        (1, 1, 1, "click"), (1, 1, 2, "view"), (1, 1, 3, "click"),
+        (1, 1, 4, "purchase"),
+    ]
+    out = {
+        r.step: r.users
+        for r in behavior.funnel_counts(ev(spark, rows)).collect()
+    }
+    assert out["view>click>purchase"] == 1
+
+
+def test_cohort_retention_offsets(spark):
+    # Mondays in Jan 2024: 1st, 8th, 15th. user 1 starts week 0, active
+    # weeks 0 and 2; user 2 starts week 1, active week 1 only.
+    rows = [
+        (1, 2, 0, "view"), (1, 16, 0, "view"),
+        (2, 9, 0, "view"),
+    ]
+    out = behavior.cohort_retention(ev(spark, rows)).collect()
+    got = {(r.cohort_week_ms, r.week_offset): r.active_users for r in out}
+    w0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    w1 = int(dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w1, 0): 1}
+
+
+def test_funnel_plan_never_self_joins_events(spark, sf_dir):
+    # each join's right side is an aggregated (one row per user) frame —
+    # the plan must contain exactly as many Aggregate pairs as steps and
+    # no BroadcastNestedLoopJoin / cartesian over raw events
+    import contextlib
+    import io
+
+    from twitch_chat_analyser_spark import ingest
+
+    df = behavior.funnel_counts(ingest.load(spark, sf_dir, "events"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -1,0 +1,150 @@
+"""Behavioral analytics over the event stream: ordered-funnel conversion
+and cohort retention — classic serving-layer queries a chat/product
+analytics engine is expected to answer (the reference's dashboard stops
+at leaderboards/time series; these are the natural next queries over the
+same `events` relation, SURVEY.md §7.5 scope).
+
+Scale notes (100 TB):
+- Every stage keys on ``user_id``: the per-step aggregates and the
+  step-to-step joins all hash-partition on the same key, so consecutive
+  shuffles are exchange-reuse candidates and no stage ever materializes
+  more than |users| rows after its aggregate.
+- The funnel's "next step strictly after the previous" constraint is a
+  join + filter on the *aggregated* (one row per user) previous step —
+  never an event×event self-join, so there is no quadratic blowup on
+  power users (the skew-relevant property).
+- Retention de-duplicates (user, week) BEFORE the join, shrinking the
+  probe side to at most |users|×|weeks| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import ingest
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Ordered-funnel conversion: users who performed step1, then step2
+    strictly after their first step1, then step3 strictly after their
+    first qualifying step2, … Each stage keeps the user's EARLIEST
+    qualifying timestamp (the standard "first conversion" semantics).
+
+    -> step (e.g. 'view', 'view>click', ...), users
+    """
+    steps = steps or FUNNEL_STEPS
+    reached = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    out_rows = [
+        reached.agg(
+            F.lit(steps[0]).alias("step"), F.count("*").alias("users")
+        )
+    ]
+    label = steps[0]
+    for step in steps[1:]:
+        nxt = events.filter(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("ts_n")
+        )
+        reached = (
+            nxt.join(reached, "user_id")
+            .filter(F.col("ts_n") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts_n").alias("t"))
+        )
+        label = f"{label}>{step}"
+        out_rows.append(
+            reached.agg(F.lit(label).alias("step"), F.count("*").alias("users"))
+        )
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionAll(r)
+    return result
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each later week, how many of that cohort were active.
+    Both engines truncate weeks to Monday, and the offset is exact
+    integer day arithmetic, so the oracle matches bit-for-bit.
+
+    -> cohort_week_ms, week_offset, active_users
+    """
+    first = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id", F.date_trunc("week", "first_ts").alias("cohort_week")
+        )
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.unix_millis("cohort_week").alias("cohort_week_ms"),
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+        .orderBy("cohort_week_ms", "week_offset")
+    )
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_counts(ingest.load(spark, sf_dir, "events"))
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(ingest.load(spark, sf_dir, "events"))
+
+
+BEHAVIOR_QUERIES = {
+    "events_funnel_conversion": _q_funnel,
+    "events_cohort_retention": _q_retention,
+}
+
+
+def behavior_oracles() -> dict[str, str]:
+    return {
+        "events_funnel_conversion": """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+    WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+    WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 'view' AS step, count(*) AS users FROM s1
+UNION ALL
+SELECT 'view>click', count(*) FROM s2
+UNION ALL
+SELECT 'view>click>purchase', count(*) FROM s3""",
+        "events_cohort_retention": """
+WITH first AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY 1
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT epoch_ms(cohort_week) AS cohort_week_ms,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM active a JOIN first USING (user_id)
+GROUP BY 1, 2""",
+    }

@@ -194,9 +194,10 @@ def queries() -> dict[str, QueryFn]:
     out.update(sketches.SKETCH_QUERIES)  # rows-only (sketch estimates)
     out.update(graph.GRAPH_QUERIES)  # rows-only (iterative fixpoint)
     out.update(frequency.FREQUENCY_QUERIES)
-    from .operators import zorder
+    from .operators import behavior, zorder
 
     out.update(zorder.ZORDER_QUERIES)
+    out.update(behavior.BEHAVIOR_QUERIES)
     return out
 
 
@@ -231,7 +232,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators import frequency
 
     out.update(frequency.frequency_oracles())
-    from .operators import zorder
+    from .operators import behavior, zorder
 
     out.update(zorder.zorder_oracles())
+    out.update(behavior.behavior_oracles())
     return out
