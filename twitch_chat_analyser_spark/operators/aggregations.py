@@ -70,6 +70,30 @@ def _windowed_count(
     )
 
 
+SLIDING_DURATION = "30 minutes"
+SLIDING_SLIDE = "15 minutes"
+
+
+def channel_stats_sliding(msgs: DataFrame) -> DataFrame:
+    """Per-channel counts in SLIDING windows (30-min span, 15-min slide)
+    — a window family the reference lacks entirely (tumbling only,
+    AbstractStatsAggregation.java:70-71); Spark's ``window(ts, span,
+    slide)`` gives it in the same one-shuffle plan shape as the tumbling
+    aggregations (each event expands to span/slide = 2 window rows
+    before the partial aggregate — bounded, data-independent blowup).
+
+    -> channel, timestamp (window-end ms), messages
+    """
+    return (
+        msgs.groupBy(
+            F.window("ts", SLIDING_DURATION, SLIDING_SLIDE).alias("w"),
+            "channel",
+        )
+        .agg(F.count("*").alias("messages"))
+        .select("channel", F.unix_millis("w.end").alias("timestamp"), "messages")
+    )
+
+
 def channel_stats(msgs: DataFrame) -> DataFrame:
     """Per-channel message counts per window (ChannelStatsAggregation.java:29-33).
 

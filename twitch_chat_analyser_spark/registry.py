@@ -123,7 +123,12 @@ def _q_user_emote_stats_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_channel_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.channel_stats_sliding(ingest.messages(spark, sf_dir))
+
+
 WRITE_PATH_QUERIES: dict[str, QueryFn] = {
+    "channel_stats_sliding": _q_channel_stats_sliding,
     "channel_stats": _q_channel_stats,
     "user_stats": _q_user_stats,
     "emote_stats": _q_emote_stats,
@@ -139,6 +144,20 @@ def write_path_oracles() -> dict[str, str]:
     c = chat_ctes()
     return {
         "channel_stats": f"{c}\nSELECT * FROM channel_stats",
+        # sliding 30m/15m: each message lands in the two 15m-aligned
+        # windows covering it — ends at floor15(ts)+15m and +30m, the
+        # same window set Spark's window(ts, 30m, 15m) generates
+        "channel_stats_sliding": f"""{c}
+SELECT channel, wend AS timestamp, count(*) AS messages
+FROM (
+    SELECT channel,
+           unnest([(epoch_ms(ts) // {ingest.WINDOW_MS}) * {ingest.WINDOW_MS}
+                       + {ingest.WINDOW_MS},
+                   (epoch_ms(ts) // {ingest.WINDOW_MS}) * {ingest.WINDOW_MS}
+                       + {2 * ingest.WINDOW_MS}]) AS wend
+    FROM messages
+)
+GROUP BY 1, 2""",
         "user_stats": f"{c}\nSELECT * FROM user_stats",
         "emote_stats": f"{c}\nSELECT * FROM emote_stats",
         "user_emote_stats": f"{c}\nSELECT * FROM user_emote_stats",
@@ -194,10 +213,11 @@ def queries() -> dict[str, QueryFn]:
     out.update(sketches.SKETCH_QUERIES)  # rows-only (sketch estimates)
     out.update(graph.GRAPH_QUERIES)  # rows-only (iterative fixpoint)
     out.update(frequency.FREQUENCY_QUERIES)
-    from .operators import behavior, zorder
+    from .operators import behavior, scd, zorder
 
     out.update(zorder.ZORDER_QUERIES)
     out.update(behavior.BEHAVIOR_QUERIES)
+    out.update(scd.SCD_QUERIES)
     return out
 
 
@@ -232,8 +252,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators import frequency
 
     out.update(frequency.frequency_oracles())
-    from .operators import behavior, zorder
+    from .operators import behavior, scd, zorder
 
     out.update(zorder.zorder_oracles())
     out.update(behavior.behavior_oracles())
+    out.update(scd.scd_oracles())
     return out
