@@ -136,3 +136,37 @@ def test_all_five_tables_plus_side_output(spark, dirs):
     }
     for name, df in expect.items():
         assert _sorted_rows(_table(spark, out, name)) == _sorted_rows(df), name
+
+
+def test_sliding_window_streams_and_matches_batch(spark, dirs):
+    """channel_stats_sliding runs under the same update-mode streaming
+    harness as the tumbling aggregations (window(span, slide) carries
+    the event-time tag the same way) and converges to the batch answer
+    across incremental files."""
+    src, out, ckpt = dirs
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    pipe = sp.Pipeline(
+        "channel_stats_sliding",
+        agg.channel_stats_sliding,
+        ["channel", "timestamp"],
+    )
+    q = sp.start_pipeline(
+        spark, sp.read_message_stream(spark, src), pipe, out, ckpt
+    )
+    q.awaitTermination()
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    q = sp.start_pipeline(
+        spark, sp.read_message_stream(spark, src), pipe, out, ckpt
+    )
+    q.awaitTermination()
+
+    import pyspark.sql.functions as F
+
+    batch = agg.channel_stats_sliding(
+        _mk_messages(spark, BATCH_1 + BATCH_2).withColumn(
+            "timestamp", F.unix_millis("ts")
+        )
+    )
+    assert _sorted_rows(_table(spark, out, "channel_stats_sliding")) == (
+        _sorted_rows(batch)
+    )

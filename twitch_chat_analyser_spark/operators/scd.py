@@ -111,6 +111,52 @@ def scd2_apply(
     )
 
 
+def cdc_snapshot(
+    changelog: DataFrame,
+    key: str,
+    payload: list[str],
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """Materialize a CDC changelog (inserts/updates/deletes per key) into
+    the current snapshot: last writer wins per key, and keys whose last
+    operation is a delete vanish. One window pass partitioned on the key
+    — the standard changelog-compaction shape (same plan as a MERGE
+    replay but in a single shuffle, no per-batch loop).
+
+    -> key, *payload (latest surviving values)
+    """
+    order = [F.col(ts).desc()] + (
+        [F.col(tiebreak).desc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col(delete_col))
+        .select(key, *payload)
+    )
+
+
+def _q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization demo over the events log: each user's latest
+    event wins; users whose latest event is an 'error' are treated as
+    deleted (the op-column analog).
+
+    -> user_id, event_type, value
+    """
+    ev = ingest.load(spark, sf_dir, "events").withColumn(
+        "is_delete", F.col("event_type") == "error"
+    )
+    return cdc_snapshot(
+        ev,
+        key="user_id",
+        payload=["event_type", "value"],
+        ts="ts",
+        tiebreak="event_id",
+    ).orderBy("user_id")
+
+
 def _q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 intervals of each user's event_type 'state' rebuilt from the
     events change log (tiebreak on event_id for deterministic order)."""
@@ -120,7 +166,10 @@ def _q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_ms")
 
 
-SCD_QUERIES = {"scd2_user_state_history": _q_scd2_user_state}
+SCD_QUERIES = {
+    "scd2_user_state_history": _q_scd2_user_state,
+    "cdc_user_snapshot": _q_cdc_snapshot,
+}
 
 
 def scd_oracles() -> dict[str, str]:
@@ -141,5 +190,14 @@ runs AS (
 SELECT user_id, event_type,
        epoch_ms(ts) AS valid_from_ms,
        epoch_ms(next_ts) AS valid_to_ms
-FROM runs"""
+FROM runs""",
+        "cdc_user_snapshot": """
+WITH ranked AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_type, value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
     }
