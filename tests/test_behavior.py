@@ -80,3 +80,33 @@ def test_funnel_plan_never_self_joins_events(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """Profiling C columns must stay ONE scan + one aggregate — never a
+    pass per column."""
+    import contextlib
+    import io
+
+    from twitch_chat_analyser_spark import ingest
+    from twitch_chat_analyser_spark.operators import profiling
+
+    df = profiling.profile_table(
+        ingest.load(spark, sf_dir, "documents"),
+        columns=["doc_id", "lang", "text"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # one physical scan node (formatted output prints each node twice:
+    # tree sketch + "(n) Scan parquet" detail header — count the latter)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Python" not in plan
+
+    rows = {r.column: r for r in df.collect()}
+    assert rows["doc_id"].n_null == 0
+    assert rows["text"].max_len >= rows["text"].min_len
+    assert rows["lang"].min_num is None  # string column: no numeric range

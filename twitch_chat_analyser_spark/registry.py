@@ -213,11 +213,12 @@ def queries() -> dict[str, QueryFn]:
     out.update(sketches.SKETCH_QUERIES)  # rows-only (sketch estimates)
     out.update(graph.GRAPH_QUERIES)  # rows-only (iterative fixpoint)
     out.update(frequency.FREQUENCY_QUERIES)
-    from .operators import behavior, scd, zorder
+    from .operators import behavior, profiling, scd, zorder
 
     out.update(zorder.ZORDER_QUERIES)
     out.update(behavior.BEHAVIOR_QUERIES)
     out.update(scd.SCD_QUERIES)
+    out.update(profiling.PROFILING_QUERIES)
     return out
 
 
@@ -252,9 +253,10 @@ def oracle_sql() -> dict[str, str]:
     from .operators import frequency
 
     out.update(frequency.frequency_oracles())
-    from .operators import behavior, scd, zorder
+    from .operators import behavior, profiling, scd, zorder
 
     out.update(zorder.zorder_oracles())
     out.update(behavior.behavior_oracles())
     out.update(scd.scd_oracles())
+    out.update(profiling.profiling_oracles())
     return out
