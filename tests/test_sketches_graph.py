@@ -110,3 +110,40 @@ def test_connected_components_both_paths_agree(spark):
     }
     assert fast == dist
     assert fast[20] == 0 and fast[109] == 100 and fast[302] == 300
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """DataFrame PageRank equals a dense power-iteration reference on a
+    hand-built graph (same simplified dangling handling)."""
+    from twitch_chat_analyser_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "b"), ("d", "a")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(e, iterations=25).collect()}
+
+    nodes = sorted({x for p in edges for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out_deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    import numpy as np
+
+    M = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        M[idx[d], idx[s]] = 1.0 / out_deg[s]
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(25):
+        r = 0.15 / len(nodes) + 0.85 * (M @ r)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-9, n
+    # hub ordering: 'a' and 'b' (mutually linked, extra in-edges) beat
+    # 'd' (no in-links, floor rank only)
+    assert got["a"] > got["d"] and got["b"] > got["d"]
+
+
+def test_pagerank_rank_order_on_testdata(spark, sf_dir):
+    from twitch_chat_analyser_spark.registry import queries
+
+    out = queries()["channel_pagerank"](spark, sf_dir).collect()
+    assert len(out) >= 2
+    ranks = [r.rank for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)

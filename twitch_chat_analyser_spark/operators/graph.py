@@ -191,6 +191,80 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs).filter(~F.col("is_survivor"))
 
 
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)`` — fixed
+    iteration count, simplified handling of dangling nodes (their mass
+    is not redistributed; ranks still sum below 1 but the ORDER — what
+    ranking consumers use — is the standard one).
+
+    Each round is one join (ranks ⋈ edges on src, both hash-partitioned
+    on the same key) + one groupBy(dst) — the same per-iteration shuffle
+    budget as :func:`connected_components`; lineage cut per round via
+    localCheckpoint. Rows-only verification (iterative float fixpoint is
+    not single-statement SQL); a pytest pins a hand-computed graph.
+
+    -> node, rank
+    """
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # contribution edges with the degree folded in — constant per round
+    contrib_edges = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _q_channel_pagerank(spark, sf_dir):
+    """PageRank of the channel co-occurrence graph (symmetric edges from
+    shared audiences) — which channels sit at the center of the shared-
+    audience network. Rows-only (iterative)."""
+    from .. import ingest
+    from . import analytics
+
+    pairs = analytics.channel_cooccurrence(ingest.messages(spark, sf_dir))
+    sym = pairs.select(
+        F.col("channel_a").alias("src"), F.col("channel_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("channel_b").alias("src"), F.col("channel_a").alias("dst")
+        )
+    )
+    return pagerank(sym).orderBy(F.desc("rank"), "node")
+
+
 GRAPH_QUERIES = {
     "dedup_connected_clusters": _q_dedup_clusters,
+    "channel_pagerank": _q_channel_pagerank,
 }
