@@ -54,7 +54,17 @@ def rollup_hierarchy(fact: DataFrame, dims: list[str], value_col: str) -> DataFr
 
     -> *dims, timestamp, <value_col>, resolution
     """
+    # materialize each level once: the stacked union references `fact`
+    # from two branches and `hourly` from two more, and Spark does not
+    # share subplans across union branches — without this the base
+    # aggregation (and everything upstream of it) executes three times.
+    # This mirrors what the cascade IS at scale: each level is a
+    # materialized serving table derived from the previous one.
+    if not fact.isStreaming:
+        fact = fact.localCheckpoint(eager=True)
     hourly = rollup(fact, dims, value_col, HOUR_MS)
+    if not hourly.isStreaming:
+        hourly = hourly.localCheckpoint(eager=True)
     daily = rollup(hourly, dims, value_col, DAY_MS)
     return (
         fact.withColumn("resolution", F.lit("15m"))
