@@ -529,6 +529,72 @@ def _q_series_resampled_multi(spark, sf_dir):
     return interpolate_on_grid_multi(cs, ["channel"], grid, "messages")
 
 
+VIS_EMOTES = ["spark", "join", "merge"]
+
+
+def _q_channel_page_series(spark, sf_dir):
+    """The channel page's entire chart payload in ONE plan (SURVEY §3.3:
+    the reference issues a pre-window-base + range-series query pair PER
+    visualized emote plus the message series — 2(E+1) Postgres round
+    trips; MainController.php:114-170). Here every series (the channel's
+    message counts + each visualized emote) flows long-format through
+    one cumulative window and one partitioned resample: a single job,
+    shuffling on the series key.
+
+    -> series, timestamp, value
+    """
+    from ..functions.resample import interpolate_on_grid_multi
+
+    msgs = _facts(spark, sf_dir)
+    cs = (
+        agg.channel_stats(msgs)
+        .filter(F.col("channel") == CHANNEL)
+        .select(
+            F.lit("messages").alias("series"),
+            "timestamp",
+            F.col("messages").cast("double").alias("v"),
+        )
+    )
+    es = (
+        agg.emote_stats(msgs, dims.emotes_df(spark))
+        .filter(
+            (F.col("channel") == CHANNEL) & F.col("emote").isin(VIS_EMOTES)
+        )
+        .select(
+            F.col("emote").alias("series"),
+            "timestamp",
+            F.col("occurrences").cast("double").alias("v"),
+        )
+    )
+    allseries = cs.unionByName(es)
+    base = (
+        allseries.filter(
+            (F.col("timestamp") > 0) & (F.col("timestamp") < START_MS)
+        )
+        .groupBy("series")
+        .agg(F.sum("v").alias("b"))
+    )
+    inwin = allseries.filter(
+        (F.col("timestamp") >= START_MS) & (F.col("timestamp") <= END_MS)
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        inwin.withColumn("c", F.sum("v").over(w))
+        .join(base, "series", "left")
+        .select(
+            "series",
+            "timestamp",
+            (F.coalesce("b", F.lit(0.0)) + F.col("c")).alias("value"),
+        )
+    )
+    grid = resample_grid(START_MS, END_MS, RESAMPLE_POINTS)
+    return interpolate_on_grid_multi(cum, ["series"], grid, "value")
+
+
 def _q_empty_series(spark, sf_dir):
     # a channel that never chats -> the synthetic two-point fallback
     series = range_series(
@@ -596,6 +662,7 @@ READ_PATH_QUERIES = {
     "b14_cumulative_series": _q_cumulative_series,
     "b15_series_resampled": _q_series_resampled,
     "b15_series_resampled_multi": _q_series_resampled_multi,
+    "channel_page_single_plan": _q_channel_page_series,
     "b16_empty_series_default": _q_empty_series,
     "b18_pct_of_total": _q_pct_of_total,
     "b19_dynamic_sort": _q_dynamic_sort,
