@@ -209,3 +209,37 @@ def test_q22_global_avg_broadcast_and_anti_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # one-row avg gate
     assert "LeftAnti" in plan  # NOT EXISTS dormancy probe
     assert "Python" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+    ],
+)
+def test_no_quadratic_pair_join_in_dedup_family(spark, sf_dir, name):
+    """Every near-dup pair generator is banded: candidates come from an
+    equi-join on a bucket key (minhash slot / simhash block / hyperplane
+    band signature), NEVER an all-pairs product. The only nested-loop
+    join allowed is the embedding sign computation against the
+    broadcast plane set (|planes| = 16, bounded)."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} has an all-pairs join"
+    if name == "dedup_embedding_cosine":
+        # only the bounded broadcast over the 16 hyperplanes (appears
+        # once per side of the band self-join — both linear passes);
+        # formatted explain prints each node twice (tree + detail), so
+        # 2 physical nodes = 4 string hits. The pair join itself must
+        # be a hash/sort-merge equi-join.
+        assert plan.count("BroadcastNestedLoopJoin") <= 4
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    else:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} fell back to a nested-loop join:\n{plan[:2000]}"
+        )

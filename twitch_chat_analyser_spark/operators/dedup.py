@@ -21,12 +21,14 @@ Scale notes (100 TB):
   is uniform by construction (hash values). Pair explosion is bounded by
   band width: tune ``num_hashes``/bands so bucket sizes stay small; a
   hot bucket (e.g. boilerplate docs) is an AQE skew-join case.
-- SimHash: fixed-width bit signature, one aggregation; the pair join
-  here is a blocked self-join — at 100 TB block on simhash prefix bands
-  (same LSH idea, implemented via the ``block_bits`` prefix) so the
-  quadratic step never sees the full corpus.
-- n-gram Jaccard: blocked on (lang, source) — replace with LSH buckets
-  for unstructured corpora.
+- SimHash: fixed-width bit signature, one aggregation; the pair join is
+  a pigeonhole band join — ``max_hamming + 1`` bit blocks, candidates
+  from a self-equi-join on ``(block_idx, block_value)``. EXACTLY
+  equivalent to the all-pairs join (a pair within the Hamming budget
+  must agree on >= 1 block) with no cartesian product anywhere.
+- n-gram Jaccard: candidates from the MinHash band join (same machinery
+  as ``minhash_dedup_pairs``), verified with exact Jaccard inside the
+  (lang, source) block.
 """
 
 from __future__ import annotations
@@ -212,22 +214,54 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` bit blocks used for the
+    pigeonhole band join. Widths differ by at most one when ``bits`` is
+    not divisible by the block count."""
+    nblocks = max_hamming + 1
+    base, rem = divmod(bits, nblocks)
+    out, off = [], 0
+    for i in range(nblocks):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_dedup_pairs(
     docs: DataFrame, bits: int = 16, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance — banded pair join.
 
-    The pair join is a cross self-join here (corpus-sized test data); at
-    scale, band the signature (join on a prefix of the bits, LSH-style)
-    before computing exact Hamming distance.
+    Pigeonhole blocking: the signature is split into ``max_hamming + 1``
+    bit blocks; any pair within Hamming distance ``max_hamming`` differs
+    in at most ``max_hamming`` blocks, so it must agree EXACTLY on at
+    least one block. Candidates are therefore a self-equi-join on
+    ``(block_idx, block_value)`` — identical result set to the all-pairs
+    join, never a cartesian product. At 100 TB each block key splits the
+    corpus into ``2^width`` buckets; widen ``bits`` to keep buckets
+    small (64-bit xxhash64 signatures -> 16-bit blocks).
 
     -> doc_a, doc_b, hamming
     """
     sig = simhash(docs, bits)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in simhash_blocks(bits, max_hamming)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(block_vals).alias("blk", "blk_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "blk", "blk_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk", "blk_val"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["blk", "blk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -235,16 +269,26 @@ def simhash_dedup_pairs(
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, shingle_k: int = 3, top_n: int = 20
+    docs: DataFrame,
+    shingle_k: int = 3,
+    top_n: int = 20,
+    num_hashes: int = 8,
 ) -> DataFrame:
-    """Blocked n-gram Jaccard near-dup: candidate pairs only within a
-    (lang, source) block, exact Jaccard on distinct word-3-gram sets,
-    top-N most similar pairs (deterministic tiebreak on ids).
+    """N-gram Jaccard near-dup, LSH-bucketed: candidate pairs come from
+    the MinHash band join (:func:`lsh_candidate_pairs` over the same
+    word k-shingles), restricted to the same ``(lang, source)`` block,
+    then exact Jaccard on distinct shingle sets ranks the top-N pairs.
+
+    Candidate generation is part of the operator contract (mirrored in
+    the DuckDB oracle), exactly as in :func:`minhash_dedup_pairs` — the
+    quadratic within-block join is gone; every join here is an
+    equi-join whose key space is uniform by construction.
 
     -> doc_a, doc_b, jaccard
     """
@@ -254,6 +298,7 @@ def ngram_jaccard_pairs(
         "source",
         F.array_distinct(shingles("toks", shingle_k)).alias("grams"),
     )
+    cands = lsh_candidate_pairs(minhash_signatures(docs, num_hashes, shingle_k))
     a = base.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -262,13 +307,17 @@ def ngram_jaccard_pairs(
     )
     b = base.select(
         F.col("doc_id").alias("doc_b"),
-        "lang",
-        "source",
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
         F.col("grams").alias("gb"),
     )
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+        )
         .select("doc_a", "doc_b", token_jaccard("ga", "gb").alias("jaccard"))
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(top_n)

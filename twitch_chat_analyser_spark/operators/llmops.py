@@ -22,6 +22,8 @@ SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
 NGRAM_TOP_N = 20
 EMB_TOP_N = 20
+EMB_PLANES = 16
+EMB_BAND_BITS = 8
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
 IVF_CENTROIDS = 8
@@ -59,11 +61,15 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_ngram(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), SHINGLE_K, NGRAM_TOP_N)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), SHINGLE_K, NGRAM_TOP_N, NUM_HASHES
+    )
 
 
 def _q_dedup_embedding(spark, sf_dir):
-    return similarity.embedding_dedup_pairs(_emb(spark, sf_dir), EMB_TOP_N)
+    return similarity.embedding_dedup_pairs(
+        _emb(spark, sf_dir), EMB_TOP_N, EMB_PLANES, EMB_BAND_BITS
+    )
 
 
 def _q_ann_brute(spark, sf_dir):
@@ -563,23 +569,57 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM simhashes a, simhashes b
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
+        # candidates via the same MinHash band join as dedup_minhash_lsh
+        # (candidate generation is part of the operator contract), exact
+        # Jaccard verify within the (lang, source) block
         "dedup_ngram_jaccard": f"""
 WITH {_DOC_CTES},
+seeds AS (SELECT CAST(x AS INT) AS seed FROM range({NUM_HASHES}) t(x)),
+sigs AS (
+    SELECT doc_id, seed,
+           min(substr(md5(repeat('x', seed // 4) || sh),
+                      (seed % 4) * 8 + 1, 8)) AS minhash
+    FROM doc_shingles, seeds GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
 gram_sets AS (
     SELECT d.doc_id, d.lang, d.source, list_distinct(list(s.sh)) AS grams
     FROM documents d JOIN doc_shingles s USING (doc_id)
     GROUP BY 1, 2, 3
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT doc_a, doc_b,
        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
          / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-FROM gram_sets a JOIN gram_sets b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+FROM cands
+JOIN gram_sets a ON a.doc_id = doc_a
+JOIN gram_sets b ON b.doc_id = doc_b
+WHERE a.lang = b.lang AND a.source = b.source
 ORDER BY jaccard DESC, doc_a, doc_b LIMIT {NGRAM_TOP_N}""",
+        # candidates via sign-bit hyperplane band buckets (mirrors
+        # similarity.hyperplane_band_buckets), exact cosine re-rank
         "dedup_embedding_cosine": f"""
-WITH {_EMB_CTES}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cos_sim
-FROM emb a, emb b WHERE a.vec_id < b.vec_id
+WITH {_EMB_CTES},
+planes AS (SELECT vec_id AS plane_id, v AS p FROM emb WHERE vec_id < {EMB_PLANES}),
+sbits AS (
+    SELECT e.vec_id, pl.plane_id // {EMB_BAND_BITS} AS band,
+           CASE WHEN list_dot_product(e.v, pl.p) > 0
+                THEN 1 << (pl.plane_id % {EMB_BAND_BITS}) ELSE 0 END AS bv
+    FROM emb e, planes pl
+),
+bands AS (SELECT vec_id, band, sum(bv) AS sig FROM sbits GROUP BY 1, 2),
+cands AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_cos('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cos_sim
+FROM cands
+JOIN emb a ON a.vec_id = vec_a
+JOIN emb b ON b.vec_id = vec_b
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
         "ann_brute_topk": f"""
 WITH {_EMB_CTES},

@@ -219,15 +219,69 @@ def lsh_topk(
     )
 
 
-def embedding_dedup_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
-    """Embedding-cosine near-dup: most-similar vector pairs (the
-    embedding analog of MinHash verification). Full pair join at test
-    scale; at 100 TB pre-bucket with sign-bit LSH (random-hyperplane
-    SimHash on the embedding) and join on bucket.
+def hyperplane_band_buckets(
+    vecs: DataFrame, num_planes: int = 16, band_bits: int = 8
+) -> DataFrame:
+    """Sign-bit LSH band signatures: plane ``i`` is corpus vector ``i``
+    (deterministic, oracle-expressible; production would use seeded
+    Gaussian planes — identical plan shape); bit ``i`` is
+    ``dot(v, plane_i) > 0``; bits are grouped into bands of
+    ``band_bits`` bits each. Vectors agreeing on ANY full band are
+    near-dup candidates.
+
+    ``vecs`` must be the :func:`as_double_vec` projection. The N x P
+    sign matrix is a broadcast nested-loop over P tiny planes, collapsed
+    by a groupBy before anything wide moves — same shape as
+    :func:`lsh_topk`. Each band splits the corpus into ``2^band_bits``
+    buckets; at 100 TB raise ``band_bits`` (e.g. 64 planes in 16-bit
+    bands) so bucket sizes stay bounded.
+
+    -> vec_id, band, sig
+    """
+    planes = vecs.filter(F.col("vec_id") < num_planes).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
+    )
+    sbits = vecs.select("vec_id", "v").crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        (F.col("plane_id") / band_bits).cast("int").alias("band"),
+        F.when(
+            F.expr(DOT_EXPR.format(a="v", b="p")) > 0,
+            F.expr(f"shiftleft(1L, cast(plane_id AS int) % {band_bits})"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bv"),
+    )
+    return sbits.groupBy("vec_id", "band").agg(F.sum("bv").alias("sig"))
+
+
+def embedding_dedup_pairs(
+    embeddings: DataFrame,
+    top_n: int = 20,
+    num_planes: int = 16,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: most-similar candidate pairs, with
+    candidates from the sign-bit hyperplane band join
+    (:func:`hyperplane_band_buckets`) and exact cosine re-ranking —
+    the embedding analog of MinHash candidate + verify. The band join
+    is an equi-join on ``(band, sig)``; no all-pairs product anywhere.
+    Candidate generation is part of the operator contract (the DuckDB
+    oracle mirrors the same banding).
 
     -> vec_a, vec_b, cos_sim
     """
     vecs = as_double_vec(embeddings)
+    bands = hyperplane_band_buckets(vecs, num_planes, band_bits)
+    cands = (
+        bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+        .join(
+            bands.select(F.col("vec_id").alias("vec_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     a = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
@@ -239,8 +293,8 @@ def embedding_dedup_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
         F.col("v_nrm").alias("vb_nrm"),
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", cosine("va", "vb").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(top_n)
