@@ -1,5 +1,10 @@
-"""Headline-query benchmark. Prints ONE JSON line:
+"""Headline-query benchmark. Prints ONE COMPACT JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The stdout line stays small (headline queries + slowest tail + streaming
+summary) so harnesses with bounded capture buffers always parse it; the
+FULL per-query timing map and streaming percentiles land in
+``BENCH_FULL.json`` next to this script.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is timed to full materialization
@@ -15,6 +20,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# stdout `queries` map: the reference's five fact tables + totals +
+# side output — the workload BASELINE.md defines; everything else is in
+# BENCH_FULL.json.
+HEADLINE = [
+    "channel_stats",
+    "user_stats",
+    "emote_stats",
+    "user_emote_stats",
+    "phrase_stats",
+    "messages_matching_phrase",
+    "channel_stats_totals",
+    "user_emote_stats_totals",
+]
+
 
 def main() -> None:
     from twitch_chat_analyser_spark import registry
@@ -28,21 +47,9 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # Headline set: the five reference fact tables + representative
-    # read-path and LLM-pipeline operators (grows as phases land).
     all_queries = registry.queries()
-    headline = [
-        "channel_stats",
-        "user_stats",
-        "emote_stats",
-        "user_emote_stats",
-        "phrase_stats",
-        "messages_matching_phrase",
-        "channel_stats_totals",
-        "user_emote_stats_totals",
-    ]
-    extra = [n for n in all_queries if n not in headline]
-    names = headline + extra
+    extra = [n for n in all_queries if n not in HEADLINE]
+    names = HEADLINE + extra
 
     # Warm-up: file listing, parquet footers, JVM/codegen paths — so
     # per-query timings measure the queries, not session cold start.
@@ -57,7 +64,7 @@ def main() -> None:
     # never recurs — e.g. the higher-order-function dot-product fold went
     # 28.7s cold -> 2.0s warm at sf0.1). Warm the three hot machinery
     # paths once so timings measure the operators: (a) the HOF fold +
-    # nested-loop pair join, (b) the Python/Arrow worker pool, (c) window
+    # band joins, (b) the Python/Arrow worker pool, (c) window
     # functions over a shuffle.
     from pyspark.sql import functions as F
 
@@ -96,28 +103,80 @@ def main() -> None:
     # Streaming write-path throughput: all five fact pipelines (the
     # reference's unit of work — one message through five aggregation
     # dataflows + upsert sinks) over the staged message stream,
-    # end-to-end including sink merges. Extra keys; the driver's
-    # headline metric stays the batch total.
+    # end-to-end including sink merges, plus per-trigger latency
+    # percentiles from the queries' progress records.
     streaming = _bench_streaming(spark, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "timing": "min_of_2_runs",
-                "sf": sf,
-                **streaming,
-            }
-        )
+    # compact stdout payload: headline queries + the 5 slowest others,
+    # full map to BENCH_FULL.json
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if n not in HEADLINE),
+            key=lambda kv: -kv[1],
+        )[:5]
     )
+    compact_queries = {n: timings[n] for n in HEADLINE} | slowest
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": compact_queries,
+        "n_queries": len(timings),
+        "timing": "min_of_2_runs",
+        "sf": sf,
+        **{k: v for k, v in streaming.items() if not isinstance(v, dict)},
+    }
+
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(
+            {**line, "queries": timings, "streaming": streaming},
+            fh,
+            indent=1,
+        )
+
+    print(json.dumps(line))
+
+
+def _percentiles(durations_ms: list[float]) -> dict:
+    if not durations_ms:
+        return {}
+    s = sorted(durations_ms)
+
+    def pct(p: float) -> float:
+        i = min(len(s) - 1, int(round(p * (len(s) - 1))))
+        return s[i]
+
+    return {
+        "batches": len(s),
+        "p50_ms": round(pct(0.50), 1),
+        "p95_ms": round(pct(0.95), 1),
+        "max_ms": round(max(s), 1),
+    }
+
+
+def _trigger_durations(progress_lists) -> list[float]:
+    """Flatten triggerExecution durations (ms) out of recentProgress
+    records (dicts in PySpark; objects with .json in some versions)."""
+    out: list[float] = []
+    for plist in progress_lists:
+        for p in plist or []:
+            if hasattr(p, "json"):
+                p = json.loads(p.json)
+            dur = (p.get("durationMs") or {}).get("triggerExecution")
+            # availableNow emits a final empty progress with no rows
+            if dur is not None and p.get("numInputRows", 0) > 0:
+                out.append(float(dur))
+    return out
 
 
 def _bench_streaming(spark, sf_dir: str) -> dict:
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from twitch_chat_analyser_spark import ingest
     from twitch_chat_analyser_spark.streaming import pipeline as sp
@@ -127,26 +186,43 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         src = os.path.join(tmp, "src")
         out = os.path.join(tmp, "out")
         ckpt = os.path.join(tmp, "ckpt")
-        msgs = ingest.messages(spark, sf_dir).select(
+        # 2x the corpus (second copy day-shifted so window keys differ):
+        # >100k messages at sf0.1, split into 64 files so availableNow +
+        # maxFilesPerTrigger=8 yields 8 micro-batches — enough samples
+        # for meaningful per-trigger percentiles.
+        base = ingest.messages(spark, sf_dir).select(
             "ts", "channel", "username", "message"
         )
+        msgs = base.unionByName(
+            base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
         n = msgs.count()
-        msgs.write.parquet(src)
+        msgs.repartition(64).write.parquet(src)
         t0 = time.time()
-        sp.run_all(spark, src, out, ckpt)
+        prog = sp.run_all(spark, src, out, ckpt, max_files_per_trigger=8)
         wall = time.time() - t0
         # same workload through the one-scan-per-trigger topology
         out1 = os.path.join(tmp, "out1")
         ckpt1 = os.path.join(tmp, "ckpt1")
         t0 = time.time()
-        sp.run_all_single_pass(spark, src, out1, ckpt1)
+        prog1 = sp.run_all_single_pass(
+            spark, src, out1, ckpt1, max_files_per_trigger=8
+        )
         wall1 = time.time() - t0
+        p = _percentiles(_trigger_durations(prog))
+        p1 = _percentiles(_trigger_durations([prog1]))
         return {
             "streaming_messages": n,
             "streaming_wall_sec": round(wall, 3),
             "streaming_msgs_per_sec": round(n / wall, 1),
             "streaming_single_pass_wall_sec": round(wall1, 3),
             "streaming_single_pass_msgs_per_sec": round(n / wall1, 1),
+            "streaming_trigger_p50_ms": p.get("p50_ms"),
+            "streaming_trigger_p95_ms": p.get("p95_ms"),
+            "streaming_trigger_batches_ms": p,
+            "streaming_single_pass_trigger_p50_ms": p1.get("p50_ms"),
+            "streaming_single_pass_trigger_p95_ms": p1.get("p95_ms"),
+            "streaming_single_pass_batches_ms": p1,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -59,3 +59,82 @@ def test_sink_without_driver_raises_not_implemented(spark):
     except ImportError:
         with pytest.raises(NotImplementedError):
             sink(df, 0)
+
+
+def test_sink_writes_executor_side_per_partition(spark, tmp_path):
+    """The sink must stream partitions through per-executor connections
+    — never collect() the micro-batch to the driver. The recording
+    connection factory writes one file per opened connection from
+    inside the Python workers; with a multi-partition input we expect
+    one connection per non-empty partition, each carrying only its
+    partition's rows, all through the reference upsert statement."""
+    out_dir = str(tmp_path / "writes")
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    class RecordingCursor:
+        def __init__(self, sink_dir):
+            self.sink_dir = sink_dir
+            self.stmts = []
+
+        def executemany(self, sql, rows):
+            self.stmts.append((sql, list(rows)))
+
+    class RecordingConnection:
+        def __init__(self, sink_dir):
+            self.sink_dir = sink_dir
+            self._cur = RecordingCursor(sink_dir)
+
+        def cursor(self):
+            return self._cur
+
+        def commit(self):
+            import json
+            import uuid
+
+            path = os.path.join(self.sink_dir, f"conn-{uuid.uuid4().hex}.json")
+            with open(path, "w") as fh:
+                json.dump(
+                    [
+                        {"sql": sql, "rows": [list(r) for r in rows]}
+                        for sql, rows in self._cur.stmts
+                    ],
+                    fh,
+                )
+
+        def close(self):
+            pass
+
+    def factory(sink_dir=out_dir):
+        return RecordingConnection(sink_dir)
+
+    sink = jdbc.JdbcSink(
+        dsn="unused",
+        table="channel_stats",
+        mode="additive",
+        batch_size=3,
+        connection_factory=factory,
+    )
+    rows = [(f"ch{i % 4}", i * 1000, i) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "channel string, timestamp long, messages long"
+    ).repartition(4)
+    sink(df, batch_id=7)
+
+    import json
+
+    files = sorted(os.listdir(out_dir))
+    # one connection per non-empty partition, executor-side
+    assert 2 <= len(files) <= 4
+    seen = []
+    for f in files:
+        with open(os.path.join(out_dir, f)) as fh:
+            stmts = json.load(fh)
+        for s in stmts:
+            assert s["sql"] == jdbc.upsert_sql("channel_stats", "additive")
+            # executemany chunks respect batch_size
+            assert len(s["rows"]) <= 3
+            seen.extend(tuple(r) for r in s["rows"])
+    # every input row written exactly once, none via the driver
+    assert sorted(seen) == sorted(rows)

@@ -50,23 +50,61 @@ def window_deltas(fact: DataFrame, dims: list[str], value_col: str) -> DataFrame
     )
 
 
-def user_quartiles(user_totals: DataFrame) -> DataFrame:
+def user_quartiles(user_totals: DataFrame, buckets: int = QUARTILES) -> DataFrame:
     """ntile bucketing of users into activity quartiles by total message
-    count (leaderboard percentile bands). Deterministic tie-break on
-    username keeps the assignment stable.
+    count (leaderboard percentile bands) — DISTRIBUTED exact ntile, no
+    single-partition window anywhere.
 
-    ntile needs a total order: a single-partition sort at the user-total
-    grain — already aggregated, ~|users| rows, not the raw stream. At
-    100 TB grain prefer `percent_rank` banded per hash-partition or an
-    approx-quantile cut; the exact form is kept oracle-checkable.
+    Classic two-phase global rank: range-partition on the sort key
+    (range partitioner guarantees partition p's keys all precede
+    partition p+1's), rank WITHIN each partition (WindowExec with a
+    partition key — per-partition sorts only), then add each
+    partition's prefix offset. Offsets come from the per-partition
+    counts via a triangular join over ~numPartitions rows (broadcast,
+    no window), the total row count from the same tiny aggregate.
+    The bucket index applies ntile's exact semantics — the first
+    ``n % buckets`` buckets take ``floor(n/buckets) + 1`` rows — in
+    all-integer arithmetic, so the result is bit-identical to
+    ``ntile()`` and the oracle stays plain SQL.
+
+    Deterministic tie-break on username keeps the assignment stable.
 
     -> username, messages, quartile
     """
-    w = Window.orderBy(F.desc("messages"), F.asc("username"))
-    return user_totals.select(
-        "username",
-        "messages",
-        F.ntile(QUARTILES).over(w).alias("quartile"),
+    key = [F.desc("messages"), F.asc("username")]
+    local = (
+        user_totals.repartitionByRange(*key)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*key)),
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    prior = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
+    )
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+    rn = F.col("_lrn") + F.col("_offset")
+    base = F.floor(F.col("_n") / buckets)
+    rem = F.col("_n") % buckets
+    cut = rem * (base + 1)
+    quartile = F.when(
+        rn <= cut, F.floor((rn - 1) / (base + 1)) + 1
+    ).otherwise(
+        rem + F.floor((rn - cut - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+    return (
+        local.join(F.broadcast(prior), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "username",
+            "messages",
+            quartile.cast("int").alias("quartile"),
+        )
     )
 
 

@@ -24,6 +24,8 @@ with reference parity to check — is pure and unit-tested.
 
 from __future__ import annotations
 
+import functools
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -106,34 +108,72 @@ def upsert_sql(table: str, mode: str = "additive") -> str:
     )
 
 
+def _pg_connect(dsn: str):  # pragma: no cover - driver not in image
+    import psycopg2
+
+    return psycopg2.connect(dsn)
+
+
+def _write_partition(
+    rows, connection_factory: Callable, sql: str, names: list[str], batch_size: int
+) -> None:
+    """Executor-side partition writer: one connection per partition,
+    executemany in ``batch_size`` chunks (reference batch size 100,
+    AbstractStatsAggregation.java:154), one commit per partition —
+    partition-atomic like the reference's per-flush transaction."""
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        buf: list[tuple] = []
+        for r in rows:
+            buf.append(tuple(r[n] for n in names))
+            if len(buf) >= batch_size:
+                cur.executemany(sql, buf)
+                buf.clear()
+        if buf:
+            cur.executemany(sql, buf)
+        conn.commit()
+    finally:
+        conn.close()
+
+
 @dataclass
 class JdbcSink:
     """foreachBatch callable writing a stats DataFrame through the
-    upsert statement in executemany batches (reference batch size 100,
-    AbstractStatsAggregation.java:154)."""
+    upsert statement EXECUTOR-SIDE: ``foreachPartition`` opens one
+    connection per partition and streams that partition's rows through
+    executemany batches. The micro-batch is never materialized on the
+    driver — at 100 TB the sink scales with executor count, the driver
+    only coordinates.
+
+    ``connection_factory`` is an injection seam (tests substitute a
+    recording connection; production default is psycopg2 over ``dsn``).
+    """
 
     dsn: str
     table: str
     mode: str = "additive"
     batch_size: int = 100
+    connection_factory: Callable | None = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            import psycopg2  # noqa: F401
-        except ImportError as e:  # pragma: no cover - driver not in image
-            raise NotImplementedError(
-                "JDBC sink needs a Postgres driver (psycopg2); not bundled "
-                "in this environment — use the parquet merge sink instead"
-            ) from e
+        factory = self.connection_factory
+        if factory is None:
+            try:
+                import psycopg2  # noqa: F401
+            except ImportError as e:  # pragma: no cover - driver not in image
+                raise NotImplementedError(
+                    "JDBC sink needs a Postgres driver (psycopg2); not bundled "
+                    "in this environment — use the parquet merge sink instead"
+                ) from e
+            factory = functools.partial(_pg_connect, self.dsn)
         cols, _ = FACT_TABLES[self.table]
         names = [c for c, _ in cols]
-        sql = upsert_sql(self.table, self.mode)
-        rows = [tuple(r[n] for n in names) for r in batch_df.collect()]
-        conn = psycopg2.connect(self.dsn)  # pragma: no cover
-        try:
-            with conn.cursor() as cur:
-                for i in range(0, len(rows), self.batch_size):
-                    cur.executemany(sql, rows[i : i + self.batch_size])
-            conn.commit()
-        finally:
-            conn.close()
+        writer = functools.partial(
+            _write_partition,
+            connection_factory=factory,
+            sql=upsert_sql(self.table, self.mode),
+            names=names,
+            batch_size=self.batch_size,
+        )
+        batch_df.select(*names).foreachPartition(writer)

@@ -166,11 +166,14 @@ def run_all(
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
     watermark: str | None = None,
-) -> None:
+) -> list:
     """Run all five fact pipelines over the message stream until the
     available data is exhausted (availableNow by default — replayable,
     resumes from the checkpoint like the reference's Kafka reprocessing
-    flow, README.md:86-101)."""
+    flow, README.md:86-101).
+
+    Returns the queries' recent progress records (one list per query)
+    so callers can report per-trigger latency percentiles."""
     stream = read_message_stream(spark, source_dir, max_files_per_trigger)
     queries = [
         start_pipeline(
@@ -180,6 +183,7 @@ def run_all(
     ]
     for q in queries:
         q.awaitTermination()
+    return [q.recentProgress for q in queries]
 
 
 def _applied_batches(path: str) -> set[int]:
@@ -309,7 +313,7 @@ def run_all_single_pass(
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
     include_matched_messages: bool = True,
-) -> None:
+) -> list:
     """All five fact tables + the matched-message side output from ONE
     streaming query — the reference's actual topology: a single Kafka
     consumer fans out into five aggregation dataflows plus a side output
@@ -393,6 +397,7 @@ def run_all_single_pass(
         .start()
     )
     q.awaitTermination()
+    return q.recentProgress
 
 
 def matched_messages_side_output(
