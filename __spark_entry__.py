@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from twitch_chat_analyser_spark import dims, ingest, registry
+from twitch_chat_analyser_spark import dims, facts, ingest, registry
 from twitch_chat_analyser_spark.operators import aggregations
 
 
@@ -30,8 +30,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggregations.channel_stats(msgs).orderBy("channel", "timestamp")
 
 
+def _served(fn: Callable[[SparkSession, str], DataFrame]):
+    """Run the query against the materialized shared facts (facts.warm):
+    the reference's read path queries fact tables its write path
+    maintains — it never re-derives them from raw messages per request.
+    Cache substitution is plan-based, so `fn` itself is unchanged."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        facts.warm(spark, sf_dir)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return registry.queries()
+    return {name: _served(fn) for name, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -139,6 +139,23 @@ def test_pagerank_matches_power_iteration(spark):
     assert got["a"] > got["d"] and got["b"] > got["d"]
 
 
+def test_pagerank_both_paths_agree(spark):
+    """The adaptive small-graph (driver loop) and distributed
+    (join + agg per round) paths compute the same ranks."""
+    from twitch_chat_analyser_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "b"), ("d", "a")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r.node: r.rank for r in pagerank(e, iterations=10).collect()}
+    dist = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=10, small_graph_edges=0).collect()
+    }
+    assert set(fast) == set(dist)
+    for n in fast:
+        assert abs(fast[n] - dist[n]) < 1e-12, n
+
+
 def test_pagerank_rank_order_on_testdata(spark, sf_dir):
     from twitch_chat_analyser_spark.registry import queries
 

@@ -1,0 +1,75 @@
+"""Materialized shared fact tables — the serving-layer cache for the
+correctness gate and any interactive consumer of the query registry.
+
+The reference separates write and read paths: Flink maintains the five
+fact tables in Postgres and every dashboard query reads the MATERIALIZED
+facts (MainController.php never touches raw messages). The registry's
+query callables, by contrast, are pure functions from raw parquet — run
+back-to-back in one session, ~45 of them would re-derive the same five
+aggregations from the events scan every time, an engine-level N+1.
+
+:func:`warm` restores the reference's architecture: it registers the
+shared relations (messages + the five fact tables) in Spark's
+CacheManager. Substitution is by canonicalized plan equality
+(``CacheManager.useCachedData``), so EVERY later query whose plan
+contains one of these relations — however it was built — reads the
+materialized InMemoryRelation instead of recomputing; no call-site
+changes anywhere. First touch materializes each relation once.
+
+Scale note (100 TB): this is the local stand-in for the real serving
+layer — fact tables maintained incrementally by the streaming write path
+(streaming/pipeline.py) and stored partitioned by channel/time, which
+reads then scan with partition pruning. In-memory caching of the facts
+themselves remains valid at scale because the AGGREGATES are orders of
+magnitude smaller than raw events (window-bucket cardinality, not
+message cardinality).
+
+Wired into ``__spark_entry__`` (driver gate) only: ``registry.queries()``
+stays uncached so plan-shape tests and bench.py measure the raw plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import dims, ingest
+from .operators import aggregations as agg
+
+_WARMED: set[tuple[str, str]] = set()
+
+
+def warm(spark: SparkSession, sf_dir: str) -> None:
+    """Idempotent per (session, sf_dir): mark the shared chat relations
+    cacheable. Lazy — nothing materializes until a query touches it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
+    from .operators import dedup, llmops, similarity
+
+    msgs = ingest.messages(spark, sf_dir)
+    emotes = dims.emotes_df(spark)
+    docs = ingest.load(spark, sf_dir, "documents")
+    emb = ingest.load(spark, sf_dir, "embeddings")
+    for df in (
+        msgs,
+        agg.channel_stats(msgs),
+        agg.user_stats(msgs),
+        agg.emote_stats(msgs, emotes),
+        agg.user_emote_stats(msgs, emotes),
+        agg.phrase_stats(msgs, dims.phrases_df(spark)),
+        # shared dedup machinery: three registry queries (minhash, ngram,
+        # connected-clusters) derive from the same MinHash band join
+        dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs, llmops.NUM_HASHES, llmops.SHINGLE_K)
+        ),
+        dedup.minhash_dedup_pairs(
+            docs,
+            llmops.NUM_HASHES,
+            llmops.SHINGLE_K,
+            llmops.MINHASH_JACCARD_THRESHOLD,
+        ),
+        # cast+norm projection shared by the whole ANN family
+        similarity.as_double_vec(emb),
+    ):
+        df.cache()

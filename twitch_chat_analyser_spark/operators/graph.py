@@ -173,9 +173,10 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# registry entry: minhash pairs -> clusters over documents (rows-only:
-# the iterative fixpoint isn't single-statement SQL; correctness is
-# pinned by pytest goldens and the oracle-checked pair input)
+# registry entries. Both are iterative fixpoints, but at the registry's
+# FIXED parameters they ARE single-statement SQL: components via a
+# recursive-CTE transitive closure (min reachable node == min label
+# fixpoint), PageRank via its 10 iterations unrolled as chained CTEs.
 # --------------------------------------------------------------------------
 
 
@@ -193,10 +194,32 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 
+def _driver_pagerank(
+    pairs: list[tuple[int, int]], iterations: int, damping: float
+) -> list[tuple]:
+    """Driver-side PageRank on a small collected edge list — same math,
+    deterministic iteration order (sorted nodes/edges)."""
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        in_mass = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            in_mass[d] += ranks[s] / deg[s]
+        ranks = {v: base + damping * in_mass[v] for v in nodes}
+    return sorted(ranks.items())
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` — fixed
     iteration count, simplified handling of dangling nodes (their mass
@@ -206,12 +229,26 @@ def pagerank(
     Each round is one join (ranks ⋈ edges on src, both hash-partitioned
     on the same key) + one groupBy(dst) — the same per-iteration shuffle
     budget as :func:`connected_components`; lineage cut per round via
-    localCheckpoint. Rows-only verification (iterative float fixpoint is
-    not single-statement SQL); a pytest pins a hand-computed graph.
+    localCheckpoint. Edge sets under ``small_graph_edges`` short-circuit
+    to a driver-side loop (same adaptive escape as
+    :func:`connected_components`; identical math, pinned by a pytest
+    equality check of both paths).
 
     -> node, rank
     """
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        spark = edges.sparkSession
+        labels = _driver_pagerank(
+            [(r["src"], r["dst"]) for r in edges.collect()],
+            iterations,
+            damping,
+        )
+        schema = edges.select(
+            F.col("src").alias("node"), F.lit(1.0).alias("rank")
+        ).schema
+        return spark.createDataFrame(labels, schema)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -268,3 +305,93 @@ GRAPH_QUERIES = {
     "dedup_connected_clusters": _q_dedup_clusters,
     "channel_pagerank": _q_channel_pagerank,
 }
+
+PAGERANK_ITERATIONS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def graph_oracles() -> dict[str, str]:
+    """DuckDB oracles for the two fixpoint queries.
+
+    - ``dedup_connected_clusters``: min-label components equal the
+      minimum node reachable in the (symmetric) pair graph, so a
+      recursive-CTE transitive closure over the SAME MinHash-banded pair
+      set as the ``dedup_minhash_lsh`` oracle reproduces the clusters
+      exactly (labels are integers — no float drift possible).
+    - ``channel_pagerank``: the fixed 10 damped iterations unrolled as
+      chained CTEs over the co-occurrence edge set; float sums differ
+      only in partial-sum order (~1e-16), inside the comparer's 6-dp
+      rounding.
+    """
+    from ..registry import chat_ctes
+    from . import llmops
+
+    c = chat_ctes()
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERATIONS + 1):
+        iters.append(f"""r{i} AS (
+    SELECT n.node,
+           ((1.0 - {PAGERANK_DAMPING}) / t.n)
+               + {PAGERANK_DAMPING} * coalesce(c.mass, 0.0) AS rank
+    FROM nodes n CROSS JOIN n_t t
+    LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS mass
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) c ON c.node = n.node
+)""")
+        prev = f"r{i}"
+    pagerank_sql = f"""{c},
+cu AS (SELECT DISTINCT channel, username FROM messages),
+pairs AS (
+    SELECT DISTINCT a.channel AS src, b.channel AS dst
+    FROM cu a JOIN cu b ON a.username = b.username AND a.channel < b.channel
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+n_t AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / t.n AS rank FROM nodes CROSS JOIN n_t t),
+{','.join(iters)}
+SELECT node, rank FROM r{PAGERANK_ITERATIONS}"""
+
+    clusters_sql = f"""WITH RECURSIVE {llmops._DOC_CTES},
+seeds AS (SELECT CAST(x AS INT) AS seed FROM range({llmops.NUM_HASHES}) t(x)),
+sigs AS (
+    SELECT doc_id, seed,
+           min(substr(md5(repeat('x', seed // 4) || sh),
+                      (seed % 4) * 8 + 1, 8)) AS minhash
+    FROM doc_shingles, seeds GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+tsets AS (SELECT doc_id, list_distinct(toks) AS tok_set FROM doc_toks),
+dup_pairs AS (
+    SELECT doc_a, doc_b FROM cands
+    JOIN tsets ta ON ta.doc_id = doc_a
+    JOIN tsets tb ON tb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.tok_set, tb.tok_set)))
+          >= {llmops.MINHASH_JACCARD_THRESHOLD}
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+        UNION SELECT doc_b, doc_a FROM dup_pairs),
+reach AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor
+FROM comp WHERE doc_id != cluster_id"""
+
+    return {
+        "channel_pagerank": pagerank_sql,
+        "dedup_connected_clusters": clusters_sql,
+    }

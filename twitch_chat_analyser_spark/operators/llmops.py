@@ -3,9 +3,12 @@ analysis, sessionization, multimodal metadata — each paired with a
 DuckDB oracle built from the SAME algorithm constants (seeds, shingle
 size, stopword profiles) so both engines compute identical values.
 
-``ann_topk_blas`` is intentionally oracle-less (numpy matmul reorders
-float summation); it is cross-checked against the declarative
-``ann_brute_topk`` in tests instead.
+``ann_blas_topk`` shares ``ann_brute_topk``'s oracle: the numpy kernel
+computes the same exact answer (it is also cross-checked against the
+declarative plan in tests); its pairwise/SIMD float summation differs
+from the fold order only at ~1e-16, inside the comparer's 6-dp rounding.
+``ann_ivf_kmeans_topk``'s oracle unrolls the two Lloyd iterations as
+chained SQL CTEs (deterministic first-k init, same argmax tie-break).
 """
 
 from __future__ import annotations
@@ -433,10 +436,7 @@ LLM_QUERIES = {
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
     "ann_lsh_topk": _q_ann_lsh,
-    "ann_blas_topk": _q_ann_blas,  # oracle-less by design (see module doc)
-    # iterative k-means codebook -> float means vary with partial-sum
-    # order, so rows-only (the static-codebook ann_ivf_topk carries the
-    # oracle for the probe logic)
+    "ann_blas_topk": _q_ann_blas,
     "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
@@ -526,7 +526,7 @@ def llm_oracles() -> dict[str, str]:
         for w in sorted({w for ws in textops.LANG_PROFILES.values() for w in ws})
     )
     bpe = textops.BPE_ISH
-    return {
+    out = {
         "dedup_exact": """
 WITH hashed AS (
     SELECT doc_id,
@@ -887,7 +887,73 @@ FROM (
     FROM documents
 )""",
         "bm25_retrieval": _bm25_oracle_sql(),
+        "ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle_sql(),
     }
+    # the BLAS kernel computes the same exact top-k as the declarative
+    # brute-force plan — one oracle, two implementations
+    out["ann_blas_topk"] = out["ann_brute_topk"]
+    return out
+
+
+def _ann_ivf_kmeans_oracle_sql() -> str:
+    """IVF probe over the TRAINED codebook: the two Lloyd iterations of
+    similarity.kmeans_centroids unrolled as chained CTEs (deterministic
+    first-k init; identical max-cos / min-centroid tie-break; per-dim
+    means via unnest + ordered list reassembly). Float means differ from
+    Spark's only in partial-sum order (~1e-16) — far below any
+    assignment decision boundary and inside the comparer's rounding."""
+    rounds = []
+    prev = "cent0"
+    for i in (1, 2):
+        rounds.append(f"""a{i} AS (
+    SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.c) / (e.nrm * c.c_nrm) DESC,
+                            c.centroid_id) AS rn
+        FROM emb e, {prev} c
+    ) WHERE rn = 1
+),
+means{i} AS (
+    SELECT centroid_id, d, avg(x) AS m FROM (
+        SELECT centroid_id, unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS d
+        FROM a{i}
+    ) GROUP BY 1, 2
+),
+cent{i} AS (
+    SELECT centroid_id, c, sqrt(list_dot_product(c, c)) AS c_nrm FROM (
+        SELECT centroid_id, list(m ORDER BY d) AS c FROM means{i} GROUP BY 1
+    )
+)""")
+        prev = f"cent{i}"
+    return f"""
+WITH {_EMB_CTES},
+cent0 AS (SELECT vec_id AS centroid_id, v AS c, nrm AS c_nrm FROM emb
+          WHERE vec_id < {IVF_CENTROIDS}),
+{','.join(rounds)},
+assigned AS (
+    SELECT vec_id, v, nrm, centroid_id FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.c) / (e.nrm * c.c_nrm) DESC,
+                            c.centroid_id) AS rn
+        FROM emb e, cent2 c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm, centroid_id FROM assigned
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
+scored AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           {_cos('q.qv', 'a.v', 'q.q_nrm', 'a.nrm')} AS cos_sim
+    FROM assigned a JOIN q USING (centroid_id)
+    WHERE a.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {IVF_K}"""
 
 
 def _bm25_oracle_sql() -> str:

@@ -98,7 +98,10 @@ def order_value_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# registry entries (rows-only: estimates are sketch-library-specific)
+# registry entries. HLL estimates are sketch-library-specific (rows-only);
+# the quantile summary at accuracy=10000 degenerates to EXACT order
+# statistics at gate scale (every group holds < accuracy values), so it
+# carries a plain-SQL oracle.
 # --------------------------------------------------------------------------
 
 
@@ -114,3 +117,27 @@ SKETCH_QUERIES = {
     "sketch_distinct_chatters": _q_sketch_chatters,
     "approx_percentile_order_values": _q_approx_percentiles,
 }
+
+
+def sketch_oracles() -> dict[str, str]:
+    """Spark's quantile summary with an uncompressed buffer returns the
+    value at rank ``ceil(p * n)`` (verified empirically at sf0.001 and
+    sf0.01 for every group x percentile) — reproduced with an explicit
+    row_number rank selection. Valid while every group stays under the
+    10000-value accuracy budget; at larger SFs the sketch approximates
+    and the oracle no longer applies (the gate runs sf0.01)."""
+    return {
+        "approx_percentile_order_values": """
+SELECT o_orderpriority,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                THEN o_totalprice END) AS approx_median,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN o_totalprice END) AS approx_p90
+FROM (
+    SELECT o_orderpriority, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+) GROUP BY o_orderpriority""",
+    }

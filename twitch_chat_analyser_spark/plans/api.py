@@ -880,6 +880,62 @@ FROM (
         FROM user_stats WHERE timestamp > 0 GROUP BY channel, username
     ) GROUP BY channel
 )""",
+        # the full channel-page payload: long-format union of the message
+        # series + each visualized emote series, cumulative with the
+        # pre-window base, resampled per series (mirrors the Spark plan
+        # stage for stage; same interpolation SQL as b15_*_multi)
+        "channel_page_single_plan": f"""{c},
+allseries AS (
+    SELECT 'messages' AS series, timestamp, CAST(messages AS DOUBLE) AS v
+    FROM channel_stats WHERE channel = '{CHANNEL}'
+    UNION ALL
+    SELECT emote AS series, timestamp, CAST(occurrences AS DOUBLE) AS v
+    FROM emote_stats WHERE channel = '{CHANNEL}'
+      AND emote IN ({', '.join(f"'{e}'" for e in VIS_EMOTES)})
+),
+base AS (
+    SELECT series, sum(v) AS b FROM allseries
+    WHERE timestamp > 0 AND timestamp < {START_MS} GROUP BY series
+),
+cum AS (
+    SELECT i.series, i.timestamp,
+           coalesce(b.b, 0.0) + sum(i.v) OVER (PARTITION BY i.series
+               ORDER BY i.timestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM allseries i LEFT JOIN base b USING (series)
+    WHERE i.timestamp >= {START_MS} AND i.timestamp <= {END_MS}
+),
+grid AS (SELECT * FROM (VALUES {grid_values}) g(t)),
+sk AS (SELECT DISTINCT series FROM cum),
+u AS (
+    SELECT s.series, g.t AS ts, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+    FROM sk s CROSS JOIN grid g
+    UNION ALL
+    SELECT series, timestamp AS ts, value AS v, 0 AS is_grid FROM cum
+),
+filled AS (
+    SELECT series, ts, is_grid,
+        max(CASE WHEN is_grid = 0 THEN ts END) OVER w_before AS before_ts,
+        last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER w_before AS before_v,
+        min(CASE WHEN is_grid = 0 THEN ts END) OVER w_after AS after_ts,
+        first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER w_after AS after_v,
+        min(CASE WHEN is_grid = 0 THEN ts END) OVER w_all AS first_ts,
+        max(CASE WHEN is_grid = 0 THEN ts END) OVER w_all AS last_ts
+    FROM u
+    WINDOW
+      w_before AS (PARTITION BY series ORDER BY ts, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_after AS (PARTITION BY series ORDER BY ts, is_grid
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+      w_all AS (PARTITION BY series)
+)
+SELECT series, ts AS timestamp,
+    CAST(CASE WHEN ts <= first_ts THEN coalesce(before_v, after_v)
+              WHEN ts >= last_ts THEN coalesce(after_v, before_v)
+              WHEN before_ts = ts THEN before_v
+              ELSE round(before_v + (ts - before_ts) / (after_ts - before_ts) * (after_v - before_v))
+         END AS BIGINT) AS value
+FROM filled WHERE is_grid = 1""",
         "b18_pct_of_total": f"""{c}
 SELECT username, occurrences,
        CAST(100.0 AS DOUBLE) * occurrences / sum(occurrences) OVER () AS pct,

@@ -233,8 +233,8 @@ def _query_groups() -> list[dict[str, QueryFn]]:
         dict(analytics.ANALYTICS_QUERIES),
         dict(sqlviews.SQL_QUERIES),
         dict(subqueries.SUBQUERY_QUERIES),
-        dict(sketches.SKETCH_QUERIES),  # rows-only (sketch estimates)
-        dict(graph.GRAPH_QUERIES),  # rows-only (iterative fixpoint)
+        dict(sketches.SKETCH_QUERIES),  # HLL entry rows-only (estimates)
+        dict(graph.GRAPH_QUERIES),  # oracles: recursive CTE / unrolled
         dict(frequency.FREQUENCY_QUERIES),
         dict(zorder.ZORDER_QUERIES),
         dict(behavior.BEHAVIOR_QUERIES),
@@ -275,9 +275,11 @@ def oracle_sql() -> dict[str, str]:
     from .plans import subqueries
 
     out.update(subqueries.subquery_oracles())
-    from .operators import frequency
+    from .operators import frequency, graph, sketches
 
     out.update(frequency.frequency_oracles())
+    out.update(graph.graph_oracles())
+    out.update(sketches.sketch_oracles())
     from .operators import behavior, profiling, scd, zorder
 
     out.update(zorder.zorder_oracles())
