@@ -211,6 +211,41 @@ def test_q22_global_avg_broadcast_and_anti_join(spark, sf_dir):
     assert "Python" not in plan
 
 
+def _partitionless_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) whose FIRST argument is a sort item
+    (ASC/DESC) has no partition spec — every row funnels through one
+    WindowExec partition."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first = m.group(1).split(",")[0]
+        if "ASC" in first or "DESC" in first:
+            out.append(m.group(0))
+    return out
+
+
+@pytest.mark.parametrize(
+    "name", ["b18_pct_of_total", "user_activity_quartiles"]
+)
+def test_total_order_ranks_are_distributed(spark, sf_dir, name):
+    """Full-result rankings (B18 percentage-of-total, quartiles) must
+    use the two-phase distributed rank: a _pid-partitioned window over
+    range-partitioned data, never a partition-less WindowExec over the
+    user rows. The range-partitioned frame must be materialized once
+    (localCheckpoint -> ExistingRDD scan) so the counts and rank
+    branches can't observe different sampled partition boundaries."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()[name](spark, sf_dir))
+    bad = _partitionless_windows(plan)
+    assert not bad, f"{name} has partition-less window(s): {bad}"
+    assert "ExistingRDD" in plan, (
+        f"{name}: range-partitioned frame not materialized — counts and "
+        "ranks may see different RangePartitioner boundary samples"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [

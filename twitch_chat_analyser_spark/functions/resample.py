@@ -26,11 +26,13 @@ series (one channel's window buckets — thousands of rows), never on raw
 events; for many-series batch resampling, partition the window by the
 series key instead.
 
-Driver-side branches (count-dependent, MainController.php:598-624):
-empty series -> two default points; ``numPoints >= n`` -> returned
-as-is (never up-samples); zero-span window -> two points 60 s apart.
-These need one cheap ``count()`` action on an already-tiny series —
-the serving path is interactive, so this is fine.
+Count-dependent branches (MainController.php:598-624): empty series ->
+two default points; ``numPoints >= n`` -> returned as-is (never
+up-samples); zero-span window -> two points 60 s apart. With explicit
+bounds these fold INTO the plan (three union branches gated by a
+broadcast 1-row count) so a resample is a single Spark job; only the
+bounds-free call — dynamic grid, error contract on empty input — pays
+a driver action.
 """
 
 from __future__ import annotations
@@ -216,32 +218,64 @@ def resample_time_series(
 ) -> DataFrame:
     """Full PHP-parity entry point including the count-dependent branches
     (MainController.php:598-624). ``series`` must have columns
-    (timestamp BIGINT ms, value_col) and be unique per timestamp."""
+    (timestamp BIGINT ms, value_col) and be unique per timestamp.
+
+    With explicit bounds (every dashboard call — the window is a request
+    parameter) this is ONE Spark job: the grid is static, and the
+    count-dependent branches (empty -> two defaults; ``num_points >= n``
+    -> passthrough; else interpolate) are folded into one plan as three
+    union branches gated by a broadcast 1-row count — the same
+    scalar-broadcast shape as the rolling-sums ``now`` anchor
+    (plans/api.py b13). Without bounds the grid itself depends on the
+    data extrema and the empty-series contract is an ERROR, so that path
+    keeps one cheap driver action on the already-reduced series."""
     spark = series.sparkSession
     if num_points < 2:
         num_points = 2
-    # one small action on the already-aggregated series (serving path)
-    stats = series.agg(
-        F.count("*").alias("n"),
-        F.min("timestamp").alias("first_ts"),
-        F.max("timestamp").alias("last_ts"),
-    ).collect()[0]
-    n = stats["n"]
     schema = T.StructType(
         [
             T.StructField("timestamp", T.LongType()),
             T.StructField(value_col, T.LongType()),
         ]
     )
-    if n == 0:
-        if start is None or end is None:
+    if start is None or end is None:
+        stats = series.agg(
+            F.count("*").alias("n"),
+            F.min("timestamp").alias("first_ts"),
+            F.max("timestamp").alias("last_ts"),
+        ).collect()[0]
+        if stats["n"] == 0:
             raise ValueError("empty series and no start/end given")
-        return spark.createDataFrame([(start, 0), (end, 0)], schema)
-    if num_points >= n:  # never up-sample
-        return series.orderBy("timestamp").select("timestamp", value_col)
-    start = start if start is not None else stats["first_ts"]
-    end = end if end is not None else stats["last_ts"]
+        if num_points >= stats["n"]:  # never up-sample
+            return series.orderBy("timestamp").select("timestamp", value_col)
+        start = start if start is not None else stats["first_ts"]
+        end = end if end is not None else stats["last_ts"]
+    # static bounds from here on: branch conditions use the ORIGINAL
+    # num_points (PHP checks upsampling before the zero-span adjustment)
+    g_start, g_end, g_np = start, end, num_points
     if end - start == 0:
-        end = start + 60_000
-        num_points = 2
-    return interpolate_on_grid(series, resample_grid(start, end, num_points), value_col)
+        g_end = start + 60_000
+        g_np = 2
+    n_df = series.agg(F.count("*").alias("_n"))
+    defaults = spark.createDataFrame([(start, 0), (end, 0)], schema)
+    as_is = series.select(
+        "timestamp", F.col(value_col).cast("long").alias(value_col)
+    )
+    interp = interpolate_on_grid(
+        series, resample_grid(g_start, g_end, g_np), value_col
+    )
+    picked = (
+        defaults.crossJoin(F.broadcast(n_df))
+        .filter(F.col("_n") == 0)
+        .unionByName(
+            as_is.crossJoin(F.broadcast(n_df)).filter(
+                (F.col("_n") > 0) & (F.col("_n") <= num_points)
+            )
+        )
+        .unionByName(
+            interp.crossJoin(F.broadcast(n_df)).filter(
+                F.col("_n") > num_points
+            )
+        )
+    )
+    return picked.select("timestamp", value_col).orderBy("timestamp")

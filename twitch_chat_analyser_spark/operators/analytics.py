@@ -50,35 +50,41 @@ def window_deltas(fact: DataFrame, dims: list[str], value_col: str) -> DataFrame
     )
 
 
-def user_quartiles(user_totals: DataFrame, buckets: int = QUARTILES) -> DataFrame:
-    """ntile bucketing of users into activity quartiles by total message
-    count (leaderboard percentile bands) — DISTRIBUTED exact ntile, no
-    single-partition window anywhere.
+def global_row_number(
+    df: DataFrame, order: list, out: str = "rank", total_col: str | None = None
+) -> DataFrame:
+    """Distributed exact global ``row_number`` over ``order`` — the
+    two-phase rank every total-ordering operator here shares: range-
+    partition on the sort key (partition p's keys all precede p+1's),
+    rank WITHIN each partition (WindowExec with a partition key —
+    per-partition sorts only), then add each partition's prefix offset.
+    Offsets come from the per-partition counts via a triangular join
+    over ~numPartitions rows (broadcast, no window); with ``total_col``
+    the total row count rides along from the same tiny aggregate.
 
-    Classic two-phase global rank: range-partition on the sort key
-    (range partitioner guarantees partition p's keys all precede
-    partition p+1's), rank WITHIN each partition (WindowExec with a
-    partition key — per-partition sorts only), then add each
-    partition's prefix offset. Offsets come from the per-partition
-    counts via a triangular join over ~numPartitions rows (broadcast,
-    no window), the total row count from the same tiny aggregate.
-    The bucket index applies ntile's exact semantics — the first
-    ``n % buckets`` buckets take ``floor(n/buckets) + 1`` rows — in
-    all-integer arithmetic, so the result is bit-identical to
-    ``ntile()`` and the oracle stays plain SQL.
+    The range-partitioned frame is MATERIALIZED (eager localCheckpoint)
+    before the counts/ranks branches: RangePartitioner SAMPLES its
+    boundaries per evaluation, so both branches must observe one
+    materialization — exchange reuse is an optimizer courtesy, not a
+    guarantee, and ``spark_partition_id`` is nondeterministic so a
+    CacheManager entry would never be re-matched (it would only leak).
+    Same iterative-hygiene pattern as graph.connected_components.
 
-    Deterministic tie-break on username keeps the assignment stable.
-
-    -> username, messages, quartile
+    -> *df.columns, <out> [, <total_col>]
     """
-    key = [F.desc("messages"), F.asc("username")]
+    # lazy checkpoints: materialize (with storage) inside the consuming
+    # action — no separate job — and every later stage reads the SAME
+    # stored partitions. The INPUT is checkpointed too because a range
+    # exchange runs a boundary-SAMPLING pass over its child before the
+    # shuffle: un-materialized, the whole upstream would execute twice.
     local = (
-        user_totals.repartitionByRange(*key)
+        df.localCheckpoint(eager=False)
+        .repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lrn",
-            F.row_number().over(Window.partitionBy("_pid").orderBy(*key)),
-        )
+        .localCheckpoint(eager=False)
+    )
+    ranked = local.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
     )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     prior = (
@@ -87,8 +93,31 @@ def user_quartiles(user_totals: DataFrame, buckets: int = QUARTILES) -> DataFram
         .groupBy(F.col("a._pid").alias("_pid"))
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
     )
-    total = counts.agg(F.sum("_cnt").alias("_n"))
-    rn = F.col("_lrn") + F.col("_offset")
+    out_df = ranked.join(F.broadcast(prior), "_pid").withColumn(
+        out, (F.col("_lrn") + F.col("_offset")).cast("int")
+    )
+    if total_col:
+        total = counts.agg(F.sum("_cnt").alias(total_col))
+        out_df = out_df.crossJoin(F.broadcast(total))
+    return out_df.drop("_pid", "_lrn", "_offset")
+
+
+def user_quartiles(user_totals: DataFrame, buckets: int = QUARTILES) -> DataFrame:
+    """ntile bucketing of users into activity quartiles by total message
+    count (leaderboard percentile bands) — DISTRIBUTED exact ntile via
+    :func:`global_row_number`, no single-partition window over the user
+    rows anywhere. The bucket index applies ntile's exact semantics —
+    the first ``n % buckets`` buckets take ``floor(n/buckets) + 1``
+    rows — in all-integer arithmetic, so the result is bit-identical to
+    ``ntile()`` and the oracle stays plain SQL.
+
+    Deterministic tie-break on username keeps the assignment stable.
+
+    -> username, messages, quartile
+    """
+    key = [F.desc("messages"), F.asc("username")]
+    ranked = global_row_number(user_totals, key, out="_rn", total_col="_n")
+    rn = F.col("_rn").cast("long")
     base = F.floor(F.col("_n") / buckets)
     rem = F.col("_n") % buckets
     cut = rem * (base + 1)
@@ -97,14 +126,10 @@ def user_quartiles(user_totals: DataFrame, buckets: int = QUARTILES) -> DataFram
     ).otherwise(
         rem + F.floor((rn - cut - 1) / F.greatest(base, F.lit(1))) + 1
     )
-    return (
-        local.join(F.broadcast(prior), "_pid")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "username",
-            "messages",
-            quartile.cast("int").alias("quartile"),
-        )
+    return ranked.select(
+        "username",
+        "messages",
+        quartile.cast("int").alias("quartile"),
     )
 
 

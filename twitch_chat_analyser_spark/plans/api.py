@@ -341,33 +341,28 @@ def percentage_of_total(
     number) rather than `sum() OVER ()` — the empty-frame window form
     funnels every row through a single-partition WindowExec; the
     aggregate form is a partial+final hash agg plus a broadcast join.
-    The full ranking that follows is inherently a total order (single
-    ordered pass), bounded here by one (channel, emote) slice's user
-    count — cap with a leaderboard limit at 100 TB (the reference pages
-    it with LIMIT 1000, MainController.php:348-351)."""
+    The full ranking is a total order by contract (the reference pages
+    ALL ranked rows, MainController.php:348-360), but it is computed
+    DISTRIBUTED via analytics.global_row_number — range partition +
+    per-partition rank + broadcast prefix offsets — so no partition-less
+    WindowExec ever sees the user rows (plan-pinned in
+    test_plan_shape.py)."""
+    from ..operators.analytics import global_row_number
+
     base = user_emote_totals.filter(
         (F.col("channel") == channel) & (F.col("emote") == emote)
     )
     total = base.agg(F.sum("occurrences").alias("_total"))
-    return (
-        base.crossJoin(F.broadcast(total))
-        .select(
-            "username",
-            "occurrences",
-            # raw double, no rounding: both engines evaluate the identical
-            # IEEE expression, so values hash bit-for-bit
-            (
-                F.lit(100.0) * F.col("occurrences") / F.col("_total")
-            ).alias("pct"),
-        )
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("occurrences"), F.asc("username"))
-            ),
-        )
-        .orderBy("rank")
+    scored = base.crossJoin(F.broadcast(total)).select(
+        "username",
+        "occurrences",
+        # raw double, no rounding: both engines evaluate the identical
+        # IEEE expression, so values hash bit-for-bit
+        (F.lit(100.0) * F.col("occurrences") / F.col("_total")).alias("pct"),
     )
+    return global_row_number(
+        scored, [F.desc("occurrences"), F.asc("username")], out="rank"
+    ).orderBy("rank")
 
 
 def index_page(
