@@ -115,7 +115,13 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:5]
     )
-    compact_queries = {n: timings[n] for n in HEADLINE} | slowest
+    # tolerate a renamed/removed headline query: report what ran instead
+    # of raising KeyError after the whole suite already executed
+    missing = [n for n in HEADLINE if n not in timings]
+    if missing:
+        print(f"WARN: headline queries missing from registry: {missing}",
+              file=sys.stderr)
+    compact_queries = {n: timings[n] for n in HEADLINE if n in timings} | slowest
     line = {
         "metric": "headline_queries_total",
         "value": total,
@@ -198,31 +204,33 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         )
         n = msgs.count()
         msgs.repartition(64).write.parquet(src)
+        # DEFAULT topology (run_all = single-pass: one source scan per
+        # trigger feeding all five tables + side output) is the headline
         t0 = time.time()
         prog = sp.run_all(spark, src, out, ckpt, max_files_per_trigger=8)
         wall = time.time() - t0
-        # same workload through the one-scan-per-trigger topology
+        # the five-query compatibility topology, for comparison
         out1 = os.path.join(tmp, "out1")
         ckpt1 = os.path.join(tmp, "ckpt1")
         t0 = time.time()
-        prog1 = sp.run_all_single_pass(
+        prog1 = sp.run_all_multi_query(
             spark, src, out1, ckpt1, max_files_per_trigger=8
         )
         wall1 = time.time() - t0
         p = _percentiles(_trigger_durations(prog))
-        p1 = _percentiles(_trigger_durations([prog1]))
+        p1 = _percentiles(_trigger_durations(prog1))
         return {
             "streaming_messages": n,
             "streaming_wall_sec": round(wall, 3),
             "streaming_msgs_per_sec": round(n / wall, 1),
-            "streaming_single_pass_wall_sec": round(wall1, 3),
-            "streaming_single_pass_msgs_per_sec": round(n / wall1, 1),
             "streaming_trigger_p50_ms": p.get("p50_ms"),
             "streaming_trigger_p95_ms": p.get("p95_ms"),
             "streaming_trigger_batches_ms": p,
-            "streaming_single_pass_trigger_p50_ms": p1.get("p50_ms"),
-            "streaming_single_pass_trigger_p95_ms": p1.get("p95_ms"),
-            "streaming_single_pass_batches_ms": p1,
+            "streaming_multi_query_wall_sec": round(wall1, 3),
+            "streaming_multi_query_msgs_per_sec": round(n / wall1, 1),
+            "streaming_multi_query_trigger_p50_ms": p1.get("p50_ms"),
+            "streaming_multi_query_trigger_p95_ms": p1.get("p95_ms"),
+            "streaming_multi_query_batches_ms": p1,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -71,6 +71,83 @@ def test_encode_derives_millis_from_ts_when_absent(spark):
     assert val["timestamp"] == 1704067200123
 
 
+# ---------------------------------------------------------------------------
+# A1 reader construction, driven END-TO-END: "kafka" is a reserved
+# provider name and the connector jar/broker don't exist in this image,
+# so the kafka_stub wire twin (a Python DataSource emitting the
+# connector's EXACT record schema and wire-format bytes) lets
+# kafka_message_stream build its real reader plan — same options, same
+# downstream decode — and run it.
+# ---------------------------------------------------------------------------
+
+from twitch_chat_analyser_spark.sources.kafka_stub import (
+    WIRE_ROWS,
+    register as _register_stub,
+)
+
+
+def _kafka_stub_stream(spark):
+    return ks.kafka_message_stream(
+        spark, "stub:9092", "chat", source_format="kafka_stub"
+    )
+
+
+def test_kafka_reader_plan_runs_end_to_end(spark):
+    """A1: the reader plan kafka_message_stream constructs is runnable
+    and yields the normalized message relation — options validated
+    source-side, malformed record dropped, epoch-ms decoded."""
+    _register_stub(spark)
+    stream = _kafka_stub_stream(spark)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema] == [
+        "ts", "timestamp", "channel", "username", "message"
+    ]
+    got = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: got.extend(
+                tuple(r)
+                for r in df.select(
+                    "timestamp", "channel", "username", "message"
+                ).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == [
+        (1704067200000, "click", "u1", "spark join"),
+        (1704067210000, "view", "u2", "fast merge"),
+    ]
+
+
+def test_kafka_stream_drives_fact_pipeline_like_file_twin(spark):
+    """The decoded Kafka stream is a drop-in for the file twin: the SAME
+    fact transform (channel_stats) over the stub Kafka stream produces
+    exactly the batch aggregation of the same wire messages — the
+    stream/batch duality the file-source tests pin, over the Kafka leaf."""
+    from twitch_chat_analyser_spark.operators import aggregations as agg
+
+    _register_stub(spark)
+    stats = agg.channel_stats(_kafka_stub_stream(spark))
+    got = []
+    q = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: got.extend(tuple(r) for r in df.collect())
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wire = [json.dumps(r).encode() for r in WIRE_ROWS]
+    expected = agg.channel_stats(
+        ks.decode_messages(_kafka_frame(spark, wire))
+    ).collect()
+    assert sorted(got) == sorted(tuple(r) for r in expected)
+
+
 def test_serde_is_codegen_only(spark):
     """The serde must stay JVM-side: no BatchEvalPython / python UDF
     nodes in the plan."""

@@ -1,6 +1,9 @@
-"""Streaming semantics tests (SURVEY.md §5.3): batch/stream equivalence,
-replay idempotence (exactly-once parity with the reference's
-XAPostgresSink), and late-data upsert into old window buckets."""
+"""Streaming semantics tests (SURVEY.md §5.3) for the MULTI-QUERY
+compatibility topology (update-mode agg + SET-merge sink per fact
+table): batch/stream equivalence, replay idempotence (exactly-once
+parity with the reference's XAPostgresSink), and late-data upsert into
+old window buckets. The default single-pass topology is covered in
+test_streaming_single_pass.py."""
 
 from __future__ import annotations
 
@@ -58,7 +61,7 @@ def dirs(tmp_path):
 def test_stream_equals_batch_and_replay_is_idempotent(spark, dirs):
     src, out, ckpt = dirs
     _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
-    sp.run_all(spark, src, out, ckpt)
+    sp.run_all_multi_query(spark, src, out, ckpt)
 
     batch_expected = _sorted_rows(
         agg.channel_stats(
@@ -71,19 +74,19 @@ def test_stream_equals_batch_and_replay_is_idempotent(spark, dirs):
     assert got == batch_expected
 
     # replay with same checkpoint and no new data -> tables unchanged
-    sp.run_all(spark, src, out, ckpt)
+    sp.run_all_multi_query(spark, src, out, ckpt)
     assert _sorted_rows(_table(spark, out, "channel_stats")) == batch_expected
 
 
 def test_late_data_updates_old_bucket(spark, dirs):
     src, out, ckpt = dirs
     _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
-    sp.run_all(spark, src, out, ckpt)
+    sp.run_all_multi_query(spark, src, out, ckpt)
 
     # second file: new window for click + a LATE view event (ts before
     # everything already processed) -> must update the OLD bucket
     _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
-    sp.run_all(spark, src, out, ckpt)
+    sp.run_all_multi_query(spark, src, out, ckpt)
 
     import pyspark.sql.functions as F
 
@@ -113,7 +116,7 @@ def test_late_data_updates_old_bucket(spark, dirs):
 def test_all_five_tables_plus_side_output(spark, dirs):
     src, out, ckpt = dirs
     _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
-    sp.run_all(spark, src, out, ckpt)
+    sp.run_all_multi_query(spark, src, out, ckpt)
     q = sp.matched_messages_side_output(
         spark, sp.read_message_stream(spark, src), out, ckpt
     )

@@ -72,6 +72,16 @@ def test_single_pass_all_tables_with_totals_and_side_output(spark, dirs):
     assert _actual_tables(spark, out) == _expected_tables(spark, BATCH_1)
 
 
+def test_run_all_default_is_single_pass(spark, dirs):
+    """run_all (the default topology) produces the single-pass output —
+    totals sentinels, side output and all — and reports progress."""
+    src, out, ckpt = dirs
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    prog = sp.run_all(spark, src, out, ckpt)
+    assert _actual_tables(spark, out) == _expected_tables(spark, BATCH_1)
+    assert len(prog) == 1 and prog[0], "one query's progress records"
+
+
 def test_single_pass_late_data_accumulates_and_replay_is_idempotent(spark, dirs):
     src, out, ckpt = dirs
     _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)

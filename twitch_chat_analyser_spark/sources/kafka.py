@@ -108,17 +108,22 @@ def kafka_message_stream(
     topic: str,
     starting_offsets: str = "earliest",
     min_partitions: int | None = None,
+    source_format: str = "kafka",
 ) -> DataFrame:
     """A1: the streaming message source. Returns the same relation as
     ``decode_messages`` so every downstream pipeline is source-agnostic
     (file stream in tests, Kafka in production).
 
-    Requires the spark-sql-kafka connector jar on the classpath; not
-    exercised in this container (no broker) — the serde it composes is
-    unit-tested on static DataFrames instead.
+    The real connector needs the spark-sql-kafka jar on the classpath
+    and a broker — neither exists in this container. ``source_format``
+    swaps the provider name ONLY (every option and the whole downstream
+    decode plan is identical), which lets tests drive this exact reader
+    construction end-to-end against a Python DataSource stub that
+    emits wire-format records (tests/test_kafka_serde.py); "kafka"
+    itself is a reserved provider name that cannot be stubbed.
     """
     reader = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(source_format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)

@@ -165,15 +165,46 @@ def run_all(
     checkpoint_dir: str,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+) -> list:
+    """DEFAULT write-path topology: all five fact tables + the
+    matched-message side output from ONE streaming query scanning the
+    source once per trigger (:func:`run_all_single_pass`) — the
+    reference's actual dataflow shape, and the one that meets its 5 s
+    trigger budget (the five-query shape pays 5x source scans and
+    overruns it; see ``run_all_multi_query``).
+
+    Returns the progress records (one list per query — here a single
+    query) so callers can report per-trigger latency percentiles."""
+    return [
+        run_all_single_pass(
+            spark, source_dir, out_dir, checkpoint_dir, trigger,
+            max_files_per_trigger,
+        )
+    ]
+
+
+def run_all_multi_query(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
     watermark: str | None = None,
 ) -> list:
-    """Run all five fact pipelines over the message stream until the
-    available data is exhausted (availableNow by default — replayable,
-    resumes from the checkpoint like the reference's Kafka reprocessing
-    flow, README.md:86-101).
+    """Compatibility topology: five INDEPENDENT streaming queries (one
+    per fact table), each with its own checkpoint, update-mode streaming
+    agg and naturally idempotent SET-merge sink. Simple and
+    independently restartable — but every query re-reads the source per
+    trigger (5x scan + 5x checkpoint bookkeeping), which at the
+    reference's 5 s trigger interval overruns the budget on the bench
+    workload; :func:`run_all` (single-pass) is the default.
 
-    Returns the queries' recent progress records (one list per query)
-    so callers can report per-trigger latency percentiles."""
+    Runs until available data is exhausted (availableNow by default —
+    replayable, resumes from the checkpoint like the reference's Kafka
+    reprocessing flow, README.md:86-101).
+
+    Returns the queries' recent progress records (one list per query)."""
     stream = read_message_stream(spark, source_dir, max_files_per_trigger)
     queries = [
         start_pipeline(
