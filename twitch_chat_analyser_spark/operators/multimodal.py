@@ -6,12 +6,15 @@ bytes with built-ins; decode/feature-extract runs in Arrow-batched
 ``mapInPandas`` stages so bytes stream through Python in columnar
 batches without per-row serde.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image_stub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a deterministic fake decode
-(dimensions + channel means derived from the byte content) so the
-Spark-side plumbing — schema, batch shape, partitioning — is fully
-exercised by tests.
+The decode step is REAL for the formats the Python stdlib can parse —
+uncompressed 24-bpp BMP (``decode_bmp``, ``resize_bmp``) and 16-bit PCM
+WAV (``decode_wav``), pure ``struct``/``array`` parsing, no imaging
+libs — and exercised end-to-end over the ``binaryFile`` ingest in
+tests. Other formats (PNG/JPEG/MP3/MP4) need codec libraries absent
+from this container: for those, ``fake=True`` produces a deterministic
+fake decode (dimensions + channel means derived from the byte content)
+so the Spark-side plumbing — schema, batch shape, partitioning — stays
+fully exercised regardless of codec availability.
 
 Scale notes: binary payloads dominate row width — keep them OUT of
 shuffles: extract features first (map-side ``mapInPandas``), then
@@ -70,15 +73,67 @@ def binary_metadata(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_header(payload: bytes):
+    """Parse + validate the BMP headers we support (BITMAPINFOHEADER,
+    uncompressed 24-bpp). Returns (data_offset, width, height,
+    bottom_up, row_stride)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header version")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bpp BMP is supported")
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    bottom_up = height > 0
+    height = abs(height)
+    if data_off + row_stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    return data_off, width, height, bottom_up, row_stride
+
+
+def decode_bmp(payload: bytes):
+    """REAL stdlib image decode: uncompressed 24-bpp BMP -> dimensions +
+    per-channel means. BMP stores pixels as BGR triples in 4-byte-padded
+    rows; orientation doesn't affect channel means.
+
+    -> width, height, (mean_r, mean_g, mean_b)
+    """
+    data_off, width, height, _, row_stride = _bmp_header(payload)
+    sum_b = sum_g = sum_r = 0
+    for row in range(height):
+        base = data_off + row * row_stride
+        rowbytes = payload[base : base + width * 3]
+        sum_b += sum(rowbytes[0::3])
+        sum_g += sum(rowbytes[1::3])
+        sum_r += sum(rowbytes[2::3])
+    n = width * height
+    return width, height, (sum_r / n, sum_g / n, sum_b / n)
+
+
 def decode_image_stub(payload: bytes, fake: bool = False):
-    """Placeholder for a real image decoder (PIL/libvips not in this
-    container). ``fake=True`` derives deterministic pseudo-properties
-    from the bytes so plumbing tests have stable expectations."""
+    """Image decode entry point: the REAL stdlib BMP parser when the
+    payload is one (``decode_bmp``); other formats need an imaging
+    library absent from this container — for those, ``fake=True``
+    derives deterministic pseudo-properties from the bytes so plumbing
+    tests have stable expectations."""
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library not present in "
-            "this environment; pass fake=True for the deterministic stub"
-        )
+        try:
+            return decode_bmp(payload)
+        except ValueError as exc:
+            raise NotImplementedError(
+                f"real decode covers uncompressed 24-bpp BMP only ({exc}); "
+                "other formats need an imaging library not present in this "
+                "environment; pass fake=True for the deterministic stub"
+            ) from exc
     h = hashlib.sha256(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
@@ -128,15 +183,57 @@ AUDIO_SCHEMA = (
 )
 
 
+def decode_wav(payload: bytes):
+    """REAL stdlib audio decode: RIFF/WAVE 16-bit PCM -> sample rate,
+    duration, signal RMS. Chunk-walks the RIFF container (``fmt `` +
+    ``data``, odd-size chunks pad one byte) with ``struct``/``array``.
+
+    -> sample_rate, duration_ms, rms
+    """
+    import array
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        raise ValueError("only 16-bit PCM WAV is supported")
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) // 2 * 2])
+    n_frames = len(samples) // channels
+    duration_ms = n_frames * 1000 // rate
+    rms = (sum(s * s for s in samples) / max(1, len(samples))) ** 0.5
+    return rate, duration_ms, rms
+
+
 def audio_features_stub(payload: bytes, fake: bool = False):
-    """Placeholder for a real audio decoder (soundfile/librosa not in
-    this container). ``fake=True`` derives deterministic pseudo-features
-    from the bytes (byte-level RMS as the stand-in signal statistic)."""
+    """Audio decode entry point: the REAL stdlib WAV PCM parser when the
+    payload is one (``decode_wav``); compressed formats need an audio
+    library absent from this container — for those, ``fake=True``
+    derives deterministic pseudo-features from the bytes."""
     if not fake:
-        raise NotImplementedError(
-            "audio decoding requires an audio library not present in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
+        try:
+            return decode_wav(payload)
+        except ValueError as exc:
+            raise NotImplementedError(
+                f"real decode covers 16-bit PCM WAV only ({exc}); other "
+                "formats need an audio library not present in this "
+                "environment; pass fake=True for the deterministic stub"
+            ) from exc
     rate = 8000 + (hashlib.sha256(payload).digest()[0] % 5) * 8000
     duration_ms = max(1, len(payload) * 1000 // (rate * 2))
     rms = (sum(b * b for b in payload) / max(1, len(payload))) ** 0.5
@@ -179,16 +276,56 @@ RESIZED_SCHEMA = (
 )
 
 
+def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL stdlib resize kernel: nearest-neighbor resample of an
+    uncompressed 24-bpp BMP into a new, valid 24-bpp BMP of the target
+    geometry. Works directly in storage order (row mapping is
+    orientation-preserving), emits 4-byte-padded rows + fresh headers.
+    """
+    import struct
+
+    data_off, width, height, bottom_up, row_stride = _bmp_header(payload)
+    out_stride = (target_w * 3 + 3) & ~3
+    out_rows = bytearray()
+    pad = b"\x00" * (out_stride - target_w * 3)
+    for ty in range(target_h):
+        sy = ty * height // target_h
+        base = data_off + sy * row_stride
+        for tx in range(target_w):
+            sx = tx * width // target_w
+            out_rows += payload[base + sx * 3 : base + sx * 3 + 3]
+        out_rows += pad
+    pixel_bytes = bytes(out_rows)
+    # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+    signed_h = target_h if bottom_up else -target_h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, target_w, signed_h, 1, 24, 0,
+        len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    file_hdr = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(info) + len(pixel_bytes), 0, 0,
+        14 + len(info),
+    )
+    return file_hdr + info + pixel_bytes
+
+
 def resize_stub(payload: bytes, target_w: int, target_h: int, fake: bool = False):
-    """Placeholder for a real resize kernel. ``fake=True`` produces a
-    deterministic pseudo-thumbnail: sha256(payload||dims) repeated to
-    target_w*target_h bytes — stable content whose SIZE scales with the
-    target geometry, so batch-shape and byte-budget tests are real."""
+    """Resize entry point: the REAL nearest-neighbor BMP kernel when the
+    payload is a supported BMP (``resize_bmp``); other formats need an
+    imaging library absent from this container — for those, ``fake=True``
+    produces a deterministic pseudo-thumbnail: sha256(payload||dims)
+    repeated to target_w*target_h bytes — stable content whose SIZE
+    scales with the target geometry, so batch-shape and byte-budget
+    tests are real."""
     if not fake:
-        raise NotImplementedError(
-            "image resizing requires an imaging library not present in "
-            "this environment; pass fake=True for the deterministic stub"
-        )
+        try:
+            return resize_bmp(payload, target_w, target_h)
+        except ValueError as exc:
+            raise NotImplementedError(
+                f"real resize covers uncompressed 24-bpp BMP only ({exc}); "
+                "other formats need an imaging library not present in this "
+                "environment; pass fake=True for the deterministic stub"
+            ) from exc
     seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
     n = target_w * target_h
     return (seed * (n // len(seed) + 1))[:n]

@@ -107,6 +107,7 @@ _MIME = {
     "jpg": "image/jpeg",
     "jpeg": "image/jpeg",
     "png": "image/png",
+    "bmp": "image/bmp",
     "wav": "audio/wav",
     "mp3": "audio/mpeg",
     "mp4": "video/mp4",
