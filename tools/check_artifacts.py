@@ -1,0 +1,90 @@
+"""Artifact-contract self-check: catches registry/bench drift in-round.
+
+Checks (no SparkSession needed):
+1. ``oracle_sql()`` names == ``queries()`` names minus the ROWS_ONLY
+   allowlist (an operator without an oracle silently downgrades its
+   correctness evidence; an oracle without a query is dead weight).
+2. ROWS_ONLY entries never carry an oracle (else the allowlist lies).
+3. If ``BENCH_FULL.json`` exists: its total equals the sum of its
+   per-query timings, its query names match the registry, and every
+   headline name bench prints is present.
+
+Run standalone or via tools/check_correctness.py (the gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def check() -> list[str]:
+    import __spark_entry__ as entrymod
+    from twitch_chat_analyser_spark.registry import ROWS_ONLY
+
+    problems: list[str] = []
+    qnames = set(entrymod.queries())
+    onames = set(entrymod.oracle_sql())
+
+    missing_oracle = qnames - onames - ROWS_ONLY
+    if missing_oracle:
+        problems.append(
+            f"queries without oracle and not in ROWS_ONLY: {sorted(missing_oracle)}"
+        )
+    dead_oracles = onames - qnames
+    if dead_oracles:
+        problems.append(f"oracles without a query: {sorted(dead_oracles)}")
+    contradicted = ROWS_ONLY & onames
+    if contradicted:
+        problems.append(f"ROWS_ONLY entries that DO have oracles: {sorted(contradicted)}")
+    unknown_allow = ROWS_ONLY - qnames
+    if unknown_allow:
+        problems.append(f"ROWS_ONLY names not in queries(): {sorted(unknown_allow)}")
+
+    bench_full = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_FULL.json"
+    )
+    if os.path.isfile(bench_full):
+        with open(bench_full) as fh:
+            b = json.load(fh)
+        timings = b.get("queries", {})
+        if set(timings) != qnames:
+            problems.append(
+                "BENCH_FULL query names drifted from the registry: "
+                f"missing={sorted(qnames - set(timings))} "
+                f"extra={sorted(set(timings) - qnames)}"
+            )
+        total = round(sum(timings.values()), 3)
+        if abs(b.get("value", 0) - total) > 0.01:
+            problems.append(
+                f"BENCH_FULL total {b.get('value')} != sum of timings {total}"
+            )
+        if b.get("n_queries") != len(timings):
+            problems.append(
+                f"BENCH_FULL n_queries {b.get('n_queries')} != {len(timings)}"
+            )
+        import bench
+
+        missing_headline = [n for n in bench.HEADLINE if n not in timings]
+        if missing_headline:
+            problems.append(f"headline queries missing: {missing_headline}")
+    return problems
+
+
+def main() -> int:
+    problems = check()
+    for p in problems:
+        print(f"  ARTIFACT DRIFT: {p}")
+    print(
+        "artifact contract OK"
+        if not problems
+        else f"artifact contract: {len(problems)} problem(s)"
+    )
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

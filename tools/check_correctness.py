@@ -34,10 +34,15 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from tools.check_artifacts import check as artifact_check
     from twitch_chat_analyser_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    drift = artifact_check()
+    for p in drift:
+        print(f"  ARTIFACT DRIFT: {p}")
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
@@ -86,7 +91,9 @@ def main() -> int:
             print(f"  {name}: OK rows={len(srows)} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass at {sf_dir}")
-    return 1 if failures else 0
+    if drift:
+        print(f"artifact contract: {len(drift)} problem(s) (see top)")
+    return 1 if failures or drift else 0
 
 
 if __name__ == "__main__":

@@ -217,8 +217,17 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
     """(offset, width) of the ``max_hamming + 1`` bit blocks used for the
     pigeonhole band join. Widths differ by at most one when ``bits`` is
-    not divisible by the block count."""
+    not divisible by the block count.
+
+    ``bits`` must cover one bit per block: a zero-width block would have
+    mask ``(1 << 0) - 1 = 0``, making every document agree on it — the
+    equi-join degenerates to an all-pairs product on a constant key."""
     nblocks = max_hamming + 1
+    if bits < nblocks:
+        raise ValueError(
+            f"simhash bits={bits} must be >= max_hamming + 1 = {nblocks}: "
+            "zero-width pigeonhole blocks would join all pairs"
+        )
     base, rem = divmod(bits, nblocks)
     out, off = [], 0
     for i in range(nblocks):
@@ -289,6 +298,14 @@ def ngram_jaccard_pairs(
     the DuckDB oracle), exactly as in :func:`minhash_dedup_pairs` — the
     quadratic within-block join is gone; every join here is an
     equi-join whose key space is uniform by construction.
+
+    RECALL: a pair reaches the top-N only if it shares >= 1 of the
+    ``num_hashes`` minhash slots; for shingle-Jaccard ``s`` that is
+    ``P[candidate] = 1 - (1 - s)^num_hashes`` (~0.83 at s=0.2, ~0.996 at
+    s=0.5 with the default 8 slots) — the standard LSH trade: a highly
+    similar pair absent from every slot is silently missed, so the
+    "top-N most similar" is over CANDIDATES, not all pairs. Raise
+    ``num_hashes`` to push recall toward 1.
 
     -> doc_a, doc_b, jaccard
     """

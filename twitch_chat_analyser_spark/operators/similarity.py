@@ -268,6 +268,14 @@ def embedding_dedup_pairs(
     Candidate generation is part of the operator contract (the DuckDB
     oracle mirrors the same banding).
 
+    RECALL: a pair is a candidate only if it agrees on ALL bits of at
+    least one band; with per-plane agreement ``p = 1 - theta/pi``
+    (random-hyperplane LSH) that is ``1 - (1 - p^band_bits)^n_bands`` —
+    near-parallel vectors (p -> 1) are caught with high probability,
+    but a similar-yet-not-near-duplicate pair can miss every band: the
+    "most similar" ranking is over candidates, not all pairs. More
+    planes in more bands push recall up at bounded bucket sizes.
+
     -> vec_a, vec_b, cos_sim
     """
     vecs = as_double_vec(embeddings)

@@ -24,6 +24,12 @@ from .operators import aggregations as agg
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Queries with no DuckDB oracle BY DESIGN: HLL estimates are
+# sketch-implementation-specific, so only a rows-only check is possible.
+# Every other queries() entry MUST carry an oracle — enforced by
+# tools/check_artifacts.py (run inside the correctness gate).
+ROWS_ONLY = frozenset({"sketch_distinct_chatters", "approx_distinct_chatters"})
+
 # SQL fragment: window-end epoch-ms of the 15-min tumbling window,
 # identical to aggregations.window_end_ms (reference bucket math
 # AbstractStatsAggregation.java:70-71).

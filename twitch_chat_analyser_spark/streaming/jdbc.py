@@ -11,8 +11,9 @@ generates byte-compatible DDL/DML for both merge disciplines:
 
 - ``additive``: ``SET v = t.v + EXCLUDED.v`` — pair with per-batch
   delta emission (``streaming.pipeline.start_delta_pipeline``); needs
-  batch-id idempotence on replay (the reference needs XA 2PC for the
-  same reason).
+  replay idempotence (the reference needs XA 2PC for the same reason),
+  provided by a (table, batch, partition) ledger row claimed in the
+  same transaction as the partition's upserts (``ledger_table_sql``).
 - ``set``: ``SET v = EXCLUDED.v`` — pair with update-mode cumulative
   emission (``streaming.pipeline.start_pipeline``); naturally
   idempotent, no transaction coordination needed (design D3).
@@ -108,6 +109,30 @@ def upsert_sql(table: str, mode: str = "additive") -> str:
     )
 
 
+LEDGER_TABLE = "_stream_applied_partitions"
+
+
+def ledger_table_sql() -> str:
+    """DDL for the replay ledger — run at job setup alongside the fact
+    DDL (:func:`create_table_sql`). One row per successfully committed
+    (table, batch, partition)."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {LEDGER_TABLE}("
+        "table_name VARCHAR(64) NOT NULL, batch_id BIGINT NOT NULL, "
+        "partition_id INT NOT NULL, "
+        "PRIMARY KEY(table_name, batch_id, partition_id))"
+    )
+
+
+def ledger_claim_sql() -> str:
+    """Claim statement: inserts the (table, batch, partition) marker, or
+    affects 0 rows if a prior attempt already committed it."""
+    return (
+        f"INSERT INTO {LEDGER_TABLE}(table_name, batch_id, partition_id) "
+        "VALUES (%s, %s, %s) ON CONFLICT DO NOTHING"
+    )
+
+
 def _pg_connect(dsn: str):  # pragma: no cover - driver not in image
     import psycopg2
 
@@ -115,15 +140,39 @@ def _pg_connect(dsn: str):  # pragma: no cover - driver not in image
 
 
 def _write_partition(
-    rows, connection_factory: Callable, sql: str, names: list[str], batch_size: int
+    rows,
+    connection_factory: Callable,
+    sql: str,
+    names: list[str],
+    batch_size: int,
+    ledger_key: tuple[str, int] | None = None,
 ) -> None:
     """Executor-side partition writer: one connection per partition,
     executemany in ``batch_size`` chunks (reference batch size 100,
     AbstractStatsAggregation.java:154), one commit per partition —
-    partition-atomic like the reference's per-flush transaction."""
+    partition-atomic like the reference's per-flush transaction.
+
+    With ``ledger_key`` (table, batch_id) the partition's ledger marker
+    is claimed INSIDE the same transaction as its upserts: a Spark task
+    retry after a successful commit — or a whole foreachBatch replay —
+    finds the marker already present (claim affects 0 rows) and skips,
+    so the non-idempotent additive upsert is applied exactly once per
+    (batch, partition). This is the partition-granular version of the
+    atomicity the reference buys with XA 2PC (XAPostgresSink.java:
+    122-175); the SET-merge discipline doesn't need it (replays are
+    naturally idempotent)."""
     conn = connection_factory()
     try:
         cur = conn.cursor()
+        if ledger_key is not None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            cur.execute(ledger_claim_sql(), (ledger_key[0], ledger_key[1], pid))
+            if getattr(cur, "rowcount", 1) == 0:
+                conn.rollback()  # a completed prior attempt owns this partition
+                return
         buf: list[tuple] = []
         for r in rows:
             buf.append(tuple(r[n] for n in names))
@@ -175,5 +224,8 @@ class JdbcSink:
             sql=upsert_sql(self.table, self.mode),
             names=names,
             batch_size=self.batch_size,
+            # additive upserts are not idempotent -> ledger-guard each
+            # partition; SET-merge replays are no-ops by construction
+            ledger_key=(self.table, batch_id) if self.mode == "additive" else None,
         )
         batch_df.select(*names).foreachPartition(writer)
