@@ -63,11 +63,15 @@ def warm(spark: SparkSession, sf_dir: str) -> None:
         dedup.lsh_candidate_pairs(
             dedup.minhash_signatures(docs, llmops.NUM_HASHES, llmops.SHINGLE_K)
         ),
+        # unsorted: the sorted dedup_minhash_lsh plan CONTAINS this as a
+        # subtree (Sort over the cached relation), and the clusters query
+        # consumes it order-free — one cache entry serves both
         dedup.minhash_dedup_pairs(
             docs,
             llmops.NUM_HASHES,
             llmops.SHINGLE_K,
             llmops.MINHASH_JACCARD_THRESHOLD,
+            sort=False,
         ),
         # cast+norm projection shared by the whole ANN family
         similarity.as_double_vec(emb),

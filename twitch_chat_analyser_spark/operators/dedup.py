@@ -158,9 +158,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.2,
+    sort: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: candidates from LSH buckets,
     verified with exact token-set Jaccard, thresholded.
+
+    ``sort=False`` skips the presentation ORDER BY — consumers that
+    re-aggregate the pairs (connected components) shouldn't pay a global
+    sort for an order they immediately destroy.
 
     -> doc_a, doc_b, jaccard
     """
@@ -169,13 +174,13 @@ def minhash_dedup_pairs(
     toks = docs.select(
         "doc_id", F.array_distinct(tokens()).alias("tok_set")
     )
-    return (
+    pairs = (
         cands.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok_set": "ta"}), "doc_a")
         .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok_set": "tb"}), "doc_b")
         .select("doc_a", "doc_b", token_jaccard("ta", "tb").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
+    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

@@ -66,42 +66,48 @@ def connected_components(
     ``(src, dst)``. Converges when labels stop changing (checked with a
     cheap aggregate per round, driver-side loop — the standard Spark
     iterative-algorithm shape). Edge sets under ``small_graph_edges``
-    short-circuit to driver-side union-find (see SMALL_GRAPH_EDGES).
+    (raw, pre-symmetrization count) short-circuit to driver-side
+    union-find (see SMALL_GRAPH_EDGES).
 
     -> node, component (the minimum node id in the component)
     """
     # label(node) = min neighbor-or-self, iterated to fixpoint with
     # pointer jumping (path halving) so rounds are O(log diameter),
     # not O(diameter).
-    # Materialize the RAW edge list first: the symmetrizing union below
-    # references `edges` in BOTH branches, so an un-materialized upstream
-    # lineage (e.g. the minhash pair computation) would execute twice.
-    # Then materialize the symmetric list too — every iteration (and
-    # every convergence check) joins against it.
+    # Materialize the RAW edge list first: everything below (the
+    # small-graph decision, the symmetrizing union's two branches)
+    # reads it, so an un-materialized upstream lineage (e.g. the minhash
+    # pair computation) would execute repeatedly.
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        # union-find is direction-agnostic: collect the RAW edges and
+        # skip the symmetrize+distinct pass entirely (it exists only for
+        # the distributed label-propagation joins)
+        labels = _driver_union_find(
+            [(r["src"], r["dst"]) for r in edges.collect()]
+        )
+        return spark.createDataFrame(
+            sorted(labels.items()), "node long, component long"
+        )
+    # distributed path: materialize the symmetric list — every iteration
+    # (and every convergence check) joins against it. Right-size the
+    # per-round shuffles: component iterations run on the EDGE set
+    # (pairs), far smaller than the corpus — at test scale 32-way
+    # shuffles are pure overhead per round, at scale the cap keeps full
+    # width.
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # right-size the per-round shuffles: component iterations run on the
-    # EDGE set (pairs), which is far smaller than the corpus — at test
-    # scale 32-way shuffles are pure overhead per round, at scale the
-    # cap keeps full width
-    spark = edges.sparkSession
-    n_edges = sym.count()
-    if n_edges <= small_graph_edges:
-        labels = _driver_union_find(
-            [(r["a"], r["b"]) for r in sym.collect()]
-        )
-        return spark.createDataFrame(
-            sorted(labels.items()), "node long, component long"
-        )
+    n_sym = sym.count()
     default_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    n_parts = max(1, min(default_parts, n_edges // 20_000 + 1))
+    n_parts = max(1, min(default_parts, n_sym // 20_000 + 1))
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -187,7 +193,7 @@ def _q_dedup_clusters(spark, sf_dir):
     docs = ingest.load(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, llmops.NUM_HASHES, llmops.SHINGLE_K,
-        llmops.MINHASH_JACCARD_THRESHOLD,
+        llmops.MINHASH_JACCARD_THRESHOLD, sort=False,
     )
     return dedup_clusters(docs, pairs).filter(~F.col("is_survivor"))
 
