@@ -151,6 +151,7 @@ def test_sink_writes_executor_side_per_partition(spark, tmp_path):
         mode="additive",
         batch_size=3,
         connection_factory=_recording_factory(out_dir),
+        num_partitions=4,  # pinned replay-stable write parallelism
     )
     rows = [(f"ch{i % 4}", i * 1000, i) for i in range(40)]
     df = spark.createDataFrame(
@@ -183,6 +184,41 @@ def test_sink_writes_executor_side_per_partition(spark, tmp_path):
     assert len(claimed_pids) == len(files)  # distinct partition ids
     # every input row written exactly once, none via the driver
     assert sorted(seen) == sorted(rows)
+
+
+def test_additive_partition_assignment_is_replay_stable(spark, tmp_path):
+    """The ledger's exactly-once guarantee requires identical
+    row->partition assignment across replays: two runs of the same batch
+    must produce the same (partition_id -> rows) mapping, independent of
+    the input's incoming partitioning."""
+    import json
+
+    def run(tag, df):
+        out_dir = str(tmp_path / tag)
+        os.makedirs(out_dir, exist_ok=True)
+        sink = jdbc.JdbcSink(
+            dsn="unused",
+            table="channel_stats",
+            mode="additive",
+            connection_factory=_recording_factory(out_dir),
+            num_partitions=8,
+        )
+        sink(df, batch_id=3)
+        mapping = {}
+        for f in os.listdir(out_dir):
+            with open(os.path.join(out_dir, f)) as fh:
+                rec = json.load(fh)
+            pid = rec["claims"][0]["params"][2]
+            mapping[pid] = sorted(
+                tuple(r) for s in rec["stmts"] for r in s["rows"]
+            )
+        return mapping
+
+    rows = [(f"ch{i % 5}", i * 1000, i) for i in range(30)]
+    schema = "channel string, timestamp long, messages long"
+    a = run("a", spark.createDataFrame(rows, schema).repartition(4))
+    b = run("b", spark.createDataFrame(rows, schema).coalesce(1))
+    assert a == b
 
 
 def test_sink_replay_skips_applied_partitions(spark, tmp_path):

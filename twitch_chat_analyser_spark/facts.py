@@ -39,41 +39,61 @@ _WARMED: set[tuple[str, str]] = set()
 
 
 def warm(spark: SparkSession, sf_dir: str) -> None:
-    """Idempotent per (session, sf_dir): mark the shared chat relations
-    cacheable. Lazy — nothing materializes until a query touches it."""
+    """Idempotent per (session, sf_dir): mark the shared relations
+    cacheable. Lazy — nothing materializes until a query touches it.
+    Each relation family is guarded independently: a dataset carrying
+    only the chat tables (no documents/embeddings) still warms the chat
+    facts, and a failed registration never poisons the others — the
+    cache is an optimization, absence of a table is the query's own
+    error to raise."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _WARMED:
         return
     _WARMED.add(key)
     from .operators import dedup, llmops, similarity
 
-    msgs = ingest.messages(spark, sf_dir)
-    emotes = dims.emotes_df(spark)
-    docs = ingest.load(spark, sf_dir, "documents")
-    emb = ingest.load(spark, sf_dir, "embeddings")
-    for df in (
-        msgs,
-        agg.channel_stats(msgs),
-        agg.user_stats(msgs),
-        agg.emote_stats(msgs, emotes),
-        agg.user_emote_stats(msgs, emotes),
-        agg.phrase_stats(msgs, dims.phrases_df(spark)),
-        # shared dedup machinery: three registry queries (minhash, ngram,
-        # connected-clusters) derive from the same MinHash band join
-        dedup.lsh_candidate_pairs(
-            dedup.minhash_signatures(docs, llmops.NUM_HASHES, llmops.SHINGLE_K)
-        ),
-        # unsorted: the sorted dedup_minhash_lsh plan CONTAINS this as a
-        # subtree (Sort over the cached relation), and the clusters query
-        # consumes it order-free — one cache entry serves both
-        dedup.minhash_dedup_pairs(
-            docs,
-            llmops.NUM_HASHES,
-            llmops.SHINGLE_K,
-            llmops.MINHASH_JACCARD_THRESHOLD,
-            sort=False,
-        ),
+    def chat():
+        msgs = ingest.messages(spark, sf_dir)
+        emotes = dims.emotes_df(spark)
+        return [
+            msgs,
+            agg.channel_stats(msgs),
+            agg.user_stats(msgs),
+            agg.emote_stats(msgs, emotes),
+            agg.user_emote_stats(msgs, emotes),
+            agg.phrase_stats(msgs, dims.phrases_df(spark)),
+        ]
+
+    def documents():
+        docs = ingest.load(spark, sf_dir, "documents")
+        return [
+            # shared dedup machinery: three registry queries (minhash,
+            # ngram, connected-clusters) derive from this band join
+            dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(
+                    docs, llmops.NUM_HASHES, llmops.SHINGLE_K
+                )
+            ),
+            # unsorted: the sorted dedup_minhash_lsh plan CONTAINS this
+            # as a subtree (Sort over the cached relation), and the
+            # clusters query consumes it order-free — one entry, both
+            dedup.minhash_dedup_pairs(
+                docs,
+                llmops.NUM_HASHES,
+                llmops.SHINGLE_K,
+                llmops.MINHASH_JACCARD_THRESHOLD,
+                sort=False,
+            ),
+        ]
+
+    def embeddings():
         # cast+norm projection shared by the whole ANN family
-        similarity.as_double_vec(emb),
-    ):
-        df.cache()
+        emb = ingest.load(spark, sf_dir, "embeddings")
+        return [similarity.as_double_vec(emb)]
+
+    for family in (chat, documents, embeddings):
+        try:
+            for df in family():
+                df.cache()
+        except Exception:
+            continue  # partial dataset: skip this family's cache

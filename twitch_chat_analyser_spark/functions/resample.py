@@ -247,7 +247,12 @@ def resample_time_series(
         if stats["n"] == 0:
             raise ValueError("empty series and no start/end given")
         if num_points >= stats["n"]:  # never up-sample
-            return series.orderBy("timestamp").select("timestamp", value_col)
+            # same long cast as the static-bounds passthrough branch:
+            # the contract is an integral series, and both entry paths
+            # must return identical values for identical inputs
+            return series.orderBy("timestamp").select(
+                "timestamp", F.col(value_col).cast("long").alias(value_col)
+            )
         start = start if start is not None else stats["first_ts"]
         end = end if end is not None else stats["last_ts"]
     # static bounds from here on: branch conditions use the ORIGINAL

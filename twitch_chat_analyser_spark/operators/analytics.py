@@ -62,13 +62,15 @@ def global_row_number(
     over ~numPartitions rows (broadcast, no window); with ``total_col``
     the total row count rides along from the same tiny aggregate.
 
-    The range-partitioned frame is MATERIALIZED (eager localCheckpoint)
-    before the counts/ranks branches: RangePartitioner SAMPLES its
-    boundaries per evaluation, so both branches must observe one
-    materialization — exchange reuse is an optimizer courtesy, not a
-    guarantee, and ``spark_partition_id`` is nondeterministic so a
-    CacheManager entry would never be re-matched (it would only leak).
-    Same iterative-hygiene pattern as graph.connected_components.
+    The range-partitioned frame is materialized ONCE (lazy
+    localCheckpoint — stored on first compute inside the consuming
+    action, then shared by every branch/stage) before the counts/ranks
+    branches: RangePartitioner SAMPLES its boundaries per evaluation, so
+    both branches must observe one materialization — exchange reuse is
+    an optimizer courtesy, not a guarantee, and ``spark_partition_id``
+    is nondeterministic so a CacheManager entry would never be
+    re-matched (it would only leak). Same iterative-hygiene pattern as
+    graph.connected_components.
 
     -> *df.columns, <out> [, <total_col>]
     """
@@ -93,8 +95,11 @@ def global_row_number(
         .groupBy(F.col("a._pid").alias("_pid"))
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
     )
+    # rank stays LONG: _lrn is a per-partition int, but the global rank
+    # exceeds 2^31 exactly at the scales this operator exists for;
+    # callers with an int contract (row_number parity) cast at the edge
     out_df = ranked.join(F.broadcast(prior), "_pid").withColumn(
-        out, (F.col("_lrn") + F.col("_offset")).cast("int")
+        out, (F.col("_lrn") + F.col("_offset")).cast("long")
     )
     if total_col:
         total = counts.agg(F.sum("_cnt").alias(total_col))

@@ -210,8 +210,8 @@ def decode_wav(payload: bytes):
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_fmt != 1 or bits != 16 or channels < 1:
-        raise ValueError("only 16-bit PCM WAV is supported")
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate < 1:
+        raise ValueError("only 16-bit PCM WAV with a positive rate is supported")
     samples = array.array("h")
     samples.frombytes(data[: len(data) // 2 * 2])
     n_frames = len(samples) // channels

@@ -360,9 +360,15 @@ def percentage_of_total(
         # IEEE expression, so values hash bit-for-bit
         (F.lit(100.0) * F.col("occurrences") / F.col("_total")).alias("pct"),
     )
-    return global_row_number(
-        scored, [F.desc("occurrences"), F.asc("username")], out="rank"
-    ).orderBy("rank")
+    return (
+        global_row_number(
+            scored, [F.desc("occurrences"), F.asc("username")], out="rank"
+        )
+        # row_number() parity at the API edge (reference renders int
+        # ranks); the helper itself keeps the rank long for scale
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("rank")
+    )
 
 
 def index_page(

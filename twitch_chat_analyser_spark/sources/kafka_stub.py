@@ -54,9 +54,11 @@ class KafkaStubStreamReader(SimpleDataSourceStreamReader):
         return {"offset": 0}
 
     def read(self, start):
-        if start["offset"] == 0:
-            return (wire_records(), {"offset": len(wire_records())})
-        return ([], start)
+        recs = wire_records()
+        pos = start["offset"]
+        # honor partial offsets: a restart from a mid-topic checkpoint
+        # must replay the remaining records, not silently drop them
+        return (recs[pos:], {"offset": len(recs)})
 
 
 class KafkaStub(DataSource):
@@ -81,8 +83,10 @@ class KafkaStub(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per session."""
+    """Idempotent per session; any OTHER registration failure is real
+    and must surface here, not later as a provider-lookup error."""
     try:
         spark.dataSource.register(KafkaStub)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise

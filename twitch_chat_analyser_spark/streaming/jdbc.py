@@ -160,7 +160,13 @@ def _write_partition(
     (batch, partition). This is the partition-granular version of the
     atomicity the reference buys with XA 2PC (XAPostgresSink.java:
     122-175); the SET-merge discipline doesn't need it (replays are
-    naturally idempotent)."""
+    naturally idempotent).
+
+    VALID ONLY IF row->partition assignment is reproducible across
+    replays — which the caller guarantees by hash-repartitioning the
+    batch on the table's key with a PINNED partition count (JdbcSink
+    does this; session shuffle settings and AQE coalescing must never
+    decide these partition ids)."""
     conn = connection_factory()
     try:
         cur = conn.cursor()
@@ -197,6 +203,12 @@ class JdbcSink:
 
     ``connection_factory`` is an injection seam (tests substitute a
     recording connection; production default is psycopg2 over ``dsn``).
+
+    ``num_partitions`` pins the additive mode's write parallelism: the
+    batch is hash-repartitioned on the table's primary key with this
+    EXPLICIT count, so a replayed batch reproduces the identical
+    row->partition assignment regardless of session shuffle settings or
+    AQE — the invariant the per-partition replay ledger depends on.
     """
 
     dsn: str
@@ -204,6 +216,7 @@ class JdbcSink:
     mode: str = "additive"
     batch_size: int = 100
     connection_factory: Callable | None = None
+    num_partitions: int = 32
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         factory = self.connection_factory
@@ -216,16 +229,23 @@ class JdbcSink:
                     "in this environment — use the parquet merge sink instead"
                 ) from e
             factory = functools.partial(_pg_connect, self.dsn)
-        cols, _ = FACT_TABLES[self.table]
+        cols, pk = FACT_TABLES[self.table]
         names = [c for c, _ in cols]
+        out = batch_df.select(*names)
+        ledger_key = None
+        if self.mode == "additive":
+            # additive upserts are not idempotent -> ledger-guard each
+            # partition, and make partition ids replay-stable by hash
+            # partitioning on the key with a pinned count (see
+            # _write_partition); SET-merge replays are no-ops as-is
+            ledger_key = (self.table, batch_id)
+            out = out.repartition(self.num_partitions, *pk)
         writer = functools.partial(
             _write_partition,
             connection_factory=factory,
             sql=upsert_sql(self.table, self.mode),
             names=names,
             batch_size=self.batch_size,
-            # additive upserts are not idempotent -> ledger-guard each
-            # partition; SET-merge replays are no-ops by construction
-            ledger_key=(self.table, batch_id) if self.mode == "additive" else None,
+            ledger_key=ledger_key,
         )
-        batch_df.select(*names).foreachPartition(writer)
+        out.foreachPartition(writer)

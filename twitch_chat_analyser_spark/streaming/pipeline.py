@@ -165,6 +165,7 @@ def run_all(
     checkpoint_dir: str,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    watermark: str | None = None,
 ) -> list:
     """DEFAULT write-path topology: all five fact tables + the
     matched-message side output from ONE streaming query scanning the
@@ -173,8 +174,24 @@ def run_all(
     trigger budget (the five-query shape pays 5x source scans and
     overruns it; see ``run_all_multi_query``).
 
+    ``watermark`` routes to the multi-query topology: bounding streaming
+    state is an update-mode feature — the single-pass plan is stateless
+    (per-batch deltas accumulate in the store) and needs none.
+
+    MIGRATION: the two topologies differ in checkpoint layout AND merge
+    discipline (journaled additive deltas + sentinel totals vs
+    idempotent SET-merge). An existing deployment must keep the topology
+    its checkpoints/output were created with — switching against a
+    populated out_dir reprocesses from offset zero into already-merged
+    tables. Start a new out_dir/checkpoint_dir to change topology.
+
     Returns the progress records (one list per query — here a single
     query) so callers can report per-trigger latency percentiles."""
+    if watermark is not None:
+        return run_all_multi_query(
+            spark, source_dir, out_dir, checkpoint_dir, trigger,
+            max_files_per_trigger, watermark,
+        )
     return [
         run_all_single_pass(
             spark, source_dir, out_dir, checkpoint_dir, trigger,
@@ -350,9 +367,10 @@ def run_all_single_pass(
     consumer fans out into five aggregation dataflows plus a side output
     (EmoteAnalyser.java:65-151), the stream is consumed once.
 
-    ``run_all`` (above) runs five queries, each re-reading the source —
-    simple, independently restartable, but at 100 TB/day of replay that
-    is 5x the source scan and 5x the checkpoint bookkeeping. Here each
+    ``run_all_multi_query`` runs five queries, each re-reading the
+    source — simple, independently restartable, but at 100 TB/day of
+    replay that is 5x the source scan and 5x the checkpoint
+    bookkeeping. Here (the default behind ``run_all``) each
     micro-batch is persisted once and every fact transform runs against
     the cached batch (batch-mode duality D4), so per trigger the source
     is scanned exactly once; the per-batch deltas land through the
