@@ -271,10 +271,14 @@ def _q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum of per-window counts == total count: fold the two-level
+    # aggregation (window buckets, then users) into ONE groupBy over the
+    # message stream — same result as the oracle's SUM over user_stats,
+    # half the aggregation work
     totals = (
-        agg.user_stats(ingest.messages(spark, sf_dir))
+        ingest.messages(spark, sf_dir)
         .groupBy("username")
-        .agg(F.sum("messages").alias("messages"))
+        .agg(F.count("*").alias("messages"))
     )
     return user_quartiles(totals)
 
