@@ -128,3 +128,76 @@ def test_decontamination_flags_overlapping_docs(spark):
         for r in decontamination(docs, [0, 1]).collect()
     }
     assert out == {2: 1, 4: 2}
+
+
+# --- global_row_number: the distributed total-order rank -------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=5),  # heavy ties on purpose
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_global_row_number_equals_plain_row_number(spark, vals):
+    """Property: the two-phase distributed rank (range partition ->
+    per-partition rank -> prefix offsets) is bit-identical to a plain
+    partition-less row_number over the same order, ties included."""
+    from pyspark.sql import Window
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["rank"]
+        for r in analytics.global_row_number(df, order, out="rank").collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_total_col(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(25)], "id long, v long")
+    out = analytics.global_row_number(
+        df, [F.asc("v"), F.asc("id")], out="rn", total_col="n"
+    ).collect()
+    assert {r["n"] for r in out} == {25}
+    assert sorted(r["rn"] for r in out) == list(range(1, 26))
+
+
+def test_resample_static_bounds_builds_without_driver_actions(spark):
+    """The folded resample contract: with explicit bounds, CONSTRUCTING
+    the plan runs ZERO Spark jobs — the count-dependent branches live in
+    the plan, not in a driver-side collect (the pre-fix code ran a
+    stats job per call before the real query). One action then computes
+    the result (AQE may stage that action into several internal jobs)."""
+    from twitch_chat_analyser_spark.functions.resample import (
+        resample_time_series,
+    )
+
+    series = spark.createDataFrame(
+        [(i * 1000, i * 3) for i in range(50)], "timestamp long, v long"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("resample-build", "plan-construction probe")
+    try:
+        plan = resample_time_series(series, "v", 10, 0, 49_000)
+    finally:
+        sc.setJobGroup(None, None)
+    build_jobs = sc.statusTracker().getJobIdsForGroup("resample-build")
+    assert build_jobs == [], f"plan construction ran jobs: {build_jobs}"
+    assert len(plan.collect()) == 10  # and the plan actually answers
