@@ -20,6 +20,12 @@ Layout
 - ``plans``      Read-path dashboard/API queries (SURVEY §2.B).
 - ``functions``  Scalar/series helpers (time math, resample-interpolate).
 - ``streaming``  Structured Streaming wrapper + exactly-once sinks.
+- ``facts``      Serving-layer cache of the shared fact relations
+                 (plan-equality substitution; used by the driver entry).
+- ``sources``    Kafka wire serde (+ testable wire-twin stub), file
+                 formats, binaryFile media ingest, dim maintenance.
+- ``registry``   queries()/oracle_sql() — every operator paired with its
+                 DuckDB oracle (ROWS_ONLY = the two HLL estimates).
 """
 
 __version__ = "0.1.0"

@@ -95,5 +95,13 @@ def warm(spark: SparkSession, sf_dir: str) -> None:
         try:
             for df in family():
                 df.cache()
-        except Exception:
-            continue  # partial dataset: skip this family's cache
+        except Exception as exc:
+            # partial dataset: skip this family's cache — queries over
+            # the missing tables will raise their own (clearer) error;
+            # don't let a cache optimization mask or preempt it
+            import warnings
+
+            warnings.warn(
+                f"facts.warm: skipping {family.__name__} cache ({exc})",
+                stacklevel=2,
+            )
