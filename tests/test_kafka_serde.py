@@ -92,6 +92,24 @@ def _kafka_stub_stream(spark):
     )
 
 
+def test_stub_resumes_from_partial_offset():
+    """A restart from a mid-topic checkpoint replays the REMAINING
+    records — the stub must not silently drop them."""
+    from twitch_chat_analyser_spark.sources.kafka_stub import (
+        KafkaStubStreamReader,
+        wire_records,
+    )
+
+    reader = KafkaStubStreamReader()
+    all_recs = wire_records()
+    recs, end = reader.read({"offset": 1})
+    assert recs == all_recs[1:]
+    assert end == {"offset": len(all_recs)}
+    # caught up: nothing more to emit
+    recs2, end2 = reader.read(end)
+    assert recs2 == [] and end2 == end
+
+
 def test_kafka_reader_plan_runs_end_to_end(spark):
     """A1: the reader plan kafka_message_stream constructs is runnable
     and yields the normalized message relation — options validated

@@ -56,6 +56,32 @@ def test_simhash_close_for_near_dups(docs):
     assert all(0 <= s < (1 << 16) for s in sig.values())
 
 
+def test_simhash_banded_pairs_equal_all_pairs_at_width_32(spark, docs):
+    """The pigeonhole band join is EXACT at any signature width: the
+    32-bit banded pair set equals brute-force Hamming filtering of the
+    raw signatures (the scale path widens bits; semantics must not
+    drift)."""
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
+    brute = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 6
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_dedup_pairs(docs, bits=32, max_hamming=6).collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_rejects_zero_width_blocks():
+    # bits < max_hamming + 1 would make a block mask 0 — every doc
+    # agrees on it and the equi-join degenerates to all-pairs
+    with pytest.raises(ValueError):
+        dedup.simhash_blocks(bits=3, max_hamming=3)
+
+
 def test_ngram_jaccard_blocks_by_lang_source(docs):
     out = dedup.ngram_jaccard_pairs(docs, top_n=10).collect()
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
