@@ -50,6 +50,19 @@ def warm(spark: SparkSession, sf_dir: str) -> None:
     if key in _WARMED:
         return
     _WARMED.add(key)
+    # serving-profile session tuning (performance-only, runtime-safe):
+    # AQE coalesces the tiny post-shuffle partitions small-SF serving
+    # queries produce — without it every aggregate pays a full-width
+    # task wave. No-op when the host session already enables it
+    # (session.get_spark does).
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     from .operators import dedup, llmops, similarity
 
     def chat():
