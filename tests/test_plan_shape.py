@@ -214,13 +214,18 @@ def test_q22_global_avg_broadcast_and_anti_join(spark, sf_dir):
 def _partitionless_windows(plan: str) -> list[str]:
     """windowspecdefinition(...) whose FIRST argument is a sort item
     (ASC/DESC) has no partition spec — every row funnels through one
-    WindowExec partition."""
+    WindowExec partition.
+
+    Exemption: a window ordering by the internal ``_pid`` column is the
+    distributed rank's prefix-offset cumsum over the per-partition
+    COUNTS frame — at most one row per shuffle partition, bounded by
+    configuration, not by the data (analytics.global_row_number)."""
     import re
 
     out = []
     for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
         first = m.group(1).split(",")[0]
-        if "ASC" in first or "DESC" in first:
+        if ("ASC" in first or "DESC" in first) and "_pid" not in first:
             out.append(m.group(0))
     return out
 

@@ -58,9 +58,11 @@ def global_row_number(
     partition on the sort key (partition p's keys all precede p+1's),
     rank WITHIN each partition (WindowExec with a partition key —
     per-partition sorts only), then add each partition's prefix offset.
-    Offsets come from the per-partition counts via a triangular join
-    over ~numPartitions rows (broadcast, no window); with ``total_col``
-    the total row count rides along from the same tiny aggregate.
+    Offsets are an exclusive running sum over the per-partition counts —
+    a single ordered window over ~numPartitions rows (bounded by the
+    shuffle-partition setting, NOT the data — the one place a
+    partition-less WindowExec is scale-safe); with ``total_col`` the
+    total row count rides along from the same tiny aggregate.
 
     The range-partitioned frame is materialized ONCE (lazy
     localCheckpoint — stored on first compute inside the consuming
@@ -89,11 +91,16 @@ def global_row_number(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
     )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    prior = (
-        counts.alias("a")
-        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
+    prior = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
     )
     # rank stays LONG: _lrn is a per-partition int, but the global rank
     # exceeds 2^31 exactly at the scales this operator exists for;
