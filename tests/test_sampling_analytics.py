@@ -201,3 +201,64 @@ def test_resample_static_bounds_builds_without_driver_actions(spark):
     build_jobs = sc.statusTracker().getJobIdsForGroup("resample-build")
     assert build_jobs == [], f"plan construction ran jobs: {build_jobs}"
     assert len(plan.collect()) == 10  # and the plan actually answers
+
+
+# --- round-3 additions: epoch shuffle / quality filter / group-safe split --
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark):
+    docs = _docs(spark, 300)
+    e1 = sampling.epoch_shuffle(docs, epoch=1).collect()
+    ranks = sorted(r["shuffle_rank"] for r in e1)
+    assert ranks == list(range(1, 301))  # exact 1..n permutation
+    # deterministic: same epoch -> identical order
+    again = {r["doc_id"]: r["shuffle_rank"] for r in
+             sampling.epoch_shuffle(docs, epoch=1).collect()}
+    assert again == {r["doc_id"]: r["shuffle_rank"] for r in e1}
+    # different epoch -> different permutation (md5 re-key)
+    e2 = {r["doc_id"]: r["shuffle_rank"] for r in
+          sampling.epoch_shuffle(docs, epoch=2).collect()}
+    assert e2 != again
+
+
+def test_quality_top_fraction_exact_per_source_cutoff(spark):
+    import math
+
+    # two sources with different sizes and a quality gradient: doc text
+    # repeats 'the' (a stopword) more for lower ids -> higher score
+    rows = [
+        (i, "en", "web" if i < 30 else "books",
+         ("the " * (50 - i % 50)).strip() or "zzz")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = sampling.quality_top_fraction(docs, keep_fraction=0.5).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(by_source["web"]) == math.ceil(30 * 0.5)
+    assert len(by_source["books"]) == math.ceil(20 * 0.5)
+    # the kept set IS the top-k by (score desc, doc_id): ranks are 1..k
+    for rs in by_source.values():
+        assert sorted(r["q_rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_group_safe_split_keeps_exact_duplicates_together(spark):
+    # pairs of documents with identical normalized content but distinct
+    # ids — an id-hash split could separate them; the content-hash split
+    # must not
+    rows = []
+    for i in range(100):
+        rows.append((2 * i, "en", "web", f"Some Document   {i}"))
+        rows.append((2 * i + 1, "en", "web", f"some document {i} "))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = sampling.group_safe_split(docs, 0.8).collect()
+    by_hash = {}
+    for r in out:
+        by_hash.setdefault(r["content_hash"], set()).add(r["split"])
+    assert len(by_hash) == 100  # normalization collapsed each pair
+    assert all(len(sides) == 1 for sides in by_hash.values())

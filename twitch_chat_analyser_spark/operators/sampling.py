@@ -178,6 +178,114 @@ def mixture_equalize(docs: DataFrame) -> DataFrame:
     )
 
 
+def epoch_shuffle(docs: DataFrame, epoch: int = 0) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    an exact global position for the given epoch, ordered by the md5 of
+    ``epoch:doc_id``. Re-keying per epoch gives each epoch an
+    independent permutation; the order is a pure function of (epoch,
+    doc_id) — reproducible across runs, engines, and partial reruns,
+    which RNG-based ``orderBy(rand(seed))`` is not (rand is seeded per
+    partition, so the order changes with the partitioning).
+
+    The total order is computed DISTRIBUTED via
+    ``analytics.global_row_number`` (range partition on the hash key —
+    uniform by construction, zero skew — then per-partition rank +
+    prefix offsets); no partition-less window ever sees the corpus. A
+    writer materializing the epoch order would range-partition on the
+    same key and ``sortWithinPartitions``, giving globally sorted output
+    files without a global sort.
+
+    -> doc_id, shuffle_rank (1-based BIGINT position in the epoch order)
+    """
+    from .analytics import global_row_number
+
+    key = F.md5(
+        F.concat(
+            F.lit(f"epoch{epoch}:"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    return global_row_number(
+        docs.select("doc_id").withColumn("_sk", key),
+        [F.asc("_sk"), F.asc("doc_id")],
+        out="shuffle_rank",
+    ).select("doc_id", "shuffle_rank")
+
+
+def quality_top_fraction(
+    docs: DataFrame, keep_fraction: float = 0.5
+) -> DataFrame:
+    """Per-source quality-percentile filter: keep the top
+    ``keep_fraction`` of each source's documents by heuristic quality
+    score (C4/Gopher-style cheap filtering, applied per domain so a
+    low-quality-on-average source is trimmed, not obliterated, and a
+    high-quality source isn't kept wholesale).
+
+    The cutoff is exact — ``rank <= ceil(n_source * keep_fraction)``
+    with a deterministic (score desc, doc_id) tie-break — so membership
+    is stable and engine-portable. One shuffle on ``source``; the rank
+    and the per-source count come from the SAME partitioned window, so
+    there is no second pass. Source cardinality is small and bounded; a
+    skewed giant source is an AQE skew case, not a plan change.
+
+    -> doc_id, source, quality_score, q_rank
+    """
+    from .textops import quality_score
+
+    scored = quality_score(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source")
+    rank = F.row_number().over(
+        w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    )
+    n_s = F.count("*").over(w)
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "quality_score",
+            rank.alias("q_rank"),
+            n_s.alias("_ns"),
+        )
+        .filter(
+            F.col("q_rank")
+            <= F.ceil(F.col("_ns") * F.lit(keep_fraction)).cast("long")
+        )
+        .select(
+            "doc_id", "source", "quality_score",
+            F.col("q_rank").cast("int").alias("q_rank"),
+        )
+    )
+
+
+def group_safe_split(docs: DataFrame, train_fraction: float = 0.8) -> DataFrame:
+    """Leakage-safe train/test split: the split key is the CONTENT
+    fingerprint (md5 of whitespace-normalized text), not the document
+    id — exact duplicates always land on the same side, so the test set
+    can never contain a verbatim copy of a training document (the
+    classic contamination hole in id-hash splits).
+
+    Pure narrow projection + filter (the fingerprint is already a
+    uniform hash, its prefix is the Bernoulli draw). For NEAR-duplicate
+    safety, substitute the cluster id from
+    ``graph.dedup_clusters`` as the group key — same shape, one extra
+    join.
+
+    -> doc_id, content_hash, split
+    """
+    from .dedup import norm_text
+
+    thr = hash_threshold(train_fraction)
+    fp = F.md5(norm_text())
+    return docs.select(
+        "doc_id",
+        fp.alias("content_hash"),
+        F.when(F.substring(fp, 1, 4) < thr, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry entries
 # --------------------------------------------------------------------------
@@ -185,6 +293,8 @@ def mixture_equalize(docs: DataFrame) -> DataFrame:
 SAMPLE_FRACTION = 0.25
 TRAIN_FRACTION = 0.8
 STRATA_QUOTA = 50
+SHUFFLE_EPOCH = 1
+QUALITY_KEEP_FRACTION = 0.5
 
 
 def _q_sample(spark, sf_dir):
@@ -219,19 +329,113 @@ def _q_mixture(spark, sf_dir):
     return mixture_equalize(ingest.load(spark, sf_dir, "documents"))
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    from .. import ingest
+
+    return epoch_shuffle(
+        ingest.load(spark, sf_dir, "documents"), SHUFFLE_EPOCH
+    )
+
+
+def _q_quality_filter(spark, sf_dir):
+    from .. import ingest
+
+    return quality_top_fraction(
+        ingest.load(spark, sf_dir, "documents"), QUALITY_KEEP_FRACTION
+    )
+
+
+def _q_group_safe_split(spark, sf_dir):
+    from .. import ingest
+
+    return group_safe_split(
+        ingest.load(spark, sf_dir, "documents"), TRAIN_FRACTION
+    )
+
+
 SAMPLING_QUERIES = {
     "sample_deterministic": _q_sample,
     "sample_train_test_split": _q_split,
     "sample_stratified": _q_stratified,
     "tfidf_top_terms": _q_tfidf,
     "sample_mixture_equalize": _q_mixture,
+    "sample_epoch_shuffle": _q_epoch_shuffle,
+    "sample_quality_top_fraction": _q_quality_filter,
+    "sample_group_safe_split": _q_group_safe_split,
 }
 
 
 def sampling_oracles() -> dict[str, str]:
+    from . import textops
+
     thr_sample = hash_threshold(SAMPLE_FRACTION)
     thr_train = hash_threshold(TRAIN_FRACTION)
-    return {
+    all_stop = ", ".join(
+        f"'{w}'"
+        for w in sorted(
+            {w for ws in textops.LANG_PROFILES.values() for w in ws}
+        )
+    )
+    quality_cte = f"""doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END)
+             AS BIGINT) AS stop_hits
+    FROM doc_tokens GROUP BY doc_id
+),
+qbase AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+        CAST(length(text)
+             - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+             AS BIGINT) AS punct_chars
+    FROM documents
+),
+quality AS (
+    SELECT b.doc_id,
+        CAST(p.stop_hits AS DOUBLE) / p.n_tokens * 0.4
+          - CAST(b.punct_chars AS DOUBLE) / b.n_chars_text * 0.3
+          + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3
+          AS quality_score
+    FROM qbase b JOIN per_doc p USING (doc_id)
+)"""
+    extra = {
+        "sample_epoch_shuffle": f"""
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY md5('epoch{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)),
+                    doc_id
+       ) AS shuffle_rank
+FROM documents""",
+        "sample_quality_top_fraction": f"""
+WITH {quality_cte},
+ranked AS (
+    SELECT d.doc_id, d.source, q.quality_score,
+        CAST(row_number() OVER w AS INT) AS q_rank,
+        count(*) OVER (PARTITION BY d.source) AS n_s
+    FROM documents d JOIN quality q USING (doc_id)
+    WINDOW w AS (PARTITION BY d.source
+                 ORDER BY q.quality_score DESC, d.doc_id ASC)
+)
+SELECT doc_id, source, quality_score, q_rank
+FROM ranked
+WHERE q_rank <= CAST(ceil(n_s * {QUALITY_KEEP_FRACTION}) AS BIGINT)""",
+        "sample_group_safe_split": f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash
+    FROM documents
+)
+SELECT doc_id, content_hash,
+       CASE WHEN substr(content_hash, 1, 4) < '{thr_train}'
+            THEN 'train' ELSE 'test' END AS split
+FROM fp""",
+    }
+    return extra | {
         "sample_deterministic": f"""
 SELECT doc_id, lang, source FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thr_sample}'""",
