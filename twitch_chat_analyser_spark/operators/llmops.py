@@ -21,7 +21,7 @@ from . import dedup, similarity, textops
 NUM_HASHES = 8
 SHINGLE_K = 3
 MINHASH_JACCARD_THRESHOLD = 0.2
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 NGRAM_TOP_N = 20
 EMB_TOP_N = 20
