@@ -351,3 +351,30 @@ def test_bm25_semantics(spark):
     # tf saturation + length normalization: doc 1 (tf=3, short) beats
     # doc 2 (tf=1, long) for the same term
     assert out[1]["bm25"] > out[2]["bm25"] > 0
+
+
+def test_sq8_full_expand_equals_brute_force(vecs):
+    # expand covering the whole corpus -> candidate set = everything ->
+    # the exact re-rank must reproduce brute force verbatim
+    a = similarity.brute_force_topk(vecs, [0, 2], k=3).collect()
+    b = similarity.sq8_topk(vecs, [0, 2], k=3, expand=10).collect()
+    ka = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in a]
+    kb = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in b]
+    assert ka == kb
+    for ra, rb in zip(a, b):
+        # re-rank runs on full-precision vectors: scores are EXACT
+        assert ra["cos_sim"] == rb["cos_sim"]
+
+
+def test_sq8_codes_are_bytes_and_recon_bounded(vecs):
+    v = similarity.as_double_vec(vecs)
+    enc = similarity.sq8_encode(v, similarity.sq8_codebook(v)).collect()
+    for r in enc:
+        assert all(0 <= c <= 255 for c in r["codes"])
+        # midpoint dequantization stays within half a quantization step
+        # of the original in every dimension
+        for x, y in zip(r["v"], r["recon"]):
+            assert abs(x - y) <= 0.51 * max(
+                1e-12, (max(max(rr["v"]) for rr in enc)
+                        - min(min(rr["v"]) for rr in enc)) / 255
+            ) + 1e-9

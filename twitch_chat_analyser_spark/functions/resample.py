@@ -147,6 +147,11 @@ def interpolate_on_grid_multi(
         [(t,) for t in grid],
         T.StructType([T.StructField("timestamp", T.LongType())]),
     )
+    # the input feeds TWO branches (the key-set for the grid cross join
+    # and the union's sample side); materialize it once — lazy
+    # localCheckpoint stores it inside the consuming action, so the
+    # upstream (often a full fact derivation) never evaluates twice
+    series = series.localCheckpoint(eager=False)
     keys = series.select(*dims).distinct()
     u = keys.crossJoin(grid_df).select(
         *dims,

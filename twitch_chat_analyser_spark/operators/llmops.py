@@ -32,6 +32,8 @@ ANN_K = 5
 IVF_CENTROIDS = 8
 IVF_K = 3
 LSH_PLANES = 8
+SQ8_EXPAND = 4
+EMB_DIM = 64  # embeddings table vector width (TESTDATA.md)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +91,12 @@ def _q_ann_blas(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, LSH_PLANES, IVF_K)
+
+
+def _q_ann_sq8(spark, sf_dir):
+    return similarity.sq8_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, SQ8_EXPAND
+    )
 
 
 def _q_ann_ivf_kmeans(spark, sf_dir):
@@ -438,6 +446,7 @@ LLM_QUERIES = {
     "ann_lsh_topk": _q_ann_lsh,
     "ann_blas_topk": _q_ann_blas,
     "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
+    "ann_sq8_topk": _q_ann_sq8,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
     "text_token_counts": _q_token_counts,
@@ -634,6 +643,60 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
     SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
     FROM scored
+) WHERE rank <= {ANN_K}""",
+        # scalar-quantized ANN: identical quantize/reconstruct
+        # expression trees (midpoint dequantization), candidate window
+        # mirrored, exact re-rank — hash-matches bit-for-bit
+        "ann_sq8_topk": f"""
+WITH {_EMB_CTES},
+d AS (
+    SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+    FROM emb, generate_series(1, {EMB_DIM}) t(i) GROUP BY i
+),
+cb AS (
+    SELECT list(mn ORDER BY i) AS mins,
+           list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END
+                ORDER BY i) AS scales
+    FROM d
+),
+enc AS (
+    SELECT vec_id,
+           [CAST(least(greatest(floor((p[1] - p[2]) / p[3]), 0), 255)
+                 AS SMALLINT)
+            FOR p IN list_zip(v, mins, scales)] AS codes
+    FROM emb, cb
+),
+recon AS (
+    SELECT vec_id,
+           [p[3] + (CAST(p[1] AS DOUBLE) + 0.5) * p[2]
+            FOR p IN list_zip(codes, scales, mins)] AS r
+    FROM enc, cb
+),
+rn AS (SELECT vec_id, r, sqrt(list_dot_product(r, r)) AS r_nrm FROM recon),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm FROM emb
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
+approx AS (
+    SELECT query_id, rn.vec_id AS neighbor_id,
+           {_cos('qv', 'r', 'q_nrm', 'r_nrm')} AS a_sim
+    FROM rn, q WHERE rn.vec_id != q.query_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY a_sim DESC, neighbor_id) AS rr
+        FROM approx
+    ) WHERE rr <= {SQ8_EXPAND * ANN_K}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT c.query_id, c.neighbor_id,
+           {_cos('q.qv', 'e.v', 'q.q_nrm', 'e.nrm')} AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_cos('q.qv', 'e.v', 'q.q_nrm', 'e.nrm')} DESC,
+                        c.neighbor_id) AS INT) AS rank
+    FROM cand c
+    JOIN emb e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
 ) WHERE rank <= {ANN_K}""",
         "ann_ivf_topk": f"""
 WITH {_EMB_CTES},
