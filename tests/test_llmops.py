@@ -378,3 +378,16 @@ def test_sq8_codes_are_bytes_and_recon_bounded(vecs):
                 1e-12, (max(max(rr["v"]) for rr in enc)
                         - min(min(rr["v"]) for rr in enc)) / 255
             ) + 1e-9
+
+
+def test_ivf_sq8_full_expand_equals_ivf(vecs):
+    # same centroid pruning; with expand covering the whole cell the SQ
+    # candidate window is a no-op and the exact re-rank must reproduce
+    # the full-precision IVF probe verbatim
+    a = similarity.ivf_topk(vecs, [2], num_centroids=3, k=4).collect()
+    b = similarity.ivf_sq8_topk(
+        vecs, [2], num_centroids=3, k=4, expand=10
+    ).collect()
+    ka = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in a]
+    kb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in b]
+    assert ka == kb

@@ -99,6 +99,12 @@ def _q_ann_sq8(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_sq8(spark, sf_dir):
+    return similarity.ivf_sq8_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, IVF_CENTROIDS, IVF_K, SQ8_EXPAND
+    )
+
+
 def _q_ann_ivf_kmeans(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     trained = similarity.kmeans_centroids(emb, k=IVF_CENTROIDS, iterations=2)
@@ -447,6 +453,7 @@ LLM_QUERIES = {
     "ann_blas_topk": _q_ann_blas,
     "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
     "ann_sq8_topk": _q_ann_sq8,
+    "ann_ivf_sq8_topk": _q_ann_ivf_sq8,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
     "text_token_counts": _q_token_counts,
@@ -723,6 +730,73 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
     SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
     FROM scored
+) WHERE rank <= {IVF_K}""",
+        # IVF probe + scalar-quantized scoring + exact re-rank: the
+        # composed index layout; assignment, quantization, candidate
+        # window, and re-rank all mirrored expression-for-expression
+        "ann_ivf_sq8_topk": f"""
+WITH {_EMB_CTES},
+centroids AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS c_nrm FROM emb
+              WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+    SELECT vec_id, v, nrm, centroid_id FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos('e.v', 'c.cv', 'e.nrm', 'c.c_nrm')} DESC,
+                            c.centroid_id) AS rn
+        FROM emb e, centroids c
+    ) WHERE rn = 1
+),
+d AS (
+    SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+    FROM emb, generate_series(1, {EMB_DIM}) t(i) GROUP BY i
+),
+cb AS (
+    SELECT list(mn ORDER BY i) AS mins,
+           list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END
+                ORDER BY i) AS scales
+    FROM d
+),
+enc AS (
+    SELECT vec_id, centroid_id,
+           [CAST(least(greatest(floor((p[1] - p[2]) / p[3]), 0), 255)
+                 AS SMALLINT)
+            FOR p IN list_zip(v, mins, scales)] AS codes
+    FROM assigned, cb
+),
+recon AS (
+    SELECT vec_id, centroid_id,
+           [p[3] + (CAST(p[1] AS DOUBLE) + 0.5) * p[2]
+            FOR p IN list_zip(codes, scales, mins)] AS r
+    FROM enc, cb
+),
+rn AS (SELECT vec_id, centroid_id, r, sqrt(list_dot_product(r, r)) AS r_nrm
+       FROM recon),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm, centroid_id
+      FROM assigned WHERE vec_id < {len(ANN_QUERY_IDS)}),
+approx AS (
+    SELECT q.query_id, rn.vec_id AS neighbor_id,
+           {_cos('q.qv', 'rn.r', 'q.q_nrm', 'rn.r_nrm')} AS a_sim
+    FROM rn JOIN q USING (centroid_id)
+    WHERE rn.vec_id != q.query_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY a_sim DESC, neighbor_id) AS rr
+        FROM approx
+    ) WHERE rr <= {SQ8_EXPAND * IVF_K}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT c.query_id, c.neighbor_id,
+           {_cos('q.qv', 'e.v', 'q.q_nrm', 'e.nrm')} AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_cos('q.qv', 'e.v', 'q.q_nrm', 'e.nrm')} DESC,
+                        c.neighbor_id) AS INT) AS rank
+    FROM cand c
+    JOIN emb e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
 ) WHERE rank <= {IVF_K}""",
         "ann_lsh_topk": f"""
 WITH {_EMB_CTES},

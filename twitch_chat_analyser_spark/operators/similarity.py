@@ -573,3 +573,93 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_sq8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    num_centroids: int = 8,
+    k: int = 3,
+    expand: int = 4,
+) -> DataFrame:
+    """The production ANN composition: IVF prunes WHICH vectors are
+    scored (a query probes only its centroid's inverted list), scalar
+    quantization cuts the cost of scoring each one (the probe scans
+    8-bit codes, not float64), and an exact full-precision re-rank of
+    the ``expand * k`` surviving candidates restores accuracy — the
+    IVF-SQ index layout every large vector store ships.
+
+    Assignment runs on full-precision vectors (index build time — paid
+    once); the probe path touches only quantized data until the final
+    re-rank fetch. At 100 TB the corpus table is partitioned by
+    ``centroid_id`` storing ``codes``; a probe is a partition-pruned
+    scan of ~N/C code rows (1/8th the bytes), plus ``Q * expand * k``
+    full-precision row fetches.
+
+    Candidate recall is the product of the two stages' contracts: a true
+    neighbor outside the probed cell (IVF) or outside the expand window
+    (SQ) is missed — both mirrored exactly in the oracle.
+
+    -> query_id, neighbor_id, cos_sim, rank
+    """
+    vecs = as_double_vec(embeddings)
+    centroids = vecs.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("c"),
+        F.col("v_nrm").alias("c_nrm"),
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "v_nrm", "centroid_id",
+            cosine("v", "c").alias("cos_c"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(v, v_nrm, centroid_id),"
+                " struct(cos_c, -centroid_id)) AS best"
+            )
+        )
+        .select("vec_id", "best.v", "best.v_nrm", "best.centroid_id")
+    )
+    enc = sq8_encode(assigned, sq8_codebook(vecs))
+    queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("v_nrm").alias("q_nrm"),
+        "centroid_id",
+    )
+    approx = (
+        enc.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "recon", "recon_nrm", "centroid_id",
+        )
+        .join(F.broadcast(queries), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine("q", "recon").alias("a_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("a_sim"), "neighbor_id")
+    cands = (
+        approx.withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") <= expand * k)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        cands.join(
+            vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "v_nrm"),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(queries.drop("centroid_id")), "query_id"
+        )
+        .select("query_id", "neighbor_id", cosine("q", "v").alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
