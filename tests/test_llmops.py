@@ -391,3 +391,28 @@ def test_ivf_sq8_full_expand_equals_ivf(vecs):
     ka = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in a]
     kb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in b]
     assert ka == kb
+
+
+def test_emb_dim_matches_testdata(spark, sf_dir):
+    # the sq8 oracles hardcode the vector width into generate_series;
+    # this pins it to the actual driver testdata so a width change
+    # fails loudly instead of silently breaking oracle parity
+    from twitch_chat_analyser_spark import ingest
+
+    width = ingest.load(spark, sf_dir, "embeddings").select(
+        F.size("embedding").alias("w")
+    ).distinct().collect()
+    assert [r["w"] for r in width] == [llmops.EMB_DIM]
+
+
+def test_sq8_constant_dimension_reconstructs_exactly(spark):
+    # a constant dim must quantize to code 0 and reconstruct to exactly
+    # its value (true scale 0), not value + 0.5 (the quantize divisor's
+    # 1.0 fallback must never leak into reconstruction)
+    rows = [(i, [float(i), 7.25, float(-i)], 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    v = similarity.as_double_vec(df)
+    enc = similarity.sq8_encode(v, similarity.sq8_codebook(v)).collect()
+    for r in enc:
+        assert r["codes"][1] == 0
+        assert r["recon"][1] == 7.25

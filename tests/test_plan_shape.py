@@ -225,7 +225,9 @@ def _partitionless_windows(plan: str) -> list[str]:
     out = []
     for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
         first = m.group(1).split(",")[0]
-        if ("ASC" in first or "DESC" in first) and "_pid" not in first:
+        if ("ASC" in first or "DESC" in first) and not first.strip().startswith(
+            "_pid#"
+        ):
             out.append(m.group(0))
     return out
 

@@ -33,7 +33,9 @@ IVF_CENTROIDS = 8
 IVF_K = 3
 LSH_PLANES = 8
 SQ8_EXPAND = 4
-EMB_DIM = 64  # embeddings table vector width (TESTDATA.md)
+EMB_DIM = 64  # embeddings vector width in the driver testdata (pinned by
+# tests/test_llmops.py::test_emb_dim_matches_testdata — the sq8 oracles
+# hardcode it into generate_series; a width change must fail loudly)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +512,47 @@ def _cos(a: str, b: str, a_nrm: str, b_nrm: str) -> str:
     return f"list_dot_product({a}, {b}) / ({a_nrm} * {b_nrm})"
 
 
+def quality_sql_parts() -> tuple[str, str]:
+    """Shared quality-score SQL: (base_ctes, score_expr).
+
+    ``base_ctes`` defines ``doc_tokens`` / ``per_doc`` (alias ``p``) /
+    ``qbase`` (alias ``b``); ``score_expr`` is the 0.4/0.3/0.3 linear
+    combination mirroring ``textops.quality_score``'s expression tree
+    exactly. SINGLE source of truth for every oracle that scores
+    quality (text_quality_score, corpus_prep, sampling's
+    quality_top_fraction) — the formula must never fork between them.
+    """
+    all_stop = ", ".join(
+        f"'{w}'"
+        for w in sorted(
+            {w for ws in textops.LANG_PROFILES.values() for w in ws}
+        )
+    )
+    base = f"""doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+        CAST(sum(length(token)) AS BIGINT) AS token_chars
+    FROM doc_tokens GROUP BY doc_id
+),
+qbase AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+             AS BIGINT) AS punct_chars
+    FROM documents
+)"""
+    score = (
+        "CAST(p.stop_hits AS DOUBLE) / p.n_tokens * 0.4\n"
+        "      - CAST(b.punct_chars AS DOUBLE) / b.n_chars_text * 0.3\n"
+        "      + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3"
+    )
+    return base, score
+
+
 def _simhash_sql() -> str:
     """Per-doc simhash CTE mirroring dedup.simhash bit-for-bit."""
     sums = []
@@ -542,6 +585,22 @@ def llm_oracles() -> dict[str, str]:
         for w in sorted({w for ws in textops.LANG_PROFILES.values() for w in ws})
     )
     bpe = textops.BPE_ISH
+    q_base, q_score = quality_sql_parts()
+    # shared SQ8 quantization CTEs (both sq8 oracles): true per-dim
+    # scale (0 for constant dims -> reconstruction is exactly mn) and
+    # the total quantize divisor (1.0 fallback), mirroring
+    # similarity.sq8_codebook/sq8_encode expression-for-expression
+    sq8_cb = f"""d AS (
+    SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+    FROM emb, generate_series(1, {EMB_DIM}) t(i) GROUP BY i
+),
+cb AS (
+    SELECT list(mn ORDER BY i) AS mins,
+           list((mx - mn) / 255.0 ORDER BY i) AS scales,
+           list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END
+                ORDER BY i) AS qscales
+    FROM d
+)"""
     out = {
         "dedup_exact": """
 WITH hashed AS (
@@ -656,21 +715,12 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
         # mirrored, exact re-rank — hash-matches bit-for-bit
         "ann_sq8_topk": f"""
 WITH {_EMB_CTES},
-d AS (
-    SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
-    FROM emb, generate_series(1, {EMB_DIM}) t(i) GROUP BY i
-),
-cb AS (
-    SELECT list(mn ORDER BY i) AS mins,
-           list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END
-                ORDER BY i) AS scales
-    FROM d
-),
+{sq8_cb},
 enc AS (
     SELECT vec_id,
            [CAST(least(greatest(floor((p[1] - p[2]) / p[3]), 0), 255)
                  AS SMALLINT)
-            FOR p IN list_zip(v, mins, scales)] AS codes
+            FOR p IN list_zip(v, mins, qscales)] AS codes
     FROM emb, cb
 ),
 recon AS (
@@ -747,21 +797,12 @@ assigned AS (
         FROM emb e, centroids c
     ) WHERE rn = 1
 ),
-d AS (
-    SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
-    FROM emb, generate_series(1, {EMB_DIM}) t(i) GROUP BY i
-),
-cb AS (
-    SELECT list(mn ORDER BY i) AS mins,
-           list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END
-                ORDER BY i) AS scales
-    FROM d
-),
+{sq8_cb},
 enc AS (
     SELECT vec_id, centroid_id,
            [CAST(least(greatest(floor((p[1] - p[2]) / p[3]), 0), 255)
                  AS SMALLINT)
-            FOR p IN list_zip(v, mins, scales)] AS codes
+            FOR p IN list_zip(v, mins, qscales)] AS codes
     FROM assigned, cb
 ),
 recon AS (
@@ -843,31 +884,13 @@ SELECT d.doc_id, d.lang,
        en_hits, de_hits, fr_hits
 FROM hits h JOIN documents d USING (doc_id)""",
         "text_quality_score": f"""
-WITH doc_tokens AS (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
-    FROM documents
-),
-per_doc AS (
-    SELECT doc_id,
-        CAST(count(*) AS BIGINT) AS n_tokens,
-        CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
-        CAST(sum(length(token)) AS BIGINT) AS token_chars
-    FROM doc_tokens GROUP BY doc_id
-),
-base AS (
-    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
-        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-             AS BIGINT) AS punct_chars
-    FROM documents
-)
+WITH {q_base}
 SELECT b.doc_id, b.n_chars_text, p.n_tokens,
     CAST(p.stop_hits AS DOUBLE) / p.n_tokens AS stopword_ratio,
     CAST(b.punct_chars AS DOUBLE) / b.n_chars_text AS punct_ratio,
     CAST(p.token_chars AS DOUBLE) / p.n_tokens AS avg_token_len,
-    CAST(p.stop_hits AS DOUBLE) / p.n_tokens * 0.4
-      - CAST(b.punct_chars AS DOUBLE) / b.n_chars_text * 0.3
-      + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3 AS quality_score
-FROM base b JOIN per_doc p USING (doc_id)""",
+    {q_score} AS quality_score
+FROM qbase b JOIN per_doc p USING (doc_id)""",
         "text_token_counts": f"""
 SELECT doc_id,
     CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
@@ -919,23 +942,10 @@ FROM sessioned GROUP BY user_id, session_id""",
         + """
 SELECT channel, count(*) AS messages FROM messages GROUP BY channel""",
         "corpus_prep": f"""
-WITH doc_tokens AS (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
-    FROM documents
-),
-per_doc AS (
-    SELECT doc_id,
-        CAST(count(*) AS BIGINT) AS n_tokens,
-        CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
-    FROM doc_tokens GROUP BY doc_id
-),
+WITH {q_base},
 scored AS (
-    SELECT d.doc_id,
-        CAST(p.stop_hits AS DOUBLE) / p.n_tokens * 0.4
-          - CAST(length(d.text) - length(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g'))
-                 AS DOUBLE) / length(d.text) * 0.3
-          + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3 AS quality_score
-    FROM documents d JOIN per_doc p USING (doc_id)
+    SELECT b.doc_id, {q_score} AS quality_score
+    FROM qbase b JOIN per_doc p USING (doc_id)
 ),
 kept AS (
     SELECT d.* FROM documents d

@@ -366,40 +366,16 @@ SAMPLING_QUERIES = {
 
 
 def sampling_oracles() -> dict[str, str]:
-    from . import textops
+    from .llmops import quality_sql_parts
 
     thr_sample = hash_threshold(SAMPLE_FRACTION)
     thr_train = hash_threshold(TRAIN_FRACTION)
-    all_stop = ", ".join(
-        f"'{w}'"
-        for w in sorted(
-            {w for ws in textops.LANG_PROFILES.values() for w in ws}
-        )
-    )
-    quality_cte = f"""doc_tokens AS (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
-    FROM documents
-),
-per_doc AS (
-    SELECT doc_id,
-        CAST(count(*) AS BIGINT) AS n_tokens,
-        CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END)
-             AS BIGINT) AS stop_hits
-    FROM doc_tokens GROUP BY doc_id
-),
-qbase AS (
-    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
-        CAST(length(text)
-             - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-             AS BIGINT) AS punct_chars
-    FROM documents
-),
+    # single source of truth for the quality formula (llmops shares it
+    # with text_quality_score and corpus_prep)
+    q_base, q_score = quality_sql_parts()
+    quality_cte = f"""{q_base},
 quality AS (
-    SELECT b.doc_id,
-        CAST(p.stop_hits AS DOUBLE) / p.n_tokens * 0.4
-          - CAST(b.punct_chars AS DOUBLE) / b.n_chars_text * 0.3
-          + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3
-          AS quality_score
+    SELECT b.doc_id, {q_score} AS quality_score
     FROM qbase b JOIN per_doc p USING (doc_id)
 )"""
     extra = {

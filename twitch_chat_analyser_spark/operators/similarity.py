@@ -90,6 +90,58 @@ def brute_force_topk(
     )
 
 
+def _assign_to_centroids(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment shared by the IVF family: broadcast
+    the (small) codebook, argmax by cosine via ``max_by`` in a hash
+    aggregate — partial+final, map-side combinable; the window form
+    would shuffle AND sort all N x C scored rows. Tie-break: max cos,
+    then min centroid_id (must stay in lockstep with the oracles).
+
+    -> vec_id, v, v_nrm, centroid_id
+    """
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "v_nrm", "centroid_id",
+            cosine("v", "c").alias("cos_c"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(v, v_nrm, centroid_id),"
+                " struct(cos_c, -centroid_id)) AS best"
+            )
+        )
+        .select("vec_id", "best.v", "best.v_nrm", "best.centroid_id")
+    )
+
+
+def _exact_rerank(
+    cands: DataFrame, vecs: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Full-precision re-rank of an approximate candidate set
+    (query_id, neighbor_id): fetch the original vectors by id, score
+    exact cosine, keep top-k per query. Ordering (cos desc,
+    neighbor_id) must stay in lockstep with the oracles.
+
+    -> query_id, neighbor_id, cos_sim, rank
+    """
+    rescored = (
+        cands.join(
+            vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "v_nrm"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries.select("query_id", "q", "q_nrm")), "query_id")
+        .select("query_id", "neighbor_id", cosine("q", "v").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -116,25 +168,7 @@ def ivf_topk(
         centroids = centroids.withColumn(
             "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
         )
-    # argmax via max_by in a hash aggregate (partial+final, map-side
-    # combinable) instead of a row_number window: the window form
-    # shuffles AND sorts all N x C scored rows by vec_id; max_by reduces
-    # them map-side. Tie-break identical: max cos_c, then min centroid.
-    assigned = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "v_nrm", "centroid_id",
-            cosine("v", "c").alias("cos_c"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(struct(v, v_nrm, centroid_id),"
-                " struct(cos_c, -centroid_id)) AS best"
-            )
-        )
-        .select("vec_id", "best.v", "best.v_nrm", "best.centroid_id")
-    )
+    assigned = _assign_to_centroids(vecs, centroids)
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q"),
@@ -444,12 +478,16 @@ def ann_topk_blas(
 
 def sq8_codebook(vecs: DataFrame) -> DataFrame:
     """Per-dimension scalar-quantization codebook: one row with the
-    per-dim minimum and the 256-level scale ``(max - min) / 255``
-    (constant dims get scale 1.0 so the division is total). Computed as
-    a posexplode + (pos)-keyed aggregate — D group keys regardless of
-    corpus size — then reassembled in dim order.
+    per-dim minimum, the true 256-level scale ``(max - min) / 255``
+    (0 for a constant dim), and the quantize DIVISOR ``qscales`` (the
+    same scale with constant dims mapped to 1.0 so the division is
+    total — their codes are all 0 and reconstruction uses the TRUE
+    scale, so a constant dim reconstructs to exactly ``min``, not
+    ``min + 0.5``). Computed as a posexplode + (pos)-keyed aggregate —
+    D group keys regardless of corpus size — then reassembled in dim
+    order.
 
-    -> mins ARRAY<DOUBLE>, scales ARRAY<DOUBLE>  (single row)
+    -> mins, scales, qscales (each ARRAY<DOUBLE>; single row)
     """
     stats = (
         vecs.select(F.posexplode("v").alias("pos", "x"))
@@ -462,9 +500,13 @@ def sq8_codebook(vecs: DataFrame) -> DataFrame:
         ).alias("mins"),
         F.expr(
             "transform(array_sort(collect_list(struct(pos, mn, mx))),"
+            " s -> (s.mx - s.mn) / 255.0D)"
+        ).alias("scales"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn, mx))),"
             " s -> CASE WHEN s.mx = s.mn THEN 1.0D"
             " ELSE (s.mx - s.mn) / 255.0D END)"
-        ).alias("scales"),
+        ).alias("qscales"),
     )
 
 
@@ -489,7 +531,7 @@ def sq8_encode(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
         .withColumn(
             "codes",
             F.expr(
-                "zip_with(zip_with(v, mins, (x, m) -> x - m), scales,"
+                "zip_with(zip_with(v, mins, (x, m) -> x - m), qscales,"
                 " (d, s) -> CAST(least(greatest(floor(d / s), 0L), 255L)"
                 " AS SMALLINT))"
             ),
@@ -505,7 +547,7 @@ def sq8_encode(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
         .withColumn(
             "recon_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="recon", b="recon")))
         )
-        .drop("mins", "scales")
+        .drop("mins", "scales", "qscales")
     )
 
 
@@ -559,20 +601,7 @@ def sq8_topk(
         .filter(F.col("rr") <= expand * k)
         .select("query_id", "neighbor_id")
     )
-    rescored = (
-        cands.join(
-            vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "v_nrm"),
-            "neighbor_id",
-        )
-        .join(F.broadcast(queries), "query_id")
-        .select("query_id", "neighbor_id", cosine("q", "v").alias("cos_sim"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _exact_rerank(cands, vecs, queries, k)
 
 
 def ivf_sq8_topk(
@@ -608,21 +637,7 @@ def ivf_sq8_topk(
         F.col("v").alias("c"),
         F.col("v_nrm").alias("c_nrm"),
     )
-    assigned = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "v_nrm", "centroid_id",
-            cosine("v", "c").alias("cos_c"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(struct(v, v_nrm, centroid_id),"
-                " struct(cos_c, -centroid_id)) AS best"
-            )
-        )
-        .select("vec_id", "best.v", "best.v_nrm", "best.centroid_id")
-    )
+    assigned = _assign_to_centroids(vecs, centroids)
     enc = sq8_encode(assigned, sq8_codebook(vecs))
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -647,19 +662,4 @@ def ivf_sq8_topk(
         .filter(F.col("rr") <= expand * k)
         .select("query_id", "neighbor_id")
     )
-    rescored = (
-        cands.join(
-            vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "v_nrm"),
-            "neighbor_id",
-        )
-        .join(
-            F.broadcast(queries.drop("centroid_id")), "query_id"
-        )
-        .select("query_id", "neighbor_id", cosine("q", "v").alias("cos_sim"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _exact_rerank(cands, vecs, queries, k)
