@@ -416,3 +416,16 @@ def test_sq8_constant_dimension_reconstructs_exactly(spark):
     for r in enc:
         assert r["codes"][1] == 0
         assert r["recon"][1] == 7.25
+
+
+def test_vocab_encode_ids_order_and_oov(spark):
+    rows = [
+        (1, "a b a c", "en", "s1", 7),
+        (2, "a a a zz", "en", "s1", 8),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in textops.vocab_encode(df, vocab_size=3).collect()}
+    # freq: a=5, b=1, c=1, zz=1 -> vocab (freq desc, token asc): a=0, b=1, c=2
+    assert out[1]["token_ids"] == [0, 1, 0, 2]
+    assert out[2]["token_ids"] == [0, 0, 0, -1]  # zz out of vocab -> OOV
+    assert out[2]["n_oov"] == 1 and out[2]["n_tokens"] == 4

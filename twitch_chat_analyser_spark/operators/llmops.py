@@ -127,6 +127,10 @@ def _q_token_counts(spark, sf_dir):
     return textops.token_counts(_docs(spark, sf_dir))
 
 
+def _q_vocab_encode(spark, sf_dir):
+    return textops.vocab_encode(_docs(spark, sf_dir))
+
+
 def _q_fingerprints(spark, sf_dir):
     return textops.fingerprints(_docs(spark, sf_dir))
 
@@ -460,6 +464,7 @@ LLM_QUERIES = {
     "text_quality_score": _q_quality,
     "text_token_counts": _q_token_counts,
     "text_fingerprints": _q_fingerprints,
+    "text_vocab_encode": _q_vocab_encode,
     "events_sessionize": _q_sessionize,
     "events_session_windows": _q_session_windows,
     "salted_channel_counts": _q_salted_channel_counts,
@@ -896,6 +901,28 @@ SELECT doc_id,
     CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
     CAST(len(regexp_extract_all(text, '{bpe}', 0)) AS BIGINT) AS bpe_ish_tokens
 FROM documents""",
+        "text_vocab_encode": f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS token,
+           generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+    FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+vocab AS (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) - 1
+               AS token_id
+    FROM (SELECT * FROM freq ORDER BY cnt DESC, token
+          LIMIT {textops.VOCAB_SIZE})
+)
+SELECT doc_id,
+       list(coalesce(v.token_id, -1) ORDER BY pos) AS token_ids,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+FROM tok LEFT JOIN vocab v USING (token)
+GROUP BY doc_id""",
         "text_fingerprints": """
 SELECT doc_id,
     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp,

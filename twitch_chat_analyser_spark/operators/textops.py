@@ -251,3 +251,54 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         "n_3grams",
         "dup_3gram_ratio",
     )
+
+
+VOCAB_SIZE = 256
+
+
+def vocab_encode(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Vocabulary tokenization: build the top-``vocab_size`` corpus
+    vocabulary by token frequency (ties by token) and encode every
+    document as its sequence of token ids, order preserved, OOV = -1 —
+    the step between token counting and sequence packing in a training
+    pipeline.
+
+    Scale shape: the vocabulary is one token-keyed aggregation +
+    ``TakeOrderedAndProject`` top-V (per-partition heaps, no global
+    sort); ids are assigned by a window over the V surviving rows only
+    (bounded by configuration, not data). Encoding is a broadcast
+    left join on token + per-doc reassembly ordered by position — no
+    shuffle wider than (doc_id, pos) rows, no skew (tokens per doc is
+    bounded).
+
+    -> doc_id, token_ids ARRAY<INT>, n_tokens, n_oov
+    """
+    tok = docs.select("doc_id", F.posexplode(tokens()).alias("pos", "token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+    vocab = top.select(
+        "token",
+        (
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            - 1
+        ).cast("int").alias("token_id"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("token_id", F.lit(-1)).cast("int").alias("tid"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tid))),"
+                " s -> s.tid)"
+            ).alias("token_ids"),
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
