@@ -429,3 +429,14 @@ def test_vocab_encode_ids_order_and_oov(spark):
     assert out[1]["token_ids"] == [0, 1, 0, 2]
     assert out[2]["token_ids"] == [0, 0, 0, -1]  # zz out of vocab -> OOV
     assert out[2]["n_oov"] == 1 and out[2]["n_tokens"] == 4
+
+
+def test_unigram_surprise_rare_tokens_score_higher(spark):
+    rows = [
+        (1, "common common common common", "en", "s1", 27),
+        (2, "common rareword", "en", "s1", 15),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r["avg_neg_logp"]
+           for r in textops.unigram_surprise(df).collect()}
+    assert out[2] > out[1]  # the doc with the rare token is more surprising

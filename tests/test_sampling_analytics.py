@@ -262,3 +262,18 @@ def test_group_safe_split_keeps_exact_duplicates_together(spark):
         by_hash.setdefault(r["content_hash"], set()).add(r["split"])
     assert len(by_hash) == 100  # normalization collapsed each pair
     assert all(len(sides) == 1 for sides in by_hash.values())
+
+
+def test_token_budget_sample_admits_in_hash_order_until_budget(spark):
+    rows = [(i, "en", "web", " ".join(["w"] * 10)) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = sampling.token_budget_sample(docs, budget_per_source=35).collect()
+    # 10 tokens per doc: docs admitted while tokens_before < 35 ->
+    # exactly 4 docs (0, 10, 20, 30 tokens before)
+    assert len(out) == 4
+    assert sorted(r["tokens_before"] for r in out) == [0, 10, 20, 30]
+    # a tiny budget still admits the first doc per source
+    first = sampling.token_budget_sample(docs, budget_per_source=1).collect()
+    assert len(first) == 1 and first[0]["tokens_before"] == 0

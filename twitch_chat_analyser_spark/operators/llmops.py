@@ -127,6 +127,10 @@ def _q_token_counts(spark, sf_dir):
     return textops.token_counts(_docs(spark, sf_dir))
 
 
+def _q_unigram_surprise(spark, sf_dir):
+    return textops.unigram_surprise(_docs(spark, sf_dir))
+
+
 def _q_vocab_encode(spark, sf_dir):
     return textops.vocab_encode(_docs(spark, sf_dir))
 
@@ -465,6 +469,7 @@ LLM_QUERIES = {
     "text_token_counts": _q_token_counts,
     "text_fingerprints": _q_fingerprints,
     "text_vocab_encode": _q_vocab_encode,
+    "text_unigram_surprise": _q_unigram_surprise,
     "events_sessionize": _q_sessionize,
     "events_session_windows": _q_session_windows,
     "salted_channel_counts": _q_salted_channel_counts,
@@ -922,6 +927,17 @@ SELECT doc_id,
        CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_oov
 FROM tok LEFT JOIN vocab v USING (token)
+GROUP BY doc_id""",
+        "text_unigram_surprise": """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       avg(-ln(f.cnt / t.total)) AS avg_neg_logp
+FROM tok JOIN freq f USING (token) CROSS JOIN total t
 GROUP BY doc_id""",
         "text_fingerprints": """
 SELECT doc_id,

@@ -294,6 +294,7 @@ SAMPLE_FRACTION = 0.25
 TRAIN_FRACTION = 0.8
 STRATA_QUOTA = 50
 SHUFFLE_EPOCH = 1
+TOKEN_BUDGET_PER_SOURCE = 5_000
 QUALITY_KEEP_FRACTION = 0.5
 
 
@@ -329,6 +330,14 @@ def _q_mixture(spark, sf_dir):
     return mixture_equalize(ingest.load(spark, sf_dir, "documents"))
 
 
+def _q_token_budget(spark, sf_dir):
+    from .. import ingest
+
+    return token_budget_sample(
+        ingest.load(spark, sf_dir, "documents"), TOKEN_BUDGET_PER_SOURCE
+    )
+
+
 def _q_epoch_shuffle(spark, sf_dir):
     from .. import ingest
 
@@ -362,6 +371,7 @@ SAMPLING_QUERIES = {
     "sample_epoch_shuffle": _q_epoch_shuffle,
     "sample_quality_top_fraction": _q_quality_filter,
     "sample_group_safe_split": _q_group_safe_split,
+    "sample_token_budget": _q_token_budget,
 }
 
 
@@ -399,6 +409,23 @@ ranked AS (
 SELECT doc_id, source, quality_score, q_rank
 FROM ranked
 WHERE q_rank <= CAST(ceil(n_s * {QUALITY_KEEP_FRACTION}) AS BIGINT)""",
+        "sample_token_budget": f"""
+WITH sized AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hp
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY hp, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tokens_before
+    FROM sized
+)
+SELECT doc_id, source, n_tokens, tokens_before
+FROM runs WHERE tokens_before < {TOKEN_BUDGET_PER_SOURCE}""",
         "sample_group_safe_split": f"""
 WITH fp AS (
     SELECT doc_id,
@@ -465,3 +492,41 @@ FROM documents d
 JOIN thresholds t ON t.source = d.source
 WHERE lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0') < t.thr""",
     }
+
+
+def token_budget_sample(
+    docs: DataFrame, budget_per_source: int = 5_000
+) -> DataFrame:
+    """Token-budget corpus selection: per source, admit documents in
+    deterministic hash order until the source's token budget is
+    exhausted (the doc that crosses the line is still admitted — every
+    source with data contributes at least one document). The mixture
+    knob for "N billion tokens per domain" corpus specs.
+
+    All-integer arithmetic (token counts + a per-source running sum over
+    the hash order), so membership is exact and engine-portable — no
+    float thresholds anywhere. One shuffle on ``source``; per-source
+    ordered frames.
+
+    -> doc_id, source, n_tokens, tokens_before
+    """
+    from .dedup import tokens
+
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+        _hash_prefix().alias("hp"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hp", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("tokens_before") < budget_per_source)
+        .select("doc_id", "source", "n_tokens", "tokens_before")
+    )

@@ -302,3 +302,32 @@ def vocab_encode(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
             .alias("n_oov"),
         )
     )
+
+
+def unigram_surprise(docs: DataFrame) -> DataFrame:
+    """Unigram language-model surprise per document: the corpus unigram
+    distribution ``p(t) = cnt_t / total`` scores each document by its
+    mean negative log-likelihood — the cheap stand-in for perplexity
+    filtering (a doc of globally-rare tokens scores high = surprising;
+    boilerplate scores low). Rank-and-cut on this column the same way
+    ``sampling.quality_top_fraction`` cuts on the heuristic score.
+
+    One token aggregation (vocabulary-sized, broadcast back), one
+    1-row total, one narrow rejoin — no data-sized sort or window.
+
+    -> doc_id, n_tokens, avg_neg_logp
+    """
+    from .dedup import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("avg_neg_logp"),
+        )
+    )
