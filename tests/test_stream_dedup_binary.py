@@ -143,3 +143,77 @@ def test_incremental_corpus_dedup_across_batches_and_replay(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
     )
     assert again == kept
+
+
+def test_corpus_prep_stream_matches_batch_pipeline(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark.operators import textops
+    from twitch_chat_analyser_spark.operators.dedup import norm_text
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # stopword-dense text (the scorer's profile is tiny) so the good
+    # docs clear the 0.2 quality gate; doc 3 is punct-heavy and fails it
+    good = "the cat and the dog of a friend to a mouse and the bird"
+    rows1 = [
+        (1, good, "en", "s", len(good)),
+        (2, good.upper(), "en", "s", len(good)),          # in-batch dup of 1
+        (3, "!!! ??? ### $$$ %%% ^^^", "en", "s", 23),    # punct-heavy -> low quality
+        (4, good + " and the fox of a den", "en", "s", 77),
+    ]
+    rows2 = [
+        (10, "  " + good, "en", "s", len(good) + 2),      # historical dup of 1
+        (11, "a tale of the sea and a ship to the north and a star",
+         "en", "s", 52),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, sd.DOC_SCHEMA)
+    mk(rows1).coalesce(1).write.mode("append").parquet(src)
+    sd.start_corpus_prep_stream(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+    mk(rows2).coalesce(1).write.mode("append").parquet(src)
+    sd.start_corpus_prep_stream(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    kept = sorted(r["doc_id"] for r in corpus.collect())
+
+    # batch-pipeline equivalent on the full input: quality gate then
+    # exact dedup (min doc_id per normalized content)
+    all_docs = mk(rows1 + rows2)
+    q = textops.quality_score(all_docs).filter(
+        F.col("quality_score") >= 0.2
+    ).select("doc_id")
+    hashed = all_docs.join(q, "doc_id").withColumn("h", F.md5(norm_text()))
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    expect = sorted(r["doc_id"] for r in keepers.collect())
+    assert kept == expect
+
+    # metrics: per-batch accounting sums to the corpus totals
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    m = {r["batch_id"]: r for r in metrics.collect()}
+    assert m[0]["docs_in"] == 4 and m[1]["docs_in"] == 2
+    assert sum(r["docs_new_unique"] for r in m.values()) == len(kept)
+    total_tokens = (
+        corpus.select(F.size(F.split("text", r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["ws_tokens"] for r in m.values()) == total_tokens
+
+    # replay with no new data: corpus and metrics unchanged
+    sd.start_corpus_prep_stream(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+    again = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    )
+    assert again == kept

@@ -149,3 +149,104 @@ def start_incremental_corpus_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Full streaming corpus preparation: quality gate + exact dedup vs ALL
+# history + per-batch yield metrics — llmops.corpus_prep's pipeline
+# (quality filter -> dedup -> token accounting) run continuously.
+# --------------------------------------------------------------------------
+
+
+def start_corpus_prep_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.2,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuously prepare a training corpus from a document stream:
+    per micro-batch, (1) score and drop below-``min_quality`` documents
+    (``textops.quality_score`` — the same scorer the batch
+    ``llmops.corpus_prep`` uses), (2) exact-dedup in-batch and against
+    the persistent fingerprint store, (3) append survivors + their
+    fingerprints, and (4) record a per-batch yield-metrics row
+    (docs in / past quality / new-unique, surviving token count) — the
+    operational telemetry a corpus ingest runs on (yield collapse =
+    upstream duplication or quality regression).
+
+    Composition equivalence: corpus ∪ over all batches equals the batch
+    pipeline's quality+dedup survivor set on the same input (pinned by
+    pytest); the metrics rows sum to the batch totals.
+
+    Exactly-once: every output family writes ``batch=<id>`` directories
+    with overwrite — a replayed batch rewrites identical paths. Same
+    state-in-storage scale design as
+    :func:`start_incremental_corpus_dedup`.
+
+    Layout: ``out_dir/{corpus,fingerprints,metrics}/batch=N/``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import norm_text
+    from ..operators.textops import quality_score, token_counts
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    fp_path = os.path.join(out_dir, "fingerprints")
+    metrics_path = os.path.join(out_dir, "metrics")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_in = batch_df.count()
+        q = quality_score(batch_df).select("doc_id", "quality_score")
+        kept = batch_df.join(
+            q.filter(F.col("quality_score") >= min_quality).select("doc_id"),
+            "doc_id",
+        )
+        hashed = kept.withColumn("fp", F.md5(norm_text()))
+        keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        batch_unique = hashed.join(keeper, ["fp", "doc_id"], "left_semi")
+        if os.path.isdir(fp_path):
+            seen = spark.read.parquet(fp_path).select("fp")
+            fresh = batch_unique.join(seen, "fp", "left_anti")
+        else:
+            fresh = batch_unique
+        fresh = fresh.localCheckpoint(eager=True)
+        try:
+            n_quality = kept.count()
+            n_fresh = fresh.count()
+            tokens = (
+                fresh.join(token_counts(fresh), "doc_id")
+                .agg(F.coalesce(F.sum("ws_tokens"), F.lit(0)).alias("t"))
+                .collect()[0]["t"]
+            )
+            fresh.drop("fp").write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"batch={batch_id}")
+            )
+            fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
+                os.path.join(fp_path, f"batch={batch_id}")
+            )
+            spark.createDataFrame(
+                [(batch_id, n_in, n_quality, n_fresh, int(tokens))],
+                "batch_id long, docs_in long, docs_quality long, "
+                "docs_new_unique long, ws_tokens long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(metrics_path, f"batch={batch_id}")
+            )
+        finally:
+            pass
+
+    stream = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        stream.parquet(docs_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
