@@ -217,3 +217,28 @@ def test_corpus_prep_stream_matches_batch_pipeline(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
     )
     assert again == kept
+
+
+def test_dedup_history_read_excludes_own_batch_on_replay(spark, tmp_path):
+    """A replayed batch must not anti-join against its OWN previously
+    written fingerprints (that would empty the survivor set and
+    overwrite committed data with nothing)."""
+    import os
+
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    fp_path = str(tmp_path / "fps")
+    batch = spark.createDataFrame(
+        [(1, "doc one text", "en", "s", 12), (2, "doc two text", "en", "s", 12)],
+        sd.DOC_SCHEMA,
+    )
+    first = sd._dedup_against_history(spark, batch, fp_path, batch_id=0)
+    first.select("fp", "doc_id").write.mode("overwrite").parquet(
+        os.path.join(fp_path, "batch=0")
+    )
+    # replay of batch 0: own fps are on disk but must be excluded
+    replay = sd._dedup_against_history(spark, batch, fp_path, batch_id=0)
+    assert sorted(r["doc_id"] for r in replay.collect()) == [1, 2]
+    # a LATER batch with the same content is deduped by history
+    later = sd._dedup_against_history(spark, batch, fp_path, batch_id=1)
+    assert later.count() == 0

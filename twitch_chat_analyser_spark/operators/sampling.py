@@ -495,7 +495,7 @@ WHERE lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0') < t.thr""",
 
 
 def token_budget_sample(
-    docs: DataFrame, budget_per_source: int = 5_000
+    docs: DataFrame, budget_per_source: int | None = None
 ) -> DataFrame:
     """Token-budget corpus selection: per source, admit documents in
     deterministic hash order until the source's token budget is
@@ -511,6 +511,9 @@ def token_budget_sample(
     -> doc_id, source, n_tokens, tokens_before
     """
     from .dedup import tokens
+
+    if budget_per_source is None:
+        budget_per_source = TOKEN_BUDGET_PER_SOURCE
 
     sized = docs.select(
         "doc_id",

@@ -312,8 +312,11 @@ def unigram_surprise(docs: DataFrame) -> DataFrame:
     boilerplate scores low). Rank-and-cut on this column the same way
     ``sampling.quality_top_fraction`` cuts on the heuristic score.
 
-    One token aggregation (vocabulary-sized, broadcast back), one
-    1-row total, one narrow rejoin — no data-sized sort or window.
+    One token aggregation + a token-keyed rejoin (uniform key, no
+    skew) and one 1-row total — no data-sized sort or window. The
+    frequency side is NOT broadcast-hinted: the distinct-token set
+    grows with the corpus (ids, typos, noise), so the join strategy is
+    left to AQE — it broadcasts when the vocabulary is actually small.
 
     -> doc_id, n_tokens, avg_neg_logp
     """
@@ -323,7 +326,7 @@ def unigram_surprise(docs: DataFrame) -> DataFrame:
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
     return (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

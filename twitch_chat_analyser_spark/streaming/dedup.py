@@ -76,6 +76,65 @@ def start_dedup_stream(
 DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 
 
+def _dedup_against_history(
+    spark: SparkSession, batch_df: DataFrame, fp_path: str, batch_id: int
+) -> DataFrame:
+    """Shared dedup core for the corpus-ingest sinks: fingerprint the
+    batch (md5 of normalized text), keep the smallest doc_id per
+    fingerprint IN-batch, then anti-join against the persistent
+    fingerprint store.
+
+    REPLAY SAFETY: the store is laid out as ``batch=<id>`` partitions
+    and the history read EXCLUDES the current batch's own partition — a
+    replayed batch that already wrote its fingerprints before the
+    checkpoint committed would otherwise anti-join against itself,
+    produce an empty survivor set, and overwrite its own committed
+    output with nothing (silent data loss). Filtering on the discovered
+    partition column also prunes the scan, so the exclusion is free.
+
+    -> batch columns + fp (the new-unique rows only)
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import norm_text
+
+    hashed = batch_df.withColumn("fp", F.md5(norm_text()))
+    keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    batch_unique = hashed.join(keeper, ["fp", "doc_id"], "left_semi")
+    if os.path.isdir(fp_path):
+        seen = (
+            spark.read.parquet(fp_path)
+            .filter(F.col("batch") != batch_id)
+            .select("fp")
+        )
+        return batch_unique.join(seen, "fp", "left_anti")
+    return batch_unique
+
+
+def _start_doc_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    sink,
+    max_files_per_trigger: int | None,
+) -> StreamingQuery:
+    """Document-stream reader + foreachBatch writer shared by the corpus
+    ingest sinks."""
+    stream = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        stream.parquet(docs_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_incremental_corpus_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -107,26 +166,11 @@ def start_incremental_corpus_dedup(
     """
     import os
 
-    from pyspark.sql import functions as F
-
-    from ..operators.dedup import norm_text
-
     corpus_path = os.path.join(out_dir, "corpus")
     fp_path = os.path.join(out_dir, "fingerprints")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        hashed = batch_df.withColumn("fp", F.md5(norm_text()))
-        # in-batch: keep the smallest doc_id per fingerprint
-        keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        batch_unique = hashed.join(
-            keeper, ["fp", "doc_id"], "left_semi"
-        )
-        # against history: fingerprints of every prior batch
-        if os.path.isdir(fp_path):
-            seen = spark.read.parquet(fp_path).select("fp")
-            fresh = batch_unique.join(seen, "fp", "left_anti")
-        else:
-            fresh = batch_unique
+        fresh = _dedup_against_history(spark, batch_df, fp_path, batch_id)
         fresh = fresh.cache()
         try:
             fresh.drop("fp").write.mode("overwrite").parquet(
@@ -138,16 +182,8 @@ def start_incremental_corpus_dedup(
         finally:
             fresh.unpersist()
 
-    stream = spark.readStream.schema(DOC_SCHEMA)
-    if max_files_per_trigger:
-        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        stream.parquet(docs_dir)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
+    return _start_doc_stream(
+        spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
     )
 
 
@@ -191,7 +227,6 @@ def start_corpus_prep_stream(
 
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import norm_text
     from ..operators.textops import quality_score, token_counts
 
     corpus_path = os.path.join(out_dir, "corpus")
@@ -206,47 +241,30 @@ def start_corpus_prep_stream(
             q.filter(F.col("quality_score") >= min_quality).select("doc_id"),
             "doc_id",
         )
-        hashed = kept.withColumn("fp", F.md5(norm_text()))
-        keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        batch_unique = hashed.join(keeper, ["fp", "doc_id"], "left_semi")
-        if os.path.isdir(fp_path):
-            seen = spark.read.parquet(fp_path).select("fp")
-            fresh = batch_unique.join(seen, "fp", "left_anti")
-        else:
-            fresh = batch_unique
-        fresh = fresh.localCheckpoint(eager=True)
-        try:
-            n_quality = kept.count()
-            n_fresh = fresh.count()
-            tokens = (
-                fresh.join(token_counts(fresh), "doc_id")
-                .agg(F.coalesce(F.sum("ws_tokens"), F.lit(0)).alias("t"))
-                .collect()[0]["t"]
-            )
-            fresh.drop("fp").write.mode("overwrite").parquet(
-                os.path.join(corpus_path, f"batch={batch_id}")
-            )
-            fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
-                os.path.join(fp_path, f"batch={batch_id}")
-            )
-            spark.createDataFrame(
-                [(batch_id, n_in, n_quality, n_fresh, int(tokens))],
-                "batch_id long, docs_in long, docs_quality long, "
-                "docs_new_unique long, ws_tokens long",
-            ).write.mode("overwrite").parquet(
-                os.path.join(metrics_path, f"batch={batch_id}")
-            )
-        finally:
-            pass
+        fresh = _dedup_against_history(
+            spark, kept, fp_path, batch_id
+        ).localCheckpoint(eager=True)
+        n_quality = kept.count()
+        n_fresh = fresh.count()
+        tokens = (
+            token_counts(fresh)
+            .agg(F.coalesce(F.sum("ws_tokens"), F.lit(0)).alias("t"))
+            .collect()[0]["t"]
+        )
+        fresh.drop("fp").write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"batch={batch_id}")
+        )
+        fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
+            os.path.join(fp_path, f"batch={batch_id}")
+        )
+        spark.createDataFrame(
+            [(batch_id, n_in, n_quality, n_fresh, int(tokens))],
+            "batch_id long, docs_in long, docs_quality long, "
+            "docs_new_unique long, ws_tokens long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(metrics_path, f"batch={batch_id}")
+        )
 
-    stream = spark.readStream.schema(DOC_SCHEMA)
-    if max_files_per_trigger:
-        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        stream.parquet(docs_dir)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
+    return _start_doc_stream(
+        spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
     )
