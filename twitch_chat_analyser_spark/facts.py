@@ -78,8 +78,14 @@ def warm(spark: SparkSession, sf_dir: str) -> None:
         ]
 
     def documents():
+        from .operators import textops
+
         docs = ingest.load(spark, sf_dir, "documents")
         return [
+            # shared quality features: text_quality_score, corpus_prep,
+            # and sample_quality_top_fraction all contain this relation
+            # (or a projection of it) as a subtree
+            textops.quality_score(docs),
             # shared dedup machinery: three registry queries (minhash,
             # ngram, connected-clusters) derive from this band join
             dedup.lsh_candidate_pairs(
