@@ -440,3 +440,13 @@ def test_unigram_surprise_rare_tokens_score_higher(spark):
     out = {r["doc_id"]: r["avg_neg_logp"]
            for r in textops.unigram_surprise(df).collect()}
     assert out[2] > out[1]  # the doc with the rare token is more surprising
+
+
+def test_pq_full_expand_equals_brute_force(vecs):
+    # expand covering the whole corpus -> ADC ordering is irrelevant,
+    # the exact re-rank must reproduce brute force verbatim
+    a = similarity.brute_force_topk(vecs, [0, 2], k=3).collect()
+    b = similarity.pq_topk(vecs, [0, 2], m=2, ksub=3, k=3, expand=10).collect()
+    ka = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in a]
+    kb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in b]
+    assert ka == kb
