@@ -1,0 +1,198 @@
+"""Write SCALE.md: measured 1x -> Rx (default 10x) scaling of the
+heavy pipelines, the empirical check behind the plan-shape arguments —
+a sub-linear time ratio at 10x means no quadratic or
+shuffle-dominated step has appeared, which is the property that must
+hold for the 100 TB extrapolation.
+
+Inputs are the sf0.1 testdata replicated R times with shifted keys
+(ids offset per copy; timestamps day-shifted; document text suffixed;
+embeddings perturbed in one dimension) so keys don't collapse and
+dedup/ANN candidate structure stays realistic rather than degenerate.
+
+Usage: python tools/scale_probe.py [replication] [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICATION = 10
+
+
+def replicate_messages(spark, sf_dir: str, r: int):
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark import ingest
+
+    base = ingest.messages(spark, sf_dir)
+    parts = [
+        base.select(
+            (F.col("ts") + F.expr(f"INTERVAL {i} DAY")).alias("ts"),
+            (F.col("timestamp") + F.lit(i * 86_400_000)).alias("timestamp"),
+            "channel",
+            F.concat(F.col("username"), F.lit(f"_{i}")).alias("username"),
+            "message",
+        )
+        for i in range(r)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_docs(spark, sf_dir: str, r: int):
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark import ingest
+
+    base = ingest.load(spark, sf_dir, "documents")
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copy{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(r)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_embeddings(spark, sf_dir: str, r: int):
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark import ingest
+
+    base = ingest.load(spark, sf_dir, "embeddings")
+    parts = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, j) -> CASE WHEN j = 0 "
+                f"THEN x + CAST({i} AS FLOAT) * 0.001F ELSE x END)"
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(r)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probes(spark, sf_dir: str, r: int) -> dict:
+    """name -> (build_1x, build_Rx); each returns a DataFrame."""
+    from twitch_chat_analyser_spark import dims
+    from twitch_chat_analyser_spark.operators import (
+        aggregations as agg,
+    )
+    from twitch_chat_analyser_spark.operators import (
+        dedup,
+        sampling,
+        similarity,
+        textops,
+    )
+
+    emotes = dims.emotes_df(spark)
+
+    def pair(build):
+        return (
+            lambda: build(1),
+            lambda: build(r),
+        )
+
+    msgs = {1: replicate_messages(spark, sf_dir, 1).localCheckpoint(),
+            r: replicate_messages(spark, sf_dir, r).localCheckpoint()}
+    docs = {1: replicate_docs(spark, sf_dir, 1).localCheckpoint(),
+            r: replicate_docs(spark, sf_dir, r).localCheckpoint()}
+    embs = {1: replicate_embeddings(spark, sf_dir, 1).localCheckpoint(),
+            r: replicate_embeddings(spark, sf_dir, r).localCheckpoint()}
+
+    return {
+        "channel_stats (scan+agg)": pair(lambda n: agg.channel_stats(msgs[n])),
+        "emote_stats (explode+bcast join+agg)": pair(
+            lambda n: agg.emote_stats(msgs[n], emotes)
+        ),
+        "minhash signatures (shingle+hash+agg)": pair(
+            lambda n: dedup.minhash_signatures(docs[n], 8, 3)
+        ),
+        "simhash banded pairs": pair(
+            lambda n: dedup.simhash_dedup_pairs(docs[n], 32, 3)
+        ),
+        "epoch shuffle (distributed global rank)": pair(
+            lambda n: sampling.epoch_shuffle(docs[n], epoch=1)
+        ),
+        "vocab encode (top-V + positional reassembly)": pair(
+            lambda n: textops.vocab_encode(docs[n])
+        ),
+        "sq8 ANN (quantize+scan+re-rank)": pair(
+            lambda n: similarity.sq8_topk(embs[n], list(range(10)), 5, 4)
+        ),
+        "pq ANN (encode+ADC+re-rank)": pair(
+            lambda n: similarity.pq_topk(
+                embs[n], list(range(10)), 4, 8, 5, 4, dim=64
+            )
+        ),
+    }
+
+
+def main() -> None:
+    from twitch_chat_analyser_spark.session import get_spark
+
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else REPLICATION
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_md = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE.md",
+    )
+    spark = get_spark("scale-probe")
+
+    def best_of(build, runs=2) -> float:
+        t = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            build().count()
+            t = min(t, time.time() - t0)
+        return t
+
+    rows = []
+    for name, (b1, br) in probes(spark, sf_dir, r).items():
+        t1 = best_of(b1)
+        tr = best_of(br)
+        rows.append((name, t1, tr, tr / t1))
+        print(f"{name}: 1x={t1:.2f}s {r}x={tr:.2f}s ratio={tr / t1:.2f}")
+
+    lines = [
+        "# SCALE — measured replication scaling",
+        "",
+        f"`tools/scale_probe.py {r}` on local[32], inputs = sf0.1 "
+        f"replicated {r}x with shifted keys (see module docstring). "
+        "Time ratio below the replication factor = sub-linear = no "
+        "quadratic or shuffle-dominated step has appeared at this "
+        "scale step; these are the pipelines whose plan shapes the "
+        "100 TB arguments in PLANS.md and the operator docstrings "
+        "depend on.",
+        "",
+        f"| pipeline | 1x | {r}x | time ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, t1, tr, ratio in rows:
+        lines.append(f"| {name} | {t1:.2f} s | {tr:.2f} s | {ratio:.2f}x |")
+    lines.append("")
+    with open(out_md, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out_md}")
+
+
+if __name__ == "__main__":
+    main()
