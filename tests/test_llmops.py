@@ -450,3 +450,41 @@ def test_pq_full_expand_equals_brute_force(vecs):
     ka = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in a]
     kb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in b]
     assert ka == kb
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    mat=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=24,
+    )
+)
+def test_sq8_reconstruction_error_bounded_per_dim(spark, mat):
+    """Property: midpoint dequantization stays within half a TRUE
+    quantization step of the original in every dimension (constant dims
+    reconstruct exactly)."""
+    rows = [(i, v, 0) for i, v in enumerate(mat)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    v = similarity.as_double_vec(df)
+    enc = similarity.sq8_encode(v, similarity.sq8_codebook(v)).collect()
+    lo = [min(r[d] for r in mat) for d in range(4)]
+    hi = [max(r[d] for r in mat) for d in range(4)]
+    for r in enc:
+        for d, (x, y) in enumerate(zip(r["v"], r["recon"])):
+            step = (hi[d] - lo[d]) / 255.0
+            assert abs(x - y) <= step / 2 + 1e-9
+            assert 0 <= r["codes"][d] <= 255

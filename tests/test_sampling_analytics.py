@@ -277,3 +277,42 @@ def test_token_budget_sample_admits_in_hash_order_until_budget(spark):
     # a tiny budget still admits the first doc per source
     first = sampling.token_budget_sample(docs, budget_per_source=1).collect()
     assert len(first) == 1 and first[0]["tokens_before"] == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    tokens_per_doc=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=1, max_size=40
+    ),
+    budget=st.integers(min_value=1, max_value=200),
+)
+def test_token_budget_matches_python_reference(spark, tokens_per_doc, budget):
+    """Property: the admitted set is exactly the prefix of the
+    hash-ordered docs whose preceding cumulative tokens < budget."""
+    import hashlib
+
+    rows = [
+        (i, "en", "web", " ".join(["w"] * n))
+        for i, n in enumerate(tokens_per_doc)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_sample(docs, budget).collect()
+    )
+    order = sorted(
+        range(len(tokens_per_doc)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:4], i),
+    )
+    want, run = [], 0
+    for i in order:
+        if run < budget:
+            want.append(i)
+        run += tokens_per_doc[i]
+    assert got == sorted(want)
