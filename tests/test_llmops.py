@@ -442,11 +442,16 @@ def test_unigram_surprise_rare_tokens_score_higher(spark):
     assert out[2] > out[1]  # the doc with the rare token is more surprising
 
 
+def test_pq_rejects_indivisible_block_config(vecs):
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_topk(vecs, [0], m=2, k=1)  # dim=3 not divisible by 2
+
+
 def test_pq_full_expand_equals_brute_force(vecs):
     # expand covering the whole corpus -> ADC ordering is irrelevant,
     # the exact re-rank must reproduce brute force verbatim
     a = similarity.brute_force_topk(vecs, [0, 2], k=3).collect()
-    b = similarity.pq_topk(vecs, [0, 2], m=2, ksub=3, k=3, expand=10).collect()
+    b = similarity.pq_topk(vecs, [0, 2], m=3, ksub=3, k=3, expand=10).collect()
     ka = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in a]
     kb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in b]
     assert ka == kb

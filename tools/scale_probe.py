@@ -158,11 +158,12 @@ def main() -> None:
     spark = get_spark("scale-probe")
 
     def best_of(build, runs=2) -> float:
+        build().count()  # untimed warm-up: JIT/codegen must not bias 1x
         t = float("inf")
         for _ in range(runs):
-            t0 = time.time()
+            t0 = time.perf_counter()
             build().count()
-            t = min(t, time.time() - t0)
+            t = min(t, time.perf_counter() - t0)
         return t
 
     rows = []
@@ -188,7 +189,27 @@ def main() -> None:
     ]
     for name, t1, tr, ratio in rows:
         lines.append(f"| {name} | {t1:.2f} s | {tr:.2f} s | {ratio:.2f}x |")
-    lines.append("")
+    lines += [
+        "",
+        "## Reading the numbers",
+        "",
+        "- A time ratio well below the replication factor means fixed",
+        "  per-job overhead amortizes and map-side work spreads across",
+        "  the same cores — no quadratic or shuffle-dominated step has",
+        "  appeared at this scale step.",
+        "- The simhash pair probe is EXPECTED to land near the",
+        "  replication factor, not below it: replication makes every",
+        "  copy a true near-dup of its siblings, so the OUTPUT pair set",
+        "  itself grows ~R^2 while candidate generation stays",
+        "  bucket-bounded (an all-pairs join would be ~R^2 in TIME too,",
+        "  ~100x here). The production knob is signature width: wider",
+        "  signatures -> more buckets -> smaller sum of bucket^2.",
+        "- The ANN probes (sq8, pq) include codebook build + full",
+        "  first-pass scan + re-rank; both scale with corpus size at",
+        "  fixed query count, and both first passes scan compressed",
+        "  representations only.",
+        "",
+    ]
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {out_md}")

@@ -142,6 +142,29 @@ def _exact_rerank(
     )
 
 
+def _expand_rerank(
+    approx: DataFrame,
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    expand: int,
+) -> DataFrame:
+    """Shared tail of every quantized-ANN path: cut the approximate
+    scores to ``expand * k`` candidates per query (a_sim desc, NULLs —
+    undefined directions — last, neighbor_id tie-break) and re-rank
+    them at full precision. One copy so the candidate-selection
+    contract can't drift between the SQ/PQ/IVF variants."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("a_sim"), "neighbor_id"
+    )
+    cands = (
+        approx.withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") <= expand * k)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cands, vecs, queries, k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -595,13 +618,7 @@ def sq8_topk(
             cosine("q", "recon").alias("a_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("a_sim"), "neighbor_id")
-    cands = (
-        approx.withColumn("rr", F.row_number().over(w))
-        .filter(F.col("rr") <= expand * k)
-        .select("query_id", "neighbor_id")
-    )
-    return _exact_rerank(cands, vecs, queries, k)
+    return _expand_rerank(approx, vecs, queries, k, expand)
 
 
 def ivf_sq8_topk(
@@ -656,13 +673,7 @@ def ivf_sq8_topk(
             "query_id", "neighbor_id", cosine("q", "recon").alias("a_sim")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("a_sim"), "neighbor_id")
-    cands = (
-        approx.withColumn("rr", F.row_number().over(w))
-        .filter(F.col("rr") <= expand * k)
-        .select("query_id", "neighbor_id")
-    )
-    return _exact_rerank(cands, vecs, queries, k)
+    return _expand_rerank(approx, vecs, queries, k, expand)
 
 
 def _block_slices(col: str, m: int, sub: int):
@@ -722,7 +733,16 @@ def pq_topk(
     if dim is None:
         # bounded 1-row probe; callers on the serving path pass dim
         # explicitly so the plan builds without any driver action
-        dim = len(embeddings.select("embedding").first()["embedding"])
+        probe = embeddings.select("embedding").first()
+        if probe is None:
+            raise ValueError("pq_topk: empty embeddings input (pass dim= "
+                             "to build a plan without probing)")
+        dim = len(probe["embedding"])
+    if dim % m != 0:
+        # a truncating dim // m would silently drop the tail dims from
+        # every code and score — same loud-config contract as
+        # dedup.simhash_blocks
+        raise ValueError(f"pq_topk: dim={dim} must be divisible by m={m}")
     sub = dim // m
     cents = (
         vecs.filter(F.col("vec_id") < ksub)
@@ -803,12 +823,4 @@ def pq_topk(
         "neighbor_id",
         F.when(ccs > 0, adc / (F.col("q_nrm") * F.sqrt(ccs))).alias("a_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc_nulls_last("a_sim"), "neighbor_id"
-    )
-    cands = (
-        approx.withColumn("rr", F.row_number().over(w))
-        .filter(F.col("rr") <= expand * k)
-        .select("query_id", "neighbor_id")
-    )
-    return _exact_rerank(cands, vecs, queries, k)
+    return _expand_rerank(approx, vecs, queries, k, expand)
