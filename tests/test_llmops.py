@@ -493,3 +493,16 @@ def test_sq8_reconstruction_error_bounded_per_dim(spark, mat):
             step = (hi[d] - lo[d]) / 255.0
             assert abs(x - y) <= step / 2 + 1e-9
             assert 0 <= r["codes"][d] <= 255
+
+
+def test_ivf_pq_full_expand_equals_ivf(vecs):
+    # same coarse pruning; with full expand the PQ candidate window is
+    # a no-op and the exact re-rank reproduces the full-precision IVF
+    # probe verbatim (3-dim fixture: m=3 -> 1-dim blocks)
+    a = similarity.ivf_topk(vecs, [2], num_centroids=3, k=4).collect()
+    b = similarity.ivf_pq_topk(
+        vecs, [2], num_centroids=3, m=3, ksub=3, k=4, expand=10
+    ).collect()
+    ka = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in a]
+    kb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in b]
+    assert ka == kb

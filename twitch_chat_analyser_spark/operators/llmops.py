@@ -110,6 +110,13 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_pq(spark, sf_dir):
+    return similarity.ivf_pq_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, IVF_CENTROIDS, PQ_M, PQ_KSUB,
+        IVF_K, SQ8_EXPAND, dim=EMB_DIM,
+    )
+
+
 def _q_ann_ivf_sq8(spark, sf_dir):
     return similarity.ivf_sq8_topk(
         _emb(spark, sf_dir), ANN_QUERY_IDS, IVF_CENTROIDS, IVF_K, SQ8_EXPAND
@@ -474,6 +481,7 @@ LLM_QUERIES = {
     "ann_sq8_topk": _q_ann_sq8,
     "ann_ivf_sq8_topk": _q_ann_ivf_sq8,
     "ann_pq_topk": _q_ann_pq,
+    "ann_ivf_pq_topk": _q_ann_ivf_pq,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
     "text_token_counts": _q_token_counts,
@@ -938,6 +946,97 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
     JOIN emb e ON e.vec_id = c.neighbor_id
     JOIN q ON q.query_id = c.query_id
 ) WHERE rank <= {ANN_K}""",
+        # IVF-PQ: coarse-cell pruning + ADC over m-byte codes + exact
+        # re-rank — the composed compressed-probe layout; every stage
+        # mirrored expression-for-expression
+        "ann_ivf_pq_topk": f"""
+WITH {_EMB_CTES},
+coarse AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS c_nrm FROM emb
+           WHERE vec_id < {IVF_CENTROIDS}),
+cells AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos('e.v', 'c.cv', 'e.nrm', 'c.c_nrm')} DESC,
+                            c.centroid_id) AS rn
+        FROM emb e, coarse c
+    ) WHERE rn = 1
+),
+blks AS (SELECT CAST(x AS INT) AS blk FROM range({PQ_M}) t(x)),
+cents AS (
+    SELECT e.vec_id AS cid, b.blk,
+           list_slice(e.v, b.blk * {EMB_DIM // PQ_M} + 1,
+                      (b.blk + 1) * {EMB_DIM // PQ_M}) AS c
+    FROM emb e, blks b WHERE e.vec_id < {PQ_KSUB}
+),
+centn AS (SELECT cid, blk, c, list_dot_product(c, c) AS cc FROM cents),
+vb AS (
+    SELECT e.vec_id, b.blk,
+           list_slice(e.v, b.blk * {EMB_DIM // PQ_M} + 1,
+                      (b.blk + 1) * {EMB_DIM // PQ_M}) AS x
+    FROM emb e, blks b
+),
+vbn AS (SELECT vec_id, blk, x, list_dot_product(x, x) AS xx FROM vb),
+enc AS (
+    SELECT f.vec_id, f.blk, f.cid, f.cc, cl.centroid_id FROM (
+        SELECT v.vec_id, v.blk, c.cid, c.cc,
+               row_number() OVER (
+                   PARTITION BY v.vec_id, v.blk
+                   ORDER BY v.xx + c.cc - 2.0 * list_dot_product(v.x, c.c),
+                            c.cid) AS rn
+        FROM vbn v JOIN centn c USING (blk)
+    ) f JOIN cells cl USING (vec_id) WHERE f.rn = 1
+),
+q AS (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS q_nrm, cl.centroid_id
+      FROM emb e JOIN cells cl USING (vec_id)
+      WHERE e.vec_id < {len(ANN_QUERY_IDS)}),
+qb AS (
+    SELECT q.query_id, q.centroid_id, b.blk,
+           list_slice(q.qv, b.blk * {EMB_DIM // PQ_M} + 1,
+                      (b.blk + 1) * {EMB_DIM // PQ_M}) AS qx
+    FROM q, blks b
+),
+qd AS (
+    SELECT qb.query_id, qb.centroid_id, qb.blk, c.cid,
+           list_dot_product(qb.qx, c.c) AS qdot
+    FROM qb JOIN centn c USING (blk)
+),
+per_pair AS (
+    SELECT d.query_id, e.vec_id AS neighbor_id,
+           {" , ".join(f"sum(CASE WHEN e.blk = {b} THEN d.qdot END) AS a{b}" for b in range(PQ_M))},
+           {" , ".join(f"max(CASE WHEN e.blk = {b} THEN e.cc END) AS n{b}" for b in range(PQ_M))}
+    FROM enc e JOIN qd d
+      ON d.blk = e.blk AND d.cid = e.cid AND d.centroid_id = e.centroid_id
+    WHERE e.vec_id != d.query_id
+    GROUP BY 1, 2
+),
+approx AS (
+    SELECT p.query_id, p.neighbor_id,
+           CASE WHEN ({" + ".join(f"n{b}" for b in range(PQ_M))}) > 0
+                THEN ({" + ".join(f"a{b}" for b in range(PQ_M))})
+                     / (q.q_nrm * sqrt({" + ".join(f"n{b}" for b in range(PQ_M))}))
+           END AS a_sim
+    FROM per_pair p JOIN q USING (query_id)
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY a_sim DESC NULLS LAST, neighbor_id) AS rr
+        FROM approx
+    ) WHERE rr <= {SQ8_EXPAND * IVF_K}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT c.query_id, c.neighbor_id,
+           {_cos('q.qv', 'e.v', 'q.q_nrm', 'e.nrm')} AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_cos('q.qv', 'e.v', 'q.q_nrm', 'e.nrm')} DESC,
+                        c.neighbor_id) AS INT) AS rank
+    FROM cand c
+    JOIN emb e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+) WHERE rank <= {IVF_K}""",
         "ann_lsh_topk": f"""
 WITH {_EMB_CTES},
 planes AS (SELECT vec_id AS plane_id, v AS pv FROM emb

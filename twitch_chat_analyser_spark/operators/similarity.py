@@ -824,3 +824,120 @@ def pq_topk(
         F.when(ccs > 0, adc / (F.col("q_nrm") * F.sqrt(ccs))).alias("a_sim"),
     )
     return _expand_rerank(approx, vecs, queries, k, expand)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    num_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    expand: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the compressed-probe composition completing the index
+    matrix (IVF x {full precision, SQ8, PQ}) — coarse centroids prune
+    WHICH vectors a query scores, product quantization makes scoring
+    each one an m-entry ADC table lookup over m-BYTE codes. This is the
+    layout FAISS-style billion-vector indexes ship: the probe touches
+    ``N/C`` code rows of m bytes each, and full-precision vectors are
+    fetched only for the ``Q * expand * k`` re-rank survivors.
+
+    Same deterministic codebooks as :func:`ivf_topk` (coarse) and
+    :func:`pq_topk` (blocks); candidate filtering to the query's cell
+    happens BEFORE the ADC aggregation, so the per-pair work is
+    cell-local. Recall compounds the IVF cell miss and the PQ
+    approximation, both mirrored in the oracle.
+
+    -> query_id, neighbor_id, cos_sim, rank
+    """
+    vecs = as_double_vec(embeddings)
+    if dim is None:
+        probe = embeddings.select("embedding").first()
+        if probe is None:
+            raise ValueError("ivf_pq_topk: empty embeddings input (pass "
+                             "dim= to build a plan without probing)")
+        dim = len(probe["embedding"])
+    if dim % m != 0:
+        raise ValueError(f"ivf_pq_topk: dim={dim} must be divisible by m={m}")
+    sub = dim // m
+    coarse = vecs.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("c"),
+        F.col("v_nrm").alias("c_nrm"),
+    )
+    cells = _assign_to_centroids(vecs, coarse).select("vec_id", "centroid_id")
+    cents = (
+        vecs.filter(F.col("vec_id") < ksub)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(_block_slices("v", m, sub)).alias("s"),
+        )
+        .select("cid", "s.blk", "s.c")
+        .withColumn("cc", F.expr(DOT_EXPR.format(a="c", b="c")))
+    )
+    vblocks = (
+        vecs.select("vec_id", F.explode(_block_slices("v", m, sub)).alias("s"))
+        .select("vec_id", "s.blk", F.col("s.c").alias("x"))
+        .withColumn("xx", F.expr(DOT_EXPR.format(a="x", b="x")))
+    )
+    enc = (
+        vblocks.join(F.broadcast(cents), "blk")
+        .select(
+            "vec_id", "blk", "cid", "cc",
+            (
+                F.col("xx") + F.col("cc")
+                - 2.0 * F.expr(DOT_EXPR.format(a="x", b="c"))
+            ).alias("dist"),
+        )
+        .groupBy("vec_id", "blk")
+        .agg(F.expr("min_by(struct(cid, cc), struct(dist, cid)) AS best"))
+        .select("vec_id", "blk", "best.cid", "best.cc")
+        .join(cells, "vec_id")
+    )
+    queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("v_nrm").alias("q_nrm"),
+    ).join(cells.withColumnRenamed("vec_id", "query_id"), "query_id")
+    qblocks = queries.select(
+        "query_id", "centroid_id",
+        F.explode(_block_slices("q", m, sub)).alias("s"),
+    ).select("query_id", "centroid_id", "s.blk", F.col("s.c").alias("qb"))
+    qd = qblocks.join(F.broadcast(cents), "blk").select(
+        "query_id",
+        "centroid_id",
+        "blk",
+        "cid",
+        F.expr(DOT_EXPR.format(a="qb", b="c")).alias("qdot"),
+    )
+    # cell-local probe: the join key includes the coarse centroid, so
+    # only same-cell (query, vector) pairs ever reach the aggregation
+    joined = enc.join(F.broadcast(qd), ["centroid_id", "blk", "cid"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc_terms = [
+        F.sum(F.when(F.col("blk") == b, F.col("qdot"))).alias(f"a{b}")
+        for b in range(m)
+    ]
+    cc_terms = [
+        F.max(F.when(F.col("blk") == b, F.col("cc"))).alias(f"n{b}")
+        for b in range(m)
+    ]
+    per_pair = joined.groupBy(
+        F.col("query_id"), F.col("vec_id").alias("neighbor_id")
+    ).agg(*adc_terms, *cc_terms)
+    adc = None
+    ccs = None
+    for b in range(m):
+        adc = F.col(f"a{b}") if adc is None else adc + F.col(f"a{b}")
+        ccs = F.col(f"n{b}") if ccs is None else ccs + F.col(f"n{b}")
+    approx = per_pair.join(
+        F.broadcast(queries.select("query_id", "q_nrm")), "query_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(ccs > 0, adc / (F.col("q_nrm") * F.sqrt(ccs))).alias("a_sim"),
+    )
+    return _expand_rerank(approx, vecs, queries, k, expand)
