@@ -130,6 +130,55 @@ def test_blas_matches_declarative(vecs):
         assert ra["cos_sim"] == pytest.approx(rb["cos_sim"], abs=1e-12)
 
 
+def test_semdedup_pairs_within_cluster_only(spark):
+    # two tight clusters on orthogonal axes: near-dup pairs exist inside
+    # each cluster; cross-cluster cosines are ~0, so even with a low
+    # threshold no cross-cluster pair can appear (cluster blocking)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),
+        (2, [0.98, 0.02, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.99, 0.01], 1),
+        (5, [0.0, 0.98, 0.02], 1),
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    out = similarity.semdedup_pairs(
+        df, k=2, iterations=2, threshold=0.9, top_n=100
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    # all within-cluster pairs found ...
+    assert pairs == {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+    for r in out:
+        assert r["cos_sim"] >= 0.9
+    # ... and both members of each pair share the centroid the operator
+    # reports (the contract the oracle re-derives)
+    assert len({r["centroid_id"] for r in out}) == 2
+
+
+def test_duplicated_ngram_stats_goldens(spark):
+    rows = [
+        (1, "x y z", "en", "s1", 5),
+        (2, "x y q", "en", "s1", 5),
+        (3, "unique words only", "en", "s1", 17),
+        (4, "ab", "en", "s1", 2),  # shorter than k -> whole-doc shingle
+        (5, "ab", "en", "s1", 2),  # dup of 4 at the whole-doc level
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_ngram_stats(df, shingle_k=2).collect()
+    }
+    # doc1 2-grams {x y, y z}: "x y" also in doc2 -> 1 of 2 duplicated
+    assert (out[1]["n_shingles"], out[1]["dup_shingles"]) == (2, 1)
+    assert out[1]["dup_frac"] == pytest.approx(0.5)
+    assert (out[2]["n_shingles"], out[2]["dup_shingles"]) == (2, 1)
+    assert (out[3]["n_shingles"], out[3]["dup_shingles"]) == (2, 0)
+    # short docs fall back to the whole text as one shingle
+    assert (out[4]["n_shingles"], out[4]["dup_shingles"]) == (1, 1)
+    assert out[5]["dup_frac"] == 1.0
+
+
 def test_language_id_prefers_matching_stopwords(docs):
     out = {r["doc_id"]: r["predicted_lang"] for r in textops.language_id(docs).collect()}
     assert out[1] == "en"

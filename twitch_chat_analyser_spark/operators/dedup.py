@@ -288,6 +288,59 @@ def simhash_dedup_pairs(
     )
 
 
+def duplicated_ngram_stats(docs: DataFrame, shingle_k: int = 5) -> DataFrame:
+    """Per-document duplicated-span signal: the fraction of a document's
+    DISTINCT word ``k``-grams that also occur in at least one other
+    document (the corpus-level n-gram overlap signal behind exact
+    substring deduplication — a document made mostly of spans seen
+    elsewhere is boilerplate/copy even when no single whole-doc
+    near-duplicate exists; cf. "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022, for the span-level
+    motivation).
+
+    Shape (100 TB): shingles are hashed to 32-byte md5 keys before the
+    one wide exchange; the cross-document occurrence count is a window
+    over that hash — a single shuffle, partitions bounded by dup-cluster
+    size (a globally hot shingle is an AQE skew case). The final per-doc
+    rollup shuffles on doc_id. No join of the corpus against itself
+    anywhere.
+
+    -> doc_id, n_shingles, dup_shingles, dup_frac
+    """
+    from pyspark.sql import Window
+
+    sh = (
+        docs.withColumn("toks", tokens())
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("toks", shingle_k))).alias("sh"),
+        )
+        .select("doc_id", F.md5("sh").alias("shh"))
+    )
+    # rows are (doc, distinct-shingle): count over the shingle-hash
+    # partition IS the number of documents containing the shingle
+    with_nd = sh.withColumn(
+        "nd", F.count("*").over(Window.partitionBy("shh"))
+    )
+    return (
+        with_nd.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "dup_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "dup_shingles",
+            (
+                F.col("dup_shingles").cast("double") / F.col("n_shingles")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_k: int = 3,

@@ -35,6 +35,10 @@ LSH_PLANES = 8
 SQ8_EXPAND = 4
 PQ_M = 4
 PQ_KSUB = 8
+SEMDEDUP_THRESHOLD = 0.3  # testdata embeddings are near-orthogonal
+# (max pairwise cos ~0.51); production SemDeDup uses ~0.95+
+SEMDEDUP_TOP_N = 50
+DUP_NGRAM_K = 5
 EMB_DIM = 64  # embeddings vector width in the driver testdata (pinned by
 # tests/test_llmops.py::test_emb_dim_matches_testdata — the sq8 oracles
 # hardcode it into generate_series; a width change must fail loudly)
@@ -79,6 +83,20 @@ def _q_dedup_embedding(spark, sf_dir):
     return similarity.embedding_dedup_pairs(
         _emb(spark, sf_dir), EMB_TOP_N, EMB_PLANES, EMB_BAND_BITS
     )
+
+
+def _q_dedup_semantic(spark, sf_dir):
+    return similarity.semdedup_pairs(
+        _emb(spark, sf_dir),
+        k=IVF_CENTROIDS,
+        iterations=2,
+        threshold=SEMDEDUP_THRESHOLD,
+        top_n=SEMDEDUP_TOP_N,
+    )
+
+
+def _q_dedup_dup_ngrams(spark, sf_dir):
+    return dedup.duplicated_ngram_stats(_docs(spark, sf_dir), DUP_NGRAM_K)
 
 
 def _q_ann_brute(spark, sf_dir):
@@ -473,6 +491,8 @@ LLM_QUERIES = {
     "dedup_simhash": _q_dedup_simhash,
     "dedup_ngram_jaccard": _q_dedup_ngram,
     "dedup_embedding_cosine": _q_dedup_embedding,
+    "dedup_semantic_clusters": _q_dedup_semantic,
+    "dedup_dup_ngram_fraction": _q_dedup_dup_ngrams,
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
     "ann_lsh_topk": _q_ann_lsh,
@@ -724,6 +744,30 @@ FROM cands
 JOIN emb a ON a.vec_id = vec_a
 JOIN emb b ON b.vec_id = vec_b
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
+        "dedup_semantic_clusters": _semdedup_oracle_sql(),
+        "dedup_dup_ngram_fraction": f"""
+WITH doc_toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+dup_sh AS (
+    SELECT DISTINCT doc_id, md5(sh) AS shh FROM (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) < {DUP_NGRAM_K}
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - {DUP_NGRAM_K - 2}),
+                      i -> {" || ' ' || ".join(f"toks[i+{j}]" for j in range(DUP_NGRAM_K))})
+            END) AS sh
+        FROM doc_toks
+    )
+),
+nd AS (SELECT shh, count(*) AS nd FROM dup_sh GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+       CAST(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / count(*) AS dup_frac
+FROM dup_sh JOIN nd USING (shh)
+GROUP BY doc_id""",
         "ann_brute_topk": f"""
 WITH {_EMB_CTES},
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm FROM emb
@@ -1273,13 +1317,16 @@ FROM (
     return out
 
 
-def _ann_ivf_kmeans_oracle_sql() -> str:
-    """IVF probe over the TRAINED codebook: the two Lloyd iterations of
+def _kmeans_assigned_ctes() -> str:
+    """Shared WITH-prelude ending in ``assigned`` (vec_id, v, nrm,
+    centroid_id): the two Lloyd iterations of
     similarity.kmeans_centroids unrolled as chained CTEs (deterministic
     first-k init; identical max-cos / min-centroid tie-break; per-dim
     means via unnest + ordered list reassembly). Float means differ from
     Spark's only in partial-sum order (~1e-16) — far below any
-    assignment decision boundary and inside the comparer's rounding."""
+    assignment decision boundary and inside the comparer's rounding.
+    Single source of truth for every oracle that consumes the trained
+    codebook (ann_ivf_kmeans_topk, dedup_semantic_clusters)."""
     rounds = []
     prev = "cent0"
     for i in (1, 2):
@@ -1318,7 +1365,28 @@ assigned AS (
                             c.centroid_id) AS rn
         FROM emb e, cent2 c
     ) WHERE rn = 1
-),
+)"""
+
+
+def _semdedup_oracle_sql() -> str:
+    """Within-cluster cosine pairs over the trained codebook — mirrors
+    similarity.semdedup_pairs (same unrolled Lloyd rounds, same
+    threshold/ranking contract)."""
+    return f"""{_kmeans_assigned_ctes()}
+SELECT centroid_id, vec_a, vec_b, cos_sim FROM (
+    SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cos_sim
+    FROM assigned a JOIN assigned b USING (centroid_id)
+    WHERE a.vec_id < b.vec_id
+)
+WHERE cos_sim >= {SEMDEDUP_THRESHOLD}
+ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {SEMDEDUP_TOP_N}"""
+
+
+def _ann_ivf_kmeans_oracle_sql() -> str:
+    """IVF probe over the TRAINED codebook (see
+    :func:`_kmeans_assigned_ctes` for the unrolled Lloyd rounds)."""
+    return f"""{_kmeans_assigned_ctes()},
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm, centroid_id FROM assigned
       WHERE vec_id < {len(ANN_QUERY_IDS)}),
 scored AS (

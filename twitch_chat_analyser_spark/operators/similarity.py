@@ -434,6 +434,63 @@ def kmeans_centroids(
     return centroids.select("centroid_id", "c").localCheckpoint(eager=True)
 
 
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.9,
+    top_n: int = 50,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the trained
+    k-means codebook (:func:`kmeans_centroids`), then look for
+    near-duplicate pairs ONLY within each cluster — pairs in different
+    clusters are by construction far apart, so the all-pairs O(N^2)
+    comparison collapses to Σ cluster_size^2.
+
+    Scale (100 TB): assignment is a broadcast of k tiny centroids +
+    hash-agg argmax (:func:`_assign_to_centroids`); the pair join is a
+    self-equi-join on ``centroid_id``. Cluster sizes are the scale
+    knob — production sweeps k with corpus size (k ~ N/10k) so each
+    cell stays bounded; a runaway cell is an AQE skew-join case.
+    Candidate generation is part of the operator contract: a
+    cross-cluster near-dup pair (rare — it requires the pair to
+    straddle a Voronoi boundary) is missed, the standard SemDeDup
+    trade.
+
+    -> centroid_id, vec_a, vec_b, cos_sim  (top_n by similarity)
+    """
+    cents = kmeans_centroids(embeddings, k, iterations).withColumn(
+        "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
+    )
+    assigned = _assign_to_centroids(as_double_vec(embeddings), cents)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("v_nrm").alias("va_nrm"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("v_nrm").alias("vb_nrm"),
+        "centroid_id",
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "centroid_id",
+            "vec_a",
+            "vec_b",
+            cosine("va", "vb").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(top_n)
+    )
+
+
 def ann_topk_blas(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:
