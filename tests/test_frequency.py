@@ -93,3 +93,39 @@ def test_heavy_hitters_are_exact_top_k(spark, sf_dir):
     ]
     assert [r["rank"] for r in got] == list(range(1, fr.TOP_K + 1))
     msgs.unpersist()
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "k string"
+    )
+    bits = fr.bloom_build(keys, "k")
+    # every inserted key must probe positive (no false negatives)
+    probed = fr.bloom_maybe_contains(keys, bits, "k")
+    assert probed.filter(F.col("maybe") == 0).count() == 0
+    # merge property: filter(A ∪ B) == bits(A) UNION DISTINCT bits(B)
+    a = keys.filter(F.col("k") < "key-2")
+    b = keys.filter(F.col("k") >= "key-2")
+    merged = fr.bloom_build(a, "k").union(fr.bloom_build(b, "k")).distinct()
+    whole = set(r["pos"] for r in bits.collect())
+    assert set(r["pos"] for r in merged.collect()) == whole
+
+
+def test_bloom_overlap_bounds_exact_hits(spark):
+    hist = spark.createDataFrame(
+        [(0, "a b c d e f g", "en", "s", 13), (2, "h i j k l m n", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    probe = spark.createDataFrame(
+        # doc 1 shares the full 5-gram window stream with doc 0; doc 3
+        # shares nothing
+        [(1, "a b c d e f g", "en", "s", 13), (3, "z y x w v u t", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in fr.bloom_ngram_overlap(hist, probe).collect()}
+    assert out[1]["exact_hits"] == out[1]["n_shingles"] == 3
+    assert out[1]["bloom_hits"] == 3  # no false negatives
+    assert out[3]["exact_hits"] == 0
+    # one-sided error: bloom can only over-count
+    for r in out.values():
+        assert r["bloom_hits"] >= r["exact_hits"]

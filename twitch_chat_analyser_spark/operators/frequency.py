@@ -212,6 +212,119 @@ def heavy_hitter_words(messages: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom filter membership
+# --------------------------------------------------------------------------
+
+# Bloom geometry: m bits, k hash functions. Sized for the TEST corpus to
+# make false positives visible (fill ~0.6 → FP ~10%); a production
+# deployment sizes m ~ 10-15 bits/key for sub-1% FP. The bit set is
+# stored as a table of set positions (≤ m rows of BIGINT), which unions
+# losslessly — per-day/per-shard filters merge by UNION DISTINCT, the
+# same re-aggregation story as the CMS/bitmap/HLL sketches above.
+BLOOM_M = 1 << 16
+BLOOM_K = 5
+
+
+def _bloom_positions(item: Column) -> Column:
+    """array<long> of the item's ``BLOOM_K`` bit positions — the same
+    portable md5-prefix hash family as the CMS rows, so DuckDB rebuilds
+    the identical filter."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(f"b{j}"), item)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """Build the filter: distinct set-bit positions of every key.
+
+    -> pos BIGINT   (≤ BLOOM_M rows ever, regardless of input size)
+
+    Mergeable: UNION DISTINCT of two filters with the same geometry is
+    exactly the filter of the unioned key sets.
+    """
+    return (
+        df.select(F.explode(_bloom_positions(F.col(col))).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    probes: DataFrame, bits: DataFrame, col: str
+) -> DataFrame:
+    """Probe the filter: a key is *maybe present* iff all ``BLOOM_K`` of
+    its positions are set (no false negatives; false-positive rate set
+    by the filter's fill factor). The bit table is ≤ BLOOM_M small rows
+    — broadcast, so probing is map-side however many keys stream
+    through.
+
+    -> *probes.columns, maybe INT (1 = all positions set)
+    """
+    pp = probes.select(
+        "*", F.posexplode(_bloom_positions(F.col(col))).alias("j", "pos")
+    )
+    return (
+        pp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy(*probes.columns)
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) == BLOOM_K)
+            .cast("int")
+            .alias("maybe")
+        )
+    )
+
+
+def bloom_ngram_overlap(
+    history_docs: DataFrame, probe_docs: DataFrame, shingle_k: int = 5
+) -> DataFrame:
+    """Bloom-approximate cross-corpus n-gram overlap: how many of each
+    probe document's distinct word ``k``-grams does the history corpus
+    (maybe) contain? The scale pattern for incremental-ingest dedup and
+    decontamination: the history's shingle set is compressed into a
+    fixed-size filter ONCE; each new batch probes it map-side instead of
+    shuffle-joining against the full history. ``exact_hits`` (the true
+    semi-join the filter replaces) is carried alongside to expose the
+    one-sided error: bloom_hits >= exact_hits always, never misses.
+
+    -> doc_id, n_shingles, bloom_hits, exact_hits
+    """
+    from .dedup import shingles, tokens
+
+    def doc_shingles(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("toks", tokens())
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(shingles("toks", shingle_k))
+                ).alias("s"),
+            )
+            .select("doc_id", F.md5("s").alias("shh"))
+        )
+
+    hist = doc_shingles(history_docs).select("shh").distinct()
+    bits = bloom_build(hist, "shh")
+    probe = doc_shingles(probe_docs)
+    flagged = bloom_maybe_contains(probe, bits, "shh").join(
+        hist.withColumn("ex", F.lit(1)), "shh", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("maybe").alias("bloom_hits"),
+        F.sum(F.coalesce("ex", F.lit(0))).alias("exact_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry entries
 # --------------------------------------------------------------------------
 
@@ -228,10 +341,22 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitter_words(ingest.messages(spark, sf_dir))
 
 
+def _q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops import DUP_NGRAM_K
+
+    docs = ingest.load(spark, sf_dir, "documents")
+    return bloom_ngram_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        shingle_k=DUP_NGRAM_K,
+    )
+
+
 FREQUENCY_QUERIES = {
     "cms_user_frequency": _q_cms,
     "bitmap_distinct_users": _q_bitmap,
     "heavy_hitter_words": _q_heavy_hitters,
+    "bloom_ngram_membership": _q_bloom,
 }
 
 
@@ -239,6 +364,67 @@ def _cms_bucket_sql(item: str, d: int) -> str:
     return (
         f"('0x' || substr(md5('{d}:' || {item}), 1, 8))::BIGINT % {CMS_WIDTH}"
     )
+
+
+def _bloom_pos_sql(item: str, j: int) -> str:
+    return (
+        f"('0x' || substr(md5('b{j}:' || {item}), 1, 8))::BIGINT % {BLOOM_M}"
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    """Identical filter rebuild: same shingles, same md5-prefix hash
+    family, same all-K-positions membership rule as
+    :func:`bloom_ngram_overlap` (DUP_NGRAM_K-gram shingles over the
+    doc_id-parity split)."""
+    from .llmops import DUP_NGRAM_K as K
+
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(K))
+    bit_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {_bloom_pos_sql('shh', j)} AS pos FROM hist"
+        for j in range(BLOOM_K)
+    )
+    probe_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, shh, {_bloom_pos_sql('shh', j)} AS pos FROM probe"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH doc_toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+dsh AS (
+    SELECT DISTINCT doc_id, md5(sh) AS shh FROM (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) < {K}
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - {K - 2}),
+                      i -> {gram})
+            END) AS sh
+        FROM doc_toks
+    )
+),
+hist AS (SELECT DISTINCT shh FROM dsh WHERE doc_id % 2 = 0),
+bits AS (SELECT DISTINCT pos FROM (
+{bit_rows}
+)),
+probe AS (SELECT doc_id, shh FROM dsh WHERE doc_id % 2 = 1),
+pp AS (
+{probe_rows}
+),
+nhits AS (
+    SELECT doc_id, shh, count(*) AS nhit
+    FROM pp JOIN bits USING (pos) GROUP BY 1, 2
+),
+flags AS (
+    SELECT p.doc_id,
+           CASE WHEN coalesce(h.nhit, 0) = {BLOOM_K} THEN 1 ELSE 0 END AS maybe,
+           CASE WHEN p.shh IN (SELECT shh FROM hist) THEN 1 ELSE 0 END AS ex
+    FROM probe p LEFT JOIN nhits h ON h.doc_id = p.doc_id AND h.shh = p.shh
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(maybe) AS BIGINT) AS bloom_hits,
+       CAST(sum(ex) AS BIGINT) AS exact_hits
+FROM flags GROUP BY doc_id"""
 
 
 def frequency_oracles() -> dict[str, str]:
@@ -283,4 +469,5 @@ SELECT word, occurrences,
            AS rank
 FROM counts
 QUALIFY rank <= {TOP_K}""",
+        "bloom_ngram_membership": _bloom_oracle_sql(),
     }
