@@ -316,3 +316,36 @@ def test_token_budget_matches_python_reference(spark, tokens_per_doc, budget):
             want.append(i)
         run += tokens_per_doc[i]
     assert got == sorted(want)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    rows = [(i, (i % 7 + 1) * 10) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = sampling.weighted_sample(docs, k=25).collect()
+
+    def es_key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        return round(math.log(u) / w, 12)
+
+    ref = sorted(
+        ((es_key(i, w), i, w) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )[:25]
+    assert [(r["doc_id"], r["weight"]) for r in out] == [
+        (i, w) for _, i, w in ref
+    ]
+    assert [r["rank"] for r in out] == list(range(1, 26))
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    # weight 1000 vs weight 1: the heavy half should dominate the
+    # sample (deterministic, so this is a fixed fact of the hash, but
+    # it pins the direction of the weighting — a 1/w bug would flip it)
+    rows = [(i, 1000 if i < 500 else 1) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = sampling.weighted_sample(docs, k=50).collect()
+    heavy = sum(1 for r in out if r["weight"] == 1000)
+    assert heavy >= 45

@@ -296,6 +296,53 @@ STRATA_QUOTA = 50
 SHUFFLE_EPOCH = 1
 TOKEN_BUDGET_PER_SOURCE = 5_000
 QUALITY_KEEP_FRACTION = 0.5
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 100, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    A-Res (Inf. Proc. Letters 97(5), 2006): every row gets the key
+    ``ln(u) / w`` (monotone transform of ``u^(1/w)``) with ``u`` a
+    deterministic md5-uniform of the document id; the sample is the
+    global top-``k`` by key. Inclusion probability is proportional to
+    weight, the draw is a pure function of the row (idempotent across
+    retries, identical in the oracle), and selection is a single
+    TakeOrderedAndProject — each executor keeps a local k-heap, the
+    driver merges 32 heaps; no shuffle of the corpus. This IS
+    distributed reservoir sampling: the "reservoir" is the top-k heap,
+    and per-partition reservoirs merge associatively.
+
+    Keys are rounded to 12 dp before ranking so the ``ln`` ulp can
+    never differ across engines; ties (measure-zero) break by doc_id.
+
+    -> doc_id, weight, es_key, rank
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / float(1 << 32)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    topk = (
+        docs.select(
+            "doc_id",
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(k)
+    )
+    # rank over the k survivors only — bounded single-partition window,
+    # the staged pattern (TakeOrderedAndProject first, then rank)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("es_key"), "doc_id")),
+    )
 
 
 def _q_sample(spark, sf_dir):
@@ -362,7 +409,16 @@ def _q_group_safe_split(spark, sf_dir):
     )
 
 
+def _q_weighted(spark, sf_dir):
+    from .. import ingest
+
+    return weighted_sample(
+        ingest.load(spark, sf_dir, "documents"), WEIGHTED_SAMPLE_K
+    )
+
+
 SAMPLING_QUERIES = {
+    "sample_weighted_reservoir": _q_weighted,
     "sample_deterministic": _q_sample,
     "sample_train_test_split": _q_split,
     "sample_stratified": _q_stratified,
@@ -389,6 +445,19 @@ quality AS (
     FROM qbase b JOIN per_doc p USING (doc_id)
 )"""
     extra = {
+        "sample_weighted_reservoir": f"""
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 12) AS es_key
+    FROM documents
+)
+SELECT doc_id, weight, es_key,
+       CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT) AS rank
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}""",
         "sample_epoch_shuffle": f"""
 SELECT doc_id,
        row_number() OVER (
