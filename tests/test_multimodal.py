@@ -197,3 +197,137 @@ def test_audio_features_stub_and_plumbing(spark):
     assert (again.est_sample_rate, again.est_duration_ms, again.rms) == (
         r.est_sample_rate, r.est_duration_ms, r.rms
     )
+
+
+def make_png(width, height, rows_px, ctype=2, filters=None):
+    """Hand-pack an 8-bit non-interlaced PNG; ``rows_px`` is rows top to
+    bottom of per-pixel tuples (or ints for greyscale). ``filters``
+    picks the per-row filter type so every unfilter branch is
+    exercisable; encoding here is the forward filter, the decoder must
+    invert it."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = width * ch
+    raw_rows = [
+        bytes(
+            v
+            for px in row
+            for v in (px if isinstance(px, (tuple, list)) else (px,))
+        )
+        for row in rows_px
+    ]
+    prev = bytes(stride)
+    out = bytearray()
+    for ri, line in enumerate(raw_rows):
+        f = filters[ri] if filters else 0
+        out.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = bytes(
+                (line[i] - (line[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            enc = bytes(
+                (line[i] - (((line[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:
+            enc = bytes(
+                (
+                    line[i]
+                    - multimodal._paeth(
+                        line[i - ch] if i >= ch else 0,
+                        prev[i],
+                        prev[i - ch] if i >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        out += enc
+        prev = line
+
+    def chunk(cid, body):
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", z.crc32(cid + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_PIXELS = [
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    [(5, 15, 25), (200, 100, 0), (255, 255, 255)],
+    [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    [(90, 80, 70), (60, 50, 40), (30, 20, 10)],
+    [(128, 128, 128), (0, 0, 0), (255, 0, 255)],
+]
+
+
+def test_decode_png_all_filter_types():
+    # one row per PNG filter type 0..4 — every unfilter branch runs
+    png = make_png(3, 5, PNG_PIXELS, ctype=2, filters=[0, 1, 2, 3, 4])
+    w, h, (mr, mg, mb) = multimodal.decode_png(png)
+    assert (w, h) == (3, 5)
+    flat = [px for row in PNG_PIXELS for px in row]
+    assert mr == pytest.approx(sum(p[0] for p in flat) / 15)
+    assert mg == pytest.approx(sum(p[1] for p in flat) / 15)
+    assert mb == pytest.approx(sum(p[2] for p in flat) / 15)
+
+
+def test_decode_png_rgba_ignores_alpha_and_grey_replicates():
+    rgba = [[(100, 50, 25, 7), (200, 150, 75, 250)]]
+    w, h, (mr, mg, mb) = multimodal.decode_png(make_png(2, 1, rgba, ctype=6))
+    assert (w, h, mr, mg, mb) == (2, 1, 150.0, 100.0, 50.0)
+    grey = [[10, 30], [50, 70]]
+    w, h, means = multimodal.decode_png(make_png(2, 2, grey, ctype=0))
+    assert means == (40.0, 40.0, 40.0)
+
+
+def test_decode_image_stub_routes_png():
+    png = make_png(3, 5, PNG_PIXELS, ctype=2, filters=[4, 3, 2, 1, 0])
+    w, h, means = multimodal.decode_image_stub(png, fake=False)
+    assert (w, h) == (3, 5)
+    # same image, filter-0 only: identical pixels, identical means
+    assert means == multimodal.decode_png(make_png(3, 5, PNG_PIXELS))[2]
+
+
+def test_decode_png_rejects_unsupported():
+    import zlib
+
+    # 16-bit depth is out of scope -> stub raises NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(bad, fake=False)

@@ -119,21 +119,113 @@ def decode_bmp(payload: bytes):
     return width, height, (sum_r / n, sum_g / n, sum_b / n)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """REAL stdlib image decode: non-interlaced 8-bit greyscale / RGB /
+    RGBA PNG -> dimensions + per-channel means. Pure ``zlib`` +
+    ``struct``: chunk walk (IHDR/IDAT*/IEND), inflate, then scanline
+    unfiltering with the full filter set (None/Sub/Up/Average/Paeth).
+    Alpha is ignored for the means; greyscale replicates into all three
+    channels.
+
+    -> width, height, (mean_r, mean_g, mean_b)
+    """
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size, cid = struct.unpack_from(">I4s", payload, pos)
+        if cid == b"IHDR":
+            ihdr = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + size]
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if w < 1 or h < 1:
+        raise ValueError("degenerate PNG dimensions")
+    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError(
+            "only 8-bit non-interlaced greyscale/RGB/RGBA PNG is supported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    prev = bytearray(stride)
+    sums = [0] * ch
+    at = 0
+    for _ in range(h):
+        ftype = raw[at]
+        line = bytearray(raw[at + 1 : at + 1 + stride])
+        at += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        for k in range(ch):
+            sums[k] += sum(line[k::ch])
+        prev = line
+    n = w * h
+    if ch == 1:
+        means = (sums[0] / n,) * 3
+    else:
+        means = (sums[0] / n, sums[1] / n, sums[2] / n)
+    return w, h, means
+
+
 def decode_image_stub(payload: bytes, fake: bool = False):
-    """Image decode entry point: the REAL stdlib BMP parser when the
-    payload is one (``decode_bmp``); other formats need an imaging
-    library absent from this container — for those, ``fake=True``
-    derives deterministic pseudo-properties from the bytes so plumbing
-    tests have stable expectations."""
+    """Image decode entry point: REAL stdlib parsers when the payload is
+    a supported format (``decode_bmp`` for uncompressed 24-bpp BMP,
+    ``decode_png`` for 8-bit non-interlaced PNG); other formats need an
+    imaging library absent from this container — for those,
+    ``fake=True`` derives deterministic pseudo-properties from the
+    bytes so plumbing tests have stable expectations."""
     if not fake:
-        try:
-            return decode_bmp(payload)
-        except ValueError as exc:
-            raise NotImplementedError(
-                f"real decode covers uncompressed 24-bpp BMP only ({exc}); "
-                "other formats need an imaging library not present in this "
-                "environment; pass fake=True for the deterministic stub"
-            ) from exc
+        errs = []
+        for dec in (decode_bmp, decode_png):
+            try:
+                return dec(payload)
+            except ValueError as exc:
+                errs.append(str(exc))
+        raise NotImplementedError(
+            "real decode covers uncompressed 24-bpp BMP and 8-bit "
+            f"non-interlaced PNG only ({'; '.join(errs)}); other formats "
+            "need an imaging library not present in this environment; "
+            "pass fake=True for the deterministic stub"
+        )
     h = hashlib.sha256(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
