@@ -285,3 +285,42 @@ def test_no_quadratic_pair_join_in_dedup_family(spark, sf_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} fell back to a nested-loop join:\n{plan[:2000]}"
         )
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_semantic_clusters", "dedup_dup_ngram_fraction"]
+)
+def test_new_dedup_family_members_are_not_quadratic(spark, sf_dir, name):
+    """SemDeDup's pair join is an equi-join on centroid_id (the only
+    nested loops are the bounded broadcast of k centroids in the Lloyd
+    rounds / assignment); the dup-ngram signal has no pair join at all —
+    one window over the shingle hash."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} has an all-pairs join"
+    if name == "dedup_dup_ngram_fraction":
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not _partitionless_windows(plan), "ngram window lost its key"
+
+
+def test_bloom_probe_broadcasts_the_bit_table(spark, sf_dir):
+    """The Bloom probe must be a map-side broadcast join against the
+    <= BLOOM_M-row bit table — never a shuffle of the probe corpus
+    keyed on bit position."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()["bloom_ngram_membership"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-Res selection is global top-k: TakeOrderedAndProject (merged
+    per-partition heaps), not a full sort of the corpus."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()["sample_weighted_reservoir"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
