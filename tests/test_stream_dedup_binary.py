@@ -242,3 +242,59 @@ def test_dedup_history_read_excludes_own_batch_on_replay(spark, tmp_path):
     # a LATER batch with the same content is deduped by history
     later = sd._dedup_against_history(spark, batch, fp_path, batch_id=1)
     assert later.count() == 0
+
+
+def test_bloom_corpus_dedup_across_batches_and_replay(spark, tmp_path):
+    import os
+
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "bdocs")
+    out = str(tmp_path / "bout")
+    ckpt = str(tmp_path / "bckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, sd.DOC_SCHEMA)
+
+    def run():
+        sd.start_bloom_corpus_dedup(
+            spark, src, out, ckpt, max_files_per_trigger=1
+        ).awaitTermination()
+
+    mk(
+        [
+            (1, "Hello  World", "en", "s", 11),
+            (2, "hello world", "en", "s", 11),  # in-batch dup of 1
+            (3, "unique first", "en", "s", 12),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    mk(
+        [
+            (10, "UNIQUE   first", "en", "s", 12),  # historical dup of 3
+            (11, "brand new", "en", "s", 9),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    kept = sorted(r["doc_id"] for r in corpus.collect())
+    # no false negatives: both duplicates are gone; the novel doc is kept
+    # (the near-empty filter makes a false positive on it astronomically
+    # unlikely, and the draw is deterministic)
+    assert kept == [1, 3, 11]
+
+    # the membership state is bounded: <= BLOOM_K bits per surviving key
+    from twitch_chat_analyser_spark.operators.frequency import BLOOM_K
+
+    bits = spark.read.parquet(os.path.join(out, "bloombits"))
+    assert bits.count() <= BLOOM_K * len(kept)
+
+    # replay with no new data: nothing changes
+    run()
+    again = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    )
+    assert again == kept

@@ -268,3 +268,81 @@ def start_corpus_prep_stream(
     return _start_doc_stream(
         spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-bounded incremental dedup: history membership in O(BLOOM_M) bits
+# --------------------------------------------------------------------------
+
+
+def start_bloom_corpus_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """:func:`start_incremental_corpus_dedup` with the history
+    membership test replaced by a Bloom filter
+    (``operators.frequency.bloom_build`` / ``bloom_maybe_contains``):
+    the per-batch "seen before?" probe joins against the union of all
+    prior batches' set-bit positions — a table bounded by ``BLOOM_M``
+    rows FOREVER, however large the corpus grows — instead of
+    anti-joining the full fingerprint store. The probe therefore
+    broadcasts and stays map-side at any history size; this is the
+    trade to take when the exact store's anti-join (even bucketed)
+    dominates ingest cost.
+
+    Semantics are one-sided: a true duplicate NEVER survives (the
+    filter has no false negatives), but a novel document colliding with
+    set bits is dropped — probability = the filter's false-positive
+    rate, so size ``BLOOM_M`` to the corpus's lifetime key budget.
+
+    Exactly-once: both output families are ``batch=<id>`` overwrite
+    partitions, and the history read excludes the current batch's own
+    partition (same replay reasoning as :func:`_dedup_against_history`).
+
+    Layout: ``out_dir/corpus/batch=N/`` and ``out_dir/bloombits/batch=N/``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import norm_text
+    from ..operators.frequency import bloom_build, bloom_maybe_contains
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    bits_path = os.path.join(out_dir, "bloombits")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.withColumn("fp", F.md5(norm_text()))
+        keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        batch_unique = hashed.join(keeper, ["fp", "doc_id"], "left_semi")
+        if os.path.isdir(bits_path):
+            bits = (
+                spark.read.parquet(bits_path)
+                .filter(F.col("batch") != batch_id)
+                .select("pos")
+                .distinct()
+            )
+            verdicts = bloom_maybe_contains(
+                batch_unique.select("doc_id", "fp"), bits, "fp"
+            )
+            fresh = batch_unique.join(
+                verdicts.filter(F.col("maybe") == 0).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        else:
+            fresh = batch_unique
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.drop("fp").write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"batch={batch_id}")
+        )
+        bloom_build(fresh, "fp").write.mode("overwrite").parquet(
+            os.path.join(bits_path, f"batch={batch_id}")
+        )
+
+    return _start_doc_stream(
+        spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
+    )
