@@ -98,6 +98,7 @@ def probes(spark, sf_dir: str, r: int) -> dict:
     )
     from twitch_chat_analyser_spark.operators import (
         dedup,
+        frequency,
         sampling,
         similarity,
         textops,
@@ -142,6 +143,19 @@ def probes(spark, sf_dir: str, r: int) -> dict:
             lambda n: similarity.pq_topk(
                 embs[n], list(range(10)), 4, 8, 5, 4, dim=64
             )
+        ),
+        "dup-ngram span fraction (window over shingle hash)": pair(
+            lambda n: dedup.duplicated_ngram_stats(docs[n], 5)
+        ),
+        "bloom ngram overlap (build + broadcast probe)": pair(
+            lambda n: frequency.bloom_ngram_overlap(
+                docs[n].filter("doc_id % 2 = 0"),
+                docs[n].filter("doc_id % 2 = 1"),
+                5,
+            )
+        ),
+        "semdedup (Lloyd rounds + cluster-blocked pairs)": pair(
+            lambda n: similarity.semdedup_pairs(embs[n], 8, 2, 0.3, 50)
         ),
     }
 
