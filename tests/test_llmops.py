@@ -179,6 +179,49 @@ def test_duplicated_ngram_stats_goldens(spark):
     assert out[5]["dup_frac"] == 1.0
 
 
+def test_remove_duplicate_spans_goldens(spark):
+    rows = [
+        (1, "a b c d e", "en", "s1", 9),
+        # repeats doc1's "b c" span plus fresh tokens: the 2-gram
+        # occurrences ("b c") after the global first cover both tokens
+        (2, "b c q r", "en", "s1", 7),
+        # exact whole-doc duplicate of a short doc
+        (3, "zz", "en", "s1", 2),
+        (4, "zz", "en", "s1", 2),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(df, shingle_k=2).collect()
+    }
+    # doc1 is the first occurrence of all its grams -> untouched
+    assert out[1]["text_dedup"] == "a b c d e"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (5, 0)
+    # doc2 loses positions 0-1 ("b c", dup of doc1's span); "c q" starts
+    # at the covered token c, q survives via the "q r" first occurrence
+    assert out[2]["text_dedup"] == "q r"
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (2, 2)
+    # short-doc whole-text gram: first copy kept, second removed entirely
+    assert out[3]["text_dedup"] == "zz"
+    assert out[4]["text_dedup"] == ""
+    assert (out[4]["n_tokens"], out[4]["n_kept"]) == (1, 0)
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    # the SAME doc repeating a span also dedups: second "p q" occurrence
+    # (pos 2-3) is removed, trailing distinct token survives
+    df = spark.createDataFrame(
+        [(1, "p q p q t", "en", "s1", 9)], DOC_SCHEMA
+    )
+    row = dedup.remove_duplicate_spans(df, shingle_k=2).collect()[0]
+    # grams: "p q"(0) "q p"(1) "p q"(2) "q t"(3); dup "p q"@2 covers
+    # pos 2-3 -> kept tokens p q t... pos3 q covered, pos4 t kept via
+    # first-occurrence grams? pos4 is covered only if a dup gram spans
+    # it: "q t"@3 is a first occurrence -> pos 4 kept
+    assert row["text_dedup"] == "p q t"
+    assert row["n_removed"] == 2
+
+
 def test_language_id_prefers_matching_stopwords(docs):
     out = {r["doc_id"]: r["predicted_lang"] for r in textops.language_id(docs).collect()}
     assert out[1] == "en"

@@ -304,6 +304,32 @@ def test_new_dedup_family_members_are_not_quadratic(spark, sf_dir, name):
         assert not _partitionless_windows(plan), "ngram window lost its key"
 
 
+def test_span_removal_is_not_quadratic(spark, sf_dir):
+    """The exact-substring rewrite never joins the corpus against
+    itself: first-occurrence ranking is a window PARTITIONED by the gram
+    hash, and the cover/token joins are equi-joins on (doc_id, pos).
+    JVM-only end to end."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()["dedup_span_removal"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _partitionless_windows(plan), "gram window lost its key"
+    assert "Python" not in plan
+
+
+def test_cluster_representatives_window_is_cluster_partitioned(
+    spark, sf_dir
+):
+    """The keep-best argmax must rank inside each cluster (bounded
+    partitions), never through one global window."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()["dedup_cluster_representatives"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert not _partitionless_windows(plan), "argmax window lost its key"
+
+
 def test_bloom_probe_broadcasts_the_bit_table(spark, sf_dir):
     """The Bloom probe must be a map-side broadcast join against the
     <= BLOOM_M-row bit table — never a shuffle of the probe corpus

@@ -89,6 +89,30 @@ def test_dedup_clusters_singletons_survive(spark):
     assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
 
 
+def test_cluster_representatives_keep_best(spark):
+    # cluster {0,3,5}: doc 5 has the best quality -> kept over min-id 0;
+    # cluster {7,8}: tie on quality -> lowest doc_id (7) wins;
+    # singletons (1) never emitted
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 3, 5, 7, 8)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (7, 8)], "doc_a long, doc_b long"
+    )
+    quality = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (3, 0.5), (5, 0.8), (7, 0.4), (8, 0.4)],
+        "doc_id long, quality_score double",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in graph.cluster_representatives(docs, pairs, quality).collect()
+    }
+    assert set(out) == {0, 7}
+    assert (out[0]["rep_doc_id"], out[0]["cluster_size"]) == (5, 3)
+    assert out[0]["rep_quality"] == 0.8
+    assert (out[7]["rep_doc_id"], out[7]["cluster_size"]) == (7, 2)
+
+
 def test_connected_components_both_paths_agree(spark):
     # the adaptive small-graph (driver union-find) and distributed
     # (label propagation) paths must produce identical min-label

@@ -341,6 +341,93 @@ def duplicated_ngram_stats(docs: DataFrame, shingle_k: int = 5) -> DataFrame:
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, shingle_k: int = 5) -> DataFrame:
+    """Exact substring deduplication as a REWRITE (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    occurrence of a word ``k``-gram AFTER its global first occurrence
+    (ordered by ``(doc_id, pos)``) marks its ``k`` token positions as
+    duplicated; the document is re-emitted with the covered tokens
+    removed. Unlike :func:`duplicated_ngram_stats` (which only scores
+    documents) this produces the deduplicated corpus itself — the
+    operator a training-data pipeline actually feeds to tokenization.
+
+    Documents shorter than ``k`` tokens are treated as a single
+    whole-document gram (same guard as :func:`shingles`), so short exact
+    duplicates are removed entirely; the first occurrence of any span is
+    always kept, so one full copy of every piece of content survives.
+
+    Shape (100 TB): grams are hashed to 32-byte md5 keys before the one
+    wide exchange; first-occurrence ranking is a window over the gram
+    hash (partition sizes = duplication clusters — a globally hot
+    boilerplate span is an AQE skew case). Covered positions and the
+    token rows then shuffle on ``(doc_id, pos)`` for a co-partitioned
+    LEFT ANTI join, and the rebuild aggregates on ``doc_id``. The corpus
+    is never joined against itself row-by-row; per-doc ``collect_list``
+    is bounded by document length (the floor for any whole-doc rewrite).
+
+    -> doc_id, n_tokens, n_kept, n_removed, text_dedup
+    """
+    from pyspark.sql import Window
+
+    k = shingle_k
+    toks_df = docs.withColumn("toks", tokens())
+    grams = (
+        toks_df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) < {k} THEN "
+                    "array(named_struct("
+                    "'pos', 0, 'gram', array_join(toks, ' '), "
+                    "'span', size(toks))) "
+                    f"ELSE transform(sequence(0, size(toks) - {k}), "
+                    "i -> named_struct('pos', i, "
+                    f"'gram', concat_ws(' ', slice(toks, i + 1, {k})), "
+                    f"'span', {k})) END"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.md5(F.col("g.gram")).alias("gh"),
+            F.col("g.span").alias("span"),
+        )
+    )
+    w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    dups = grams.withColumn("rn", F.row_number().over(w)).filter("rn > 1")
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.expr("sequence(pos, pos + span - 1)")).alias("pos"),
+    ).distinct()
+    tok_rows = toks_df.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    base = toks_df.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_k: int = 3,

@@ -178,6 +178,50 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def cluster_representatives(
+    docs: DataFrame, pairs: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """Keep-best dedup policy: for every near-dup cluster of size >= 2,
+    keep the member with the highest quality score (ties -> lowest
+    doc_id) instead of :func:`dedup_clusters`' min-id survivor. This is
+    the selection step a training-data pipeline actually wants — drop
+    duplicates but keep the best-written copy.
+
+    ``quality`` must carry (doc_id, quality_score) —
+    ``textops.quality_score`` in the registry wiring.
+
+    Shape (100 TB): cluster membership from the pointer-jumping
+    fixpoint; the size gate and the argmax are BOTH window functions
+    over the cluster_id partition (bounded partitions — no global
+    window), so the whole selection is ONE exchange + sort on
+    ``cluster_id`` rather than a groupBy-and-join-back that would
+    evaluate the fixpoint subtree twice.
+
+    -> cluster_id, rep_doc_id, cluster_size, rep_quality
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(docs, pairs)
+    scored = clusters.join(
+        quality.select("doc_id", "quality_score"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id")
+    wrank = w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn(
+            "cluster_size", F.count("*").over(w).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter("cluster_size >= 2 AND rn = 1")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.round("quality_score", 6).alias("rep_quality"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry entries. Both are iterative fixpoints, but at the registry's
 # FIXED parameters they ARE single-statement SQL: components via a
@@ -196,6 +240,18 @@ def _q_dedup_clusters(spark, sf_dir):
         llmops.MINHASH_JACCARD_THRESHOLD, sort=False,
     )
     return dedup_clusters(docs, pairs).filter(~F.col("is_survivor"))
+
+
+def _q_cluster_representatives(spark, sf_dir):
+    from .. import ingest
+    from . import dedup, llmops, textops
+
+    docs = ingest.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, llmops.NUM_HASHES, llmops.SHINGLE_K,
+        llmops.MINHASH_JACCARD_THRESHOLD, sort=False,
+    )
+    return cluster_representatives(docs, pairs, textops.quality_score(docs))
 
 
 
@@ -309,6 +365,7 @@ def _q_channel_pagerank(spark, sf_dir):
 
 GRAPH_QUERIES = {
     "dedup_connected_clusters": _q_dedup_clusters,
+    "dedup_cluster_representatives": _q_cluster_representatives,
     "channel_pagerank": _q_channel_pagerank,
 }
 
@@ -397,7 +454,37 @@ comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY 
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor
 FROM comp WHERE doc_id != cluster_id"""
 
+    # same transitive closure, then argmax-by-quality per cluster. The
+    # quality CTEs come from the shared single-source formula
+    # (llmops.quality_sql_parts) with its doc_tokens CTE dropped because
+    # _DOC_CTES already defines it.
+    q_base, q_score = llmops.quality_sql_parts(with_doc_tokens=False)
+    closure = clusters_sql.split("comp AS")[0]
+    reps_sql = f"""{closure}comp AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+sized AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY cluster_id HAVING count(*) >= 2
+),
+{q_base},
+quality AS (
+    SELECT p.doc_id, {q_score} AS quality_score
+    FROM per_doc p JOIN qbase b USING (doc_id)
+),
+scored AS (
+    SELECT c.cluster_id, c.doc_id, s.cluster_size, q.quality_score,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality_score DESC, c.doc_id) AS rn
+    FROM comp c JOIN sized s USING (cluster_id)
+    JOIN quality q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
+       round(quality_score, 6) AS rep_quality
+FROM scored WHERE rn = 1"""
+
     return {
         "channel_pagerank": pagerank_sql,
         "dedup_connected_clusters": clusters_sql,
+        "dedup_cluster_representatives": reps_sql,
     }

@@ -99,6 +99,10 @@ def _q_dedup_dup_ngrams(spark, sf_dir):
     return dedup.duplicated_ngram_stats(_docs(spark, sf_dir), DUP_NGRAM_K)
 
 
+def _q_dedup_span_removal(spark, sf_dir):
+    return dedup.remove_duplicate_spans(_docs(spark, sf_dir), DUP_NGRAM_K)
+
+
 def _q_ann_brute(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
@@ -493,6 +497,7 @@ LLM_QUERIES = {
     "dedup_embedding_cosine": _q_dedup_embedding,
     "dedup_semantic_clusters": _q_dedup_semantic,
     "dedup_dup_ngram_fraction": _q_dedup_dup_ngrams,
+    "dedup_span_removal": _q_dedup_span_removal,
     "ann_brute_topk": _q_ann_brute,
     "ann_ivf_topk": _q_ann_ivf,
     "ann_lsh_topk": _q_ann_lsh,
@@ -560,8 +565,12 @@ def _cos(a: str, b: str, a_nrm: str, b_nrm: str) -> str:
     return f"list_dot_product({a}, {b}) / ({a_nrm} * {b_nrm})"
 
 
-def quality_sql_parts() -> tuple[str, str]:
+def quality_sql_parts(with_doc_tokens: bool = True) -> tuple[str, str]:
     """Shared quality-score SQL: (base_ctes, score_expr).
+
+    ``with_doc_tokens=False`` drops the leading ``doc_tokens`` CTE for
+    callers whose WITH-clause already defines it (e.g. composition with
+    ``_DOC_CTES``).
 
     ``base_ctes`` defines ``doc_tokens`` / ``per_doc`` (alias ``p``) /
     ``qbase`` (alias ``b``); ``score_expr`` is the 0.4/0.3/0.3 linear
@@ -576,11 +585,12 @@ def quality_sql_parts() -> tuple[str, str]:
             {w for ws in textops.LANG_PROFILES.values() for w in ws}
         )
     )
-    base = f"""doc_tokens AS (
+    tokens_cte = """doc_tokens AS (
     SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
     FROM documents
 ),
-per_doc AS (
+""" if with_doc_tokens else ""
+    base = f"""{tokens_cte}per_doc AS (
     SELECT doc_id,
         CAST(count(*) AS BIGINT) AS n_tokens,
         CAST(sum(CASE WHEN token IN ({all_stop}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
@@ -768,6 +778,74 @@ SELECT doc_id,
            / count(*) AS dup_frac
 FROM dup_sh JOIN nd USING (shh)
 GROUP BY doc_id""",
+        # same gram construction as dedup.remove_duplicate_spans: md5 of
+        # the k-gram text, global first occurrence by (doc_id, pos), the
+        # k covered token positions of every later occurrence removed
+        "dedup_span_removal": f"""
+WITH doc_toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+grams0 AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) < {DUP_NGRAM_K} THEN [0]
+                ELSE list_transform(
+                    generate_series(0, len(toks) - {DUP_NGRAM_K}), i -> i)
+           END AS poss,
+           CASE WHEN len(toks) < {DUP_NGRAM_K}
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(
+                    generate_series(0, len(toks) - {DUP_NGRAM_K}),
+                    i -> array_to_string(toks[i+1:i+{DUP_NGRAM_K}], ' '))
+           END AS gs,
+           CASE WHEN len(toks) < {DUP_NGRAM_K} THEN [len(toks)]
+                ELSE list_transform(
+                    generate_series(0, len(toks) - {DUP_NGRAM_K}),
+                    i -> {DUP_NGRAM_K})
+           END AS spans
+    FROM doc_toks
+),
+grams1 AS (
+    SELECT doc_id, unnest(poss) AS pos, unnest(gs) AS gram,
+           unnest(spans) AS span
+    FROM grams0
+),
+grams AS (SELECT doc_id, pos, md5(gram) AS gh, span FROM grams1),
+dups AS (
+    SELECT doc_id, pos, span FROM (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY gh
+                                  ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ) WHERE rn > 1
+),
+covered AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id,
+               unnest(generate_series(pos, pos + span - 1)) AS pos
+        FROM dups
+    )
+),
+tok_rows AS (
+    SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM doc_toks
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok FROM tok_rows t
+    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+),
+rebuilt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CAST(len(d.toks) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM doc_toks d LEFT JOIN rebuilt r USING (doc_id)""",
         "ann_brute_topk": f"""
 WITH {_EMB_CTES},
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm FROM emb
