@@ -241,6 +241,29 @@ def test_quality_score_features(spark):
     assert out[1]["quality_score"] > out[2]["quality_score"]
 
 
+def test_quality_rule_flags_goldens(spark):
+    d = spark.createDataFrame(
+        [
+            # passes everything: 5 words, 2 distinct stopwords, alpha
+            (1, "the cat sat on the mat and", "en", "s", 27),
+            # too short (2 words) and only 1 distinct stopword
+            (2, "the x", "en", "s", 5),
+            # symbol soup: symbol ratio 3/5 > 0.1, alpha 2/5 < 0.8
+            (3, "!! ?? ** ab cd", "xx", "s", 14),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in textops.quality_rule_flags(d).collect()}
+    assert out[1]["quality_pass"] is True
+    assert out[1]["stop_hits"] == 2  # distinct {the, and}
+    assert out[2]["ok_word_count"] is False
+    assert out[2]["ok_stopwords"] is False
+    assert out[2]["quality_pass"] is False
+    assert out[3]["ok_symbol"] is False
+    assert out[3]["ok_alpha"] is False
+    assert out[3]["symbol_ratio"] == pytest.approx(0.6)
+
+
 def test_token_counts(spark):
     d = spark.createDataFrame([(1, "ab3cd ef-gh", "en", "s", 11)], DOC_SCHEMA)
     r = textops.token_counts(d).collect()[0]
@@ -508,6 +531,30 @@ def test_sq8_constant_dimension_reconstructs_exactly(spark):
     for r in enc:
         assert r["codes"][1] == 0
         assert r["recon"][1] == 7.25
+
+
+def test_knn_graph_finds_cluster_neighbors(spark):
+    # two tight clusters on opposite axes: every node's neighbors must
+    # come from its own cluster, edges are directed (both endpoints
+    # rank each other), rank is 1..k
+    rows = [
+        (i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(4)
+    ] + [
+        (10 + i, [0.0, 0.0, 1.0, 0.001 * i], 1) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.knn_graph(df, k=2, num_planes=8, band_bits=4).collect()
+    assert out, "clustered vectors must produce edges"
+    for r in out:
+        same = (r["src"] < 10) == (r["dst"] < 10)
+        assert same, f"cross-cluster edge {r['src']}->{r['dst']}"
+        assert 1 <= r["rank"] <= 2
+        assert r["cos_sim"] > 0.99
+    # directed: reverse of the best edge exists from the other side
+    srcs = {r["src"] for r in out}
+    assert len(srcs) > 1
 
 
 def test_vocab_encode_ids_order_and_oov(spark):

@@ -264,6 +264,45 @@ def test_group_safe_split_keeps_exact_duplicates_together(spark):
     assert all(len(sides) == 1 for sides in by_hash.values())
 
 
+def test_mixture_temperature_upweights_small_sources(spark):
+    from twitch_chat_analyser_spark.operators.sampling import (
+        mixture_temperature,
+    )
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(10_000 + i, "small") for i in range(250)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_temperature(docs, tau=0.5, budget_fraction=0.5)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            __import__("pyspark").sql.functions.count("*").alias("n")
+        ).collect()
+    }
+    # B = 2125, Z = sqrt(4000) + sqrt(250) = 79.06; target shares
+    # q_big = 0.80, q_small = 0.20 -> ~1700 big, ~425 small (vs the
+    # natural 0.94/0.06 split). small's keep-rate 425/250 > 1 -> all kept
+    assert counts["small"] == 250
+    assert 1550 <= counts["big"] <= 1850
+    # tau=1 reproduces the natural mixture at the budget rate
+    nat = mixture_temperature(docs, tau=1.0, budget_fraction=0.5)
+    ncounts = {
+        r["source"]: r["n"]
+        for r in nat.groupBy("source").agg(
+            __import__("pyspark").sql.functions.count("*").alias("n")
+        ).collect()
+    }
+    assert 1850 <= ncounts["big"] <= 2150  # ~0.5 * 4000
+    assert 90 <= ncounts["small"] <= 160  # ~0.5 * 250
+    # deterministic re-run
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"]
+        for r in mixture_temperature(docs, 0.5, 0.5).collect()
+    )
+
+
 def test_token_budget_sample_admits_in_hash_order_until_budget(spark):
     rows = [(i, "en", "web", " ".join(["w"] * 10)) for i in range(20)]
     docs = spark.createDataFrame(

@@ -27,6 +27,7 @@ NGRAM_TOP_N = 20
 EMB_TOP_N = 20
 EMB_PLANES = 16
 EMB_BAND_BITS = 8
+KNN_K = 5
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
 IVF_CENTROIDS = 8
@@ -103,6 +104,12 @@ def _q_dedup_span_removal(spark, sf_dir):
     return dedup.remove_duplicate_spans(_docs(spark, sf_dir), DUP_NGRAM_K)
 
 
+def _q_knn_graph(spark, sf_dir):
+    return similarity.knn_graph(
+        _emb(spark, sf_dir), KNN_K, EMB_PLANES, EMB_BAND_BITS
+    )
+
+
 def _q_ann_brute(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
@@ -155,6 +162,10 @@ def _q_ann_ivf_kmeans(spark, sf_dir):
 
 def _q_langid(spark, sf_dir):
     return textops.language_id(_docs(spark, sf_dir))
+
+
+def _q_quality_rules(spark, sf_dir):
+    return textops.quality_rule_flags(_docs(spark, sf_dir))
 
 
 def _q_quality(spark, sf_dir):
@@ -507,8 +518,10 @@ LLM_QUERIES = {
     "ann_ivf_sq8_topk": _q_ann_ivf_sq8,
     "ann_pq_topk": _q_ann_pq,
     "ann_ivf_pq_topk": _q_ann_ivf_pq,
+    "ann_knn_graph": _q_knn_graph,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
+    "text_quality_rules": _q_quality_rules,
     "text_token_counts": _q_token_counts,
     "text_fingerprints": _q_fingerprints,
     "text_vocab_encode": _q_vocab_encode,
@@ -754,6 +767,33 @@ FROM cands
 JOIN emb a ON a.vec_id = vec_a
 JOIN emb b ON b.vec_id = vec_b
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
+        # same banding, directed candidate edges, per-src top-k window
+        "ann_knn_graph": f"""
+WITH {_EMB_CTES},
+planes AS (SELECT vec_id AS plane_id, v AS p FROM emb WHERE vec_id < {EMB_PLANES}),
+sbits AS (
+    SELECT e.vec_id, pl.plane_id // {EMB_BAND_BITS} AS band,
+           CASE WHEN list_dot_product(e.v, pl.p) > 0
+                THEN 1 << (pl.plane_id % {EMB_BAND_BITS}) ELSE 0 END AS bv
+    FROM emb e, planes pl
+),
+bands AS (SELECT vec_id, band, sum(bv) AS sig FROM sbits GROUP BY 1, 2),
+cands AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id != b.vec_id
+),
+scored AS (
+    SELECT src, dst, {_cos('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cos_sim
+    FROM cands
+    JOIN emb a ON a.vec_id = src
+    JOIN emb b ON b.vec_id = dst
+)
+SELECT src, dst, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {KNN_K}""",
         "dedup_semantic_clusters": _semdedup_oracle_sql(),
         "dedup_dup_ngram_fraction": f"""
 WITH doc_toks AS (
@@ -1211,6 +1251,46 @@ SELECT b.doc_id, b.n_chars_text, p.n_tokens,
     CAST(p.token_chars AS DOUBLE) / p.n_tokens AS avg_token_len,
     {q_score} AS quality_score
 FROM qbase b JOIN per_doc p USING (doc_id)""",
+        "text_quality_rules": f"""
+WITH doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+agg AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(length(token)) AS BIGINT) AS token_chars,
+        CAST(sum(CASE WHEN regexp_matches(token, '^[^a-zA-Z0-9]+$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS symbol_toks,
+        CAST(sum(CASE WHEN regexp_matches(token, '[a-zA-Z]')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_toks,
+        CAST(count(DISTINCT CASE WHEN token IN ({", ".join(f"'{w}'" for w in sorted({w for ws in textops.LANG_PROFILES.values() for w in ws}))})
+                            THEN token END) AS BIGINT) AS stop_hits
+    FROM doc_tokens GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+    CAST(token_chars AS DOUBLE) / n_words AS mean_word_len,
+    CAST(symbol_toks AS DOUBLE) / n_words AS symbol_ratio,
+    CAST(alpha_toks AS DOUBLE) / n_words AS alpha_ratio,
+    stop_hits,
+    (n_words >= {textops.RULE_MIN_WORDS}
+     AND n_words <= {textops.RULE_MAX_WORDS}) AS ok_word_count,
+    (CAST(token_chars AS DOUBLE) / n_words >= {textops.RULE_MIN_MEAN_LEN}
+     AND CAST(token_chars AS DOUBLE) / n_words <= {textops.RULE_MAX_MEAN_LEN})
+        AS ok_mean_len,
+    (CAST(symbol_toks AS DOUBLE) / n_words <= {textops.RULE_MAX_SYMBOL_RATIO})
+        AS ok_symbol,
+    (CAST(alpha_toks AS DOUBLE) / n_words >= {textops.RULE_MIN_ALPHA_RATIO})
+        AS ok_alpha,
+    (stop_hits >= {textops.RULE_MIN_STOP_HITS}) AS ok_stopwords,
+    (n_words >= {textops.RULE_MIN_WORDS}
+     AND n_words <= {textops.RULE_MAX_WORDS}
+     AND CAST(token_chars AS DOUBLE) / n_words >= {textops.RULE_MIN_MEAN_LEN}
+     AND CAST(token_chars AS DOUBLE) / n_words <= {textops.RULE_MAX_MEAN_LEN}
+     AND CAST(symbol_toks AS DOUBLE) / n_words <= {textops.RULE_MAX_SYMBOL_RATIO}
+     AND CAST(alpha_toks AS DOUBLE) / n_words >= {textops.RULE_MIN_ALPHA_RATIO}
+     AND stop_hits >= {textops.RULE_MIN_STOP_HITS}) AS quality_pass
+FROM agg""",
         "text_token_counts": f"""
 SELECT doc_id,
     CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,

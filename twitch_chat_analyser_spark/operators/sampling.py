@@ -178,6 +178,61 @@ def mixture_equalize(docs: DataFrame) -> DataFrame:
     )
 
 
+def mixture_temperature(
+    docs: DataFrame, tau: float = 0.5, budget_fraction: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the XLM-R / multilingual-LM
+    resampling rule): the target share of source ``i`` is
+    ``n_i^tau / sum_j n_j^tau`` — ``tau=1`` keeps the natural mixture,
+    ``tau->0`` approaches uniform, between the two it up-weights small
+    domains without flattening them. Given a total budget of
+    ``floor(N * budget_fraction)`` documents, each source keeps
+    ``min(1, B * n_i^(tau-1) / sum_j n_j^tau)`` of its rows via the
+    same deterministic hash-Bernoulli threshold as
+    :func:`mixture_equalize` — membership is a pure function of doc_id.
+
+    ``tau=0.5`` (the classic value) is computed with ``sqrt``, which is
+    IEEE-correctly-rounded in both Spark and DuckDB — the oracle is
+    bit-exact; other ``tau`` go through ``pow`` (last-ulp libm drift
+    possible, harmless away from threshold-cell boundaries).
+
+    Scale shape: one |sources|-row aggregate + a 1-row total, broadcast
+    back; a narrow filter over the corpus. No driver round-trip.
+
+    -> doc_id, source
+    """
+    w = (
+        F.sqrt(F.col("n_s").cast("double"))
+        if tau == 0.5
+        else F.pow(F.col("n_s").cast("double"), F.lit(tau))
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n_tot"), F.sum(w).alias("z")
+    )
+    # B * q_i / n_i with q_i = w_i / Z  ->  B * w_i / (Z * n_i)
+    rate = F.least(
+        F.lit(1.0),
+        F.floor(F.col("n_tot") * budget_fraction)
+        * w
+        / (F.col("z") * F.col("n_s")),
+    )
+    thresholds = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.lpad(
+            F.lower(F.hex(F.floor(rate * HASH_CELLS).cast("long"))),
+            5,
+            "0",
+        ).alias("thr"),
+    )
+    return (
+        docs.withColumn("hp5", F.lpad(_hash_prefix(), 5, "0"))
+        .join(F.broadcast(thresholds), "source")
+        .filter(F.col("hp5") < F.col("thr"))
+        .select("doc_id", "source")
+    )
+
+
 def epoch_shuffle(docs: DataFrame, epoch: int = 0) -> DataFrame:
     """Deterministic global training-order shuffle: every document gets
     an exact global position for the given epoch, ordered by the md5 of
@@ -292,6 +347,7 @@ def group_safe_split(docs: DataFrame, train_fraction: float = 0.8) -> DataFrame:
 
 SAMPLE_FRACTION = 0.25
 TRAIN_FRACTION = 0.8
+MIXTURE_BUDGET_FRACTION = 0.5
 STRATA_QUOTA = 50
 SHUFFLE_EPOCH = 1
 TOKEN_BUDGET_PER_SOURCE = 5_000
@@ -377,6 +433,16 @@ def _q_mixture(spark, sf_dir):
     return mixture_equalize(ingest.load(spark, sf_dir, "documents"))
 
 
+def _q_mixture_temperature(spark, sf_dir):
+    from .. import ingest
+
+    return mixture_temperature(
+        ingest.load(spark, sf_dir, "documents"),
+        tau=0.5,
+        budget_fraction=MIXTURE_BUDGET_FRACTION,
+    )
+
+
 def _q_token_budget(spark, sf_dir):
     from .. import ingest
 
@@ -424,6 +490,7 @@ SAMPLING_QUERIES = {
     "sample_stratified": _q_stratified,
     "tfidf_top_terms": _q_tfidf,
     "sample_mixture_equalize": _q_mixture,
+    "sample_temperature_mixture": _q_mixture_temperature,
     "sample_epoch_shuffle": _q_epoch_shuffle,
     "sample_quality_top_fraction": _q_quality_filter,
     "sample_group_safe_split": _q_group_safe_split,
@@ -555,6 +622,25 @@ thresholds AS (
            lpad(lower(to_hex(CAST(floor(CAST(min_n AS DOUBLE) / n_s * 65536)
                 AS BIGINT))), 5, '0') AS thr
     FROM counts CROSS JOIN mn
+)
+SELECT doc_id, d.source
+FROM documents d
+JOIN thresholds t ON t.source = d.source
+WHERE lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0') < t.thr""",
+        # tau=0.5 via sqrt (correctly rounded in both engines); same
+        # B * w / (Z * n_s) expression tree as mixture_temperature
+        "sample_temperature_mixture": f"""
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT sum(n_s) AS n_tot,
+               sum(sqrt(CAST(n_s AS DOUBLE))) AS z
+        FROM counts),
+thresholds AS (
+    SELECT source,
+           lpad(lower(to_hex(CAST(floor(least(1.0,
+                floor(CAST(n_tot AS DOUBLE) * {MIXTURE_BUDGET_FRACTION})
+                    * sqrt(CAST(n_s AS DOUBLE)) / (z * n_s))
+                * 65536) AS BIGINT))), 5, '0') AS thr
+    FROM counts CROSS JOIN tot
 )
 SELECT doc_id, d.source
 FROM documents d

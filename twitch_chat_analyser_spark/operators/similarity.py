@@ -366,6 +366,66 @@ def embedding_dedup_pairs(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_planes: int = 16,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the embedding corpus:
+    every vector's top-``k`` most-cosine-similar neighbors among its
+    LSH candidates (same sign-bit hyperplane banding as
+    :func:`embedding_dedup_pairs`, but edges are DIRECTED — both
+    ``(a, b)`` and ``(b, a)`` are ranked, from each endpoint's view).
+    The kNN graph is the substrate for graph-based corpus curation:
+    SemDeDup-style pruning, label propagation, density scoring.
+
+    Recall is the banding recall (see
+    :func:`embedding_dedup_pairs` — candidates only, not all pairs);
+    a node whose buckets are all singletons emits no edges.
+
+    Shape (100 TB): band equi-join for candidates, exact re-rank only
+    on candidate rows, and the top-k cut is a window partitioned BY
+    SOURCE NODE — bounded partitions (bucket-size-bounded candidate
+    lists), never a global sort.
+
+    -> src, dst, cos_sim, rank
+    """
+    from pyspark.sql import Window
+
+    vecs = as_double_vec(embeddings)
+    bands = hyperplane_band_buckets(vecs, num_planes, band_bits)
+    cands = (
+        bands.select(F.col("vec_id").alias("src"), "band", "sig")
+        .join(
+            bands.select(F.col("vec_id").alias("dst"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("v_nrm").alias("va_nrm"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("v_nrm").alias("vb_nrm"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        cands.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", cosine("va", "vb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame, k: int = 8, iterations: int = 3
 ) -> DataFrame:

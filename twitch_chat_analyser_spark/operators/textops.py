@@ -109,6 +109,74 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# Gopher-style hard-rule bounds (Rae et al. 2021 §A1.1, adapted to the
+# word-soup test corpus: the structure — per-rule boolean columns ANDed
+# into one pass flag — is the operator; the bounds are config).
+RULE_MIN_WORDS = 3
+RULE_MAX_WORDS = 100_000
+RULE_MIN_MEAN_LEN = 2.0
+RULE_MAX_MEAN_LEN = 10.0
+RULE_MAX_SYMBOL_RATIO = 0.1
+RULE_MIN_ALPHA_RATIO = 0.8
+RULE_MIN_STOP_HITS = 2
+
+
+def quality_rule_flags(docs: DataFrame) -> DataFrame:
+    """Gopher-style hard filter: each rule is its own boolean column so
+    downstream curation can ablate rules independently; ``quality_pass``
+    is their conjunction. Rules: word count in bounds, mean word length
+    in bounds, symbol-token ratio <= max, alphabetic-token ratio >=
+    min, and at least ``RULE_MIN_STOP_HITS`` DISTINCT stopwords present
+    (the Gopher "stop word" requirement).
+
+    One token explode + one aggregation per document — embarrassingly
+    parallel, no joins wider than the doc_id rollup.
+
+    -> doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+       stop_hits, ok_word_count, ok_mean_len, ok_symbol, ok_alpha,
+       ok_stopwords, quality_pass
+    """
+    all_stop = sorted({w for ws in LANG_PROFILES.values() for w in ws})
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("token")).cast("long").alias("token_chars"),
+        F.sum(
+            F.when(F.col("token").rlike("^[^a-zA-Z0-9]+$"), 1).otherwise(0)
+        ).cast("long").alias("symbol_toks"),
+        F.sum(
+            F.when(F.col("token").rlike("[a-zA-Z]"), 1).otherwise(0)
+        ).cast("long").alias("alpha_toks"),
+        F.count_distinct(
+            F.when(F.col("token").isin(all_stop), F.col("token"))
+        ).cast("long").alias("stop_hits"),
+    )
+    mean_len = F.col("token_chars").cast("double") / F.col("n_words")
+    symbol_ratio = F.col("symbol_toks").cast("double") / F.col("n_words")
+    alpha_ratio = F.col("alpha_toks").cast("double") / F.col("n_words")
+    ok_wc = (F.col("n_words") >= RULE_MIN_WORDS) & (
+        F.col("n_words") <= RULE_MAX_WORDS
+    )
+    ok_ml = (mean_len >= RULE_MIN_MEAN_LEN) & (mean_len <= RULE_MAX_MEAN_LEN)
+    ok_sy = symbol_ratio <= RULE_MAX_SYMBOL_RATIO
+    ok_al = alpha_ratio >= RULE_MIN_ALPHA_RATIO
+    ok_st = F.col("stop_hits") >= RULE_MIN_STOP_HITS
+    return agg.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        "stop_hits",
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_sy.alias("ok_symbol"),
+        ok_al.alias("ok_alpha"),
+        ok_st.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_sy & ok_al & ok_st).alias("quality_pass"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish word-piece count
     (regex-based proxy for a BPE pre-tokenizer).
