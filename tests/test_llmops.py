@@ -241,6 +241,46 @@ def test_quality_score_features(spark):
     assert out[1]["quality_score"] > out[2]["quality_score"]
 
 
+def test_bpe_merge_candidates_counts_vocab_weighted_pairs(spark):
+    # vocab: "abab" x3, "ab" x2, "cd" x1 (single-char words dropped)
+    d = spark.createDataFrame(
+        [
+            (1, "abab abab ab", "en", "s", 12),
+            (2, "abab ab cd x", "en", "s", 12),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r["pair"]: r for r in textops.bpe_merge_candidates(d, 10).collect()}
+    # "a b": abab contributes 2 per occurrence (freq 3 -> 6) + ab (freq
+    # 2 -> 2) = 8; "b a": abab interior (freq 3) = 3; "c d": 1
+    assert out["a b"]["pair_count"] == 8
+    assert out["b a"]["pair_count"] == 3
+    assert out["c d"]["pair_count"] == 1
+    assert out["a b"]["rank"] == 1
+
+
+def test_corpus_datacard_summarizes_per_source(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog", "en", "web", 19),
+            (2, "the cat and the dog", "en", "web", 19),  # exact dup
+            (3, "und der hund", "de", "web", 12),
+            (4, "a b", "en", "books", 3),
+        ],
+        DOC_SCHEMA,
+    )
+    from twitch_chat_analyser_spark.operators.llmops import corpus_datacard
+
+    out = {r["source"]: r for r in corpus_datacard(d).collect()}
+    web = out["web"]
+    assert (web["n_docs"], web["distinct_contents"]) == (3, 2)
+    assert web["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert web["total_ws_tokens"] == 13
+    assert web["top_lang"] == "en"  # 2 en vs 1 de
+    assert out["books"]["dup_rate"] == 0.0
+    assert out["books"]["n_docs"] == 1
+
+
 def test_quality_rule_flags_goldens(spark):
     d = spark.createDataFrame(
         [

@@ -164,6 +164,13 @@ def _q_langid(spark, sf_dir):
     return textops.language_id(_docs(spark, sf_dir))
 
 
+BPE_TOP_N = 50
+
+
+def _q_bpe_merges(spark, sf_dir):
+    return textops.bpe_merge_candidates(_docs(spark, sf_dir), BPE_TOP_N)
+
+
 def _q_quality_rules(spark, sf_dir):
     return textops.quality_rule_flags(_docs(spark, sf_dir))
 
@@ -357,6 +364,87 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def corpus_datacard(docs: DataFrame) -> DataFrame:
+    """Per-source data card — the one-page corpus summary a training
+    run's datasheet needs (docs, whitespace tokens, exact-dup rate,
+    mean quality, hard-rule pass rate, dominant language). Composes the
+    existing signals (``dedup.norm_text`` content hash,
+    ``textops.quality_score``, ``textops.quality_rule_flags``) so the
+    numbers on the card are definitionally the same ones the pipeline
+    filters on.
+
+    Shape (100 TB): three per-doc passes joined on doc_id (each a
+    single aggregation), then a |sources|-row rollup; the dominant-lang
+    argmax is a window over the tiny (source, lang) count frame.
+    Doubles are rounded to 6 dp at the edge (sum order across a corpus
+    is not deterministic; 1e-16 wobble must not flip the hash).
+
+    -> source, n_docs, total_ws_tokens, distinct_contents, dup_rate,
+       mean_quality, quality_pass_rate, top_lang
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(dedup.norm_text()).alias("content_hash"),
+        F.size(dedup.tokens()).cast("long").alias("ws_tokens"),
+    )
+    q = textops.quality_score(docs).select("doc_id", "quality_score")
+    qr = textops.quality_rule_flags(docs).select("doc_id", "quality_pass")
+    j = base.join(q, "doc_id").join(qr, "doc_id")
+    per_source = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.count_distinct("content_hash").cast("long").alias(
+            "distinct_contents"
+        ),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.round(
+            F.sum(F.when(F.col("quality_pass"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("quality_pass_rate"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_l")
+    )
+    wl = Window.partitionBy("source").orderBy(
+        F.desc("n_l"), F.asc("lang")
+    )
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(wl))
+        .filter("rn = 1")
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_source.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_ws_tokens",
+            "distinct_contents",
+            F.round(
+                F.lit(1.0)
+                - F.col("distinct_contents").cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "mean_quality",
+            "quality_pass_rate",
+            "top_lang",
+        )
+    )
+
+
+def _q_corpus_datacard(spark, sf_dir):
+    return corpus_datacard(_docs(spark, sf_dir))
+
+
 def chunk_documents(
     docs: DataFrame, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
 ) -> DataFrame:
@@ -522,6 +610,7 @@ LLM_QUERIES = {
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
     "text_quality_rules": _q_quality_rules,
+    "text_bpe_merge_candidates": _q_bpe_merges,
     "text_token_counts": _q_token_counts,
     "text_fingerprints": _q_fingerprints,
     "text_vocab_encode": _q_vocab_encode,
@@ -530,6 +619,7 @@ LLM_QUERIES = {
     "events_session_windows": _q_session_windows,
     "salted_channel_counts": _q_salted_channel_counts,
     "corpus_prep": _q_corpus_prep,
+    "corpus_datacard": _q_corpus_datacard,
     "multimodal_meta": _q_multimodal_meta,
     "text_pii_redaction": _q_pii_redaction,
     "pack_sequences": _q_pack_sequences,
@@ -622,6 +712,58 @@ qbase AS (
         "      + CAST(least(p.n_tokens, 100) AS DOUBLE) / 100.0 * 0.3"
     )
     return base, score
+
+
+def _quality_rules_sql() -> str:
+    """Full Gopher-rules SELECT mirroring ``textops.quality_rule_flags``
+    — used directly as the ``text_quality_rules`` oracle and as a CTE
+    body inside the corpus-datacard oracle."""
+    all_stop = ", ".join(
+        f"'{w}'"
+        for w in sorted(
+            {w for ws in textops.LANG_PROFILES.values() for w in ws}
+        )
+    )
+    mean_len = "CAST(token_chars AS DOUBLE) / n_words"
+    sym = "CAST(symbol_toks AS DOUBLE) / n_words"
+    alpha = "CAST(alpha_toks AS DOUBLE) / n_words"
+    return f"""
+WITH doc_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+agg AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(length(token)) AS BIGINT) AS token_chars,
+        CAST(sum(CASE WHEN regexp_matches(token, '^[^a-zA-Z0-9]+$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS symbol_toks,
+        CAST(sum(CASE WHEN regexp_matches(token, '[a-zA-Z]')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_toks,
+        CAST(count(DISTINCT CASE WHEN token IN ({all_stop})
+                            THEN token END) AS BIGINT) AS stop_hits
+    FROM doc_tokens GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+    {mean_len} AS mean_word_len,
+    {sym} AS symbol_ratio,
+    {alpha} AS alpha_ratio,
+    stop_hits,
+    (n_words >= {textops.RULE_MIN_WORDS}
+     AND n_words <= {textops.RULE_MAX_WORDS}) AS ok_word_count,
+    ({mean_len} >= {textops.RULE_MIN_MEAN_LEN}
+     AND {mean_len} <= {textops.RULE_MAX_MEAN_LEN}) AS ok_mean_len,
+    ({sym} <= {textops.RULE_MAX_SYMBOL_RATIO}) AS ok_symbol,
+    ({alpha} >= {textops.RULE_MIN_ALPHA_RATIO}) AS ok_alpha,
+    (stop_hits >= {textops.RULE_MIN_STOP_HITS}) AS ok_stopwords,
+    (n_words >= {textops.RULE_MIN_WORDS}
+     AND n_words <= {textops.RULE_MAX_WORDS}
+     AND {mean_len} >= {textops.RULE_MIN_MEAN_LEN}
+     AND {mean_len} <= {textops.RULE_MAX_MEAN_LEN}
+     AND {sym} <= {textops.RULE_MAX_SYMBOL_RATIO}
+     AND {alpha} >= {textops.RULE_MIN_ALPHA_RATIO}
+     AND stop_hits >= {textops.RULE_MIN_STOP_HITS}) AS quality_pass
+FROM agg"""
 
 
 def _simhash_sql() -> str:
@@ -1251,51 +1393,82 @@ SELECT b.doc_id, b.n_chars_text, p.n_tokens,
     CAST(p.token_chars AS DOUBLE) / p.n_tokens AS avg_token_len,
     {q_score} AS quality_score
 FROM qbase b JOIN per_doc p USING (doc_id)""",
-        "text_quality_rules": f"""
-WITH doc_tokens AS (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+        "text_quality_rules": _quality_rules_sql(),
+        # composes the rules SELECT (nested WITH — scoped, no CTE name
+        # clash with the outer quality parts) + the shared quality
+        # formula + the exact-dedup content hash
+        "corpus_datacard": f"""
+WITH rules AS ({_quality_rules_sql()}),
+{quality_sql_parts()[0]},
+quality AS (
+    SELECT p.doc_id, {quality_sql_parts()[1]} AS quality_score
+    FROM per_doc p JOIN qbase b USING (doc_id)
+),
+base AS (
+    SELECT doc_id, source, lang,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               AS ws_tokens
     FROM documents
 ),
-agg AS (
-    SELECT doc_id,
-        CAST(count(*) AS BIGINT) AS n_words,
-        CAST(sum(length(token)) AS BIGINT) AS token_chars,
-        CAST(sum(CASE WHEN regexp_matches(token, '^[^a-zA-Z0-9]+$')
-                      THEN 1 ELSE 0 END) AS BIGINT) AS symbol_toks,
-        CAST(sum(CASE WHEN regexp_matches(token, '[a-zA-Z]')
-                      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_toks,
-        CAST(count(DISTINCT CASE WHEN token IN ({", ".join(f"'{w}'" for w in sorted({w for ws in textops.LANG_PROFILES.values() for w in ws}))})
-                            THEN token END) AS BIGINT) AS stop_hits
-    FROM doc_tokens GROUP BY doc_id
+j AS (
+    SELECT b.*, q.quality_score, r.quality_pass
+    FROM base b JOIN quality q USING (doc_id)
+    JOIN rules r USING (doc_id)
+),
+per_source AS (
+    SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        CAST(count(DISTINCT content_hash) AS BIGINT) AS distinct_contents,
+        round(avg(quality_score), 6) AS mean_quality,
+        round(CAST(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS quality_pass_rate
+    FROM j GROUP BY source
+),
+top_lang AS (
+    SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang) AS rn
+        FROM documents GROUP BY source, lang
+    ) WHERE rn = 1
 )
-SELECT doc_id, n_words,
-    CAST(token_chars AS DOUBLE) / n_words AS mean_word_len,
-    CAST(symbol_toks AS DOUBLE) / n_words AS symbol_ratio,
-    CAST(alpha_toks AS DOUBLE) / n_words AS alpha_ratio,
-    stop_hits,
-    (n_words >= {textops.RULE_MIN_WORDS}
-     AND n_words <= {textops.RULE_MAX_WORDS}) AS ok_word_count,
-    (CAST(token_chars AS DOUBLE) / n_words >= {textops.RULE_MIN_MEAN_LEN}
-     AND CAST(token_chars AS DOUBLE) / n_words <= {textops.RULE_MAX_MEAN_LEN})
-        AS ok_mean_len,
-    (CAST(symbol_toks AS DOUBLE) / n_words <= {textops.RULE_MAX_SYMBOL_RATIO})
-        AS ok_symbol,
-    (CAST(alpha_toks AS DOUBLE) / n_words >= {textops.RULE_MIN_ALPHA_RATIO})
-        AS ok_alpha,
-    (stop_hits >= {textops.RULE_MIN_STOP_HITS}) AS ok_stopwords,
-    (n_words >= {textops.RULE_MIN_WORDS}
-     AND n_words <= {textops.RULE_MAX_WORDS}
-     AND CAST(token_chars AS DOUBLE) / n_words >= {textops.RULE_MIN_MEAN_LEN}
-     AND CAST(token_chars AS DOUBLE) / n_words <= {textops.RULE_MAX_MEAN_LEN}
-     AND CAST(symbol_toks AS DOUBLE) / n_words <= {textops.RULE_MAX_SYMBOL_RATIO}
-     AND CAST(alpha_toks AS DOUBLE) / n_words >= {textops.RULE_MIN_ALPHA_RATIO}
-     AND stop_hits >= {textops.RULE_MIN_STOP_HITS}) AS quality_pass
-FROM agg""",
+SELECT p.source, p.n_docs, p.total_ws_tokens, p.distinct_contents,
+       round(1.0 - CAST(p.distinct_contents AS DOUBLE) / p.n_docs, 6)
+           AS dup_rate,
+       p.mean_quality, p.quality_pass_rate, t.top_lang
+FROM per_source p JOIN top_lang t USING (source)""",
         "text_token_counts": f"""
 SELECT doc_id,
     CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
     CAST(len(regexp_extract_all(text, '{bpe}', 0)) AS BIGINT) AS bpe_ish_tokens
 FROM documents""",
+        # vocabulary-collapsed adjacent-pair counting (the BPE merge
+        # step); rank-then-limit == Spark's limit-then-rank (same order)
+        "text_bpe_merge_candidates": f"""
+WITH vocab AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents
+    ) WHERE length(word) >= 2 GROUP BY word
+),
+pairs AS (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, length(word) - 1),
+               i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1)))
+               AS pair
+    FROM vocab
+),
+agg AS (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT)
+           AS rank
+FROM agg ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_N}""",
         "text_vocab_encode": f"""
 WITH tok AS (
     SELECT doc_id,

@@ -194,6 +194,55 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def bpe_merge_candidates(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """The inner step of BPE tokenizer training (Sennrich et al. 2016):
+    count adjacent symbol pairs across the corpus vocabulary, weighted
+    by word frequency — the argmax pair is the next merge. One round is
+    the primitive; a driver loop applying merges re-invokes it (each
+    round is a linear corpus-vocab pass, the classic implementation).
+
+    Shape (100 TB): the corpus collapses to its VOCABULARY first (one
+    groupBy on the word — dedup before the expensive per-char explode),
+    pairs explode off the vocab rows only, and the pair rollup + top-n
+    is an aggregation + TakeOrderedAndProject. Everything JVM-side.
+
+    -> pair, pair_count, rank
+    """
+    vocab = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> concat(substr(word, i, 1), ' ', substr(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("pair_count")
+    )
+    return (
+        agg.orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_n)
+        .select(
+            "pair",
+            "pair_count",
+            # ranks only the <= top_n surviving rows — runs after the
+            # TakeOrderedAndProject cut, same staged pattern as
+            # plans/api.py's leaderboard rank
+            F.row_number()
+            .over(Window.orderBy(F.desc("pair_count"), F.asc("pair")))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Two content fingerprints: md5 of normalized text (order-sensitive)
     and md5 of the sorted distinct token set (bag-of-words, order- and
