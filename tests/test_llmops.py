@@ -573,6 +573,24 @@ def test_sq8_constant_dimension_reconstructs_exactly(spark):
         assert r["recon"][1] == 7.25
 
 
+def test_kmeans_label_purity_perfect_on_separated_clusters(spark):
+    # labels perfectly aligned with two well-separated directions ->
+    # every emitted cluster is pure
+    # vec_ids 0 and 1 seed the k=2 init — place one in each cluster
+    rows = [(0, [1.0, 0.0, 0.0], 0), (1, [0.0, 0.0, 1.0], 1)]
+    rows += [(2 + i, [1.0, 0.01 * i, 0.0], 0) for i in range(5)]
+    rows += [(10 + i, [0.0, 0.01 * i, 1.0], 1) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.kmeans_label_purity(df, k=2, iterations=2).collect()
+    assert sum(r["n_vecs"] for r in out) == 12
+    for r in out:
+        assert r["purity"] == 1.0
+        assert r["majority_n"] == r["n_vecs"]
+    assert {r["majority_label"] for r in out} == {0, 1}
+
+
 def test_knn_graph_finds_cluster_neighbors(spark):
     # two tight clusters on opposite axes: every node's neighbors must
     # come from its own cluster, edges are directed (both endpoints

@@ -303,6 +303,29 @@ def test_mixture_temperature_upweights_small_sources(spark):
     )
 
 
+def test_k_per_group_sample_exact_sizes(spark):
+    rows = [(i, "big") for i in range(100)] + [
+        (1000 + i, "tiny") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.k_per_group_sample(docs, k=10, group_col="source")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            __import__("pyspark").sql.functions.count("*").alias("n")
+        ).collect()
+    }
+    # exact min(k, |group|) per group
+    assert counts == {"big": 10, "tiny": 3}
+    rows1 = out.collect()
+    assert all(1 <= r["pick_rank"] <= 10 for r in rows1)
+    # deterministic across invocations
+    assert sorted(r["doc_id"] for r in rows1) == sorted(
+        r["doc_id"]
+        for r in sampling.k_per_group_sample(docs, 10, "source").collect()
+    )
+
+
 def test_token_budget_sample_admits_in_hash_order_until_budget(spark):
     rows = [(i, "en", "web", " ".join(["w"] * 10)) for i in range(20)]
     docs = spark.createDataFrame(

@@ -104,6 +104,12 @@ def _q_dedup_span_removal(spark, sf_dir):
     return dedup.remove_duplicate_spans(_docs(spark, sf_dir), DUP_NGRAM_K)
 
 
+def _q_kmeans_purity(spark, sf_dir):
+    return similarity.kmeans_label_purity(
+        _emb(spark, sf_dir), IVF_CENTROIDS, 2
+    )
+
+
 def _q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(
         _emb(spark, sf_dir), KNN_K, EMB_PLANES, EMB_BAND_BITS
@@ -607,6 +613,7 @@ LLM_QUERIES = {
     "ann_pq_topk": _q_ann_pq,
     "ann_ivf_pq_topk": _q_ann_ivf_pq,
     "ann_knn_graph": _q_knn_graph,
+    "eval_kmeans_purity": _q_kmeans_purity,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
     "text_quality_rules": _q_quality_rules,
@@ -937,6 +944,30 @@ SELECT src, dst, cos_sim, rank FROM (
     FROM scored
 ) WHERE rank <= {KNN_K}""",
         "dedup_semantic_clusters": _semdedup_oracle_sql(),
+        # same trained codebook + assignment as semdedup/ivf_kmeans;
+        # purity = majority-label fraction per cluster
+        "eval_kmeans_purity": f"""{_kmeans_assigned_ctes()},
+labeled AS (
+    SELECT a.vec_id, a.centroid_id, e2.label
+    FROM assigned a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+),
+counts AS (
+    SELECT centroid_id, label, CAST(count(*) AS BIGINT) AS n_l
+    FROM labeled GROUP BY 1, 2
+),
+tot AS (
+    SELECT centroid_id, CAST(sum(n_l) AS BIGINT) AS n_vecs
+    FROM counts GROUP BY 1
+)
+SELECT centroid_id, n_vecs, CAST(label AS INT) AS majority_label,
+       n_l AS majority_n,
+       round(CAST(n_l AS DOUBLE) / n_vecs, 6) AS purity
+FROM (
+    SELECT c.centroid_id, c.label, c.n_l, t.n_vecs,
+           row_number() OVER (PARTITION BY c.centroid_id
+                              ORDER BY c.n_l DESC, c.label) AS rn
+    FROM counts c JOIN tot t USING (centroid_id)
+) WHERE rn = 1""",
         "dedup_dup_ngram_fraction": f"""
 WITH doc_toks AS (
     SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents

@@ -266,6 +266,32 @@ def epoch_shuffle(docs: DataFrame, epoch: int = 0) -> DataFrame:
     ).select("doc_id", "shuffle_rank")
 
 
+def k_per_group_sample(
+    docs: DataFrame, k: int = 25, group_col: str = "source"
+) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly ``min(k, |group|)`` rows
+    per group, chosen in deterministic hash order (the "give me 1000
+    docs per domain for eval" primitive). Unlike rate-based
+    :func:`stratified_sample` the output size per group is exact, and
+    unlike a reservoir it is reproducible across runs, engines, and
+    reruns of any subset of the data.
+
+    Shape (100 TB): one window partitioned by the group — bounded
+    partitions, no global sort. A group too large for one task is the
+    standard skew case (AQE); the hash rank needs no pre-aggregation.
+
+    -> doc_id, <group_col>, pick_rank
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(_hash_prefix()), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", group_col)
+        .withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= k)
+    )
+
+
 def quality_top_fraction(
     docs: DataFrame, keep_fraction: float = 0.5
 ) -> DataFrame:
@@ -433,6 +459,17 @@ def _q_mixture(spark, sf_dir):
     return mixture_equalize(ingest.load(spark, sf_dir, "documents"))
 
 
+K_PER_GROUP = 25
+
+
+def _q_k_per_group(spark, sf_dir):
+    from .. import ingest
+
+    return k_per_group_sample(
+        ingest.load(spark, sf_dir, "documents"), K_PER_GROUP, "source"
+    )
+
+
 def _q_mixture_temperature(spark, sf_dir):
     from .. import ingest
 
@@ -491,6 +528,7 @@ SAMPLING_QUERIES = {
     "tfidf_top_terms": _q_tfidf,
     "sample_mixture_equalize": _q_mixture,
     "sample_temperature_mixture": _q_mixture_temperature,
+    "sample_k_per_group": _q_k_per_group,
     "sample_epoch_shuffle": _q_epoch_shuffle,
     "sample_quality_top_fraction": _q_quality_filter,
     "sample_group_safe_split": _q_group_safe_split,
@@ -627,6 +665,15 @@ SELECT doc_id, d.source
 FROM documents d
 JOIN thresholds t ON t.source = d.source
 WHERE lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0') < t.thr""",
+        "sample_k_per_group": f"""
+SELECT doc_id, source, pick_rank FROM (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4),
+                        doc_id) AS INT) AS pick_rank
+    FROM documents
+) WHERE pick_rank <= {K_PER_GROUP}""",
         # tau=0.5 via sqrt (correctly rounded in both engines); same
         # B * w / (Z * n_s) expression tree as mixture_temperature
         "sample_temperature_mixture": f"""

@@ -551,6 +551,53 @@ def semdedup_pairs(
     )
 
 
+def kmeans_label_purity(
+    embeddings: DataFrame, k: int = 8, iterations: int = 2
+) -> DataFrame:
+    """Clustering evaluation: per-cluster PURITY against the gold
+    ``label`` column (majority-label fraction) — the cheap sanity
+    metric for an unsupervised codebook (IVF cells, SemDeDup blocks)
+    before trusting it for curation. Uses the same deterministic
+    trained codebook and assignment as :func:`semdedup_pairs` /
+    ``ivf_kmeans`` so it evaluates exactly the clustering the pipeline
+    ships.
+
+    Shape (100 TB): assignment is the broadcast + hash-agg argmax; the
+    evaluation itself is a (centroid, label) rollup plus windows over
+    the tiny per-centroid count frame.
+
+    -> centroid_id, n_vecs, majority_label, majority_n, purity
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(embeddings, k, iterations).withColumn(
+        "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
+    )
+    assigned = _assign_to_centroids(as_double_vec(embeddings), cents)
+    labeled = assigned.select("vec_id", "centroid_id").join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    counts = labeled.groupBy("centroid_id", "label").agg(
+        F.count("*").alias("n_l")
+    )
+    w = Window.partitionBy("centroid_id")
+    wr = w.orderBy(F.desc("n_l"), F.asc("label"))
+    return (
+        counts.withColumn("n_vecs", F.sum("n_l").over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter("rn = 1")
+        .select(
+            "centroid_id",
+            "n_vecs",
+            F.col("label").cast("int").alias("majority_label"),
+            F.col("n_l").cast("long").alias("majority_n"),
+            F.round(
+                F.col("n_l").cast("double") / F.col("n_vecs"), 6
+            ).alias("purity"),
+        )
+    )
+
+
 def ann_topk_blas(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:
