@@ -692,6 +692,47 @@ def test_sq8_reconstruction_error_bounded_per_dim(spark, mat):
             assert 0 <= r["codes"][d] <= 255
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_remove_duplicate_spans_properties(spark, corpus):
+    """Properties over random tiny-alphabet corpora (dense dup spans):
+    counts reconcile; every rewritten doc's tokens are a SUBSEQUENCE of
+    the original (only deletions, order preserved); the very first gram
+    of the lowest doc_id is a global first occurrence and survives."""
+    rows = [
+        (i, " ".join(toks), "en", "s", len(" ".join(toks)))
+        for i, toks in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(df, shingle_k=2).collect()
+    }
+    for i, toks in enumerate(corpus):
+        r = out[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+        kept = r["text_dedup"].split(" ") if r["text_dedup"] else []
+        assert len(kept) == r["n_kept"]
+        it = iter(toks)
+        assert all(any(t == k for t in it) for k in kept), (
+            f"doc {i}: {kept} not a subsequence of {toks}"
+        )
+    assert out[0]["text_dedup"].split(" ")[:1] == corpus[0][:1]
+
+
 def test_ivf_pq_full_expand_equals_ivf(vecs):
     # same coarse pruning; with full expand the PQ candidate window is
     # a no-op and the exact re-rank reproduces the full-precision IVF

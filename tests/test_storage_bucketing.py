@@ -60,6 +60,43 @@ def test_partition_pruning_on_channel(spark, bucketed_user_stats):
     assert "click" in plan
 
 
+def test_training_shards_are_globally_ordered(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], "doc_id long, source string"
+    )
+    out = str(tmp_path / "shards")
+    storage.write_training_shards(docs, out, epoch=1, shards=4)
+    back = spark.read.parquet(out).select(
+        "shuffle_rank", "doc_id", F.input_file_name().alias("f")
+    )
+    rows = back.collect()
+    # every doc exactly once, ranks are exactly 1..N
+    assert sorted(r["shuffle_rank"] for r in rows) == list(range(1, 201))
+    # shard rank ranges are disjoint and contiguous in file order
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["shuffle_rank"])
+    spans = sorted((min(v), max(v)) for v in by_file.values())
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "shard rank ranges overlap"
+    # rows inside each file are stored rank-ascending (parquet preserves
+    # row order; the loader can stream without sorting)
+    for f in by_file:
+        in_file = [
+            r["shuffle_rank"]
+            for r in spark.read.parquet(f).select("shuffle_rank").collect()
+        ]
+        assert in_file == sorted(in_file)
+    # the permutation is the epoch_shuffle order (deterministic)
+    from twitch_chat_analyser_spark.operators.sampling import epoch_shuffle
+
+    expected = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in epoch_shuffle(docs, 1).collect()
+    }
+    assert all(expected[r["doc_id"]] == r["shuffle_rank"] for r in rows)
+
+
 def test_bucketed_results_match_unbucketed(spark, sf_dir, bucketed_user_stats):
     direct = agg.user_stats(ingest.messages(spark, sf_dir))
     got = sorted(

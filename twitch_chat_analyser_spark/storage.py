@@ -48,6 +48,40 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    epoch: int = 0,
+    shards: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an epoch's GLOBAL training order as sorted parquet
+    shards — the handoff from curation to the training loader. Order is
+    the deterministic :func:`~twitch_chat_analyser_spark.operators.
+    sampling.epoch_shuffle` permutation; layout is
+    ``repartitionByRange(shuffle_rank)`` + ``sortWithinPartitions``, so
+    shard ``i`` holds a contiguous rank range and rows inside each file
+    are rank-ordered — GLOBALLY sorted output with no single global
+    sort (the range exchange samples boundaries; each shard sorts
+    locally). A loader streams shards in filename order and reads rows
+    sequentially; ``shuffle_rank`` is persisted so the order is also
+    recoverable from the data alone.
+
+    At 100 TB: shards ≈ corpus_bytes / desired_shard_size; the only
+    wide operations are the rank computation's range exchange and this
+    one — both on the uniform md5 key, zero skew.
+    """
+    from .operators.sampling import epoch_shuffle
+
+    ranked = epoch_shuffle(docs, epoch).join(docs, "doc_id")
+    (
+        ranked.repartitionByRange(shards, "shuffle_rank")
+        .sortWithinPartitions("shuffle_rank")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,
