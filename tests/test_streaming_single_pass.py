@@ -74,12 +74,26 @@ def test_single_pass_all_tables_with_totals_and_side_output(spark, dirs):
 
 def test_run_all_default_is_single_pass(spark, dirs):
     """run_all (the default topology) produces the single-pass output —
-    totals sentinels, side output and all — and reports progress."""
+    totals sentinels, side output and all — and reports progress with
+    the in-plan ingest metrics."""
+    from twitch_chat_analyser_spark.streaming.observability import (
+        ObservedMetricsListener,
+    )
+
     src, out, ckpt = dirs
     _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
-    prog = sp.run_all(spark, src, out, ckpt)
+    listener = ObservedMetricsListener("ingest")
+    spark.streams.addListener(listener)
+    try:
+        prog = sp.run_all(spark, src, out, ckpt)
+    finally:
+        pass  # listener removed after polling below
     assert _actual_tables(spark, out) == _expected_tables(spark, BATCH_1)
     assert len(prog) == 1 and prog[0], "one query's progress records"
+    ok = listener.wait_for(len(BATCH_1))
+    spark.streams.removeListener(listener)
+    assert ok, listener.batches
+    assert listener.totals()["records"] == len(BATCH_1)
 
 
 def test_single_pass_late_data_accumulates_and_replay_is_idempotent(spark, dirs):

@@ -48,6 +48,35 @@ WIRE_SCHEMA = T.StructType(
 CONSUMER_GROUP = "twitch_chat_analyser"  # EmoteAnalyser.java:29
 
 
+def parse_wire(kafka_df: DataFrame) -> DataFrame:
+    """Kafka record -> parsed wire struct ``m`` + ``_ok`` validity flag
+    (valid JSON with every required field). Shared by the dropping
+    decoder and the observed-metrics decoder so the validity rule can
+    never fork between them."""
+    parsed = kafka_df.select(
+        F.from_json(F.col("value").cast("string"), WIRE_SCHEMA).alias("m")
+    )
+    return parsed.withColumn(
+        "_ok",
+        F.col("m").isNotNull()
+        & F.col("m.timestamp").isNotNull()
+        & F.col("m.channel").isNotNull()
+        & F.col("m.username").isNotNull()
+        & F.col("m.message").isNotNull(),
+    )
+
+
+def project_messages(parsed: DataFrame) -> DataFrame:
+    """Parsed wire struct -> normalized message relation."""
+    return parsed.select(
+        F.timestamp_millis(F.col("m.timestamp")).alias("ts"),
+        F.col("m.timestamp").alias("timestamp"),
+        F.col("m.channel").alias("channel"),
+        F.col("m.username").alias("username"),
+        F.col("m.message").alias("message"),
+    )
+
+
 def decode_messages(kafka_df: DataFrame) -> DataFrame:
     """Kafka record shape (binary ``value``) -> normalized message
     relation ``(ts TIMESTAMP, timestamp BIGINT, channel, username,
@@ -56,25 +85,7 @@ def decode_messages(kafka_df: DataFrame) -> DataFrame:
     Records whose value is not valid wire JSON (or is missing any
     required field) are dropped.
     """
-    parsed = kafka_df.select(
-        F.from_json(F.col("value").cast("string"), WIRE_SCHEMA).alias("m")
-    )
-    return (
-        parsed.filter(
-            F.col("m").isNotNull()
-            & F.col("m.timestamp").isNotNull()
-            & F.col("m.channel").isNotNull()
-            & F.col("m.username").isNotNull()
-            & F.col("m.message").isNotNull()
-        )
-        .select(
-            F.timestamp_millis(F.col("m.timestamp")).alias("ts"),
-            F.col("m.timestamp").alias("timestamp"),
-            F.col("m.channel").alias("channel"),
-            F.col("m.username").alias("username"),
-            F.col("m.message").alias("message"),
-        )
-    )
+    return project_messages(parse_wire(kafka_df).filter("_ok"))
 
 
 def encode_messages(messages: DataFrame) -> DataFrame:

@@ -436,6 +436,15 @@ def run_all_single_pass(
             batch_df.unpersist()
 
     stream = read_message_stream(spark, source_dir, max_files_per_trigger)
+    # in-plan ingest metrics (rows + event-time bounds per trigger),
+    # reported via QueryProgressEvent.observedMetrics — zero extra scans
+    # or shuffles; collect with observability.ObservedMetricsListener
+    stream = stream.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("records"),
+        F.min(F.unix_millis("ts")).alias("min_ts"),
+        F.max(F.unix_millis("ts")).alias("max_ts"),
+    )
     q = (
         stream.writeStream.outputMode("append")
         .option(
