@@ -114,6 +114,50 @@ def test_real_decode_end_to_end_over_binaryfile(spark, tmp_path):
     assert (w, h) == (2, 1)
 
 
+def make_gif(w: int, h: int, frames: int, delay_cs: int) -> bytes:
+    import struct
+
+    b = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+    b += b"\x00" * 6  # global color table (size bits 0 -> 2 entries)
+    for _ in range(frames):
+        b += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        b += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        b += b"\x02"  # LZW min code size
+        b += bytes([2, 0x4C, 0x01, 0x00])  # one data sub-block + term
+    return b + b"\x3b"
+
+
+GIF_BYTES = make_gif(4, 3, frames=2, delay_cs=5)
+
+
+def test_decode_gif_goldens():
+    w, h, n, dur = multimodal.decode_gif(GIF_BYTES)
+    assert (w, h, n, dur) == (4, 3, 2, 100)  # 2 frames x 50 ms
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="no image frames"):
+        multimodal.decode_gif(b"GIF89a" + GIF_BYTES[6:13] + b"\x00" * 6 + b"\x3b")
+
+
+def test_video_features_stub_raises_on_mp4():
+    with pytest.raises(NotImplementedError, match="GIF containers only"):
+        multimodal.video_features_stub(b"\x00\x00ftyp-fake")
+
+
+def test_video_features_real_gif_over_binaryfile(spark, tmp_path):
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    (tmp_path / "anim_7.gif").write_bytes(GIF_BYTES)
+    media = read_binary_media(spark, str(tmp_path))
+    out = multimodal.video_features(media, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["media_id"] == 7
+    assert (r["width"], r["height"]) == (4, 3)
+    assert (r["n_frames"], r["duration_ms"]) == (2, 100)
+    assert r["n_bytes"] == len(GIF_BYTES)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [

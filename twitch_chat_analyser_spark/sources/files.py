@@ -111,6 +111,9 @@ _MIME = {
     "wav": "audio/wav",
     "mp3": "audio/mpeg",
     "mp4": "video/mp4",
+    # animated container parsed by the REAL stdlib block walker
+    # (multimodal.decode_gif) — routed to the video stage
+    "gif": "video/gif",
 }
 
 
