@@ -573,6 +573,32 @@ def test_sq8_constant_dimension_reconstructs_exactly(spark):
         assert r["recon"][1] == 7.25
 
 
+def test_lsh_recall_eval_counts_and_bounds(spark):
+    base = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " extra", "en", "s", len(base) + 6),  # true near-dup
+        (3, "totally different words entirely", "en", "s", 32),
+        (4, "another unrelated document here", "en", "s", 31),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    r = dedup.lsh_recall_eval(
+        df, sample_fraction=1.0, threshold=0.5
+    ).collect()[0]
+    assert r["n_sample"] == 4
+    assert r["n_truth"] == 1  # only (1,2) clears jaccard 0.5
+    assert r["n_hit"] <= r["n_truth"]
+    assert 0.0 <= r["recall"] <= 1.0
+    # near-identical docs share nearly all shingles -> the band join
+    # must propose the pair: recall 1.0 on this corpus
+    assert r["recall"] == 1.0
+    # empty-truth edge: threshold no pair reaches -> recall defined as 1
+    r2 = dedup.lsh_recall_eval(
+        df.filter("doc_id >= 3"), sample_fraction=1.0, threshold=0.99
+    ).collect()[0]
+    assert (r2["n_truth"], r2["recall"]) == (0, 1.0)
+
+
 def test_kmeans_label_purity_perfect_on_separated_clusters(spark):
     # labels perfectly aligned with two well-separated directions ->
     # every emitted cluster is pure

@@ -74,6 +74,67 @@ def test_streaming_observed_metrics_count_records_and_malformed(
                 q.stop()
 
 
+def test_listener_reports_watermark_drops_and_state_size(spark, tmp_path):
+    """stateOperators health: a row older than the advanced watermark is
+    dropped by the stateful aggregation and surfaces through the
+    listener's state_progress (observe() can never see it — it dies
+    before the sink)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_once(rows):
+        spark.createDataFrame(rows, "ts timestamp, v int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("ts timestamp, v int").parquet(src)
+        q = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "10 seconds"))
+            .count()
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    listener = obs.ObservedMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        # batch 1 advances the watermark to t0+60s-10s
+        run_once([(t0, 1), (t0 + dt.timedelta(seconds=60), 1)])
+        # batch 2 (same checkpoint): one on-time row + one row far
+        # behind the persisted watermark -> dropped and counted
+        run_once(
+            [
+                (t0 + dt.timedelta(seconds=70), 1),
+                (t0 - dt.timedelta(hours=1), 1),
+            ]
+        )
+        import time
+
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if any(
+                p["dropped_by_watermark"] >= 1
+                for p in listener.state_progress
+            ):
+                break
+            time.sleep(0.2)
+        assert any(
+            p["dropped_by_watermark"] >= 1 for p in listener.state_progress
+        ), listener.state_progress
+        assert any(p["state_rows"] >= 1 for p in listener.state_progress)
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_observe_adds_no_shuffle(spark):
     # the metrics must ride the existing plan: observing the decode adds
     # no Exchange to a plan that had none

@@ -145,6 +145,65 @@ def test_incremental_corpus_dedup_across_batches_and_replay(spark, tmp_path):
     assert again == kept
 
 
+def test_minhash_corpus_dedup_near_dups_across_batches(spark, tmp_path):
+    import os
+
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, sd.DOC_SCHEMA)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # file 1: docs 1 and 2 are NEAR dups — a tail edit disturbs only
+    # the last shingles, so signatures agree on 7/8 slots
+    # (deterministic: the hash family is a pure function of the text);
+    # 3 is distinct
+    mk(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base.rsplit(" ", 1)[0] + " too", "en", "s", len(base)),
+            (3, "completely different text about spark plans", "en", "s", 43),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    sd.start_minhash_corpus_dedup(
+        spark, src, out, ckpt, min_agree=5, max_files_per_trigger=1
+    ).awaitTermination()
+
+    # file 2: near-dup of HISTORICAL doc 1 + a genuinely new doc
+    mk(
+        [
+            (10, base.replace("quick", "speedy"), "en", "s", len(base)),
+            (11, "fresh unrelated content entirely new words", "en", "s", 42),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    sd.start_minhash_corpus_dedup(
+        spark, src, out, ckpt, min_agree=5, max_files_per_trigger=1
+    ).awaitTermination()
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    kept = sorted(r["doc_id"] for r in corpus.collect())
+    assert kept == [1, 3, 11], kept  # 2 in-batch near-dup, 10 historical
+
+    # the signature store holds exactly the survivors
+    sigs = spark.read.parquet(os.path.join(out, "signatures"))
+    assert sorted({r["doc_id"] for r in sigs.collect()}) == [1, 3, 11]
+
+    # replay with no new data: nothing changes (batch=N overwrite +
+    # own-partition exclusion)
+    sd.start_minhash_corpus_dedup(
+        spark, src, out, ckpt, min_agree=5, max_files_per_trigger=1
+    ).awaitTermination()
+    again = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    )
+    assert again == [1, 3, 11]
+
+
 def test_corpus_prep_stream_matches_batch_pipeline(spark, tmp_path):
     import os
 

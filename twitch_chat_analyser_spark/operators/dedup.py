@@ -341,6 +341,92 @@ def duplicated_ngram_stats(docs: DataFrame, shingle_k: int = 5) -> DataFrame:
     )
 
 
+def lsh_recall_eval(
+    docs: DataFrame,
+    sample_fraction: float = 0.1,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Measure the LSH candidate generator's RECALL against exact
+    all-pairs ground truth on a deterministic sample — "measure, don't
+    guess" for the approximate-contract queries (minhash / ngram /
+    embedding dedup all document LSH recall; this query quantifies it
+    on live data). Ground truth is every sample pair with token-set
+    Jaccard >= ``threshold``; a truth pair is HIT when the band join
+    would have proposed it.
+
+    The all-pairs comparison is a DELIBERATE bounded quadratic: it runs
+    on the ``sample_fraction`` hash sample only (the same deterministic
+    md5-prefix draw as ``sampling.deterministic_sample``), so its cost
+    is (f*N)^2 — f is chosen so the sample is thousands of docs, not
+    the corpus. At 100 TB you hold the SAMPLE SIZE constant (fraction
+    shrinks as N grows); recall is a corpus-level statistic, it does
+    not need the whole corpus.
+
+    -> n_sample, n_truth, n_candidates, n_hit, recall (single row)
+    """
+    # 5-wide lpad so the keep-all case (fraction=1 -> 0x10000) still
+    # orders above every 4-hex prefix (same pattern as
+    # sampling.mixture_equalize)
+    prefix = F.lpad(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+        ),
+        5,
+        "0",
+    )
+    thr = format(int(16**4 * sample_fraction), "04x").rjust(5, "0")
+    sample = docs.filter(prefix < thr).localCheckpoint(eager=True)
+
+    tsets = sample.select(
+        "doc_id", F.array_distinct(tokens()).alias("tok_set")
+    )
+    a = tsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok_set").alias("ta")
+    )
+    b = tsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok_set").alias("tb")
+    )
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / F.size(F.array_union("ta", "tb"))
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sample, num_hashes, shingle_k)
+    )
+    hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    return (
+        sample.agg(F.count("*").alias("n_sample"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_sample",
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_truth"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def remove_duplicate_spans(docs: DataFrame, shingle_k: int = 5) -> DataFrame:
     """Exact substring deduplication as a REWRITE (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every

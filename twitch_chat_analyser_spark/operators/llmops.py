@@ -104,6 +104,19 @@ def _q_dedup_span_removal(spark, sf_dir):
     return dedup.remove_duplicate_spans(_docs(spark, sf_dir), DUP_NGRAM_K)
 
 
+LSH_EVAL_SAMPLE = 0.1
+
+
+def _q_lsh_recall(spark, sf_dir):
+    return dedup.lsh_recall_eval(
+        _docs(spark, sf_dir),
+        LSH_EVAL_SAMPLE,
+        NUM_HASHES,
+        SHINGLE_K,
+        MINHASH_JACCARD_THRESHOLD,
+    )
+
+
 def _q_kmeans_purity(spark, sf_dir):
     return similarity.kmeans_label_purity(
         _emb(spark, sf_dir), IVF_CENTROIDS, 2
@@ -614,6 +627,7 @@ LLM_QUERIES = {
     "ann_ivf_pq_topk": _q_ann_ivf_pq,
     "ann_knn_graph": _q_knn_graph,
     "eval_kmeans_purity": _q_kmeans_purity,
+    "eval_lsh_recall": _q_lsh_recall,
     "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
     "text_quality_rules": _q_quality_rules,
@@ -944,6 +958,60 @@ SELECT src, dst, cos_sim, rank FROM (
     FROM scored
 ) WHERE rank <= {KNN_K}""",
         "dedup_semantic_clusters": _semdedup_oracle_sql(),
+        # deterministic hash sample; exact all-pairs truth vs the same
+        # banded candidate generator as dedup_minhash_lsh
+        "eval_lsh_recall": f"""
+WITH sample AS (
+    SELECT doc_id, text FROM documents
+    WHERE lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0')
+          < '{format(int(16**4 * LSH_EVAL_SAMPLE), "04x").rjust(5, "0")}'
+),
+s_toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM sample
+),
+tsets AS (SELECT doc_id, list_distinct(toks) AS tok_set FROM s_toks),
+truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tsets a, tsets b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok_set, b.tok_set)))
+          >= {MINHASH_JACCARD_THRESHOLD}
+),
+s_sh AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(toks) < {SHINGLE_K}
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        END) AS sh
+    FROM s_toks
+),
+seeds AS (SELECT CAST(x AS INT) AS seed FROM range({NUM_HASHES}) t(x)),
+sigs AS (
+    SELECT doc_id, seed,
+           min(substr(md5(repeat('x', seed // 4) || sh),
+                      (seed % 4) * 8 + 1, 8)) AS minhash
+    FROM s_sh, seeds GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+hit AS (
+    SELECT t.doc_a, t.doc_b FROM truth t
+    JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM sample) AS n_sample,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+    round(CASE WHEN (SELECT count(*) FROM truth) > 0
+          THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+               / (SELECT count(*) FROM truth)
+          ELSE 1.0 END, 6) AS recall""",
         # same trained codebook + assignment as semdedup/ivf_kmeans;
         # purity = majority-label fraction per cluster
         "eval_kmeans_purity": f"""{_kmeans_assigned_ctes()},

@@ -346,3 +346,97 @@ def start_bloom_corpus_dedup(
     return _start_doc_stream(
         spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
     )
+
+
+def start_minhash_corpus_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    min_agree: int = 6,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental NEAR-duplicate corpus ingest: the MinHash analog of
+    :func:`start_incremental_corpus_dedup`. The persistent store holds
+    SIGNATURES (doc_id, seed, minhash — ``num_hashes`` rows per doc),
+    never text: an incoming doc is dropped when its signature agrees
+    with any stored (or smaller-id in-batch) doc's signature on at
+    least ``min_agree`` of ``num_hashes`` slots — the standard MinHash
+    Jaccard estimate (6/8 ≈ 0.75), so history verification needs no
+    historical text at all. A doc is dropped if it matches ANY
+    smaller/earlier doc, matched or not itself ("keep first copy", the
+    corpus-ingest contract).
+
+    Scale: the probe is an equi-join on ``(seed, minhash)`` — uniform
+    hash keys, no skew; the store carries ``num_hashes`` 8-hex values
+    per surviving doc (tiny vs text) and at 100 TB is bucketed on
+    ``minhash`` so the probe co-locates. Agreement counting is a
+    groupBy on the candidate pairs, whose size is band-bounded.
+
+    Exactly-once: ``batch=<id>`` overwrite partitions for both corpus
+    and signatures; the history read excludes the current batch's own
+    partition (same replay reasoning as :func:`_dedup_against_history`).
+
+    Layout: ``out_dir/corpus/batch=N/`` and ``out_dir/signatures/batch=N/``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_signatures
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    sig_path = os.path.join(out_dir, "signatures")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signatures(
+            batch_df, num_hashes, shingle_k
+        ).localCheckpoint(eager=True)
+        # in-batch: drop any doc agreeing with a smaller doc_id
+        a = sigs.select(
+            F.col("doc_id").alias("keep_id"), "seed", "minhash"
+        )
+        b = sigs.select(F.col("doc_id").alias("drop_id"), "seed", "minhash")
+        in_batch = (
+            a.join(b, ["seed", "minhash"])
+            .filter(F.col("keep_id") < F.col("drop_id"))
+            .groupBy("keep_id", "drop_id")
+            .count()
+            .filter(F.col("count") >= min_agree)
+            .select(F.col("drop_id").alias("doc_id"))
+            .distinct()
+        )
+        drops = in_batch
+        if os.path.isdir(sig_path):
+            hist = (
+                spark.read.parquet(sig_path)
+                .filter(F.col("batch") != batch_id)
+                .select(
+                    F.col("doc_id").alias("hist_id"), "seed", "minhash"
+                )
+            )
+            vs_hist = (
+                sigs.join(hist, ["seed", "minhash"])
+                .groupBy("doc_id", "hist_id")
+                .count()
+                .filter(F.col("count") >= min_agree)
+                .select("doc_id")
+                .distinct()
+            )
+            drops = drops.union(vs_hist).distinct()
+        survivors = batch_df.join(drops, "doc_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"batch={batch_id}")
+        )
+        sigs.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_path, f"batch={batch_id}")
+        )
+
+    return _start_doc_stream(
+        spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
+    )

@@ -62,6 +62,7 @@ class ObservedMetricsListener(StreamingQueryListener):
     def __init__(self, metric_name: str = INGEST_METRIC) -> None:
         self.metric_name = metric_name
         self.batches: list[dict] = []
+        self.state_progress: list[dict] = []
         self._lock = threading.Lock()
 
     # StreamingQueryListener interface ---------------------------------
@@ -74,6 +75,25 @@ class ObservedMetricsListener(StreamingQueryListener):
             row = om[self.metric_name]
             with self._lock:
                 self.batches.append(row.asDict())
+        # stateful-operator health: rows the watermark discarded and
+        # state size, straight from Spark's progress (stateOperators) —
+        # the lateness counter observe() cannot see (late rows never
+        # reach the observe node after a watermarked aggregation)
+        ops = getattr(event.progress, "stateOperators", None) or []
+        dropped = sum(
+            getattr(op, "numRowsDroppedByWatermark", 0) or 0 for op in ops
+        )
+        state_rows = sum(
+            getattr(op, "numRowsTotal", 0) or 0 for op in ops
+        )
+        if ops:
+            with self._lock:
+                self.state_progress.append(
+                    {
+                        "dropped_by_watermark": dropped,
+                        "state_rows": state_rows,
+                    }
+                )
 
     def onQueryTerminated(self, event) -> None:  # pragma: no cover
         pass
