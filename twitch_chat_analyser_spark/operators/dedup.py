@@ -354,7 +354,9 @@ def lsh_recall_eval(
     embedding dedup all document LSH recall; this query quantifies it
     on live data). Ground truth is every sample pair with token-set
     Jaccard >= ``threshold``; a truth pair is HIT when the band join
-    would have proposed it.
+    would have proposed it. ``precision`` (hits / candidates) measures
+    the other side of the trade — how much of the candidate set the
+    verify stage throws away.
 
     The all-pairs comparison is a DELIBERATE bounded quadratic: it runs
     on the ``sample_fraction`` hash sample only (the same deterministic
@@ -364,7 +366,8 @@ def lsh_recall_eval(
     shrinks as N grows); recall is a corpus-level statistic, it does
     not need the whole corpus.
 
-    -> n_sample, n_truth, n_candidates, n_hit, recall (single row)
+    -> n_sample, n_truth, n_candidates, n_hit, recall, precision
+       (single row)
     """
     # 5-wide lpad so the keep-all case (fraction=1 -> 0x10000) still
     # orders above every 4-hex prefix (same pattern as
@@ -423,6 +426,13 @@ def lsh_recall_eval(
                 ).otherwise(F.lit(1.0)),
                 6,
             ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_candidates"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("precision"),
         )
     )
 

@@ -1011,7 +1011,11 @@ SELECT
     round(CASE WHEN (SELECT count(*) FROM truth) > 0
           THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
                / (SELECT count(*) FROM truth)
-          ELSE 1.0 END, 6) AS recall""",
+          ELSE 1.0 END, 6) AS recall,
+    round(CASE WHEN (SELECT count(*) FROM cands) > 0
+          THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+               / (SELECT count(*) FROM cands)
+          ELSE 1.0 END, 6) AS precision""",
         # same trained codebook + assignment as semdedup/ivf_kmeans;
         # purity = majority-label fraction per cluster
         "eval_kmeans_purity": f"""{_kmeans_assigned_ctes()},
