@@ -607,47 +607,51 @@ def _q_salted_channel_counts(spark, sf_dir):
     )
 
 
+# Order interleaves the subfamilies (dedup / ann / text / eval /
+# corpus / multimodal) for the same reason registry._interleave does it
+# across families: a harness recording only a PREFIX of the merged dict
+# still sees this family's breadth, not eight dedup variants in a row.
 LLM_QUERIES = {
     "dedup_exact": _q_dedup_exact,
-    "dedup_minhash_lsh": _q_dedup_minhash,
-    "dedup_simhash": _q_dedup_simhash,
-    "dedup_ngram_jaccard": _q_dedup_ngram,
-    "dedup_embedding_cosine": _q_dedup_embedding,
-    "dedup_semantic_clusters": _q_dedup_semantic,
-    "dedup_dup_ngram_fraction": _q_dedup_dup_ngrams,
-    "dedup_span_removal": _q_dedup_span_removal,
     "ann_brute_topk": _q_ann_brute,
-    "ann_ivf_topk": _q_ann_ivf,
-    "ann_lsh_topk": _q_ann_lsh,
-    "ann_blas_topk": _q_ann_blas,
-    "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
-    "ann_sq8_topk": _q_ann_sq8,
-    "ann_ivf_sq8_topk": _q_ann_ivf_sq8,
-    "ann_pq_topk": _q_ann_pq,
-    "ann_ivf_pq_topk": _q_ann_ivf_pq,
-    "ann_knn_graph": _q_knn_graph,
-    "eval_kmeans_purity": _q_kmeans_purity,
-    "eval_lsh_recall": _q_lsh_recall,
-    "text_language_id": _q_langid,
     "text_quality_score": _q_quality,
+    "corpus_datacard": _q_corpus_datacard,
+    "dedup_minhash_lsh": _q_dedup_minhash,
+    "ann_ivf_topk": _q_ann_ivf,
+    "text_language_id": _q_langid,
+    "eval_lsh_recall": _q_lsh_recall,
+    "dedup_span_removal": _q_dedup_span_removal,
+    "ann_knn_graph": _q_knn_graph,
     "text_quality_rules": _q_quality_rules,
+    "multimodal_meta": _q_multimodal_meta,
+    "dedup_simhash": _q_dedup_simhash,
+    "ann_lsh_topk": _q_ann_lsh,
     "text_bpe_merge_candidates": _q_bpe_merges,
+    "eval_kmeans_purity": _q_kmeans_purity,
+    "dedup_semantic_clusters": _q_dedup_semantic,
+    "ann_sq8_topk": _q_ann_sq8,
     "text_token_counts": _q_token_counts,
-    "text_fingerprints": _q_fingerprints,
+    "corpus_prep": _q_corpus_prep,
+    "dedup_ngram_jaccard": _q_dedup_ngram,
+    "ann_pq_topk": _q_ann_pq,
     "text_vocab_encode": _q_vocab_encode,
+    "pack_sequences": _q_pack_sequences,
+    "dedup_embedding_cosine": _q_dedup_embedding,
+    "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
     "text_unigram_surprise": _q_unigram_surprise,
+    "decontaminate_ngram_overlap": _q_decontamination,
+    "dedup_dup_ngram_fraction": _q_dedup_dup_ngrams,
+    "ann_ivf_sq8_topk": _q_ann_ivf_sq8,
+    "text_fingerprints": _q_fingerprints,
+    "chunk_documents": _q_chunk_documents,
+    "ann_blas_topk": _q_ann_blas,
+    "ann_ivf_pq_topk": _q_ann_ivf_pq,
+    "text_pii_redaction": _q_pii_redaction,
+    "bm25_retrieval": _q_bm25,
     "events_sessionize": _q_sessionize,
     "events_session_windows": _q_session_windows,
-    "salted_channel_counts": _q_salted_channel_counts,
-    "corpus_prep": _q_corpus_prep,
-    "corpus_datacard": _q_corpus_datacard,
-    "multimodal_meta": _q_multimodal_meta,
-    "text_pii_redaction": _q_pii_redaction,
-    "pack_sequences": _q_pack_sequences,
     "text_repetition_signals": _q_repetition,
-    "decontaminate_ngram_overlap": _q_decontamination,
-    "chunk_documents": _q_chunk_documents,
-    "bm25_retrieval": _q_bm25,
+    "salted_channel_counts": _q_salted_channel_counts,
 }
 
 
