@@ -303,6 +303,51 @@ def test_mixture_temperature_upweights_small_sources(spark):
     )
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=5, max_value=400), min_size=2, max_size=5),
+    budget=st.sampled_from([0.25, 0.5, 0.8]),
+)
+def test_mixture_temperature_properties(spark, sizes, budget):
+    """Properties over random source-size profiles: selection is a
+    subset of the corpus, per-source keep counts respect the computed
+    rate's binomial envelope at tau=1 (natural mixture == flat budget
+    rate), and no source with a keep-rate of 1 loses a row."""
+    from twitch_chat_analyser_spark.operators.sampling import (
+        mixture_temperature,
+    )
+
+    rows = []
+    off = 0
+    for si, n in enumerate(sizes):
+        rows += [(off + i, f"s{si}") for i in range(n)]
+        off += 10_000
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_temperature(docs, tau=1.0, budget_fraction=budget)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            __import__("pyspark").sql.functions.count("*").alias("n")
+        ).collect()
+    }
+    ids = {r["doc_id"] for r in out.collect()}
+    all_ids = {r[0] for r in rows}
+    assert ids <= all_ids
+    # tau=1 -> every source keeps ~budget of its rows (hash-Bernoulli:
+    # allow a generous binomial band, floor-of-rate can only undershoot)
+    import math
+
+    for si, n in enumerate(sizes):
+        kept = got.get(f"s{si}", 0)
+        assert kept <= n
+        sd = math.sqrt(n * budget * (1 - budget))
+        assert abs(kept - budget * n) <= 4 * sd + 2, (si, n, kept)
+
+
 def test_k_per_group_sample_exact_sizes(spark):
     rows = [(i, "big") for i in range(100)] + [
         (1000 + i, "tiny") for i in range(3)
