@@ -89,6 +89,17 @@ def test_dedup_clusters_singletons_survive(spark):
     assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
 
 
+def test_triangle_counts_known_graph(spark):
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4};
+    # node 5-6 edge forms no triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 6)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["triangles"] for r in graph.triangle_counts(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
 def test_cluster_representatives_keep_best(spark):
     # cluster {0,3,5}: doc 5 has the best quality -> kept over min-id 0;
     # cluster {7,8}: tie on quality -> lowest doc_id (7) wins;

@@ -178,6 +178,48 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts on an ORIENTED undirected edge list
+    (``src < dst``, distinct): the classic two-join triangle
+    enumeration — (a,b)⋈(b,c)⋈(a,c) with a<b<c, so every triangle is
+    produced exactly once — then an explode+rollup to per-node counts.
+    Triangle density is the community-structure signal CC and PageRank
+    don't capture (a channel bridging two audiences has high rank but
+    few triangles).
+
+    Shape (100 TB): two equi-joins on node keys; the id-orientation
+    bounds each triangle to one enumeration. On skewed degree
+    distributions orient by (degree, id) instead — the standard
+    heavy-hitter mitigation — which changes no counts, only the join
+    sizes; at this domain's channel cardinality the edge relation is
+    tiny regardless of message volume.
+
+    -> node, triangles
+    """
+    ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+        .orderBy(F.desc("triangles"), "node")
+    )
+
+
+def _q_channel_triangles(spark, sf_dir):
+    """Triangle membership per channel in the co-occurrence graph."""
+    from .. import ingest
+    from . import analytics
+
+    pairs = analytics.channel_cooccurrence(ingest.messages(spark, sf_dir))
+    edges = pairs.select(
+        F.col("channel_a").alias("src"), F.col("channel_b").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
 def cluster_representatives(
     docs: DataFrame, pairs: DataFrame, quality: DataFrame
 ) -> DataFrame:
@@ -366,6 +408,7 @@ def _q_channel_pagerank(spark, sf_dir):
 GRAPH_QUERIES = {
     "dedup_connected_clusters": _q_dedup_clusters,
     "dedup_cluster_representatives": _q_cluster_representatives,
+    "channel_triangles": _q_channel_triangles,
     "channel_pagerank": _q_channel_pagerank,
 }
 
@@ -483,8 +526,25 @@ SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
        round(quality_score, 6) AS rep_quality
 FROM scored WHERE rn = 1"""
 
+    triangles_sql = f"""{c},
+cu AS (SELECT DISTINCT channel, username FROM messages),
+pairs AS (
+    SELECT DISTINCT a.channel AS src, b.channel AS dst
+    FROM cu a JOIN cu b ON a.username = b.username AND a.channel < b.channel
+),
+tri AS (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM pairs ab
+    JOIN pairs bc ON bc.src = ab.dst
+    JOIN pairs ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+tnodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles
+FROM tnodes GROUP BY node"""
+
     return {
         "channel_pagerank": pagerank_sql,
         "dedup_connected_clusters": clusters_sql,
         "dedup_cluster_representatives": reps_sql,
+        "channel_triangles": triangles_sql,
     }
