@@ -330,6 +330,40 @@ def test_cluster_representatives_window_is_cluster_partitioned(
     assert not _partitionless_windows(plan), "argmax window lost its key"
 
 
+def test_bpe_rank_is_staged_after_topk_cut(spark, sf_dir):
+    """The BPE pair rank is a global window, but it runs on the <= top_n
+    rows surviving a TakeOrderedAndProject — the staged leaderboard
+    pattern, not a corpus-wide single-partition sort."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    plan = plan_of(queries()["text_bpe_merge_candidates"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_datacard_and_group_samplers_are_bounded(spark, sf_dir):
+    """corpus_datacard's argmax windows partition by source/cluster;
+    sample_k_per_group partitions by the group; temperature mixture is
+    broadcast-threshold only. None may plan a partition-less window
+    over data rows or a corpus self-join."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    for name in (
+        "corpus_datacard",
+        "sample_k_per_group",
+        "sample_temperature_mixture",
+    ):
+        plan = plan_of(queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert not _partitionless_windows(plan), name
+        assert "Python" not in plan, name
+    # the mixture's only joins are broadcasts (thresholds + the 1-row
+    # total); the probe side never shuffles on the threshold key
+    mix = plan_of(queries()["sample_temperature_mixture"](spark, sf_dir))
+    assert "BroadcastHashJoin" in mix
+
+
 def test_bloom_probe_broadcasts_the_bit_table(spark, sf_dir):
     """The Bloom probe must be a map-side broadcast join against the
     <= BLOOM_M-row bit table — never a shuffle of the probe corpus
