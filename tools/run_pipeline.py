@@ -53,6 +53,8 @@ def main() -> None:
     )
     summary["after_quality_gate"] = good.count()
 
+    # the rewrite's output IS the downstream corpus: text becomes the
+    # span-deduplicated text, n_chars re-derived from it
     rewritten = dedup.remove_duplicate_spans(good, shingle_k=5)
     tok = rewritten.agg(
         F.sum("n_tokens").alias("before"), F.sum("n_kept").alias("after")
@@ -61,19 +63,48 @@ def main() -> None:
         "tokens_before": tok["before"],
         "tokens_after": tok["after"],
     }
-
-    pairs = dedup.minhash_dedup_pairs(good, 8, 3, 0.5, sort=False)
-    clusters = graph.dedup_clusters(good, pairs)
-    deduped = good.join(
-        clusters.filter(~F.col("is_survivor")).select("doc_id"),
-        "doc_id",
-        "left_anti",
+    # a doc whose every span duplicated earlier content rewrites to the
+    # empty string — nothing left to train on, drop it here
+    summary["fully_collapsed_docs"] = rewritten.filter(
+        "n_kept = 0"
+    ).count()
+    corpus = (
+        good.select("doc_id", "lang", "source")
+        .join(
+            rewritten.filter("n_kept > 0").select("doc_id", "text_dedup"),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("text_dedup").alias("text"),
+            "lang",
+            "source",
+            F.length("text_dedup").cast("long").alias("n_chars"),
+        )
+        .localCheckpoint(eager=False)
     )
-    summary["after_near_dedup"] = deduped.count()
+
+    # near-dup clusters on the rewritten corpus; KEEP-BEST policy: the
+    # quality-argmax representative of each cluster survives, every
+    # other member is dropped (singletons pass through untouched). The
+    # fixpoint runs once and is shared with the representative argmax.
+    pairs = dedup.minhash_dedup_pairs(corpus, 8, 3, 0.5, sort=False)
+    clusters = graph.dedup_clusters(corpus, pairs)
     reps = graph.cluster_representatives(
-        good, pairs, textops.quality_score(good)
+        corpus, pairs, textops.quality_score(corpus), clusters=clusters
     )
     summary["near_dup_clusters"] = reps.count()
+    cluster_members = clusters.join(
+        reps.select("cluster_id"), "cluster_id", "left_semi"
+    ).select("doc_id")
+    deduped = corpus.join(cluster_members, "doc_id", "left_anti").unionByName(
+        corpus.join(
+            reps.select(F.col("rep_doc_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    summary["after_near_dedup"] = deduped.count()
 
     mixed = sampling.mixture_temperature(deduped, tau=0.5, budget_fraction=0.8)
     final = deduped.join(mixed.select("doc_id"), "doc_id", "left_semi")

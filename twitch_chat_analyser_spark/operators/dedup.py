@@ -380,7 +380,10 @@ def lsh_recall_eval(
         "0",
     )
     thr = format(int(16**4 * sample_fraction), "04x").rjust(5, "0")
-    sample = docs.filter(prefix < thr).localCheckpoint(eager=True)
+    # lazy checkpoint: materialized inside the first consuming action
+    # (not at DataFrame construction), then shared by the truth /
+    # candidate / count branches
+    sample = docs.filter(prefix < thr).localCheckpoint(eager=False)
 
     tsets = sample.select(
         "doc_id", F.array_distinct(tokens()).alias("tok_set")

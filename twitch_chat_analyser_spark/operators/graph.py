@@ -221,7 +221,10 @@ def _q_channel_triangles(spark, sf_dir):
 
 
 def cluster_representatives(
-    docs: DataFrame, pairs: DataFrame, quality: DataFrame
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Keep-best dedup policy: for every near-dup cluster of size >= 2,
     keep the member with the highest quality score (ties -> lowest
@@ -230,7 +233,9 @@ def cluster_representatives(
     duplicates but keep the best-written copy.
 
     ``quality`` must carry (doc_id, quality_score) —
-    ``textops.quality_score`` in the registry wiring.
+    ``textops.quality_score`` in the registry wiring. Pass ``clusters``
+    (a :func:`dedup_clusters` frame) to reuse an already-computed
+    fixpoint instead of re-running it.
 
     Shape (100 TB): cluster membership from the pointer-jumping
     fixpoint; the size gate and the argmax are BOTH window functions
@@ -243,7 +248,8 @@ def cluster_representatives(
     """
     from pyspark.sql import Window
 
-    clusters = dedup_clusters(docs, pairs)
+    if clusters is None:
+        clusters = dedup_clusters(docs, pairs)
     scored = clusters.join(
         quality.select("doc_id", "quality_score"), "doc_id"
     )

@@ -68,12 +68,26 @@ def write_training_shards(
     recoverable from the data alone.
 
     At 100 TB: shards ≈ corpus_bytes / desired_shard_size; the only
-    wide operations are the rank computation's range exchange and this
-    one — both on the uniform md5 key, zero skew.
+    wide operations are the rank computation's range exchange and the
+    final shard range exchange — both on the uniform md5 key, zero
+    skew. The rank is computed ON the full rows (``global_row_number``
+    carries every input column through), so there is no join back to
+    the corpus and ``docs`` is scanned once.
     """
-    from .operators.sampling import epoch_shuffle
+    from pyspark.sql import functions as F
 
-    ranked = epoch_shuffle(docs, epoch).join(docs, "doc_id")
+    from .operators.analytics import global_row_number
+
+    key = F.md5(
+        F.concat(
+            F.lit(f"epoch{epoch}:"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    ranked = global_row_number(
+        docs.withColumn("_sk", key),
+        [F.asc("_sk"), F.asc("doc_id")],
+        out="shuffle_rank",
+    ).drop("_sk")
     (
         ranked.repartitionByRange(shards, "shuffle_rank")
         .sortWithinPartitions("shuffle_rank")

@@ -105,10 +105,14 @@ class ObservedMetricsListener(StreamingQueryListener):
     def totals(self) -> dict:
         """Sum of records/malformed across collected batches."""
         with self._lock:
+            # observed sums over an EMPTY micro-batch arrive as NULL
+            # (None) — guard both missing keys and null values
             return {
-                "records": sum(b.get("records", 0) for b in self.batches),
+                "records": sum(
+                    b.get("records") or 0 for b in self.batches
+                ),
                 "malformed": sum(
-                    b.get("malformed", 0) for b in self.batches
+                    b.get("malformed") or 0 for b in self.batches
                 ),
             }
 
