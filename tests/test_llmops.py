@@ -573,6 +573,36 @@ def test_sq8_constant_dimension_reconstructs_exactly(spark):
         assert r["recon"][1] == 7.25
 
 
+def test_phrase_search_exact_sequence_matching(spark):
+    from twitch_chat_analyser_spark.operators.llmops import phrase_search
+
+    rows = [
+        (1, "alpha the red fox runs beta", "en", "s", 27),  # 1 hit
+        (2, "the red fox runs and the red fox runs", "en", "s", 37),  # 2
+        (3, "red fox runs the", "en", "s", 16),  # wrong order -> no hit
+        # substring but not token-sequence: must NOT match
+        (4, "xthe red fox runsy", "en", "s", 18),
+        # has "the red" and "fox runs" but not the full 4-gram sequence
+        (5, "the red dog fox runs", "en", "s", 20),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r["occurrences"]
+        for r in phrase_search(df, "the red fox runs").collect()
+    }
+    assert out == {1: 1, 2: 2}
+    # short phrase (< 3 words) falls back to the whole-phrase gram...
+    # which only matches docs whose SHINGLE set contains it; a 2-word
+    # phrase still verifies by exact sequence
+    out2 = {
+        r["doc_id"]: r["occurrences"]
+        for r in phrase_search(df, "fox runs").collect()
+    }
+    assert out2[1] == 1 and out2[2] == 2 and out2[3] == 1
+    assert out2[5] == 1  # 2-gram postings reach the short phrase
+    assert 4 not in out2  # token boundary respected
+
+
 def test_lsh_recall_eval_counts_and_bounds(spark):
     base = "the quick brown fox jumps over the lazy dog today"
     rows = [
