@@ -629,6 +629,25 @@ def test_lsh_recall_eval_counts_and_bounds(spark):
     assert (r2["n_truth"], r2["recall"]) == (0, 1.0)
 
 
+def test_embedding_recall_eval_bounds_and_tight_cluster(spark):
+    # near-identical vectors (cos ~1) must be caught by the full-corpus
+    # banding -> recall 1.0; orthogonal vectors contribute no truth
+    rows = [(i, [1.0, 0.0005 * i, 0.0], 0) for i in range(8)] + [
+        (20 + i, [0.0, 0.0, 1.0 + 0.01 * i], 1) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = similarity.embedding_recall_eval(
+        df, sample_fraction=1.0, num_planes=4, band_bits=2, threshold=0.99
+    ).collect()[0]
+    assert r["n_sample"] == 12
+    assert r["n_truth"] > 0
+    assert r["n_hit"] <= r["n_truth"]
+    assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
+    assert r["recall"] == 1.0  # near-parallel pairs agree on every band
+
+
 def test_kmeans_label_purity_perfect_on_separated_clusters(spark):
     # labels perfectly aligned with two well-separated directions ->
     # every emitted cluster is pure

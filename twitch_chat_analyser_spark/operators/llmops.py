@@ -105,6 +105,18 @@ def _q_dedup_span_removal(spark, sf_dir):
 
 
 LSH_EVAL_SAMPLE = 0.1
+EMB_EVAL_SAMPLE = 0.3
+EMB_EVAL_THRESHOLD = 0.9
+
+
+def _q_emb_recall(spark, sf_dir):
+    return similarity.embedding_recall_eval(
+        _emb(spark, sf_dir),
+        EMB_EVAL_SAMPLE,
+        EMB_PLANES,
+        EMB_BAND_BITS,
+        EMB_EVAL_THRESHOLD,
+    )
 
 
 def _q_lsh_recall(spark, sf_dir):
@@ -698,6 +710,7 @@ LLM_QUERIES = {
     "ann_ivf_topk": _q_ann_ivf,
     "text_language_id": _q_langid,
     "eval_lsh_recall": _q_lsh_recall,
+    "eval_embedding_recall": _q_emb_recall,
     "dedup_span_removal": _q_dedup_span_removal,
     "ann_knn_graph": _q_knn_graph,
     "text_quality_rules": _q_quality_rules,
@@ -1067,6 +1080,56 @@ SELECT src, dst, cos_sim, rank FROM (
 ) WHERE rank <= {KNN_K}""",
         "dedup_semantic_clusters": _semdedup_oracle_sql(),
         "text_phrase_search": _phrase_search_sql(),
+        # embedding-side recall/precision: exact all-pairs cosine truth
+        # on the hash sample vs the PRODUCTION hyperplane banding
+        # (planes from the full corpus, candidates restricted to sample)
+        "eval_embedding_recall": f"""
+WITH {_EMB_CTES},
+esample AS (
+    SELECT vec_id, v, nrm FROM emb
+    WHERE lpad(substr(md5(CAST(vec_id AS VARCHAR)), 1, 4), 5, '0')
+          < '{format(int(16**4 * EMB_EVAL_SAMPLE), "04x").rjust(5, "0")}'
+),
+truth AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM esample a, esample b
+    WHERE a.vec_id < b.vec_id
+      AND {_cos('a.v', 'b.v', 'a.nrm', 'b.nrm')} >= {EMB_EVAL_THRESHOLD}
+),
+planes AS (SELECT vec_id AS plane_id, v AS p FROM emb WHERE vec_id < {EMB_PLANES}),
+sbits AS (
+    SELECT e.vec_id, pl.plane_id // {EMB_BAND_BITS} AS band,
+           CASE WHEN list_dot_product(e.v, pl.p) > 0
+                THEN 1 << (pl.plane_id % {EMB_BAND_BITS}) ELSE 0 END AS bv
+    FROM emb e, planes pl
+),
+bands AS (SELECT vec_id, band, sum(bv) AS sig FROM sbits GROUP BY 1, 2),
+sbands AS (
+    SELECT b.vec_id, b.band, b.sig FROM bands b
+    JOIN esample s ON s.vec_id = b.vec_id
+),
+cands AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sbands a JOIN sbands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+hit AS (
+    SELECT t.vec_a, t.vec_b FROM truth t
+    JOIN cands c ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+)
+SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM esample) AS n_sample,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+    round(CASE WHEN (SELECT count(*) FROM truth) > 0
+          THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+               / (SELECT count(*) FROM truth)
+          ELSE 1.0 END, 6) AS recall,
+    round(CASE WHEN (SELECT count(*) FROM cands) > 0
+          THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+               / (SELECT count(*) FROM cands)
+          ELSE 1.0 END, 6) AS precision""",
         # deterministic hash sample; exact all-pairs truth vs the same
         # banded candidate generator as dedup_minhash_lsh
         "eval_lsh_recall": f"""

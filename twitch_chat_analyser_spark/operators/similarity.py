@@ -551,6 +551,98 @@ def semdedup_pairs(
     )
 
 
+def embedding_recall_eval(
+    embeddings: DataFrame,
+    sample_fraction: float = 0.3,
+    num_planes: int = 16,
+    band_bits: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Measure the hyperplane-band candidate generator's recall and
+    precision against exact all-pairs cosine ground truth on a
+    deterministic hash sample — the embedding-side counterpart of
+    ``dedup.lsh_recall_eval`` (every banded ANN/near-dup query here
+    documents its recall; this query measures it on live vectors).
+
+    The all-pairs cosine is a DELIBERATE bounded quadratic over the
+    ``sample_fraction`` draw only; at scale the sample SIZE stays
+    constant while the fraction shrinks (recall is a corpus statistic).
+
+    -> n_sample, n_truth, n_candidates, n_hit, recall, precision
+    """
+    prefix = F.lpad(
+        F.substring(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 4
+        ),
+        5,
+        "0",
+    )
+    thr = format(int(16**4 * sample_fraction), "04x").rjust(5, "0")
+    vecs = as_double_vec(embeddings)
+    sample = vecs.filter(prefix < thr).localCheckpoint(eager=False)
+    a = sample.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("v_nrm").alias("va_nrm"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("v_nrm").alias("vb_nrm"),
+    )
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine("va", "vb") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    # band with the PRODUCTION generator — planes are the first
+    # num_planes vectors of the FULL corpus, exactly as every banded
+    # query uses them; only the candidate join is restricted to the
+    # sample (banding the sample alone would evaluate a different
+    # generator than the one shipped)
+    bands = hyperplane_band_buckets(vecs, num_planes, band_bits).join(
+        sample.select("vec_id"), "vec_id", "left_semi"
+    )
+    cands = (
+        bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+        .join(
+            bands.select(F.col("vec_id").alias("vec_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    hits = truth.join(cands, ["vec_a", "vec_b"], "left_semi")
+    return (
+        sample.agg(F.count("*").alias("n_sample"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_sample",
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_truth"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_candidates"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("precision"),
+        )
+    )
+
+
 def kmeans_label_purity(
     embeddings: DataFrame, k: int = 8, iterations: int = 2
 ) -> DataFrame:
