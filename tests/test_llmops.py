@@ -603,6 +603,34 @@ def test_phrase_search_exact_sequence_matching(spark):
     assert 4 not in out2  # token boundary respected
 
 
+def test_phrase_search_whitespace_and_quotes(spark):
+    """The prune runs on whitespace-NORMALIZED text: a phrase whose
+    words are split by newline/tab/multi-space passes the exact
+    token-sequence verify, so the prune must not drop it. Also: a
+    phrase containing a quote must not break expression parsing."""
+    from twitch_chat_analyser_spark.operators.llmops import phrase_search
+
+    rows = [
+        (1, "start big\norder scan end", "en", "s", 24),  # newline split
+        (2, "pre big\torder  scan post", "en", "s", 24),  # tab + 2 spaces
+        (3, "plain big order scan here", "en", "s", 25),  # single spaces
+        (4, "no match at all", "en", "s", 15),
+        (5, "it's a quote don't break", "en", "s", 24),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r["occurrences"]
+        for r in phrase_search(df, "big order scan").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+    # quote in the phrase: parameterized comparison, no injection
+    outq = {
+        r["doc_id"]: r["occurrences"]
+        for r in phrase_search(df, "a quote don't break").collect()
+    }
+    assert outq == {5: 1}
+
+
 def test_lsh_recall_eval_counts_and_bounds(spark):
     base = "the quick brown fox jumps over the lazy dog today"
     rows = [
@@ -688,6 +716,56 @@ def test_knn_graph_finds_cluster_neighbors(spark):
     # directed: reverse of the best edge exists from the other side
     srcs = {r["src"] for r in out}
     assert len(srcs) > 1
+
+
+def test_block_cap_bounds_mass_duplicate_block(spark):
+    """The adversarial blocking worst case: a mass-duplicated vector.
+    Every copy lands in the same cluster/bucket no matter how many
+    clusters or planes exist, so without the occupancy cap candidate
+    pairs grow R^2. With the cap: (a) pair count is <= cap * R, and
+    (b) dedup CONNECTIVITY survives — every duplicate still pairs with
+    a pivot member, so no duplicate escapes detection."""
+    R = 100  # mass-duplicated block, > block_cap
+    rows = [(i, [1.0, 0.0 + 1e-4 * (i % 3), 0.0], 0) for i in range(R)] + [
+        (200 + i, [0.0, 1.0, 0.001 * i], 1) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    cap = 8
+    out = similarity.semdedup_pairs(
+        df, k=2, iterations=2, threshold=0.9, top_n=100000, block_cap=cap
+    ).collect()
+    big = [r for r in out if r["vec_a"] < 200]
+    # bound: a-side restricted to the cap pivots -> <= cap * R pairs
+    assert len(big) <= cap * R
+    assert len(big) < R * (R - 1) // 2  # strictly below the clique
+    # connectivity: every duplicate appears in at least one pair
+    seen = {r["vec_a"] for r in big} | {r["vec_b"] for r in big}
+    assert seen == set(range(R))
+    # a-side (smaller id) only ever comes from the pivot set
+    assert {r["vec_a"] for r in big} <= set(range(cap))
+
+    # knn_graph: same block, dst capped to pivots, every src present
+    edges = similarity.knn_graph(
+        df, k=3, num_planes=8, band_bits=4, block_cap=cap
+    ).collect()
+    big_e = [r for r in edges if r["src"] < 200]
+    assert {r["src"] for r in big_e} == set(range(R))
+    for r in big_e:
+        assert r["dst"] < 200  # no cross-cluster edges
+        assert r["dst"] in set(range(cap))  # dst only from pivots
+    # uncapped-small-block parity: blocks under the cap are identical
+    # to the uncapped result
+    small_capped = [r for r in edges if r["src"] >= 200]
+    uncapped = [
+        r
+        for r in similarity.knn_graph(
+            df, k=3, num_planes=8, band_bits=4, block_cap=10**6
+        ).collect()
+        if r["src"] >= 200
+    ]
+    assert sorted((r["src"], r["dst"], r["rank"]) for r in small_capped) == (
+        sorted((r["src"], r["dst"], r["rank"]) for r in uncapped)
+    )
 
 
 def test_vocab_encode_ids_order_and_oov(spark):

@@ -268,8 +268,14 @@ def bloom_maybe_contains(
     through.
 
     -> *probes.columns, maybe INT (1 = all positions set)
+
+    One output row per DISTINCT probe row: probes are deduplicated
+    before exploding, because the all-positions-set test compares
+    ``sum(hit) == BLOOM_K`` within the group — a duplicated probe row
+    would collapse into one group whose sum can reach 2*BLOOM_K and
+    mis-flag a fully-set key as absent.
     """
-    pp = probes.select(
+    pp = probes.distinct().select(
         "*", F.posexplode(_bloom_positions(F.col(col))).alias("j", "pos")
     )
     return (

@@ -39,6 +39,13 @@ PQ_KSUB = 8
 SEMDEDUP_THRESHOLD = 0.3  # testdata embeddings are near-orthogonal
 # (max pairwise cos ~0.51); production SemDeDup uses ~0.95+
 SEMDEDUP_TOP_N = 50
+# hard block-occupancy bound for the banded/clustered candidate
+# generators (semdedup_pairs, knn_graph): an R-occupancy block emits at
+# most R * EMB_BLOCK_CAP candidates, never R^2 — mass-duplicated
+# corpora (the blocking worst case) stay linear. Mirrored in the DuckDB
+# oracles; recall impact measured by eval_embedding_recall /
+# tools/scale_probe.py.
+EMB_BLOCK_CAP = 32
 DUP_NGRAM_K = 5
 EMB_DIM = 64  # embeddings vector width in the driver testdata (pinned by
 # tests/test_llmops.py::test_emb_dim_matches_testdata — the sq8 oracles
@@ -93,6 +100,7 @@ def _q_dedup_semantic(spark, sf_dir):
         iterations=2,
         threshold=SEMDEDUP_THRESHOLD,
         top_n=SEMDEDUP_TOP_N,
+        block_cap=EMB_BLOCK_CAP,
     )
 
 
@@ -137,7 +145,7 @@ def _q_kmeans_purity(spark, sf_dir):
 
 def _q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(
-        _emb(spark, sf_dir), KNN_K, EMB_PLANES, EMB_BAND_BITS
+        _emb(spark, sf_dir), KNN_K, EMB_PLANES, EMB_BAND_BITS, EMB_BLOCK_CAP
     )
 
 
@@ -414,9 +422,11 @@ def phrase_search(docs: DataFrame, phrase: str = SEARCH_PHRASE) -> DataFrame:
     scan" must not match inside "borrow scandal").
 
     Shape (100 TB): ONE map-only pass, zero shuffles — a cheap
-    SUBSTRING prune (``contains`` per phrase gram, whole-stage-codegen
-    string scan; a strict SUPERSET of the docs the exact matcher can
-    accept, so no result is lost) followed by the exact token-sequence
+    SUBSTRING prune (``contains`` per phrase gram over the
+    whitespace-NORMALIZED text, so a phrase whose words are separated
+    by newlines/tabs/runs of spaces still passes; this makes the prune
+    a strict SUPERSET of the docs the exact matcher can accept, so no
+    result is lost) followed by the exact token-sequence
     verify on the handful of survivors, in the same stage. With a
     PREBUILT postings table (``storage.write_bucketed`` on the gram
     hash) the prune becomes an index equi-join that avoids scanning the
@@ -443,25 +453,34 @@ def phrase_search(docs: DataFrame, phrase: str = SEARCH_PHRASE) -> DataFrame:
     )
     n = len(p_toks)
     phrase_lit = " ".join(p_toks)
-    prune = reduce(
-        lambda a, b: a & b,
-        [F.col("text").contains(pg) for pg in p_grams],
+    # prune on WHITESPACE-NORMALIZED text: tokens() splits on \s+, so a
+    # doc matching the phrase across a newline/tab/double-space would
+    # pass the exact verify — the raw-text contains() would drop it
+    norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    prune = reduce(lambda a, b: a & b, [norm.contains(pg) for pg in p_grams])
+    # the phrase is compared via F.lit (never interpolated into an expr
+    # string), so quotes/backslashes in a caller phrase can't break
+    # parsing or inject expressions
+    occurrences = (
+        # CASE guard: Spark's sequence(1, 0) DESCENDS instead of
+        # being empty, and slice(toks, 0, n) is an error
+        F.when(F.size("toks") < n, F.lit(0))
+        .otherwise(
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+                    == F.lit(phrase_lit),
+                )
+            )
+        )
+        .cast("long")
+        .alias("occurrences")
     )
     return (
         docs.filter(prune)
         .withColumn("toks", tokens())
-        .select(
-            "doc_id",
-            # CASE guard: Spark's sequence(1, 0) DESCENDS instead of
-            # being empty, and slice(toks, 0, n) is an error
-            F.expr(
-                f"CASE WHEN size(toks) < {n} THEN 0 ELSE "
-                f"size(filter(sequence(1, size(toks) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(toks, i, {n})) = '{phrase_lit}')) END"
-            )
-            .cast("long")
-            .alias("occurrences"),
-        )
+        .select("doc_id", occurrences)
         .filter(F.col("occurrences") > 0)
         # no orderBy: a global sort's RangePartitioner SAMPLES its
         # child, re-executing the scan+verify for a handful of rows
@@ -839,7 +858,17 @@ def _phrase_search_sql(phrase: str = SEARCH_PHRASE) -> str:
         {" ".join(p_toks[i : i + k]) for i in range(len(p_toks) - k + 1)}
     )
     n = len(p_toks)
-    contains = " AND ".join(f"contains(text, '{g}')" for g in p_grams)
+
+    def q(s: str) -> str:  # SQL string literal: double embedded quotes
+        return s.replace("'", "''")
+
+    # prune on whitespace-normalized text — mirrors the Spark side, so
+    # phrase words split by newlines/tabs still survive the prune
+    contains = " AND ".join(
+        f"contains(regexp_replace(text, '\\s+', ' ', 'g'), '{q(g)}')"
+        for g in p_grams
+    )
+    phrase_norm = " ".join(p_toks)
     return f"""
 WITH pruned AS (
     SELECT doc_id, string_split_regex(text, '\\s+') AS toks
@@ -850,7 +879,7 @@ ver AS (
            CAST(CASE WHEN len(toks) < {n} THEN 0 ELSE
                len(list_filter(generate_series(1, len(toks) - {n - 1}),
                    i -> array_to_string(toks[i:i+{n - 1}], ' ')
-                        = '{phrase}')) END AS BIGINT) AS occurrences
+                        = '{q(phrase_norm)}')) END AS BIGINT) AS occurrences
     FROM pruned
 )
 SELECT doc_id, occurrences FROM ver WHERE occurrences > 0"""
@@ -1051,7 +1080,9 @@ FROM cands
 JOIN emb a ON a.vec_id = vec_a
 JOIN emb b ON b.vec_id = vec_b
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
-        # same banding, directed candidate edges, per-src top-k window
+        # same banding, directed candidate edges (dst side capped to the
+        # block's EMB_BLOCK_CAP lowest-vec_id pivots — mirrors
+        # similarity.knn_graph's occupancy bound), per-src top-k window
         "ann_knn_graph": f"""
 WITH {_EMB_CTES},
 planes AS (SELECT vec_id AS plane_id, v AS p FROM emb WHERE vec_id < {EMB_PLANES}),
@@ -1062,9 +1093,16 @@ sbits AS (
     FROM emb e, planes pl
 ),
 bands AS (SELECT vec_id, band, sum(bv) AS sig FROM sbits GROUP BY 1, 2),
+pivots AS (
+    SELECT vec_id, band, sig FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY band, sig ORDER BY vec_id) AS prank
+        FROM bands
+    ) WHERE prank <= {EMB_BLOCK_CAP}
+),
 cands AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-    FROM bands a JOIN bands b
+    FROM bands a JOIN pivots b
       ON a.band = b.band AND a.sig = b.sig AND a.vec_id != b.vec_id
 ),
 scored AS (
@@ -1978,11 +2016,18 @@ def _semdedup_oracle_sql() -> str:
     """Within-cluster cosine pairs over the trained codebook — mirrors
     similarity.semdedup_pairs (same unrolled Lloyd rounds, same
     threshold/ranking contract)."""
-    return f"""{_kmeans_assigned_ctes()}
+    return f"""{_kmeans_assigned_ctes()},
+apivots AS (
+    SELECT vec_id, v, nrm, centroid_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY centroid_id ORDER BY vec_id) AS prank
+        FROM assigned
+    ) WHERE prank <= {EMB_BLOCK_CAP}
+)
 SELECT centroid_id, vec_a, vec_b, cos_sim FROM (
     SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_cos('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cos_sim
-    FROM assigned a JOIN assigned b USING (centroid_id)
+    FROM apivots a JOIN assigned b USING (centroid_id)
     WHERE a.vec_id < b.vec_id
 )
 WHERE cos_sim >= {SEMDEDUP_THRESHOLD}

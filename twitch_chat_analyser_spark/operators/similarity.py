@@ -371,6 +371,7 @@ def knn_graph(
     k: int = 5,
     num_planes: int = 16,
     band_bits: int = 8,
+    block_cap: int = 32,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the embedding corpus:
     every vector's top-``k`` most-cosine-similar neighbors among its
@@ -389,18 +390,39 @@ def knn_graph(
     SOURCE NODE — bounded partitions (bucket-size-bounded candidate
     lists), never a global sort.
 
+    BLOCK-OCCUPANCY BOUND (``block_cap``): within each ``(band, sig)``
+    bucket only the ``block_cap`` lowest-``vec_id`` members (the
+    bucket's "pivots") are eligible as ``dst``, so an R-occupancy
+    bucket emits at most ``R * block_cap`` directed candidates instead
+    of ``R^2``. A mass-duplicated boilerplate corpus — where every copy
+    lands in the same bucket no matter how many planes are added, so
+    re-banding cannot split it — now costs linear-in-R instead of
+    quadratic. The trade, part of the operator contract (the oracle
+    mirrors it): in an over-occupied bucket, neighbors beyond the pivot
+    set are invisible to that bucket (other bands can still surface
+    them). Buckets at or under ``block_cap`` are EXACTLY the uncapped
+    result. Ranking pivots by ``vec_id`` keeps the cap deterministic
+    and oracle-expressible.
+
     -> src, dst, cos_sim, rank
     """
     from pyspark.sql import Window
 
     vecs = as_double_vec(embeddings)
     bands = hyperplane_band_buckets(vecs, num_planes, band_bits)
+    # pivot rank: position of each member within its bucket by vec_id.
+    # The window shuffles on (band, sig) — the same key the candidate
+    # join needs, so the exchange is reused, and sorting R rows in one
+    # partition is O(R log R), far below the R^2 pairs it prevents.
+    pw = Window.partitionBy("band", "sig").orderBy("vec_id")
+    pivots = (
+        bands.withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= block_cap)
+        .select(F.col("vec_id").alias("dst"), "band", "sig")
+    )
     cands = (
         bands.select(F.col("vec_id").alias("src"), "band", "sig")
-        .join(
-            bands.select(F.col("vec_id").alias("dst"), "band", "sig"),
-            ["band", "sig"],
-        )
+        .join(pivots, ["band", "sig"])
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
@@ -500,6 +522,7 @@ def semdedup_pairs(
     iterations: int = 2,
     threshold: float = 0.9,
     top_n: int = 50,
+    block_cap: int = 32,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the trained
@@ -510,25 +533,49 @@ def semdedup_pairs(
 
     Scale (100 TB): assignment is a broadcast of k tiny centroids +
     hash-agg argmax (:func:`_assign_to_centroids`); the pair join is a
-    self-equi-join on ``centroid_id``. Cluster sizes are the scale
-    knob — production sweeps k with corpus size (k ~ N/10k) so each
-    cell stays bounded; a runaway cell is an AQE skew-join case.
-    Candidate generation is part of the operator contract: a
-    cross-cluster near-dup pair (rare — it requires the pair to
-    straddle a Voronoi boundary) is missed, the standard SemDeDup
-    trade.
+    self-equi-join on ``centroid_id``. Cluster sizes are the first
+    scale knob — production sweeps k with corpus size (k ~ N/10k) so
+    each cell stays bounded — and ``block_cap`` is the HARD bound
+    behind it: within each cluster only the ``block_cap``
+    lowest-``vec_id`` members are eligible as the ``vec_a`` (smaller
+    id) side, so an R-member cluster emits at most ``block_cap * R``
+    candidate pairs instead of ``R^2/2``. A mass-duplicated corpus
+    (every copy of the boilerplate assigned to the same centroid —
+    more clusters cannot split identical vectors) now costs
+    linear-in-R. Dedup connectivity survives the cap: in a duplicate
+    clique every member still pairs with pivot members, so every
+    duplicate is flagged; what is lost is the full clique enumeration
+    among non-pivots, which dedup does not need. Clusters at or under
+    ``block_cap + 1`` members produce EXACTLY the uncapped pair set.
+    Candidate generation is part of the operator contract (the oracle
+    mirrors the cap): a cross-cluster near-dup pair (rare — it
+    requires the pair to straddle a Voronoi boundary) is missed, the
+    standard SemDeDup trade.
 
     -> centroid_id, vec_a, vec_b, cos_sim  (top_n by similarity)
     """
+    from pyspark.sql import Window
+
     cents = kmeans_centroids(embeddings, k, iterations).withColumn(
         "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
     )
     assigned = _assign_to_centroids(as_double_vec(embeddings), cents)
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("v_nrm").alias("va_nrm"),
-        "centroid_id",
+    # pivot rank by vec_id within cluster: because vec_a < vec_b and
+    # the rank order IS vec_id order, filtering the a-side to
+    # prank <= block_cap keeps exactly the pairs whose smaller id is
+    # among the cluster's first block_cap members — a deterministic,
+    # oracle-expressible occupancy bound. The window shuffles on
+    # centroid_id, the same key the pair join uses.
+    pw = Window.partitionBy("centroid_id").orderBy("vec_id")
+    a = (
+        assigned.withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= block_cap)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("v_nrm").alias("va_nrm"),
+            "centroid_id",
+        )
     )
     b = assigned.select(
         F.col("vec_id").alias("vec_b"),
@@ -641,6 +688,80 @@ def embedding_recall_eval(
             ).alias("precision"),
         )
     )
+
+
+def ivf_recall_eval(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    num_centroids: int = 8,
+    k: int = 3,
+    m: int = 4,
+    ksub: int = 8,
+    expand: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Measured recall@k for the IVF index family against exact
+    brute-force truth — the quantized-index counterpart of
+    :func:`embedding_recall_eval`. The IVF/SQ8/PQ operators DOCUMENT
+    their recall trade (cell miss + quantization error); this query
+    MEASURES it on live vectors, so a probe-count or codebook change
+    that silently destroys recall fails loudly in the gate.
+
+    Truth is ``brute_force_topk`` at the same ``k``; a hit is an
+    (query, neighbor) edge the variant's top-k shares with truth.
+    Variants: ``ivf`` (cell-pruned full-precision probe) and ``ivf_pq``
+    (cell-pruned ADC probe + exact re-rank) — the two endpoints of the
+    compression spectrum; sq8 sits between them.
+
+    Scale: truth is the deliberate bounded cost — Q fixed query rows
+    against the corpus (broadcast queries, one linear scan), exactly
+    the `ann_brute_topk` plan; each variant adds its own index probe.
+    Everything downstream of the top-k windows is Q*k tiny rows.
+
+    -> variant, k, n_truth, n_hit, recall
+    """
+    truth = (
+        brute_force_topk(embeddings, query_ids, k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    variants = [
+        ("ivf", ivf_topk(embeddings, query_ids, num_centroids, k)),
+        (
+            "ivf_pq",
+            ivf_pq_topk(
+                embeddings, query_ids, num_centroids, m, ksub, k, expand, dim
+            ),
+        ),
+    ]
+    rows = []
+    for name, approx in variants:
+        hit = truth.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        rows.append(
+            truth.agg(F.count("*").alias("n_truth"))
+            .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+            .select(
+                F.lit(name).alias("variant"),
+                F.lit(k).cast("int").alias("k"),
+                "n_truth",
+                "n_hit",
+                F.round(
+                    F.when(
+                        F.col("n_truth") > 0,
+                        F.col("n_hit").cast("double") / F.col("n_truth"),
+                    ).otherwise(F.lit(1.0)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def kmeans_label_purity(
