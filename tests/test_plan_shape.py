@@ -330,6 +330,63 @@ def test_cluster_representatives_window_is_cluster_partitioned(
     assert not _partitionless_windows(plan), "argmax window lost its key"
 
 
+def test_phrase_search_indexed_never_scans_the_corpus(spark, sf_dir):
+    """The postings-backed phrase search must answer from the prebuilt
+    index ONLY: the plan scans the bucketed postings table with the
+    gram filter pushed into the scan (bucket pruning engaged —
+    SelectedBucketsCount) and never touches documents.parquet; the
+    (offset, gram) probe frame broadcasts."""
+    from twitch_chat_analyser_spark.operators import llmops
+
+    df = llmops._q_phrase_search_indexed(spark, sf_dir)
+    plan = plan_of(df)
+    assert "documents" not in plan, "corpus scanned at query time"
+    assert "phrase_postings" in plan
+    assert "SelectedBucketsCount" in plan, "bucket pruning not engaged"
+    assert "EqualTo(gram" in plan or "In(gram" in plan, (
+        "gram filter not pushed to the postings scan"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_phrase_search_indexed_matches_scan_variant(spark, sf_dir):
+    """Same answer from the index as from the corpus scan — including
+    multi-occurrence counts and whitespace-split phrases."""
+    from twitch_chat_analyser_spark.operators import llmops
+    from twitch_chat_analyser_spark.operators.llmops import (
+        build_phrase_postings,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    rows = [
+        (1, "alpha the red fox runs beta", "en", "s", 27),
+        (2, "the red fox runs and the red fox runs", "en", "s", 37),
+        (3, "red fox runs the", "en", "s", 16),
+        (4, "start big\norder scan end", "en", "s", 24),
+        (5, "short", "en", "s", 5),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    postings = build_phrase_postings(docs)
+    for phrase in ("the red fox runs", "big order scan"):
+        via_scan = {
+            (r["doc_id"], r["occurrences"])
+            for r in phrase_search(docs, phrase).collect()
+        }
+        via_index = {
+            (r["doc_id"], r["occurrences"])
+            for r in phrase_search_indexed(postings, phrase).collect()
+        }
+        assert via_index == via_scan
+    # short phrases are the scan path's job
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search_indexed(postings, "fox runs")
+
+
 def test_bpe_rank_is_staged_after_topk_cut(spark, sf_dir):
     """The BPE pair rank is a global window, but it runs on the <= top_n
     rows surviving a TakeOrderedAndProject — the staged leaderboard

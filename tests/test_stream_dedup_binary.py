@@ -278,6 +278,37 @@ def test_corpus_prep_stream_matches_batch_pipeline(spark, tmp_path):
     assert again == kept
 
 
+def test_corpus_prep_stream_metrics_are_observed_not_counted(spark, tmp_path):
+    """The yield metrics must ride the corpus write's own plan via
+    observe() — not separate count()/collect() driver actions. Pinned
+    as SQL-execution count per micro-batch: the streaming wrapper + the
+    corpus write + the fingerprint write + the one-row metrics write =
+    4; every metric computed as a driver action would add one more."""
+    import os
+    import time
+
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (1, "the cat and the dog of a friend", "en", "s", 31),
+        (2, "a tale of the sea and a ship", "en", "s", 28),
+    ]
+    spark.createDataFrame(rows, sd.DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    sd.start_corpus_prep_stream(spark, src, out, ckpt).awaitTermination()
+    time.sleep(1)  # executions post asynchronously
+    assert store.executionsCount() - before <= 4
+    # and the metrics row still landed
+    m = spark.read.parquet(os.path.join(out, "metrics")).collect()
+    assert len(m) == 1 and m[0]["docs_in"] == 2
+
+
 def test_dedup_history_read_excludes_own_batch_on_replay(spark, tmp_path):
     """A replayed batch must not anti-join against its OWN previously
     written fingerprints (that would empty the survivor set and

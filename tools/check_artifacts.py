@@ -71,6 +71,29 @@ def check() -> list[str]:
         missing_headline = [n for n in bench.HEADLINE if n not in timings]
         if missing_headline:
             problems.append(f"headline queries missing: {missing_headline}")
+
+    corr_full = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "CORRECTNESS_FULL.json",
+    )
+    if os.path.isfile(corr_full):
+        with open(corr_full) as fh:
+            c = json.load(fh)
+        centries = c.get("queries", {})
+        if set(centries) != qnames:
+            problems.append(
+                "CORRECTNESS_FULL query names drifted from the registry: "
+                f"missing={sorted(qnames - set(centries))} "
+                f"extra={sorted(set(centries) - qnames)}"
+            )
+        bad = sorted(
+            n for n, e in centries.items()
+            if e.get("err") is not None
+            or (n not in ROWS_ONLY and e.get("hash_match") is not True)
+            or (n in ROWS_ONLY and not e.get("spark_rows"))
+        )
+        if bad:
+            problems.append(f"CORRECTNESS_FULL non-green entries: {bad}")
     return problems
 
 

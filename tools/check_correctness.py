@@ -4,6 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB at the given sf dir, compares row count, column names/types, and
 an order-insensitive value hash (rows sorted, columns sorted by name).
 
+When run over the FULL registry (no name filter), writes
+``CORRECTNESS_FULL.json`` next to the repo root — one entry per query
+in the driver artifact's schema (rows_match/schema_match/hash_match/
+spark_rows/oracle_rows/err) — so the complete gate result is a
+committed artifact rather than a session log (the driver caps its own
+``CORRECTNESS_r*.json`` at 50 entries).
+
 Usage: python tools/check_correctness.py [sf_dir] [name ...]
 """
 
@@ -57,33 +64,59 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        entry = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = entry
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001 — gate must record, not die
+            entry["err"] = f"spark: {e}"
+            failures.append((name, entry["err"]))
+            print(f"  {name}: FAIL {entry['err']} [{time.time()-t0:.1f}s]")
+            continue
+        entry["spark_rows"] = len(srows)
         status = []
         if name not in oracles:
             print(f"  {name}: rows={len(srows)} (no oracle — rows-only) "
                   f"[{time.time()-t0:.1f}s]")
             if len(srows) == 0:
+                entry["err"] = "0 rows"
                 failures.append((name, "0 rows"))
             continue
-        ddf = con.execute(oracles[name])
-        dcols = [d[0] for d in ddf.description]
-        drows = ddf.fetchall()
-        if sorted(scols) != sorted(dcols):
+        try:
+            ddf = con.execute(oracles[name])
+            dcols = [d[0] for d in ddf.description]
+            drows = ddf.fetchall()
+        except Exception as e:  # noqa: BLE001
+            entry["err"] = f"oracle: {e}"
+            failures.append((name, entry["err"]))
+            print(f"  {name}: FAIL {entry['err']} [{time.time()-t0:.1f}s]")
+            continue
+        entry["oracle_rows"] = len(drows)
+        entry["schema_match"] = sorted(scols) == sorted(dcols)
+        entry["rows_match"] = len(srows) == len(drows)
+        if not entry["schema_match"]:
             status.append(f"COLS spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
+        if not entry["rows_match"]:
             status.append(f"ROWCOUNT spark={len(srows)} duck={len(drows)}")
         if not status:
             a = normalize(srows, scols)
             b = normalize(drows, dcols)
+            entry["hash_match"] = a == b
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 status.append(f"VALUES first-diffs={diffs}")
+        else:
+            entry["hash_match"] = False
         if status:
             failures.append((name, "; ".join(status)))
             print(f"  {name}: FAIL {'; '.join(status)} [{time.time()-t0:.1f}s]")
@@ -91,6 +124,27 @@ def main() -> int:
             print(f"  {name}: OK rows={len(srows)} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass at {sf_dir}")
+    if not only:
+        # full-registry run: commitably record the complete gate result
+        import json
+        import os
+
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_FULL.json",
+        )
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(results),
+                 "n_fail": len(failures), "queries": results},
+                fh, indent=1,
+            )
+        print(f"wrote {out_path}")
+        # re-check drift now that the artifact is freshly written: a
+        # stale CORRECTNESS_FULL must not fail the run that refreshes it
+        drift = artifact_check()
+        for p in drift:
+            print(f"  ARTIFACT DRIFT: {p}")
     if drift:
         print(f"artifact contract: {len(drift)} problem(s) (see top)")
     return 1 if failures or drift else 0

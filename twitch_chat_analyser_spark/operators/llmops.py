@@ -137,6 +137,19 @@ def _q_lsh_recall(spark, sf_dir):
     )
 
 
+def _q_ivf_recall(spark, sf_dir):
+    return similarity.ivf_recall_eval(
+        _emb(spark, sf_dir),
+        ANN_QUERY_IDS,
+        IVF_CENTROIDS,
+        IVF_K,
+        PQ_M,
+        PQ_KSUB,
+        SQ8_EXPAND,
+        dim=EMB_DIM,
+    )
+
+
 def _q_kmeans_purity(spark, sf_dir):
     return similarity.kmeans_label_purity(
         _emb(spark, sf_dir), IVF_CENTROIDS, 2
@@ -491,6 +504,150 @@ def _q_phrase_search(spark, sf_dir):
     return phrase_search(_docs(spark, sf_dir))
 
 
+PHRASE_POSTINGS_K = 3
+PHRASE_POSTINGS_BUCKETS = 16
+
+
+def build_phrase_postings(docs: DataFrame, k: int = PHRASE_POSTINGS_K) -> DataFrame:
+    """Positional word k-gram postings — the inverted index behind
+    :func:`phrase_search_indexed`. One row per (doc, token position):
+    the k-gram starting at that position. Docs shorter than ``k``
+    tokens emit nothing (no ``>= k``-token phrase can match them).
+
+    -> doc_id, pos (1-based token position), gram
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import tokens
+
+    toks = docs.withColumn("toks", tokens()).filter(F.size("toks") >= k)
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {k})))"
+            )
+        ).alias("idx0", "gram"),
+    ).select("doc_id", (F.col("idx0") + 1).alias("pos"), "gram")
+
+
+def write_phrase_postings(
+    docs: DataFrame,
+    table: str,
+    k: int = PHRASE_POSTINGS_K,
+    num_buckets: int = PHRASE_POSTINGS_BUCKETS,
+) -> None:
+    """Materialize the postings as a catalog table bucketed AND sorted
+    by gram: a phrase probe's ``gram IN (...)`` filter then prunes to
+    the grams' buckets (SelectedBucketsCount in the scan) and row-group
+    min/max stats skip inside each bucket — the corpus itself is never
+    touched at query time. At 100 TB this is the one-time index build
+    (linear scan, shuffle only for the bucket write); every subsequent
+    "find the doc that said X" reads a few buckets of a few-GB index."""
+    from .. import storage
+
+    storage.write_bucketed(
+        build_phrase_postings(docs, k),
+        table,
+        partition_by=None,
+        bucket_by=("gram",),
+        num_buckets=num_buckets,
+    )
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    phrase: str = SEARCH_PHRASE,
+    k: int = PHRASE_POSTINGS_K,
+) -> DataFrame:
+    """Exact phrase search over the PREBUILT positional postings table
+    — same answer as :func:`phrase_search`, zero corpus scan. Classic
+    positional-index phrase query: for phrase tokens t_0..t_{n-1}, a
+    start position ``p`` matches iff the k-gram at ``p + j`` equals
+    phrase-gram ``j`` for every offset ``j`` in ``0..n-k`` (overlapping
+    k-grams covering all n tokens force exact token-sequence equality).
+
+    Plan shape: ``gram IN (phrase grams)`` pushes into the postings
+    scan (bucket pruning + row-group stats on the gram-sorted files),
+    the tiny (offset, gram) frame broadcasts, and the only shuffle is
+    the per-(doc, start) count over the handful of candidate rows.
+    Requires ``len(phrase tokens) >= k`` (an index has a fixed gram
+    width; shorter phrases fall back to :func:`phrase_search`).
+
+    -> doc_id, occurrences
+    """
+    from pyspark.sql import functions as F
+
+    p_toks = phrase.split()
+    n = len(p_toks)
+    if n < k:
+        raise ValueError(
+            f"phrase_search_indexed: phrase has {n} tokens but the index "
+            f"gram width is {k}; use phrase_search for shorter phrases"
+        )
+    offsets = [(j, " ".join(p_toks[j : j + k])) for j in range(n - k + 1)]
+    grams = sorted({g for _, g in offsets})
+    # literal (offset, gram) frame built JVM-side (folds to a
+    # LocalRelation — no Python RDD in the plan)
+    pg = (
+        postings.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("int").alias("j"),
+                            F.lit(g).alias("gram"),
+                        )
+                        for j, g in offsets
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.j", "s.gram")
+    )
+    cand = postings.filter(F.col("gram").isin(grams))
+    starts = (
+        cand.join(F.broadcast(pg), "gram")
+        .select("doc_id", (F.col("pos") - F.col("j")).alias("start"))
+        .groupBy("doc_id", "start")
+        # a (doc, start, j) triple is unique (pos = start + j and the
+        # gram at that pos is fixed), so count(*) == #offsets means
+        # every offset matched
+        .agg(F.count(F.lit(1)).alias("nj"))
+        .filter(F.col("nj") == len(offsets))
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("occurrences")
+    )
+
+
+_POSTINGS_BUILT: set[tuple[str, str]] = set()
+
+
+def _q_phrase_search_indexed(spark, sf_dir):
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").split("/")[-1])
+    table = f"phrase_postings_{tag}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _POSTINGS_BUILT or not spark.catalog.tableExists(table):
+        if not spark.catalog.tableExists(table):
+            # a previous PROCESS may have left the managed location on
+            # disk while this session's in-memory catalog has no entry
+            # — clear both so the overwrite build starts clean
+            import shutil
+            from urllib.parse import urlparse
+
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        write_phrase_postings(_docs(spark, sf_dir), table)
+        _POSTINGS_BUILT.add(key)
+    return phrase_search_indexed(spark.table(table))
+
+
 def corpus_datacard(docs: DataFrame) -> DataFrame:
     """Per-source data card — the one-page corpus summary a training
     run's datasheet needs (docs, whitespace tokens, exact-dup rate,
@@ -725,11 +882,13 @@ LLM_QUERIES = {
     "text_quality_score": _q_quality,
     "corpus_datacard": _q_corpus_datacard,
     "text_phrase_search": _q_phrase_search,
+    "text_phrase_search_indexed": _q_phrase_search_indexed,
     "dedup_minhash_lsh": _q_dedup_minhash,
     "ann_ivf_topk": _q_ann_ivf,
     "text_language_id": _q_langid,
     "eval_lsh_recall": _q_lsh_recall,
     "eval_embedding_recall": _q_emb_recall,
+    "eval_ivf_recall": _q_ivf_recall,
     "dedup_span_removal": _q_dedup_span_removal,
     "ann_knn_graph": _q_knn_graph,
     "text_quality_rules": _q_quality_rules,
@@ -1118,6 +1277,9 @@ SELECT src, dst, cos_sim, rank FROM (
 ) WHERE rank <= {KNN_K}""",
         "dedup_semantic_clusters": _semdedup_oracle_sql(),
         "text_phrase_search": _phrase_search_sql(),
+        # the indexed variant answers the SAME question from the
+        # prebuilt postings table — one oracle, two access paths
+        "text_phrase_search_indexed": _phrase_search_sql(),
         # embedding-side recall/precision: exact all-pairs cosine truth
         # on the hash sample vs the PRODUCTION hyperplane banding
         # (planes from the full corpus, candidates restricted to sample)
@@ -1958,7 +2120,44 @@ FROM (
     # the BLAS kernel computes the same exact top-k as the declarative
     # brute-force plan — one oracle, two implementations
     out["ann_blas_topk"] = out["ann_brute_topk"]
+    out["eval_ivf_recall"] = _ivf_recall_oracle_sql(
+        out["ann_brute_topk"], out["ann_ivf_topk"], out["ann_ivf_pq_topk"]
+    )
     return out
+
+
+def _ivf_recall_oracle_sql(brute_sql: str, ivf_sql: str, pq_sql: str) -> str:
+    """Recall@k of the IVF variants vs brute-force truth — composed
+    from the three existing full oracle queries as subqueries (DuckDB
+    allows WITH inside a derived table), so the eval can never drift
+    from the per-variant oracles. Truth = brute top-IVF_K (the brute
+    oracle's rank prefix)."""
+
+    def hits(variant_sql: str) -> str:
+        return f"""(
+    SELECT count(*) AS n_hit FROM truth t
+    WHERE EXISTS (
+        SELECT 1 FROM ({variant_sql}) v
+        WHERE v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+    ))"""
+
+    def row(name: str, hit_cte: str) -> str:
+        return f"""
+SELECT '{name}' AS variant, CAST({IVF_K} AS INT) AS k, n.n_truth,
+       h.n_hit,
+       round(CASE WHEN n.n_truth > 0
+                  THEN CAST(h.n_hit AS DOUBLE) / n.n_truth
+                  ELSE 1.0 END, 6) AS recall
+FROM n, {hit_cte} h"""
+
+    return f"""
+WITH truth AS (
+    SELECT query_id, neighbor_id FROM ({brute_sql}) b WHERE rank <= {IVF_K}
+),
+n AS (SELECT count(*) AS n_truth FROM truth)
+{row('ivf', hits(ivf_sql))}
+UNION ALL
+{row('ivf_pq', hits(pq_sql))}"""
 
 
 def _kmeans_assigned_ctes() -> str:

@@ -27,17 +27,21 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    partition_by: str = "channel",
+    partition_by: str | None = "channel",
     bucket_by: tuple[str, ...] = ("username",),
     num_buckets: int = 8,
     mode: str = "overwrite",
 ) -> None:
     """Write a fact DataFrame as a partitioned, bucketed, sorted catalog
-    table. Bucket columns must be the downstream join/agg key."""
+    table. Bucket columns must be the downstream join/agg key. Pass
+    ``partition_by=None`` for tables with no natural partition column
+    (e.g. hash-keyed postings): bucketing alone still gives co-located
+    joins and bucket pruning on the bucket key."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(partition_by)
     (
-        df.write.mode(mode)
-        .partitionBy(partition_by)
-        .bucketBy(num_buckets, *bucket_by)
+        w.bucketBy(num_buckets, *bucket_by)
         .sortBy(*bucket_by)
         .format("parquet")
         .saveAsTable(table)

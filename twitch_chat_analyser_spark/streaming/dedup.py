@@ -221,49 +221,107 @@ def start_corpus_prep_stream(
     state-in-storage scale design as
     :func:`start_incremental_corpus_dedup`.
 
+    JOB BUDGET: the quality gate and dedup are computed as FLAGS in one
+    plan, the yield metrics as ``observe()`` aggregates on that plan
+    (map-side partials inside the corpus write's own job — no
+    ``count()``/``collect()`` driver actions), so each micro-batch runs
+    exactly the two output writes plus the one tiny metrics-row write.
+
     Layout: ``out_dir/{corpus,fingerprints,metrics}/batch=N/``.
     """
     import os
 
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from ..operators.textops import quality_score, token_counts
+    from ..operators.dedup import norm_text
+    from ..operators.textops import quality_score
 
     corpus_path = os.path.join(out_dir, "corpus")
     fp_path = os.path.join(out_dir, "fingerprints")
     metrics_path = os.path.join(out_dir, "metrics")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
-        n_in = batch_df.count()
+        batch_df = batch_df.cache()
+        in_cols = batch_df.columns
+        # quality gate as a FLAG (left join: a doc the scorer can't
+        # score — e.g. token-less — fails the gate, matching the old
+        # inner-join-with-filter behavior)
         q = quality_score(batch_df).select("doc_id", "quality_score")
-        kept = batch_df.join(
-            q.filter(F.col("quality_score") >= min_quality).select("doc_id"),
-            "doc_id",
+        flagged = (
+            batch_df.join(q, "doc_id", "left")
+            .withColumn(
+                "q_ok",
+                F.coalesce(
+                    F.col("quality_score") >= min_quality, F.lit(False)
+                ),
+            )
+            .withColumn("fp", F.md5(norm_text()))
         )
-        fresh = _dedup_against_history(
-            spark, kept, fp_path, batch_id
-        ).localCheckpoint(eager=True)
-        n_quality = kept.count()
-        n_fresh = fresh.count()
-        tokens = (
-            token_counts(fresh)
-            .agg(F.coalesce(F.sum("ws_tokens"), F.lit(0)).alias("t"))
-            .collect()[0]["t"]
+        # in-batch dedup among quality survivors: min doc_id per fp
+        keeper = (
+            flagged.filter("q_ok")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"))
         )
-        fresh.drop("fp").write.mode("overwrite").parquet(
-            os.path.join(corpus_path, f"batch={batch_id}")
+        marked = flagged.join(keeper, "fp", "left").withColumn(
+            "is_keeper", F.col("q_ok") & (F.col("doc_id") == F.col("keep_id"))
         )
-        fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
-            os.path.join(fp_path, f"batch={batch_id}")
+        # history dedup as a flag (same replay-safe own-batch exclusion
+        # as _dedup_against_history)
+        if os.path.isdir(fp_path):
+            seen = (
+                spark.read.parquet(fp_path)
+                .filter(F.col("batch") != batch_id)
+                .select("fp")
+                .distinct()
+                .withColumn("in_history", F.lit(True))
+            )
+            marked = marked.join(seen, "fp", "left")
+        else:
+            marked = marked.withColumn("in_history", F.lit(None).cast("boolean"))
+        marked = marked.withColumn(
+            "is_fresh",
+            F.col("is_keeper") & ~F.coalesce("in_history", F.lit(False)),
+        ).withColumn("ws", F.size(F.split("text", r"\s+")).cast("long"))
+        obs = Observation(f"corpus_prep_{batch_id}")
+        observed = marked.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.col("q_ok").cast("long")).alias("docs_quality"),
+            F.sum(F.col("is_fresh").cast("long")).alias("docs_new_unique"),
+            F.sum(F.when(F.col("is_fresh"), F.col("ws"))).alias("ws_tokens"),
         )
-        spark.createDataFrame(
-            [(batch_id, n_in, n_quality, n_fresh, int(tokens))],
-            "batch_id long, docs_in long, docs_quality long, "
-            "docs_new_unique long, ws_tokens long",
-        ).write.mode("overwrite").parquet(
-            os.path.join(metrics_path, f"batch={batch_id}")
-        )
+        fresh = observed.filter("is_fresh").select(*in_cols, "fp").cache()
+        try:
+            # job 1: corpus write — executes the whole plan, fires the
+            # observe aggregates, populates both caches
+            fresh.drop("fp").write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"batch={batch_id}")
+            )
+            # job 2: fingerprint write — reads the fresh cache
+            fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
+                os.path.join(fp_path, f"batch={batch_id}")
+            )
+            m = obs.get  # already complete after job 1; no extra job
+            # job 3: the one-row metrics write (observed sums over an
+            # empty batch arrive as NULL)
+            spark.createDataFrame(
+                [(
+                    batch_id,
+                    int(m.get("docs_in") or 0),
+                    int(m.get("docs_quality") or 0),
+                    int(m.get("docs_new_unique") or 0),
+                    int(m.get("ws_tokens") or 0),
+                )],
+                "batch_id long, docs_in long, docs_quality long, "
+                "docs_new_unique long, ws_tokens long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(metrics_path, f"batch={batch_id}")
+            )
+        finally:
+            fresh.unpersist()
+            batch_df.unpersist()
 
     return _start_doc_stream(
         spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
