@@ -205,20 +205,15 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         n = msgs.count()
         msgs.repartition(64).write.parquet(src)
         # DEFAULT topology (run_all = single-pass: one source scan per
-        # trigger feeding all five tables + side output) is the headline
+        # trigger feeding all five tables + side output) is the headline.
+        # The five-query compatibility topology (run_all_multi_query) is
+        # NOT benched: it pays 5x source scans by construction and is
+        # compat-only (watermarked state bounding) — see COVERAGE.md; its
+        # replay-idempotence stays pytest-covered.
         t0 = time.time()
         prog = sp.run_all(spark, src, out, ckpt, max_files_per_trigger=8)
         wall = time.time() - t0
-        # the five-query compatibility topology, for comparison
-        out1 = os.path.join(tmp, "out1")
-        ckpt1 = os.path.join(tmp, "ckpt1")
-        t0 = time.time()
-        prog1 = sp.run_all_multi_query(
-            spark, src, out1, ckpt1, max_files_per_trigger=8
-        )
-        wall1 = time.time() - t0
         p = _percentiles(_trigger_durations(prog))
-        p1 = _percentiles(_trigger_durations(prog1))
         return {
             "streaming_messages": n,
             "streaming_wall_sec": round(wall, 3),
@@ -226,11 +221,6 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             "streaming_trigger_p50_ms": p.get("p50_ms"),
             "streaming_trigger_p95_ms": p.get("p95_ms"),
             "streaming_trigger_batches_ms": p,
-            "streaming_multi_query_wall_sec": round(wall1, 3),
-            "streaming_multi_query_msgs_per_sec": round(n / wall1, 1),
-            "streaming_multi_query_trigger_p50_ms": p1.get("p50_ms"),
-            "streaming_multi_query_trigger_p95_ms": p1.get("p95_ms"),
-            "streaming_multi_query_batches_ms": p1,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,180 @@
+"""A12 ledger-guarded upsert sink against a REAL SQL engine.
+
+The recording-connection tests (test_jdbc_sql.py) pin the statements and
+the protocol; these drive the same executor-side code path
+(`JdbcSink.__call__` -> `foreachPartition` -> `_write_partition`) against
+in-process SQLite — the only DB engine in this image — so the DDL, the
+``ON CONFLICT`` upserts, the ledger claim's rowcount contract, and the
+transaction boundaries all execute for real (stand-in for the
+reference's Postgres store, XAPostgresSink.java:89-175). SQLite shares
+Postgres's upsert dialect; only the DB-API placeholder differs
+(``paramstyle="qmark"``).
+"""
+
+from __future__ import annotations
+
+import functools
+import sqlite3
+
+import pytest
+
+from twitch_chat_analyser_spark.streaming import jdbc
+
+SCHEMA = "channel string, timestamp long, messages long"
+
+
+def _setup_db(path: str) -> None:
+    conn = sqlite3.connect(path)
+    try:
+        cur = conn.cursor()
+        for table in jdbc.FACT_TABLES:
+            cur.execute(jdbc.create_table_sql(table))
+        cur.execute(jdbc.ledger_table_sql())
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def _factory(path: str):
+    """Picklable connection factory: ships to the Python workers by
+    reference (stdlib callable + plain-string args); the 30 s busy
+    timeout serializes concurrent partition writers on SQLite's single
+    writer lock."""
+    return functools.partial(sqlite3.connect, path, 30.0)
+
+
+def _read(path: str, sql: str) -> list[tuple]:
+    conn = sqlite3.connect(path)
+    try:
+        return sorted(conn.execute(sql).fetchall())
+    finally:
+        conn.close()
+
+
+def _sink(path: str, mode: str) -> jdbc.JdbcSink:
+    return jdbc.JdbcSink(
+        dsn="unused",
+        table="channel_stats",
+        mode=mode,
+        batch_size=3,
+        connection_factory=_factory(path),
+        num_partitions=4,
+        paramstyle="qmark",
+    )
+
+
+def test_reference_ddl_runs_on_a_real_engine(tmp_path):
+    """All five fact DDLs + the ledger DDL must parse and create — the
+    statements the reference runs at job start
+    (ChannelStatsAggregation.java:36-42)."""
+    db = str(tmp_path / "ddl.db")
+    _setup_db(db)
+    tables = {
+        r[0]
+        for r in _read(db, "SELECT name FROM sqlite_master WHERE type='table'")
+    }
+    assert set(jdbc.FACT_TABLES) | {jdbc.LEDGER_TABLE} <= tables
+
+
+def test_additive_sink_applies_replays_skip(spark, tmp_path):
+    """End-to-end through the executor-side writer: batch 0 lands its
+    deltas transactionally, a full foreachBatch REPLAY of batch 0 is a
+    no-op (every partition finds its ledger row claimed), and batch 1
+    adds on top — the exactly-once-per-batch contract of the additive
+    ``v = v + EXCLUDED.v`` merge."""
+    db = str(tmp_path / "facts.db")
+    _setup_db(db)
+    sink = _sink(db, "additive")
+
+    deltas = [("a", 0, 5), ("a", 1000, 2), ("b", 0, 7)]
+    df = spark.createDataFrame(deltas, SCHEMA).repartition(3)
+    sink(df, batch_id=0)
+    assert _read(db, "SELECT * FROM channel_stats") == sorted(deltas)
+    # ledger: one row per pinned partition for (table, batch 0)
+    assert _read(
+        db, f"SELECT batch_id, partition_id FROM {jdbc.LEDGER_TABLE}"
+    ) == [(0, p) for p in range(4)]
+
+    sink(df, batch_id=0)  # whole-batch replay: claims affect 0 rows
+    assert _read(db, "SELECT * FROM channel_stats") == sorted(deltas)
+
+    sink(df, batch_id=1)  # a NEW batch with the same deltas accumulates
+    assert _read(db, "SELECT * FROM channel_stats") == sorted(
+        [("a", 0, 10), ("a", 1000, 4), ("b", 0, 14)]
+    )
+
+
+def test_task_retry_skips_committed_partition(tmp_path):
+    """The task-retry branch: a retried task whose prior attempt already
+    committed finds the ledger marker present, rolls back, and writes
+    nothing — `_write_partition` driven directly (driver-side
+    TaskContext.get() is None -> partition id 0), same code the
+    executors run."""
+    db = str(tmp_path / "retry.db")
+    _setup_db(db)
+    rows = [{"channel": "a", "timestamp": 0, "messages": 5}]
+    write = functools.partial(
+        jdbc._write_partition,
+        connection_factory=_factory(db),
+        sql=jdbc.upsert_sql("channel_stats", "additive", "qmark"),
+        names=["channel", "timestamp", "messages"],
+        batch_size=100,
+        ledger_key=("channel_stats", 9),
+        paramstyle="qmark",
+    )
+    write(iter(rows))
+    assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 5)]
+    write(iter(rows))  # retry of the same (batch, partition): skipped
+    assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 5)]
+
+
+def test_set_mode_sink_is_naturally_idempotent(spark, tmp_path):
+    """SET-merge (update-mode cumulative emission): replays and
+    re-emissions converge to the last value, no ledger involved."""
+    db = str(tmp_path / "set.db")
+    _setup_db(db)
+    sink = _sink(db, "set")
+
+    df1 = spark.createDataFrame([("a", 0, 5), ("b", 0, 1)], SCHEMA)
+    sink(df1, batch_id=0)
+    sink(df1, batch_id=0)  # replay: same values land, idempotent
+    df2 = spark.createDataFrame([("a", 0, 9)], SCHEMA)  # newer cumulative
+    sink(df2, batch_id=1)
+    assert _read(db, "SELECT * FROM channel_stats") == [
+        ("a", 0, 9),
+        ("b", 0, 1),
+    ]
+    assert _read(db, f"SELECT * FROM {jdbc.LEDGER_TABLE}") == []
+
+
+def test_claim_rowcount_contract_on_sqlite(tmp_path):
+    """The replay guard hinges on `rowcount == 0` for a re-claimed
+    marker; pin that DB-API behavior on a real engine."""
+    db = str(tmp_path / "claim.db")
+    _setup_db(db)
+    conn = sqlite3.connect(db)
+    try:
+        cur = conn.cursor()
+        cur.execute(jdbc.ledger_claim_sql("qmark"), ("channel_stats", 1, 0))
+        assert cur.rowcount == 1
+        cur.execute(jdbc.ledger_claim_sql("qmark"), ("channel_stats", 1, 0))
+        assert cur.rowcount == 0
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def test_pyformat_and_qmark_generate_identical_sql_modulo_placeholder():
+    for table in jdbc.FACT_TABLES:
+        for mode in ("additive", "set"):
+            pg = jdbc.upsert_sql(table, mode, "pyformat")
+            lite = jdbc.upsert_sql(table, mode, "qmark")
+            assert pg.replace("%s", "?") == lite
+    assert jdbc.ledger_claim_sql("pyformat").replace("%s", "?") == (
+        jdbc.ledger_claim_sql("qmark")
+    )
+
+
+def test_unknown_paramstyle_rejected():
+    with pytest.raises(KeyError):
+        jdbc.upsert_sql("channel_stats", "additive", "numeric")

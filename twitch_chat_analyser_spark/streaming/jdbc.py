@@ -18,9 +18,12 @@ generates byte-compatible DDL/DML for both merge disciplines:
   emission (``streaming.pipeline.start_pipeline``); naturally
   idempotent, no transaction coordination needed (design D3).
 
-No JDBC driver ships in this container, so ``write_batch_jdbc`` is
-gated on psycopg2/pg8000 availability; the SQL generation — the part
-with reference parity to check — is pure and unit-tested.
+No Postgres driver ships in this container, so the psycopg2 default is
+import-gated; the SQL generation is pure and unit-tested, and the full
+executor-side writer (DDL, upserts, ledger claim, transaction
+boundaries, retry/replay skip) additionally executes for real against
+in-process SQLite — which shares Postgres's ``ON CONFLICT`` dialect —
+via ``paramstyle="qmark"`` (tests/test_jdbc_sqlite.py).
 """
 
 from __future__ import annotations
@@ -89,14 +92,22 @@ def create_table_sql(table: str) -> str:
     )
 
 
-def upsert_sql(table: str, mode: str = "additive") -> str:
+# DB-API paramstyle -> positional placeholder token. The generated SQL
+# never interpolates values (placeholders only), so the statements are
+# engine-portable modulo this token: psycopg2 is pyformat, stdlib
+# sqlite3 is qmark — the latter drives the real-engine parity test
+# (tests/test_jdbc_sqlite.py) since no Postgres driver ships here.
+PARAM_PLACEHOLDERS = {"pyformat": "%s", "qmark": "?"}
+
+
+def upsert_sql(table: str, mode: str = "additive", paramstyle: str = "pyformat") -> str:
     """One-row upsert statement (the reference batches two value tuples
     per stats row — delta + total — through the same statement;
     ChannelStatsAggregation.java:45-50)."""
     cols, pk = FACT_TABLES[table]
     names = [c for c, _ in cols]
     value_col = names[-1]
-    placeholders = ", ".join(["%s"] * len(names))
+    placeholders = ", ".join([PARAM_PLACEHOLDERS[paramstyle]] * len(names))
     if mode == "additive":
         action = f"{value_col} = {table}.{value_col} + EXCLUDED.{value_col}"
     elif mode == "set":
@@ -124,12 +135,13 @@ def ledger_table_sql() -> str:
     )
 
 
-def ledger_claim_sql() -> str:
+def ledger_claim_sql(paramstyle: str = "pyformat") -> str:
     """Claim statement: inserts the (table, batch, partition) marker, or
     affects 0 rows if a prior attempt already committed it."""
+    ph = PARAM_PLACEHOLDERS[paramstyle]
     return (
         f"INSERT INTO {LEDGER_TABLE}(table_name, batch_id, partition_id) "
-        "VALUES (%s, %s, %s) ON CONFLICT DO NOTHING"
+        f"VALUES ({ph}, {ph}, {ph}) ON CONFLICT DO NOTHING"
     )
 
 
@@ -146,6 +158,7 @@ def _write_partition(
     names: list[str],
     batch_size: int,
     ledger_key: tuple[str, int] | None = None,
+    paramstyle: str = "pyformat",
 ) -> None:
     """Executor-side partition writer: one connection per partition,
     executemany in ``batch_size`` chunks (reference batch size 100,
@@ -175,7 +188,9 @@ def _write_partition(
 
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
-            cur.execute(ledger_claim_sql(), (ledger_key[0], ledger_key[1], pid))
+            cur.execute(
+                ledger_claim_sql(paramstyle), (ledger_key[0], ledger_key[1], pid)
+            )
             if getattr(cur, "rowcount", 1) == 0:
                 conn.rollback()  # a completed prior attempt owns this partition
                 return
@@ -217,6 +232,7 @@ class JdbcSink:
     batch_size: int = 100
     connection_factory: Callable | None = None
     num_partitions: int = 32
+    paramstyle: str = "pyformat"  # psycopg2; "qmark" for sqlite3
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         factory = self.connection_factory
@@ -243,9 +259,10 @@ class JdbcSink:
         writer = functools.partial(
             _write_partition,
             connection_factory=factory,
-            sql=upsert_sql(self.table, self.mode),
+            sql=upsert_sql(self.table, self.mode, self.paramstyle),
             names=names,
             batch_size=self.batch_size,
             ledger_key=ledger_key,
+            paramstyle=self.paramstyle,
         )
         out.foreachPartition(writer)

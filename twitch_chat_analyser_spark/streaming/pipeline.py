@@ -209,13 +209,18 @@ def run_all_multi_query(
     max_files_per_trigger: int | None = None,
     watermark: str | None = None,
 ) -> list:
-    """Compatibility topology: five INDEPENDENT streaming queries (one
+    """COMPAT-ONLY topology: five INDEPENDENT streaming queries (one
     per fact table), each with its own checkpoint, update-mode streaming
     agg and naturally idempotent SET-merge sink. Simple and
     independently restartable — but every query re-reads the source per
     trigger (5x scan + 5x checkpoint bookkeeping), which at the
     reference's 5 s trigger interval overruns the budget on the bench
-    workload; :func:`run_all` (single-pass) is the default.
+    workload. It exists for one feature the stateless single-pass plan
+    cannot express: watermark-bounded streaming state (``run_all``
+    routes ``watermark=`` here). It is excluded from bench.py's headline
+    — Structured Streaming gives each query its own source, so the 5x
+    scan cannot be shared away; replay-idempotence remains
+    pytest-covered. :func:`run_all` (single-pass) is the default.
 
     Runs until available data is exhausted (availableNow by default —
     replayable, resumes from the checkpoint like the reference's Kafka
