@@ -75,6 +75,43 @@ def test_simhash_banded_pairs_equal_all_pairs_at_width_32(spark, docs):
     assert banded == brute
 
 
+def test_simhash_block_cap_bounds_clique_pairs_keeps_connectivity(spark):
+    """Occupancy cap on an adversarial mass-duplicate corpus: 12
+    identical docs share every block, so the exact pair set is the full
+    clique (66 pairs); with block_cap=2 only the 2 lowest-id pivots are
+    eligible as doc_a (2*11 - 1 = 21 pairs), yet every doc still pairs
+    with a pivot — the duplicate cluster stays connected for the
+    downstream connected-components consumer."""
+    rows = [(i, "same boilerplate text repeated verbatim", "en", "s1", 39)
+            for i in range(1, 13)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_dedup_pairs(docs, 32, 3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_dedup_pairs(docs, 32, 3, block_cap=2).collect()
+    }
+    assert exact == {(a, b) for a in range(1, 13) for b in range(1, 13) if a < b}
+    assert capped == {(a, b) for a in (1, 2) for b in range(1, 13) if a < b}
+    assert capped < exact
+    covered = {d for pair in capped for d in pair}
+    assert covered == set(range(1, 13))  # every duplicate reachable
+
+
+def test_simhash_block_cap_is_exact_under_occupancy(docs):
+    """Buckets at or under the cap must produce the uncapped result —
+    the cap only engages on over-occupied buckets."""
+    exact = sorted(
+        map(tuple, dedup.simhash_dedup_pairs(docs, 32, 6).collect())
+    )
+    capped = sorted(
+        map(tuple, dedup.simhash_dedup_pairs(docs, 32, 6, block_cap=64).collect())
+    )
+    assert capped == exact
+
+
 def test_simhash_rejects_zero_width_blocks():
     # bits < max_hamming + 1 would make a block mask 0 — every doc
     # agrees on it and the equi-join degenerates to all-pairs

@@ -243,7 +243,10 @@ def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_dedup_pairs(
-    docs: DataFrame, bits: int = 16, max_hamming: int = 3
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — banded pair join.
 
@@ -256,9 +259,38 @@ def simhash_dedup_pairs(
     corpus into ``2^width`` buckets; widen ``bits`` to keep buckets
     small (64-bit xxhash64 signatures -> 16-bit blocks).
 
+    ``block_cap`` (None = exact, the default contract the DuckDB oracle
+    checks) bounds block occupancy for adversarial corpora
+    (mass-duplicated boilerplate, where every copy shares every block
+    and the OUTPUT pair set itself grows ~R^2): within each
+    ``(block_idx, block_value)`` bucket only the ``block_cap``
+    lowest-``doc_id`` members (the bucket's "pivots") are eligible as
+    ``doc_a``, so an R-occupancy bucket emits at most ``block_cap * R``
+    candidates instead of ~R^2 — the same pivot bound as
+    ``similarity.semdedup_pairs``/``knn_graph``. Capped output is a
+    subset of the exact output; every member of an over-occupied bucket
+    still pairs with the bucket's pivots, so duplicate-cluster
+    connectivity (what dedup consumes pairs for) survives — only
+    non-pivot/non-pivot edges inside one bucket are dropped. Buckets at
+    or under ``block_cap`` are EXACTLY the uncapped result.
+
     -> doc_a, doc_b, hamming
     """
-    sig = simhash(docs, bits)
+    return simhash_pairs_from_signatures(
+        simhash(docs, bits), bits, max_hamming, block_cap
+    )
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    block_cap: int | None = None,
+) -> DataFrame:
+    """Banded pair join over a precomputed ``(doc_id, simhash)`` frame —
+    the join half of :func:`simhash_dedup_pairs`, split out so consumers
+    that need BOTH the exact and capped pair sets (``simhash_cap_recall``)
+    compute the signature aggregation once."""
     block_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
@@ -268,7 +300,17 @@ def simhash_dedup_pairs(
     banded = sig.select(
         "doc_id", "simhash", F.posexplode(block_vals).alias("blk", "blk_val")
     )
-    a = banded.select(
+    a = banded
+    if block_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk", "blk_val").orderBy("doc_id")
+        a = (
+            banded.withColumn("prank", F.row_number().over(w))
+            .filter(F.col("prank") <= block_cap)
+            .drop("prank")
+        )
+    a = a.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "blk", "blk_val"
     )
     b = banded.select(
@@ -285,6 +327,50 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_cap_recall(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    block_cap: int = 32,
+) -> DataFrame:
+    """Measured pair recall of the occupancy-capped simhash candidate
+    generator against the exact banded contract — the same
+    "measure, don't guess" discipline as :func:`lsh_recall_eval` applied to
+    the ``block_cap`` scale knob. The capped pair set is a SUBSET of the
+    exact one by construction (the cap only removes
+    non-pivot/non-pivot edges inside over-occupied buckets), so
+    precision is identically 1 and the one number that matters is how
+    many exact pairs the bound gives up on live data; connectivity (what
+    dedup consumes pairs for) is unaffected — every duplicate still
+    pairs with its bucket's pivots (test_llmops.py).
+
+    Both pair sets are banded joins (never all-pairs), so unlike
+    ``lsh_recall_eval`` no sampling is needed: this is linear-ish in the
+    corpus exactly like the generators it measures, and the signature
+    aggregation is computed ONCE and shared by both sides.
+
+    -> n_exact, n_capped, recall  (single row)
+    """
+    sig = simhash(docs, bits).localCheckpoint(eager=False)
+    exact = simhash_pairs_from_signatures(sig, bits, max_hamming)
+    capped = simhash_pairs_from_signatures(sig, bits, max_hamming, block_cap)
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(capped.agg(F.count("*").alias("n_capped")))
+        .select(
+            "n_exact",
+            "n_capped",
+            F.round(
+                F.when(
+                    F.col("n_exact") > 0,
+                    F.col("n_capped").cast("double") / F.col("n_exact"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall"),
+        )
     )
 
 

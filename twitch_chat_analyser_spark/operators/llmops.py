@@ -46,6 +46,10 @@ SEMDEDUP_TOP_N = 50
 # oracles; recall impact measured by eval_embedding_recall /
 # tools/scale_probe.py.
 EMB_BLOCK_CAP = 32
+# same pivot bound, simhash flavor: OPT-IN via simhash_dedup_pairs'
+# block_cap (the default registry contract stays exact/oracle-checked);
+# eval_simhash_cap_recall measures what the cap gives up on live data.
+SIMHASH_BLOCK_CAP = 32
 DUP_NGRAM_K = 5
 EMB_DIM = 64  # embeddings vector width in the driver testdata (pinned by
 # tests/test_llmops.py::test_emb_dim_matches_testdata — the sq8 oracles
@@ -78,6 +82,13 @@ def _q_dedup_minhash(spark, sf_dir):
 def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup_pairs(
         _docs(spark, sf_dir), SIMHASH_BITS, SIMHASH_MAX_HAMMING
+    )
+
+
+def _q_simhash_cap_recall(spark, sf_dir):
+    return dedup.simhash_cap_recall(
+        _docs(spark, sf_dir), SIMHASH_BITS, SIMHASH_MAX_HAMMING,
+        SIMHASH_BLOCK_CAP,
     )
 
 
@@ -887,6 +898,7 @@ LLM_QUERIES = {
     "ann_ivf_topk": _q_ann_ivf,
     "text_language_id": _q_langid,
     "eval_lsh_recall": _q_lsh_recall,
+    "eval_simhash_cap_recall": _q_simhash_cap_recall,
     "eval_embedding_recall": _q_emb_recall,
     "eval_ivf_recall": _q_ivf_recall,
     "dedup_span_removal": _q_dedup_span_removal,
@@ -1117,6 +1129,20 @@ simhashes AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bit_sums)
 """
 
 
+def _simhash_banded_sql() -> str:
+    """``banded`` CTE: one (doc_id, blk, blk_val) row per pigeonhole
+    block, mirroring dedup.simhash_dedup_pairs' block split at the
+    registry parameters."""
+    parts = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS blk, (simhash >> {off}) & {(1 << w) - 1} "
+        "AS blk_val FROM simhashes"
+        for i, (off, w) in enumerate(
+            dedup.simhash_blocks(SIMHASH_BITS, SIMHASH_MAX_HAMMING)
+        )
+    )
+    return f"banded AS ({parts})"
+
+
 def llm_oracles() -> dict[str, str]:
     from ..registry import chat_ctes
 
@@ -1187,6 +1213,43 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM simhashes a, simhashes b
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
+        # capped side mirrors the pivot bound (row_number per block,
+        # doc_a from the first SIMHASH_BLOCK_CAP members); exact side is
+        # the all-pairs Hamming filter (oracle scale permits it)
+        "eval_simhash_cap_recall": f"""
+WITH {_DOC_CTES},
+{_simhash_sql()},
+{_simhash_banded_sql()},
+pivots AS (
+    SELECT doc_id, blk, blk_val FROM (
+        SELECT doc_id, blk, blk_val,
+               row_number() OVER (PARTITION BY blk, blk_val
+                                  ORDER BY doc_id) AS prank
+        FROM banded
+    ) WHERE prank <= {SIMHASH_BLOCK_CAP}
+),
+exact AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM simhashes a, simhashes b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+capped AS (
+    SELECT DISTINCT p.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM pivots p
+    JOIN banded c ON c.blk = p.blk AND c.blk_val = p.blk_val
+    JOIN simhashes a ON a.doc_id = p.doc_id
+    JOIN simhashes b ON b.doc_id = c.doc_id
+    WHERE p.doc_id < c.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+)
+SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+    (SELECT CAST(count(*) AS BIGINT) FROM capped) AS n_capped,
+    round(CASE WHEN (SELECT count(*) FROM exact) > 0
+          THEN CAST((SELECT count(*) FROM capped) AS DOUBLE)
+               / (SELECT count(*) FROM exact)
+          ELSE 1.0 END, 6) AS recall""",
         # candidates via the same MinHash band join as dedup_minhash_lsh
         # (candidate generation is part of the operator contract), exact
         # Jaccard verify within the (lang, source) block
