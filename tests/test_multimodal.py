@@ -375,3 +375,99 @@ def test_decode_png_rejects_unsupported():
     )
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(bad, fake=False)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (operators/jpegcodec.py): the decoder reads all
+# tables from the stream, so encode->decode round trips exercise the
+# full marker/Huffman/dequant/IDCT pipeline on real compressed data.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_mod():
+    np = pytest.importorskip("numpy")
+    from twitch_chat_analyser_spark.operators import jpegcodec
+
+    return np, jpegcodec
+
+
+def test_jpeg_flat_color_round_trips_exactly():
+    np, J = _jpeg_mod()
+    px = np.zeros((24, 17, 3), np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 200, 100, 50
+    out = J.decode_jpeg_pixels(J.encode_jpeg(px, quality=90))
+    assert out.shape == (24, 17, 3)
+    # flat blocks quantize to all-zero AC exactly; only YCbCr rounding
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 2
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("restart_interval", [0, 2])
+def test_jpeg_gradient_round_trip_all_paths(subsampling, restart_interval):
+    """Every decoder path: 1x1 and 2x2 sampling (chroma upsample),
+    with and without DRI/RSTn predictor resets."""
+    np, J = _jpeg_mod()
+    h, w = 37, 45  # non-multiples of the MCU size on purpose
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.dstack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx * yy) % 256]
+    ).astype(np.uint8)
+    data = J.encode_jpeg(
+        px, quality=92, subsampling=subsampling,
+        restart_interval=restart_interval,
+    )
+    out = J.decode_jpeg_pixels(data)
+    assert out.shape == (h, w, 3)
+    lum_err = np.abs(
+        out[:, :, 0].astype(int) - px[:, :, 0].astype(int)
+    ).mean()
+    assert lum_err < 8.0
+
+
+def test_jpeg_decoder_rejects_progressive_and_garbage():
+    np, J = _jpeg_mod()
+    with pytest.raises(ValueError):
+        J.decode_jpeg_pixels(b"\x89PNG\r\n")
+    # minimal SOI + progressive SOF2 header
+    prog = b"\xff\xd8\xff\xc2" + struct.pack(
+        ">HBHHB", 11, 8, 8, 8, 1
+    ) + b"\x01\x11\x00"
+    with pytest.raises(ValueError):
+        J.decode_jpeg_pixels(prog + b"\xff\xd9")
+
+
+def test_decode_image_stub_routes_jpeg():
+    np, J = _jpeg_mod()
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:8, :, 0] = 255  # top half red
+    data = J.encode_jpeg(px, quality=95)
+    w, h, (mr, mg, mb) = multimodal.decode_image_stub(data, fake=False)
+    assert (w, h) == (16, 16)
+    assert mr == pytest.approx(127.5, abs=3)
+    assert mg == pytest.approx(0.0, abs=3) and mb == pytest.approx(0.0, abs=3)
+
+
+def test_jpeg_end_to_end_over_binaryfile(spark, tmp_path):
+    """Real compressed-image decode + resize through the distributed
+    mapInPandas stages over binaryFile ingest."""
+    np, J = _jpeg_mod()
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    px = np.zeros((32, 48, 3), np.uint8)
+    px[:, :24, 1] = 210  # left half green
+    (tmp_path / "photo_7.jpg").write_bytes(
+        J.encode_jpeg(px, quality=90, subsampling="420", restart_interval=2)
+    )
+    media = read_binary_media(spark, str(tmp_path))
+
+    feats = multimodal.decode_features(media, fake=False).collect()
+    assert len(feats) == 1 and feats[0]["media_id"] == 7
+    assert (feats[0]["width"], feats[0]["height"]) == (48, 32)
+    assert feats[0]["mean_g"] == pytest.approx(105.0, abs=4)
+
+    thumbs = multimodal.resize_images(media, 12, 8, fake=False).collect()
+    assert len(thumbs) == 1
+    out = J.decode_jpeg_pixels(bytes(thumbs[0]["out_bytes"]))
+    assert out.shape == (8, 12, 3)
+    # left half still green, right half still dark after resize
+    assert out[:, :6, 1].mean() > 150 and out[:, 6:, 1].mean() < 40

@@ -6,15 +6,19 @@ bytes with built-ins; decode/feature-extract runs in Arrow-batched
 ``mapInPandas`` stages so bytes stream through Python in columnar
 batches without per-row serde.
 
-The decode step is REAL for the formats the Python stdlib can parse —
-uncompressed 24-bpp BMP (``decode_bmp``, ``resize_bmp``) and 16-bit PCM
-WAV (``decode_wav``), pure ``struct``/``array`` parsing, no imaging
-libs — and exercised end-to-end over the ``binaryFile`` ingest in
-tests. Other formats (PNG/JPEG/MP3/MP4) need codec libraries absent
-from this container: for those, ``fake=True`` produces a deterministic
-fake decode (dimensions + channel means derived from the byte content)
-so the Spark-side plumbing — schema, batch shape, partitioning — stays
-fully exercised regardless of codec availability.
+The decode step is REAL for every format a stdlib+numpy parser can
+cover — uncompressed 24-bpp BMP (``decode_bmp``, ``resize_bmp``),
+8-bit non-interlaced PNG (``decode_png``), baseline sequential JPEG
+including 4:2:0 chroma and restart markers (``jpegcodec``: full
+Huffman + dequant + IDCT decoder AND a deterministic Annex-K encoder,
+so tests round-trip through real compressed streams), 16-bit PCM WAV
+(``decode_wav``), and GIF container parse — all exercised end-to-end
+over the ``binaryFile`` ingest in tests. Formats that genuinely need a
+codec library absent from this container (progressive JPEG, MP3, MP4
+codecs) stay gated: ``fake=True`` produces a deterministic fake decode
+(dimensions + channel means derived from the byte content) so the
+Spark-side plumbing — schema, batch shape, partitioning — stays fully
+exercised regardless of codec availability.
 
 Scale notes: binary payloads dominate row width — keep them OUT of
 shuffles: extract features first (map-side ``mapInPandas``), then
@@ -207,24 +211,31 @@ def decode_png(payload: bytes):
 
 
 def decode_image_stub(payload: bytes, fake: bool = False):
-    """Image decode entry point: REAL stdlib parsers when the payload is
-    a supported format (``decode_bmp`` for uncompressed 24-bpp BMP,
-    ``decode_png`` for 8-bit non-interlaced PNG); other formats need an
-    imaging library absent from this container — for those,
-    ``fake=True`` derives deterministic pseudo-properties from the
-    bytes so plumbing tests have stable expectations."""
+    """Image decode entry point: REAL parsers when the payload is a
+    supported format — ``decode_bmp`` (uncompressed 24-bpp BMP),
+    ``decode_png`` (8-bit non-interlaced PNG), and
+    ``jpegcodec.decode_jpeg`` (baseline sequential JPEG, any chroma
+    sampling, restart markers) — all stdlib+numpy, no imaging libs.
+    Formats outside those profiles (progressive JPEG, interlaced PNG,
+    WebP, ...) would need an imaging library absent from this
+    container; for those, ``fake=True`` derives deterministic
+    pseudo-properties from the bytes so plumbing tests have stable
+    expectations."""
     if not fake:
+        from .jpegcodec import decode_jpeg
+
         errs = []
-        for dec in (decode_bmp, decode_png):
+        for dec in (decode_bmp, decode_png, decode_jpeg):
             try:
                 return dec(payload)
             except ValueError as exc:
                 errs.append(str(exc))
         raise NotImplementedError(
-            "real decode covers uncompressed 24-bpp BMP and 8-bit "
-            f"non-interlaced PNG only ({'; '.join(errs)}); other formats "
-            "need an imaging library not present in this environment; "
-            "pass fake=True for the deterministic stub"
+            "real decode covers uncompressed 24-bpp BMP, 8-bit "
+            "non-interlaced PNG, and baseline sequential JPEG "
+            f"({'; '.join(errs)}); other formats need an imaging library "
+            "not present in this environment; pass fake=True for the "
+            "deterministic stub"
         )
     h = hashlib.sha256(payload).digest()
     width = 16 + h[0] % 64
@@ -523,22 +534,30 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
 
 
 def resize_stub(payload: bytes, target_w: int, target_h: int, fake: bool = False):
-    """Resize entry point: the REAL nearest-neighbor BMP kernel when the
-    payload is a supported BMP (``resize_bmp``); other formats need an
-    imaging library absent from this container — for those, ``fake=True``
+    """Resize entry point: REAL nearest-neighbor kernels when the
+    payload is a supported format (``resize_bmp`` for uncompressed
+    24-bpp BMP; ``jpegcodec.resize_jpeg`` for baseline JPEG —
+    decode -> resize -> re-encode); other formats need an imaging
+    library absent from this container — for those, ``fake=True``
     produces a deterministic pseudo-thumbnail: sha256(payload||dims)
     repeated to target_w*target_h bytes — stable content whose SIZE
     scales with the target geometry, so batch-shape and byte-budget
     tests are real."""
     if not fake:
-        try:
-            return resize_bmp(payload, target_w, target_h)
-        except ValueError as exc:
-            raise NotImplementedError(
-                f"real resize covers uncompressed 24-bpp BMP only ({exc}); "
-                "other formats need an imaging library not present in this "
-                "environment; pass fake=True for the deterministic stub"
-            ) from exc
+        from .jpegcodec import resize_jpeg
+
+        errs = []
+        for kern in (resize_bmp, resize_jpeg):
+            try:
+                return kern(payload, target_w, target_h)
+            except ValueError as exc:
+                errs.append(str(exc))
+        raise NotImplementedError(
+            "real resize covers uncompressed 24-bpp BMP and baseline "
+            f"JPEG ({'; '.join(errs)}); other formats need an imaging "
+            "library not present in this environment; pass fake=True for "
+            "the deterministic stub"
+        )
     seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
     n = target_w * target_h
     return (seed * (n // len(seed) + 1))[:n]
