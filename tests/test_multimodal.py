@@ -139,9 +139,10 @@ def test_decode_gif_goldens():
         multimodal.decode_gif(b"GIF89a" + GIF_BYTES[6:13] + b"\x00" * 6 + b"\x3b")
 
 
-def test_video_features_stub_raises_on_mp4():
-    with pytest.raises(NotImplementedError, match="GIF containers only"):
-        multimodal.video_features_stub(b"\x00\x00ftyp-fake")
+def test_video_features_stub_raises_on_unsupported_container():
+    # a valid-looking EBML/webm head is neither GIF nor ISO-BMFF
+    with pytest.raises(NotImplementedError, match="GIF and ISO-BMFF"):
+        multimodal.video_features_stub(b"\x1a\x45\xdf\xa3webm-fake")
 
 
 def test_video_features_real_gif_over_binaryfile(spark, tmp_path):
@@ -471,3 +472,105 @@ def test_jpeg_end_to_end_over_binaryfile(spark, tmp_path):
     assert out.shape == (8, 12, 3)
     # left half still green, right half still dark after resize
     assert out[:, :6, 1].mean() > 150 and out[:, 6:, 1].mean() < 40
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame walk + MP4 (ISO-BMFF) box walk: container/frame metadata is
+# REAL stdlib parsing; only the codec payload stays un-decoded.
+# ---------------------------------------------------------------------------
+
+
+def make_mp3(n_frames: int, with_id3: bool = True) -> bytes:
+    """MPEG1 Layer III, 128 kbps, 44100 Hz, no padding: each frame is
+    144*128000//44100 = 417 bytes (header + zero payload)."""
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * (417 - 4)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 if with_id3 else b""
+    return id3 + frame * n_frames + b"TAG" + b"\x00" * 125
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def make_mp4(w: int, h: int, n_samples: int, timescale: int, duration: int) -> bytes:
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration) + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 20 + b"\x00" * 52
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n_samples))
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def test_parse_mp3_frames_real():
+    rate, dur_ms, rms = multimodal.parse_mp3(make_mp3(10))
+    assert rate == 44100
+    assert dur_ms == 10 * 1152 * 1000 // 44100  # 261 ms
+    assert rms is None
+
+
+def test_parse_mp3_without_id3_and_rejects_garbage():
+    rate, dur_ms, _ = multimodal.parse_mp3(make_mp3(3, with_id3=False))
+    assert (rate, dur_ms) == (44100, 3 * 1152 * 1000 // 44100)
+    with pytest.raises(ValueError):
+        multimodal.parse_mp3(b"RIFF1234WAVE")
+
+
+def test_parse_mp4_box_walk_real():
+    payload = make_mp4(w=640, h=360, n_samples=48, timescale=600, duration=1200)
+    w, h, n, dur = multimodal.parse_mp4(payload)
+    assert (w, h, n, dur) == (640, 360, 48, 2000)
+
+
+def test_parse_mp4_rejects_non_bmff_and_no_video_track():
+    with pytest.raises(ValueError):
+        multimodal.parse_mp4(b"GIF89a" + b"\x00" * 20)
+    # moov present but no trak with nonzero dims
+    no_video = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(
+        b"moov",
+        _box(
+            b"mvhd",
+            b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, 600)
+            + b"\x00" * 80,
+        ),
+    )
+    with pytest.raises(ValueError):
+        multimodal.parse_mp4(no_video)
+
+
+def test_audio_video_stubs_route_compressed_containers():
+    assert multimodal.audio_features_stub(make_mp3(5))[0] == 44100
+    assert multimodal.video_features_stub(make_mp4(320, 240, 10, 1000, 500)) == (
+        320, 240, 10, 500,
+    )
+
+
+def test_mp3_mp4_end_to_end_over_binaryfile(spark, tmp_path):
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    (tmp_path / "song_3.mp3").write_bytes(make_mp3(20))
+    (tmp_path / "clip_4.mp4").write_bytes(make_mp4(1280, 720, 90, 90000, 270000))
+    media = read_binary_media(spark, str(tmp_path))
+
+    audio = multimodal.audio_features(media, fake=False).collect()
+    assert len(audio) == 1 and audio[0]["media_id"] == 3
+    assert audio[0]["est_sample_rate"] == 44100
+    assert audio[0]["est_duration_ms"] == 20 * 1152 * 1000 // 44100
+    assert audio[0]["rms"] is None  # codec decode honestly absent
+
+    video = multimodal.video_features(media, fake=False).collect()
+    assert len(video) == 1 and video[0]["media_id"] == 4
+    assert (video[0]["width"], video[0]["height"]) == (1280, 720)
+    assert video[0]["n_frames"] == 90
+    assert video[0]["duration_ms"] == 3000

@@ -323,20 +323,110 @@ def decode_wav(payload: bytes):
     return rate, duration_ms, rms
 
 
+# MPEG audio frame-header tables (ISO 11172-3 / 13818-3): bitrate kbps
+# by (version-group, layer, index) and sample rate by (version, index).
+_MP3_BITRATES = {
+    # MPEG1: layer I, II, III
+    ("v1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                384, 416, 448],
+    ("v1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                320, 384],
+    ("v1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320],
+    # MPEG2/2.5: layer I and layers II+III
+    ("v2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+                224, 256],
+    ("v2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+                160],
+    ("v2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+                160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # header version bits -> rates
+
+
+def parse_mp3(payload: bytes):
+    """REAL stdlib MPEG-audio frame walk (no codec decode): skips an
+    ID3v2 tag, then steps frame headers — sync, version, layer, bitrate
+    and sample-rate indices give each frame's byte length and sample
+    count, so sample rate and total duration come out exactly; the
+    waveform itself stays un-decoded (needs a codec library), so the
+    ``rms`` slot is None.
+
+    -> sample_rate, duration_ms, None
+    """
+    import struct
+
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = payload[6:10]
+        pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+    if pos + 4 > len(payload) or payload[pos] != 0xFF or (
+        payload[pos + 1] & 0xE0
+    ) != 0xE0:
+        raise ValueError("not an MPEG audio payload (no frame sync)")
+    total_samples = 0
+    rate = None
+    n_frames = 0
+    while pos + 4 <= len(payload):
+        if payload[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        (hdr,) = struct.unpack_from(">I", payload, pos)
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            break  # lost sync: stop at the last full frame
+        ver_bits = (hdr >> 19) & 0x3
+        layer_bits = (hdr >> 17) & 0x3
+        if ver_bits == 1 or layer_bits == 0:
+            raise ValueError("reserved MPEG version/layer bits")
+        layer = 4 - layer_bits  # 3->I, 2->II, 1->III
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 0x3
+        padding = (hdr >> 9) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-form/invalid bitrate or sample rate")
+        vgroup = "v1" if ver_bits == 3 else "v2"
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+        srate = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            frame_len = (12 * bitrate // srate + padding) * 4
+            samples = 384
+        else:
+            if layer == 3 and ver_bits != 3:  # MPEG2/2.5 layer III
+                frame_len = 72 * bitrate // srate + padding
+                samples = 576
+            else:
+                frame_len = 144 * bitrate // srate + padding
+                samples = 1152
+        if rate is None:
+            rate = srate
+        total_samples += samples
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0 or rate is None:
+        raise ValueError("no complete MPEG audio frame")
+    return rate, total_samples * 1000 // rate, None
+
+
 def audio_features_stub(payload: bytes, fake: bool = False):
-    """Audio decode entry point: the REAL stdlib WAV PCM parser when the
-    payload is one (``decode_wav``); compressed formats need an audio
-    library absent from this container — for those, ``fake=True``
-    derives deterministic pseudo-features from the bytes."""
+    """Audio entry point: REAL stdlib parsers when the payload is a
+    supported format — ``decode_wav`` (16-bit PCM: rate/duration/RMS)
+    or ``parse_mp3`` (MPEG frame walk: rate/duration exact, RMS None —
+    waveform decode needs a codec library); for anything else,
+    ``fake=True`` derives deterministic pseudo-features from the
+    bytes."""
     if not fake:
-        try:
-            return decode_wav(payload)
-        except ValueError as exc:
-            raise NotImplementedError(
-                f"real decode covers 16-bit PCM WAV only ({exc}); other "
-                "formats need an audio library not present in this "
-                "environment; pass fake=True for the deterministic stub"
-            ) from exc
+        errs = []
+        for dec in (decode_wav, parse_mp3):
+            try:
+                return dec(payload)
+            except ValueError as exc:
+                errs.append(str(exc))
+        raise NotImplementedError(
+            "real parse covers 16-bit PCM WAV and MPEG audio frame "
+            f"headers ({'; '.join(errs)}); other formats need an audio "
+            "library not present in this environment; pass fake=True for "
+            "the deterministic stub"
+        )
     rate = 8000 + (hashlib.sha256(payload).digest()[0] % 5) * 8000
     duration_ms = max(1, len(payload) * 1000 // (rate * 2))
     rms = (sum(b * b for b in payload) / max(1, len(payload))) ** 0.5
@@ -447,20 +537,107 @@ def decode_gif(payload: bytes):
     return width, height, n_frames, duration_ms
 
 
+def parse_mp4(payload: bytes):
+    """REAL stdlib ISO-BMFF (MP4/MOV) box walk — container metadata
+    without any codec: presentation duration from ``moov/mvhd``
+    (timescale + duration), frame dimensions from the video track's
+    ``tkhd`` (16.16 fixed point), frame count from that track's
+    ``stbl/stsz`` sample count. Codec payload (``mdat``) is never
+    touched.
+
+    -> width, height, n_frames, duration_ms
+    """
+    import struct
+
+    def boxes(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                body = pos + 16
+            elif size == 0:  # box extends to end
+                size = end - pos
+            if size < 8 or pos + size > end:
+                raise ValueError("malformed ISO-BMFF box size")
+            yield btype, body, pos + size
+            pos += size
+
+    def find(data, start, end, path: list[bytes]):
+        for btype, body, bend in boxes(data, start, end):
+            if btype == path[0]:
+                if len(path) == 1:
+                    return body, bend
+                return find(data, body, bend, path[1:])
+        return None
+
+    top = list(boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("ISO-BMFF payload without moov")
+    mvhd = find(payload, moov[0], moov[1], [b"mvhd"])
+    if mvhd is None:
+        raise ValueError("moov without mvhd")
+    version = payload[mvhd[0]]
+    if version == 1:
+        timescale, duration = struct.unpack_from(
+            ">IQ", payload, mvhd[0] + 4 + 16
+        )
+    else:
+        timescale, duration = struct.unpack_from(
+            ">II", payload, mvhd[0] + 4 + 8
+        )
+    if timescale == 0:
+        raise ValueError("mvhd timescale of zero")
+    duration_ms = duration * 1000 // timescale
+    width = height = n_frames = 0
+    for btype, body, bend in boxes(payload, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        tkhd = find(payload, body, bend, [b"tkhd"])
+        if tkhd is None:
+            continue
+        tver = payload[tkhd[0]]
+        geo_off = tkhd[0] + 4 + (32 if tver == 1 else 20) + 52
+        w_fx, h_fx = struct.unpack_from(">II", payload, geo_off)
+        if w_fx == 0 or h_fx == 0:
+            continue  # audio/hint track
+        width, height = w_fx >> 16, h_fx >> 16
+        stsz = find(
+            payload, body, bend,
+            [b"mdia", b"minf", b"stbl", b"stsz"],
+        )
+        if stsz is not None:
+            n_frames = struct.unpack_from(">I", payload, stsz[0] + 8)[0]
+    if width == 0:
+        raise ValueError("ISO-BMFF payload without a video track")
+    return width, height, n_frames, duration_ms
+
+
 def video_features_stub(payload: bytes, fake: bool = False):
-    """Video container entry point: the REAL stdlib GIF block-walker
-    when the payload is one (:func:`decode_gif`); other containers
-    (mp4/webm) need a media library absent from this container — for
-    those, ``fake=True`` derives deterministic pseudo-features."""
+    """Video container entry point: REAL stdlib parsers when the
+    payload is a supported container — :func:`decode_gif` (block walk)
+    or :func:`parse_mp4` (ISO-BMFF box walk: mvhd duration, tkhd dims,
+    stsz frame count; codec data untouched); webm or codec-level decode
+    need a media library absent from this container — for those,
+    ``fake=True`` derives deterministic pseudo-features."""
     if not fake:
-        try:
-            return decode_gif(payload)
-        except ValueError as exc:
-            raise NotImplementedError(
-                f"real parse covers GIF containers only ({exc}); mp4/webm "
-                "need a media library not present in this environment; "
-                "pass fake=True for the deterministic stub"
-            ) from exc
+        errs = []
+        for dec in (decode_gif, parse_mp4):
+            try:
+                return dec(payload)
+            except ValueError as exc:
+                errs.append(str(exc))
+        raise NotImplementedError(
+            "real parse covers GIF and ISO-BMFF (MP4/MOV) containers "
+            f"({'; '.join(errs)}); webm/codec decode need a media library "
+            "not present in this environment; pass fake=True for the "
+            "deterministic stub"
+        )
     h = hashlib.sha256(payload).digest()
     width = 160 + h[0] % 64
     height = 90 + h[1] % 64
