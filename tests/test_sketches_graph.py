@@ -199,3 +199,54 @@ def test_pagerank_rank_order_on_testdata(spark, sf_dir):
     ranks = [r.rank for r in out]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r > 0 for r in ranks)
+
+
+def _chatters(spark, spec: dict[str, int]):
+    """channel -> n distinct users, 3 messages each (duplicates must not
+    move the estimate)."""
+    rows = [
+        (c, f"u{c}_{i}")
+        for c, n in spec.items()
+        for i in range(n)
+        for _ in range(3)
+    ]
+    return spark.createDataFrame(rows, "channel string, username string")
+
+
+def test_portable_hll_small_range_is_near_exact(spark):
+    """Linear-counting regime (n << m=256): the embedded-ln correction
+    lands within a fraction of a count."""
+    out = {
+        r["channel"]: r
+        for r in sketches.portable_hll_chatters(
+            _chatters(spark, {"a": 30, "b": 40})
+        ).collect()
+    }
+    assert out["a"]["exact_chatters"] == 30
+    # register collisions under-count slightly (expected ~n^2/2m); a few
+    # counts of slack covers the deterministic hash draw
+    assert abs(out["a"]["hll_est"] - 30) < 4
+    assert abs(out["b"]["hll_est"] - 40) < 5
+
+
+def test_portable_hll_raw_regime_within_sketch_error(spark):
+    """Above 2.5m the raw harmonic estimator applies; standard error is
+    ~1.04/sqrt(256) = 6.5%, assert a conservative 3-sigma bound."""
+    out = sketches.portable_hll_chatters(
+        _chatters(spark, {"big": 3000})
+    ).collect()[0]
+    assert out["exact_chatters"] == 3000
+    assert abs(out["hll_est"] - 3000) / 3000 < 0.20
+
+
+def test_portable_hll_invariant_to_partitioning_and_duplicates(spark):
+    """Register max + integer-scaled sum are order- and
+    partitioning-free: any layout of the same multiset must produce the
+    IDENTICAL rounded estimate (the property the hash-match oracle
+    depends on)."""
+    base = _chatters(spark, {"a": 120})
+    est = lambda df: sketches.portable_hll_chatters(df).collect()[0]["hll_est"]
+    e1 = est(base.repartition(17))
+    e2 = est(base.coalesce(1))
+    e3 = est(base.unionByName(base))  # more duplicates, same distinct set
+    assert e1 == e2 == e3
