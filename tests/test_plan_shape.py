@@ -441,3 +441,19 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     plan = plan_of(queries()["sample_weighted_reservoir"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_portable_hll_plan_is_jvm_only_with_partial_registers(spark, sf_dir):
+    """The portable HLL must keep the DataSketches plan shape: register
+    maxima computed as a partial-before-shuffle aggregation over JVM
+    expressions only (md5/instr/CASE — no Python nodes), and the tiny
+    per-channel join sides broadcast instead of sort-merging."""
+    from twitch_chat_analyser_spark.operators import sketches
+
+    df = sketches.portable_hll_chatters(ingest.messages(spark, sf_dir))
+    plan = plan_of(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # register max: partial + final HashAggregate pair around an Exchange
+    assert plan.count("HashAggregate") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -101,6 +101,7 @@ def probes(spark, sf_dir: str, r: int) -> dict:
         frequency,
         sampling,
         similarity,
+        sketches,
         textops,
     )
 
@@ -160,6 +161,9 @@ def probes(spark, sf_dir: str, r: int) -> dict:
         ),
         "serving: b13 rolling sums (conditional agg)": pair(
             lambda n: api.rolling_sums(facts[n]["cs"], api.CHANNEL)
+        ),
+        "portable HLL (register partial-max + estimate)": pair(
+            lambda n: sketches.portable_hll_chatters(msgs[n])
         ),
         "channel_stats (scan+agg)": pair(lambda n: agg.channel_stats(msgs[n])),
         "emote_stats (explode+bcast join+agg)": pair(

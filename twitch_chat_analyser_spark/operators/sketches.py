@@ -174,7 +174,9 @@ def portable_hll_chatters(messages: DataFrame) -> DataFrame:
     )
     return (
         hll_estimate(hll_registers(messages))
-        .join(exact, "channel")
+        # one row per channel on each side; broadcast beats the
+        # sort-merge the optimizer picks without stats
+        .join(F.broadcast(exact), "channel")
         .select(
             "channel",
             "exact_chatters",
