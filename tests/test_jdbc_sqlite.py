@@ -178,3 +178,73 @@ def test_pyformat_and_qmark_generate_identical_sql_modulo_placeholder():
 def test_unknown_paramstyle_rejected():
     with pytest.raises(KeyError):
         jdbc.upsert_sql("channel_stats", "additive", "numeric")
+
+
+def test_streaming_pipeline_lands_in_sqlite_exactly_once(spark, tmp_path):
+    """The reference's full write topology against a real store: a
+    Structured Streaming query emits per-batch deltas through the
+    ledger-guarded additive JdbcSink into SQLite; the accumulated table
+    equals the batch aggregation of all messages, and a checkpoint
+    RESUME over appended files adds only the new data."""
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark.operators import aggregations as agg
+    from twitch_chat_analyser_spark.streaming.pipeline import (
+        read_message_stream,
+    )
+
+    db = str(tmp_path / "facts.db")
+    _setup_db(db)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts string, channel string, username string, message string"
+
+    def messages(lo, hi):
+        rows = [
+            (f"2024-01-0{1 + i % 5} 0{i % 9}:00:00", f"ch{i % 3}", f"u{i}", "hi")
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    sink = _sink(db, "additive")
+
+    def batch_sink(batch_df, batch_id):
+        sink(agg.channel_stats(batch_df), batch_id)
+
+    def run_stream():
+        q = (
+            read_message_stream(spark, src, max_files_per_trigger=2)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(batch_sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first = messages(0, 60)
+    first.repartition(4).write.parquet(src)
+    run_stream()
+
+    def expect(df):
+        return sorted(
+            (r["channel"], r["timestamp"], r["messages"])
+            for r in agg.channel_stats(df).collect()
+        )
+
+    assert _read(db, "SELECT * FROM channel_stats") == expect(first)
+
+    # checkpoint resume: append new files, rerun -> only new data lands
+    second = messages(60, 90)
+    second.repartition(2).write.mode("append").parquet(src)
+    run_stream()
+    assert _read(db, "SELECT * FROM channel_stats") == expect(
+        first.unionByName(second)
+    )
+    # ledger rows exist for every (batch, partition) the stream claimed
+    n_batches = _read(
+        db, f"SELECT count(DISTINCT batch_id) FROM {jdbc.LEDGER_TABLE}"
+    )[0][0]
+    assert n_batches >= 2
