@@ -574,3 +574,18 @@ def test_mp3_mp4_end_to_end_over_binaryfile(spark, tmp_path):
     assert (video[0]["width"], video[0]["height"]) == (1280, 720)
     assert video[0]["n_frames"] == 90
     assert video[0]["duration_ms"] == 3000
+
+
+def test_jpeg_grayscale_round_trip_promotes_to_rgb():
+    """1-component scan: the decoder's grayscale branch replicates Y
+    into RGB; flat gray is exact, gradients within a count."""
+    np, J = _jpeg_mod()
+    yy, xx = np.mgrid[0:21, 0:30]
+    g = ((xx * 8 + yy * 3) % 256).astype(np.uint8)
+    out = J.decode_jpeg_pixels(J.encode_jpeg(g, quality=95))
+    assert out.shape == (21, 30, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+    flat = np.full((10, 13), 77, np.uint8)
+    of = J.decode_jpeg_pixels(J.encode_jpeg(flat, 90))
+    assert int(np.abs(of[:, :, 0].astype(int) - 77).max()) <= 1

@@ -494,36 +494,46 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG.
+    """Encode an (h, w, 3) uint8 RGB array — or (h, w) uint8 grayscale,
+    written as a 1-component scan — as a baseline JFIF JPEG.
     Deterministic; edge-replicates to MCU multiples. ``subsampling``:
     ``"444"`` (1x1 chroma) or ``"420"`` (2x2-averaged chroma, 16x16
-    MCUs). ``restart_interval`` > 0 emits DRI + RSTn markers every that
-    many MCUs — together these exercise every decoder path (sampling
-    upsample, predictor resets, byte-aligned marker scan)."""
+    MCUs); ignored for grayscale. ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many MCUs — together these exercise every
+    decoder path (sampling upsample, grayscale promotion, predictor
+    resets, byte-aligned marker scan)."""
     px = np.asarray(pixels)
-    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
-        raise ValueError("encode_jpeg expects an (h, w, 3) uint8 array")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
+    if px.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h, w = px.shape[:2]
     qlum = _quality_scale(QUANT_LUM, quality)
     qchrom = _quality_scale(QUANT_CHROM, quality)
-    r = px[:, :, 0].astype(np.float64)
-    g = px[:, :, 1].astype(np.float64)
-    b = px[:, :, 2].astype(np.float64)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    if subsampling == "444":
-        samps = [(1, 1), (1, 1), (1, 1)]  # (hs, vs) per component
+    if gray:
+        chans = [px.astype(np.float64)]
+        samps = [(1, 1)]
     else:
-        samps = [(2, 2), (1, 1), (1, 1)]
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        chans = [y, cb, cr]
+        if subsampling == "444":
+            samps = [(1, 1), (1, 1), (1, 1)]  # (hs, vs) per component
+        else:
+            samps = [(2, 2), (1, 1), (1, 1)]
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
     planes = []
-    for (hs, vs), p in zip(samps, (y, cb, cr)):
+    for (hs, vs), p in zip(samps, chans):
         if (hs, vs) != (hmax, vmax):
             fy, fx = vmax // vs, hmax // hs
             # pad to the downsample factor, then box-average
@@ -551,9 +561,13 @@ def encode_jpeg(
         zz = bytes(int(tbl[r, c]) for r, c in ZIGZAG)
         return b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
 
-    out += dqt(0, qlum) + dqt(1, qchrom)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for (cid, tq), (hs, vs) in zip(((1, 0), (2, 1), (3, 1)), samps):
+    ncomp = len(chans)
+    comp_ids = ((1, 0), (2, 1), (3, 1))[:ncomp]
+    out += dqt(0, qlum)
+    if ncomp == 3:
+        out += dqt(1, qchrom)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for (cid, tq), (hs, vs) in zip(comp_ids, samps):
         out += struct.pack("BBB", cid, (hs << 4) | vs, tq)
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
@@ -566,12 +580,13 @@ def encode_jpeg(
 
     out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
     out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
-    out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
-    out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+    if ncomp == 3:
+        out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11))[:ncomp]:
         out += struct.pack("BB", cid, tabs)
     out += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential DCT
 
@@ -583,9 +598,9 @@ def encode_jpeg(
         (qlum, enc_dc_lum, enc_ac_lum),
         (qchrom, enc_dc_chrom, enc_ac_chrom),
         (qchrom, enc_dc_chrom, enc_ac_chrom),
-    ]
+    ][:ncomp]
     bw = _BitWriter()
-    preds = [0, 0, 0]
+    preds = [0] * ncomp
     mcu_index = 0
     rst = 0
     for by in range(mcus_y):
@@ -598,7 +613,7 @@ def encode_jpeg(
                 bw = _BitWriter()
                 out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                preds = [0, 0, 0]
+                preds = [0] * ncomp
             for ci, plane in enumerate(planes):
                 hs, vs = samps[ci]
                 q, dt, at = tables[ci]
