@@ -589,3 +589,80 @@ def test_jpeg_grayscale_round_trip_promotes_to_rgb():
     flat = np.full((10, 13), 77, np.uint8)
     of = J.decode_jpeg_pixels(J.encode_jpeg(flat, 90))
     assert int(np.abs(of[:, :, 0].astype(int) - 77).max()) <= 1
+
+
+def test_parse_mp3_trailing_garbage_keeps_prefix():
+    """Mid-stream bytes that carry the 0xFFEx sync pattern but invalid
+    header fields (reserved version/layer, bad bitrate index) behave
+    like lost sync — the already-parsed prefix is returned, not
+    discarded (ADVICE r04)."""
+    base = make_mp3(4, with_id3=False)[: 4 * 417]
+    want = 4 * 1152 * 1000 // 44100
+    # reserved version bits (0xFFEA -> ver_bits == 1)
+    assert multimodal.parse_mp3(base + b"\xff\xea\x00\x00")[1] == want
+    # invalid bitrate index (0xF)
+    assert multimodal.parse_mp3(base + b"\xff\xfb\xf0\x00")[1] == want
+    # before any frame the same headers still reject the payload
+    with pytest.raises(ValueError):
+        multimodal.parse_mp3(b"\xff\xea\x00\x00" + b"\x00" * 500)
+
+
+def test_parse_mp3_truncated_final_frame_not_credited():
+    """A final frame whose header fits but whose body is cut short must
+    not contribute its full sample count (ADVICE r04)."""
+    base = make_mp3(4, with_id3=False)[: 4 * 417]
+    truncated = base + b"\xff\xfb\x90\x00" + b"\x00" * 10  # 417-byte frame cut
+    assert multimodal.parse_mp3(truncated)[1] == 4 * 1152 * 1000 // 44100
+    # a payload that is ONLY a truncated frame has no complete frame
+    with pytest.raises(ValueError):
+        multimodal.parse_mp3(b"\xff\xfb\x90\x00" + b"\x00" * 10)
+
+
+def test_parse_mp4_sibling_scan_and_per_track_frame_reset():
+    """find() must keep scanning later siblings when the first matching
+    box's subtree lacks the target, and n_frames must reset per video
+    track (ADVICE r04)."""
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 600, 1200) + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 20 + b"\x00" * 52
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, 48))
+    real_mdia = _box(b"mdia", _box(b"minf", _box(b"stbl", stsz)))
+    # decoy mdia BEFORE the real one: its subtree has no minf at all
+    decoy_mdia = _box(b"mdia", _box(b"free", b"\x00" * 4))
+    trak = _box(b"trak", tkhd + decoy_mdia + real_mdia)
+    moov = _box(b"moov", mvhd + trak)
+    payload = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+    assert multimodal.parse_mp4(payload) == (640, 360, 48, 2000)
+
+    # second video track WITHOUT stsz: dims come from it, n_frames must
+    # be 0, not the previous track's 48
+    tkhd2 = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 20 + b"\x00" * 52
+        + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    trak2 = _box(b"trak", tkhd2)
+    moov2 = _box(b"moov", mvhd + trak + trak2)
+    payload2 = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov2
+    assert multimodal.parse_mp4(payload2) == (320, 240, 0, 2000)
+
+
+def test_jpeg_grayscale_decode_unbiased():
+    """Grayscale decode rounds like the color path: flat fields across
+    the value range show no systematic downward bias (truncation would
+    sit near -0.5; ADVICE r04)."""
+    np, J = _jpeg_mod()
+    errs = []
+    for v in range(10, 250, 24):
+        flat = np.full((16, 16), v, np.uint8)
+        out = J.decode_jpeg_pixels(J.encode_jpeg(flat, quality=95))
+        errs.append(float(out[:, :, 0].astype(float).mean()) - v)
+    bias = sum(errs) / len(errs)
+    assert abs(bias) < 0.2, f"grayscale decode bias {bias:+.3f}"

@@ -250,3 +250,19 @@ def test_portable_hll_invariant_to_partitioning_and_duplicates(spark):
     e2 = est(base.coalesce(1))
     e3 = est(base.unionByName(base))  # more duplicates, same distinct set
     assert e1 == e2 == e3
+
+
+def test_portable_hll_ignores_null_usernames(spark):
+    """A NULL hash input must not create a NULL register group — it
+    would inflate n_regs without contributing to s_hit and skew (or,
+    with all 256 registers hit, break) the estimate (ADVICE r04)."""
+    base = _chatters(spark, {"a": 40})
+    with_nulls = base.unionByName(
+        spark.createDataFrame(
+            [("a", None)] * 7, "channel string, username string"
+        )
+    )
+    est = lambda df: sketches.portable_hll_chatters(df).collect()[0]["hll_est"]
+    assert est(with_nulls) == est(base)
+    regs = sketches.hll_registers(with_nulls)
+    assert regs.filter("reg IS NULL").count() == 0

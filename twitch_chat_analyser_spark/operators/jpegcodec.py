@@ -369,7 +369,9 @@ def _decode_scan(
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
+        # round like the YCbCr path below — truncation would bias gray
+        # pixels down by up to one count and break encode->decode symmetry
+        y = np.clip(full[0], 0, 255).round()
         return np.dstack([y, y, y]).astype(np.uint8)
     if len(full) != 3:
         raise ValueError("only grayscale or 3-component YCbCr supported")

@@ -377,12 +377,19 @@ def parse_mp3(payload: bytes):
         ver_bits = (hdr >> 19) & 0x3
         layer_bits = (hdr >> 17) & 0x3
         if ver_bits == 1 or layer_bits == 0:
+            # before any frame: not MPEG audio at all. Mid-stream:
+            # trailing garbage that happens to start 0xFFEx — same
+            # handling as lost sync, keep the parsed prefix
+            if n_frames:
+                break
             raise ValueError("reserved MPEG version/layer bits")
         layer = 4 - layer_bits  # 3->I, 2->II, 1->III
         br_idx = (hdr >> 12) & 0xF
         sr_idx = (hdr >> 10) & 0x3
         padding = (hdr >> 9) & 0x1
         if br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
             raise ValueError("free-form/invalid bitrate or sample rate")
         vgroup = "v1" if ver_bits == 3 else "v2"
         bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
@@ -397,6 +404,9 @@ def parse_mp3(payload: bytes):
             else:
                 frame_len = 144 * bitrate // srate + padding
                 samples = 1152
+        if pos + frame_len > len(payload):
+            break  # header fits but the frame body is truncated —
+            # don't credit samples the payload doesn't carry
         if rate is None:
             rate = srate
         total_samples += samples
@@ -570,7 +580,11 @@ def parse_mp4(payload: bytes):
             if btype == path[0]:
                 if len(path) == 1:
                     return body, bend
-                return find(data, body, bend, path[1:])
+                hit = find(data, body, bend, path[1:])
+                if hit is not None:
+                    return hit
+                # keep scanning later siblings of the same type — a trak
+                # may carry a leading box whose subtree lacks the target
         return None
 
     top = list(boxes(payload, 0, len(payload)))
@@ -607,6 +621,8 @@ def parse_mp4(payload: bytes):
         if w_fx == 0 or h_fx == 0:
             continue  # audio/hint track
         width, height = w_fx >> 16, h_fx >> 16
+        n_frames = 0  # per-track: a later video track without stsz must
+        # not inherit the previous track's sample count
         stsz = find(
             payload, body, bend,
             [b"mdia", b"minf", b"stbl", b"stsz"],

@@ -204,7 +204,10 @@ def hll_registers(messages: DataFrame, dims: list[str] | None = None) -> DataFra
     """
     dims = dims or ["channel"]
     return (
-        messages.select(
+        # a NULL hash input would create a NULL reg group that inflates
+        # n_regs (count(*)) without contributing to s_hit — drop it
+        messages.filter(F.col("username").isNotNull())
+        .select(
             *dims, F.expr(_HLL_REG).alias("reg"), F.expr(_HLL_RHO).alias("rho")
         )
         .groupBy(*dims, "reg")
