@@ -106,3 +106,60 @@ def test_rollup_re_merges_stored_registers(spark, tmp_path):
     ).collect()[0]
     assert rollup["hll_est"] == direct["hll_est"]
     assert os.path.isdir(store)
+
+
+def _bucket_files(store: str) -> dict[str, float]:
+    """path -> mtime for every data file, keyed by bucket-relative path."""
+    out = {}
+    for root, _dirs, files in os.walk(store):
+        for f in files:
+            p = os.path.join(root, f)
+            out[os.path.relpath(p, store)] = os.path.getmtime(p)
+    return out
+
+
+def test_merge_touches_only_batch_buckets(spark, tmp_path):
+    """Per-trigger cost is O(batch), not O(store): a merge whose batch
+    hits one dimension key must leave every other bucket's files
+    untouched (same paths, same mtimes) — the fix for the r04
+    whole-store-rewrite flag."""
+    store = str(tmp_path / "store")
+    # seed the store with many channels spread across buckets
+    seed = _messages(spark, 10, channels=tuple(f"c{i}" for i in range(12)))
+    shll.merge_registers(spark, store, sketches.hll_registers(seed), ["channel"], num_buckets=8)
+    buckets_before = {d for d in os.listdir(store) if d.startswith("bucket=")}
+    assert len(buckets_before) > 2  # the seed really spread out
+    files_before = _bucket_files(store)
+
+    # merge a single-channel batch
+    delta = _messages(spark, 25, channels=("c3",))
+    shll.merge_registers(spark, store, sketches.hll_registers(delta), ["channel"], num_buckets=8)
+
+    from pyspark.sql import functions as F
+    b3 = spark.range(1).select(
+        F.pmod(F.hash(F.lit("c3")), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    files_after = _bucket_files(store)
+    untouched_before = {p: m for p, m in files_before.items()
+                        if not p.startswith(f"bucket={b3}/")}
+    untouched_after = {p: m for p, m in files_after.items()
+                       if not p.startswith(f"bucket={b3}/")}
+    assert untouched_before == untouched_after  # bit-for-bit same files
+    # and the touched bucket DID change
+    assert {p for p in files_after if p.startswith(f"bucket={b3}/")} != \
+           {p for p in files_before if p.startswith(f"bucket={b3}/")} or \
+           any(files_after[p] != files_before.get(p)
+               for p in files_after if p.startswith(f"bucket={b3}/"))
+
+    # correctness after the partial merge: store == batch over the union
+    inc = {
+        r["channel"]: r["hll_est"]
+        for r in shll.serve_estimates(spark, store).collect()
+    }
+    full = {
+        r["channel"]: r["hll_est"]
+        for r in sketches.hll_estimate(
+            sketches.hll_registers(seed.unionByName(delta))
+        ).collect()
+    }
+    assert inc == full

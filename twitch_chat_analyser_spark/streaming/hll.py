@@ -21,6 +21,20 @@ pattern (AbstractStatsAggregation.java:108-112) applied to a
 non-additive measure: the stream plan stays stateless, long-term state
 lives in the store as 2 KB of registers per key instead of the
 unbounded distinct-key set.
+
+STORE LAYOUT — per-trigger cost must be O(batch), not O(store): the
+store is laid out as ``bucket=<hash(dims) % N>/`` partitions, and each
+merge (1) computes which buckets the batch touches (at most N tiny
+ints), (2) reads ONLY those partitions (partition pruning — the rest of
+the store is never opened), (3) key-max re-aggregates them with the
+batch, and (4) swaps only the touched bucket directories. A batch
+touching one dimension key rewrites 1/N of the store regardless of how
+many keys history has accumulated — the same per-flush-proportional-to-
+delta property the reference's accumulate loop has
+(AbstractStatsAggregation.java:108-112). Crash between bucket swaps is
+safe: max-merge is idempotent, so the checkpoint replay re-merges the
+same partials into whichever buckets did or didn't swap and both land
+in the identical state.
 """
 
 from __future__ import annotations
@@ -34,34 +48,68 @@ from pyspark.sql import functions as F
 
 from ..operators import sketches
 
+# Default bucket fan-out for the register store. At 100 TB-scale key
+# cardinality this is sized so one bucket's registers fit an executor
+# core comfortably (keys/N * 256 rows); tests use small N to exercise
+# multi-key buckets.
+STORE_BUCKETS = 16
+
+
+def _with_bucket(regs: DataFrame, dims: list[str], num_buckets: int) -> DataFrame:
+    return regs.withColumn(
+        "bucket", F.pmod(F.hash(*dims), F.lit(num_buckets)).cast("int")
+    )
+
 
 def merge_registers(
-    spark: SparkSession, store: str, batch_regs: DataFrame, dims: list[str]
+    spark: SparkSession,
+    store: str,
+    batch_regs: DataFrame,
+    dims: list[str],
+    num_buckets: int = STORE_BUCKETS,
 ) -> None:
-    """Key-max upsert of a batch's partial registers into the parquet
-    register store (atomic directory swap, same discipline as
-    pipeline.merge_upsert). Idempotent under replay by the max algebra —
+    """Key-max upsert of a batch's partial registers into the bucketed
+    parquet register store. Only the ``bucket=`` partitions the batch
+    touches are read and rewritten (atomic per-bucket directory swap,
+    same rename discipline as pipeline.merge_upsert); untouched buckets'
+    files are never opened. Idempotent under replay by the max algebra —
     re-merging identical partials changes nothing."""
-    batch_regs = batch_regs.cache()
+    batch_regs = _with_bucket(batch_regs, dims, num_buckets).cache()
     try:
-        if os.path.isdir(store):
-            old = spark.read.parquet(store)
+        touched = sorted(
+            r["bucket"] for r in batch_regs.select("bucket").distinct().collect()
+        )
+        if not touched:  # empty micro-batch
+            return
+        merged = batch_regs
+        has_store = os.path.isdir(store) and any(
+            e.startswith("bucket=") for e in os.listdir(store)
+        )
+        if has_store:
+            # partition pruning: only the touched bucket directories are
+            # listed/read — per-trigger IO is O(touched), not O(store)
+            old = spark.read.parquet(store).filter(F.col("bucket").isin(touched))
             merged = (
                 old.unionByName(batch_regs)
-                .groupBy(*dims, "reg")
+                .groupBy(*dims, "reg", "bucket")
                 .agg(F.max("mrho").alias("mrho"))
             )
-        else:
-            merged = batch_regs
         tmp = f"{store}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        back = f"{store}.old-{uuid.uuid4().hex[:8]}"
-        had_old = os.path.isdir(store)
-        if had_old:
-            os.rename(store, back)
-        os.rename(tmp, store)
-        if had_old:
-            shutil.rmtree(back, ignore_errors=True)
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        os.makedirs(store, exist_ok=True)
+        for b in touched:
+            src = os.path.join(tmp, f"bucket={b}")
+            dst = os.path.join(store, f"bucket={b}")
+            if not os.path.isdir(src):
+                continue  # bucket produced no rows (can't happen; safety)
+            back = f"{store}.old-{uuid.uuid4().hex[:8]}-b{b}"
+            had_old = os.path.isdir(dst)
+            if had_old:
+                os.rename(dst, back)  # backup lives OUTSIDE the store dir
+            os.rename(src, dst)
+            if had_old:
+                shutil.rmtree(back, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
     finally:
         batch_regs.unpersist()
 
