@@ -388,3 +388,42 @@ def test_bloom_corpus_dedup_across_batches_and_replay(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
     )
     assert again == kept
+
+
+def test_minhash_mass_duplicate_batch_candidates_bounded(spark, tmp_path):
+    """Adversarial corpus: a batch of R identical docs shares every
+    (seed, minhash) slot, so the uncapped candidate join emits
+    num_hashes * R^2 rows. The pivot bound caps it at
+    num_hashes * block_cap * R while the drop-first-copy contract
+    survives (every copy still agrees with the clique's pivots)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark.operators.dedup import minhash_signatures
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    R, H, CAP = 200, 8, 4
+    text = "the same boilerplate paragraph repeated across the crawl forever"
+    docs = spark.createDataFrame(
+        [(i, text, "en", "s", len(text)) for i in range(R)], sd.DOC_SCHEMA
+    )
+    sigs = minhash_signatures(docs, H, 3)
+    ref = sigs.select(F.col("doc_id").alias("ref_id"), "seed", "minhash")
+    assert sd.minhash_slot_candidates(sigs, ref, block_cap=None).count() == H * R * R
+    n_capped = sd.minhash_slot_candidates(sigs, ref, block_cap=CAP).count()
+    assert n_capped <= H * CAP * R  # linear in R, not quadratic
+
+    # end-to-end through the streaming sink with the cap active: exactly
+    # the first copy survives
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    docs.coalesce(1).write.parquet(src)
+    sd.start_minhash_corpus_dedup(
+        spark, src, out, str(tmp_path / "ckpt"), block_cap=CAP
+    ).awaitTermination()
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    )
+    assert kept == [0]

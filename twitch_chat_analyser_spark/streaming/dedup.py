@@ -406,6 +406,47 @@ def start_bloom_corpus_dedup(
     )
 
 
+def minhash_slot_candidates(
+    probe: DataFrame,
+    reference: DataFrame,
+    block_cap: int | None = 32,
+) -> DataFrame:
+    """Per-slot candidate join for the streaming minhash dedup: probe
+    signatures against reference signatures on ``(seed, minhash)``. One
+    output row per agreeing slot; the downstream groupBy counts rows per
+    (probe doc, reference doc) pair to apply ``min_agree``.
+
+    BLOCK-OCCUPANCY BOUND (``block_cap``, None = exact): within each
+    ``(seed, minhash)`` slot bucket only the ``block_cap``
+    lowest-``doc_id`` reference members (the bucket's pivots) are
+    eligible, so a mass-duplicate batch — where every copy shares every
+    slot value and the join would otherwise emit ~R^2 rows per clique —
+    emits at most ``block_cap * R`` rows per slot. Same pivot bound as
+    the batch-path generators (operators/dedup.py::
+    simhash_pairs_from_signatures, similarity.py::knn_graph); the
+    drop-first-copy contract survives because each clique's lowest
+    doc_ids ARE the pivots of every slot they occupy, so every later
+    copy still agrees with them on >= min_agree slots.
+
+    ``probe`` columns: doc_id, seed, minhash.
+    ``reference`` columns: ref_id, seed, minhash.
+    -> doc_id, ref_id (one row per agreeing slot)
+    """
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    ref = reference
+    if block_cap is not None:
+        pw = Window.partitionBy("seed", "minhash").orderBy("ref_id")
+        ref = (
+            ref.withColumn("prank", F.row_number().over(pw))
+            .filter(F.col("prank") <= block_cap)
+            .drop("prank")
+        )
+    return probe.join(ref, ["seed", "minhash"]).select("doc_id", "ref_id")
+
+
 def start_minhash_corpus_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -415,6 +456,7 @@ def start_minhash_corpus_dedup(
     shingle_k: int = 3,
     min_agree: int = 6,
     max_files_per_trigger: int | None = None,
+    block_cap: int | None = 32,
 ) -> StreamingQuery:
     """Incremental NEAR-duplicate corpus ingest: the MinHash analog of
     :func:`start_incremental_corpus_dedup`. The persistent store holds
@@ -431,7 +473,12 @@ def start_minhash_corpus_dedup(
     hash keys, no skew; the store carries ``num_hashes`` 8-hex values
     per surviving doc (tiny vs text) and at 100 TB is bucketed on
     ``minhash`` so the probe co-locates. Agreement counting is a
-    groupBy on the candidate pairs, whose size is band-bounded.
+    groupBy on the candidate pairs, whose size is band-bounded — and
+    adversarially bounded by ``block_cap`` (see
+    :func:`minhash_slot_candidates`): a mass-duplicate batch or a
+    boilerplate-heavy history slot emits at most ``block_cap *
+    occupancy`` candidate rows per slot instead of ~occupancy^2.
+    ``block_cap=None`` restores the exact join.
 
     Exactly-once: ``batch=<id>`` overwrite partitions for both corpus
     and signatures; the history read excludes the current batch's own
@@ -452,18 +499,18 @@ def start_minhash_corpus_dedup(
         sigs = minhash_signatures(
             batch_df, num_hashes, shingle_k
         ).localCheckpoint(eager=True)
-        # in-batch: drop any doc agreeing with a smaller doc_id
-        a = sigs.select(
-            F.col("doc_id").alias("keep_id"), "seed", "minhash"
-        )
-        b = sigs.select(F.col("doc_id").alias("drop_id"), "seed", "minhash")
+        # in-batch: drop any doc agreeing with a smaller (pivot) doc_id
         in_batch = (
-            a.join(b, ["seed", "minhash"])
-            .filter(F.col("keep_id") < F.col("drop_id"))
-            .groupBy("keep_id", "drop_id")
+            minhash_slot_candidates(
+                sigs,
+                sigs.select(F.col("doc_id").alias("ref_id"), "seed", "minhash"),
+                block_cap,
+            )
+            .filter(F.col("ref_id") < F.col("doc_id"))
+            .groupBy("ref_id", "doc_id")
             .count()
             .filter(F.col("count") >= min_agree)
-            .select(F.col("drop_id").alias("doc_id"))
+            .select("doc_id")
             .distinct()
         )
         drops = in_batch
@@ -472,12 +519,12 @@ def start_minhash_corpus_dedup(
                 spark.read.parquet(sig_path)
                 .filter(F.col("batch") != batch_id)
                 .select(
-                    F.col("doc_id").alias("hist_id"), "seed", "minhash"
+                    F.col("doc_id").alias("ref_id"), "seed", "minhash"
                 )
             )
             vs_hist = (
-                sigs.join(hist, ["seed", "minhash"])
-                .groupBy("doc_id", "hist_id")
+                minhash_slot_candidates(sigs, hist, block_cap)
+                .groupBy("doc_id", "ref_id")
                 .count()
                 .filter(F.col("count") >= min_agree)
                 .select("doc_id")
