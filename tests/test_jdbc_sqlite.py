@@ -248,3 +248,74 @@ def test_streaming_pipeline_lands_in_sqlite_exactly_once(spark, tmp_path):
         db, f"SELECT count(DISTINCT batch_id) FROM {jdbc.LEDGER_TABLE}"
     )[0][0]
     assert n_batches >= 2
+
+
+# ---------------------------------------------------------------------------
+# pyformat branch on a real engine: a paramstyle-adapting DB-API shim
+# over sqlite3 lets the EXACT SQL psycopg2 would receive (%s
+# placeholders) drive the executor-side writer end-to-end — the branch
+# Postgres would actually run, previously only string-compared.
+# ---------------------------------------------------------------------------
+
+
+def test_pyformat_write_partition_with_ledger_and_replay(tmp_path):
+    """`_write_partition` through the pyformat SQL path (the statements
+    psycopg2 would execute): upserts land, the ledger claim commits in
+    the same transaction, and a retry of the same (batch, partition)
+    rolls back and writes nothing."""
+    db = str(tmp_path / "pyformat.db")
+    _setup_db(db)
+    rows = [
+        {"channel": "a", "timestamp": 0, "messages": 5},
+        {"channel": "b", "timestamp": 0, "messages": 2},
+    ]
+    write = functools.partial(
+        jdbc._write_partition,
+        connection_factory=functools.partial(jdbc.PyformatOverQmarkConnection, _factory(db)),
+        sql=jdbc.upsert_sql("channel_stats", "additive", "pyformat"),
+        names=["channel", "timestamp", "messages"],
+        batch_size=1,  # exercise multiple executemany flushes
+        ledger_key=("channel_stats", 4),
+        paramstyle="pyformat",
+    )
+    write(iter(rows))
+    assert _read(db, "SELECT * FROM channel_stats") == [
+        ("a", 0, 5),
+        ("b", 0, 2),
+    ]
+    write(iter(rows))  # task retry: ledger row present -> rollback, skip
+    assert _read(db, "SELECT * FROM channel_stats") == [
+        ("a", 0, 5),
+        ("b", 0, 2),
+    ]
+    assert _read(db, f"SELECT * FROM {jdbc.LEDGER_TABLE}") == [
+        ("channel_stats", 4, 0)
+    ]
+
+
+def test_pyformat_sink_end_to_end_through_spark(spark, tmp_path):
+    """Full JdbcSink path (repartition -> foreachPartition ->
+    `_write_partition`) with paramstyle='pyformat': batch applies,
+    whole-batch replay skips, next batch accumulates — identical
+    contract to the qmark run, now on the Postgres-dialect SQL."""
+    db = str(tmp_path / "pyformat_sink.db")
+    _setup_db(db)
+    sink = jdbc.JdbcSink(
+        dsn="unused",
+        table="channel_stats",
+        mode="additive",
+        batch_size=3,
+        connection_factory=functools.partial(jdbc.PyformatOverQmarkConnection, _factory(db)),
+        num_partitions=4,
+        paramstyle="pyformat",
+    )
+    deltas = [("a", 0, 5), ("a", 1000, 2), ("b", 0, 7)]
+    df = spark.createDataFrame(deltas, SCHEMA).repartition(3)
+    sink(df, batch_id=0)
+    assert _read(db, "SELECT * FROM channel_stats") == sorted(deltas)
+    sink(df, batch_id=0)  # replay: no-op
+    assert _read(db, "SELECT * FROM channel_stats") == sorted(deltas)
+    sink(df, batch_id=1)  # accumulates
+    assert _read(db, "SELECT * FROM channel_stats") == sorted(
+        [("a", 0, 10), ("a", 1000, 4), ("b", 0, 14)]
+    )

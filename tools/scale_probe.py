@@ -9,7 +9,14 @@ Inputs are the sf0.1 testdata replicated R times with shifted keys
 embeddings perturbed in one dimension) so keys don't collapse and
 dedup/ANN candidate structure stays realistic rather than degenerate.
 
-Usage: python tools/scale_probe.py [replication] [sf_dir] [out_md]
+A SECOND replication step (default 3x the first, i.e. 30x) re-probes
+the pipelines whose first-step ratios sit closest to the replication
+factor — one step can't distinguish "high-constant linear" from
+"quietly superlinear"; two steps can: if time is ~linear in input, the
+step ratio t(R2)/t(R1) lands near R2/R1.
+
+Usage: python tools/scale_probe.py [replication] [sf_dir] [out_md] [second_step]
+(second_step = 0 disables the second step)
 """
 
 from __future__ import annotations
@@ -214,6 +221,41 @@ def probes(spark, sf_dir: str, r: int) -> dict:
     }
 
 
+# pipelines re-probed at the second replication step: the four whose
+# first-step ratios sit closest to the replication factor (r04: emote
+# stats 8.68x, knn graph 7.61x, semdedup 4.44x, capped simhash 3.39x)
+SECOND_STEP_KEYS = [
+    "emote_stats (explode+bcast join+agg)",
+    "knn graph (band join + per-src topk window)",
+    "semdedup (Lloyd rounds + cluster-blocked pairs)",
+    "simhash banded pairs (occupancy-capped)",
+]
+
+
+def second_step_probes(spark, sf_dir: str, r2: int) -> dict:
+    """name -> builder at replication r2, for SECOND_STEP_KEYS only
+    (inputs materialized once at r2; no 1x twin — the first pass
+    already measured it)."""
+    from twitch_chat_analyser_spark import dims
+    from twitch_chat_analyser_spark.operators import aggregations as agg
+    from twitch_chat_analyser_spark.operators import dedup, similarity
+
+    emotes = dims.emotes_df(spark)
+    msgs = replicate_messages(spark, sf_dir, r2).localCheckpoint()
+    docs = replicate_docs(spark, sf_dir, r2).localCheckpoint()
+    embs = replicate_embeddings(spark, sf_dir, r2).localCheckpoint()
+    return {
+        SECOND_STEP_KEYS[0]: lambda: agg.emote_stats(msgs, emotes),
+        SECOND_STEP_KEYS[1]: lambda: similarity.knn_graph(embs, 5, 16, 8),
+        SECOND_STEP_KEYS[2]: lambda: similarity.semdedup_pairs(
+            embs, 8, 2, 0.3, 50
+        ),
+        SECOND_STEP_KEYS[3]: lambda: dedup.simhash_dedup_pairs(
+            docs, 32, 3, block_cap=32
+        ),
+    }
+
+
 def main() -> None:
     from twitch_chat_analyser_spark.session import get_spark
 
@@ -223,6 +265,7 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE.md",
     )
+    r2 = int(sys.argv[4]) if len(sys.argv) > 4 else 3 * r
     spark = get_spark("scale-probe")
 
     def best_of(build, runs=2) -> float:
@@ -235,11 +278,24 @@ def main() -> None:
         return t
 
     rows = []
+    first_step: dict[str, float] = {}
     for name, (b1, br) in probes(spark, sf_dir, r).items():
         t1 = best_of(b1)
         tr = best_of(br)
         rows.append((name, t1, tr, tr / t1))
+        first_step[name] = tr
         print(f"{name}: 1x={t1:.2f}s {r}x={tr:.2f}s ratio={tr / t1:.2f}")
+
+    step_rows = []
+    if r2 and r2 > r:
+        for name, build in second_step_probes(spark, sf_dir, r2).items():
+            t2 = best_of(build)
+            step = t2 / first_step[name]
+            step_rows.append((name, first_step[name], t2, step))
+            print(
+                f"[step2] {name}: {r}x={first_step[name]:.2f}s "
+                f"{r2}x={t2:.2f}s step={step:.2f} (linear={r2 / r:.1f})"
+            )
 
     lines = [
         "# SCALE — measured replication scaling",
@@ -257,6 +313,26 @@ def main() -> None:
     ]
     for name, t1, tr, ratio in rows:
         lines.append(f"| {name} | {t1:.2f} s | {tr:.2f} s | {ratio:.2f}x |")
+    if step_rows:
+        lines += [
+            "",
+            f"## Second step: {r}x -> {r2}x",
+            "",
+            "One step can't distinguish high-constant linear from quietly",
+            "superlinear, so the pipelines with the highest first-step",
+            f"ratios are re-probed at {r2}x. If time is ~linear in input,",
+            f"the step ratio t({r2}x)/t({r}x) lands near {r2 / r:.1f}",
+            "(the input grew that much); materially above it means a",
+            "superlinear term is emerging and is named below.",
+            "",
+            f"| pipeline | {r}x | {r2}x | step ratio | linear would be |",
+            "|---|---|---|---|---|",
+        ]
+        for name, ta, tb, step in step_rows:
+            lines.append(
+                f"| {name} | {ta:.2f} s | {tb:.2f} s | {step:.2f}x "
+                f"| {r2 / r:.1f}x |"
+            )
     lines += [
         "",
         "## Reading the numbers",

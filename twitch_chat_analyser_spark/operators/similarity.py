@@ -699,6 +699,7 @@ def ivf_recall_eval(
     ksub: int = 8,
     expand: int = 4,
     dim: int | None = None,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Measured recall@k for the IVF index family against exact
     brute-force truth — the quantized-index counterpart of
@@ -716,15 +717,17 @@ def ivf_recall_eval(
     Scale: truth is the deliberate bounded cost — Q fixed query rows
     against the corpus (broadcast queries, one linear scan), exactly
     the `ann_brute_topk` plan; each variant adds its own index probe.
-    Everything downstream of the top-k windows is Q*k tiny rows.
+    Everything downstream of the top-k windows is Q*k tiny rows. A
+    caller that has ALREADY computed the brute-force top-k (the bench
+    runs `ann_brute_topk` in the same session) can pass it as ``truth``
+    (columns query_id, neighbor_id) so the eval measures the index, not
+    the baseline twice.
 
     -> variant, k, n_truth, n_hit, recall
     """
-    truth = (
-        brute_force_topk(embeddings, query_ids, k)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
+    if truth is None:
+        truth = brute_force_topk(embeddings, query_ids, k)
+    truth = truth.select("query_id", "neighbor_id").localCheckpoint(eager=False)
     variants = [
         ("ivf", ivf_topk(embeddings, query_ids, num_centroids, k)),
         (

@@ -23,7 +23,9 @@ import-gated; the SQL generation is pure and unit-tested, and the full
 executor-side writer (DDL, upserts, ledger claim, transaction
 boundaries, retry/replay skip) additionally executes for real against
 in-process SQLite — which shares Postgres's ``ON CONFLICT`` dialect —
-via ``paramstyle="qmark"`` (tests/test_jdbc_sqlite.py).
+both via ``paramstyle="qmark"`` and through the EXACT pyformat SQL
+psycopg2 would receive (``PyformatOverQmarkConnection`` adapts the
+placeholders at execute time; tests/test_jdbc_sqlite.py).
 """
 
 from __future__ import annotations
@@ -149,6 +151,51 @@ def _pg_connect(dsn: str):  # pragma: no cover - driver not in image
     import psycopg2
 
     return psycopg2.connect(dsn)
+
+
+class _PyformatOverQmarkCursor:
+    """DB-API cursor translating pyformat positional placeholders
+    (``%s``) to qmark (``?``) at execute time. Exact for this module's
+    generated SQL, which interpolates no literals — placeholders are the
+    only ``%s`` tokens that can appear."""
+
+    def __init__(self, cur):
+        self._cur = cur
+
+    @property
+    def rowcount(self):
+        return self._cur.rowcount
+
+    def execute(self, sql, params=()):
+        return self._cur.execute(sql.replace("%s", "?"), params)
+
+    def executemany(self, sql, seq):
+        return self._cur.executemany(sql.replace("%s", "?"), seq)
+
+
+class PyformatOverQmarkConnection:
+    """Paramstyle-adapting DB-API connection: accepts the pyformat SQL
+    psycopg2 would receive and executes it on a qmark engine (e.g.
+    stdlib sqlite3) — the writer-facing psycopg2 surface (cursor /
+    commit / rollback / close) over ``factory()``'s connection. Lets the
+    Postgres-dialect statements drive a local engine end-to-end in
+    development and tests; module-level (not a closure) so Spark workers
+    unpickle it by reference."""
+
+    def __init__(self, factory: Callable):
+        self._conn = factory()
+
+    def cursor(self):
+        return _PyformatOverQmarkCursor(self._conn.cursor())
+
+    def commit(self):
+        self._conn.commit()
+
+    def rollback(self):
+        self._conn.rollback()
+
+    def close(self):
+        self._conn.close()
 
 
 def _write_partition(
