@@ -666,3 +666,65 @@ def test_jpeg_grayscale_decode_unbiased():
         errs.append(float(out[:, :, 0].astype(float).mean()) - v)
     bias = sum(errs) / len(errs)
     assert abs(bias) < 0.2, f"grayscale decode bias {bias:+.3f}"
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """SOF2 decode (T.81 Annex G): the progressive scan script transmits
+    the SAME quantized coefficients as the baseline encoder (DC+AC first
+    passes at Al=1, refinement to Al=0, EOB runs, luma spectral split),
+    so progressive decode must be BIT-IDENTICAL to baseline decode of
+    the same pixels — any drift means a scan path is wrong."""
+    np, J = _jpeg_mod()
+    yy, xx = np.mgrid[0:37, 0:53]
+    grad = np.dstack(
+        [(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256]
+    ).astype(np.uint8)
+    noise = (np.arange(64 * 64 * 3).reshape(64, 64, 3) * 2654435761 % 256
+             ).astype(np.uint8)
+    cases = [
+        (grad, 90, "444"),
+        (grad, 90, "420"),          # padded Y blocks in the MCU grid
+        (grad, 50, "420"),
+        (np.full((40, 40, 3), (120, 30, 200), np.uint8), 95, "444"),  # EOBruns
+        (noise, 85, "444"),         # dense AC: ZRL + refinement churn
+        (grad[:5, :7], 90, "444"),  # single partial MCU
+    ]
+    for px, q, sub in cases:
+        prog = J.encode_jpeg_progressive(px, quality=q, subsampling=sub)
+        assert b"\xff\xc2" in prog[:200]  # really SOF2
+        out = J.decode_jpeg_pixels(prog)
+        base = J.decode_jpeg_pixels(J.encode_jpeg(px, quality=q, subsampling=sub))
+        assert np.array_equal(out, base), (q, sub, px.shape)
+
+
+def test_jpeg_progressive_grayscale_round_trip():
+    np, J = _jpeg_mod()
+    yy, xx = np.mgrid[0:21, 0:30]
+    g = ((xx * 11 + yy * 3) % 256).astype(np.uint8)
+    out = J.decode_jpeg_pixels(J.encode_jpeg_progressive(g, quality=92))
+    base = J.decode_jpeg_pixels(J.encode_jpeg(g, quality=92))
+    assert np.array_equal(out, base)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+
+
+def test_jpeg_progressive_end_to_end_over_binaryfile(spark, tmp_path):
+    """Progressive files flow through the same distributed decode and
+    resize stages as baseline ones — the web-crawl image path."""
+    np, J = _jpeg_mod()
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    px = np.zeros((32, 48, 3), np.uint8)
+    px[:, 24:, 2] = 220  # right half blue
+    (tmp_path / "photo_9.jpg").write_bytes(
+        J.encode_jpeg_progressive(px, quality=90, subsampling="420")
+    )
+    media = read_binary_media(spark, str(tmp_path))
+    feats = multimodal.decode_features(media, fake=False).collect()
+    assert len(feats) == 1 and feats[0]["media_id"] == 9
+    assert (feats[0]["width"], feats[0]["height"]) == (48, 32)
+    assert feats[0]["mean_b"] == pytest.approx(110.0, abs=5)
+
+    thumbs = multimodal.resize_images(media, 12, 8, fake=False).collect()
+    out = J.decode_jpeg_pixels(bytes(thumbs[0]["out_bytes"]))
+    assert out.shape == (8, 12, 3)
+    assert out[:, 6:, 2].mean() > 150 and out[:, :6, 2].mean() < 40

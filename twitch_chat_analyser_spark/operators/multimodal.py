@@ -8,14 +8,15 @@ batches without per-row serde.
 
 The decode step is REAL for every format a stdlib+numpy parser can
 cover — uncompressed 24-bpp BMP (``decode_bmp``, ``resize_bmp``),
-8-bit non-interlaced PNG (``decode_png``), baseline sequential JPEG
-including 4:2:0 chroma and restart markers (``jpegcodec``: full
-Huffman + dequant + IDCT decoder AND a deterministic Annex-K encoder,
-so tests round-trip through real compressed streams), 16-bit PCM WAV
-(``decode_wav``), and GIF container parse — all exercised end-to-end
-over the ``binaryFile`` ingest in tests. Formats that genuinely need a
-codec library absent from this container (progressive JPEG, MP3, MP4
-codecs) stay gated: ``fake=True`` produces a deterministic fake decode
+8-bit non-interlaced PNG (``decode_png``), baseline sequential AND
+progressive JPEG including 4:2:0 chroma and restart markers
+(``jpegcodec``: full Huffman + dequant + IDCT decoder with the Annex-G
+progressive scan kinds, AND deterministic baseline/progressive
+encoders, so tests round-trip through real compressed streams), 16-bit
+PCM WAV (``decode_wav``), and GIF container parse — all exercised
+end-to-end over the ``binaryFile`` ingest in tests. Formats that
+genuinely need a codec library absent from this container (WebP, MP3,
+MP4 codecs) stay gated: ``fake=True`` produces a deterministic fake decode
 (dimensions + channel means derived from the byte content) so the
 Spark-side plumbing — schema, batch shape, partitioning — stays fully
 exercised regardless of codec availability.
@@ -214,9 +215,9 @@ def decode_image_stub(payload: bytes, fake: bool = False):
     """Image decode entry point: REAL parsers when the payload is a
     supported format — ``decode_bmp`` (uncompressed 24-bpp BMP),
     ``decode_png`` (8-bit non-interlaced PNG), and
-    ``jpegcodec.decode_jpeg`` (baseline sequential JPEG, any chroma
-    sampling, restart markers) — all stdlib+numpy, no imaging libs.
-    Formats outside those profiles (progressive JPEG, interlaced PNG,
+    ``jpegcodec.decode_jpeg`` (baseline sequential + progressive
+    JPEG, any chroma sampling, restart markers) — all stdlib+numpy, no
+    imaging libs. Formats outside those profiles (interlaced PNG,
     WebP, ...) would need an imaging library absent from this
     container; for those, ``fake=True`` derives deterministic
     pseudo-properties from the bytes so plumbing tests have stable
@@ -232,7 +233,7 @@ def decode_image_stub(payload: bytes, fake: bool = False):
                 errs.append(str(exc))
         raise NotImplementedError(
             "real decode covers uncompressed 24-bpp BMP, 8-bit "
-            "non-interlaced PNG, and baseline sequential JPEG "
+            "non-interlaced PNG, and baseline/progressive JPEG "
             f"({'; '.join(errs)}); other formats need an imaging library "
             "not present in this environment; pass fake=True for the "
             "deterministic stub"
