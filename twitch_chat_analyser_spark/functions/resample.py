@@ -237,6 +237,10 @@ def resample_time_series(
     spark = series.sparkSession
     if num_points < 2:
         num_points = 2
+    # series feeds the count gate, the passthrough branch AND the
+    # interpolation union — materialize the (already-reduced) series
+    # once so the branch gates can't re-run its derivation chain
+    series = series.localCheckpoint(eager=False)
     schema = T.StructType(
         [
             T.StructField("timestamp", T.LongType()),

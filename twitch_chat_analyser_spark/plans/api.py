@@ -210,9 +210,12 @@ def rolling_sums(channel_stats: DataFrame, channel: str) -> DataFrame:
         "last_7d": 7 * 86_400_000,
         "last_30d": 30 * 86_400_000,
     }
+    # base feeds the broadcast 'now' anchor AND the conditional-agg scan
+    # — one lazy materialization of the (small) per-channel slice keeps
+    # the upstream stats derivation from running twice
     base = channel_stats.filter(
         (F.col("channel") == channel) & (F.col("timestamp") > 0)
-    )
+    ).localCheckpoint(eager=False)
     now = base.agg(F.max("timestamp").alias("now_ms"))
     aggs = [
         F.coalesce(
@@ -232,10 +235,17 @@ def cumulative_series(
     """B14 rates->cumulative sums seeded with the pre-window base
     (MainController.php:682-690 applied at :72-73): running sum over the
     ordered in-window series + B3 base, in one plan."""
-    base = pre_window_total(channel_stats, channel, start).select(
+    # the pre-window base and the in-window series are two filters of
+    # the SAME channel's stats — materialize that slice once (lazy
+    # localCheckpoint) so the upstream derivation runs once, not twice;
+    # only this channel's rows are stored, bounded at any corpus scale
+    cs = channel_stats.filter(F.col("channel") == channel).localCheckpoint(
+        eager=False
+    )
+    base = pre_window_total(cs, channel, start).select(
         F.col("messages").alias("base")
     )
-    series = range_series(channel_stats, channel, start, end)
+    series = range_series(cs, channel, start, end)
     w = Window.orderBy("timestamp").rowsBetween(Window.unboundedPreceding, 0)
     return (
         series.crossJoin(F.broadcast(base))
@@ -268,6 +278,10 @@ def empty_series_default(
     the check rides inside the job.
     """
     spark = series.sparkSession
+    # series feeds the count gate AND the passthrough branch; the input
+    # is often a whole derivation chain (range scan, resample) — store
+    # it once so the gate can't trigger a second full evaluation
+    series = series.localCheckpoint(eager=False)
     n = series.agg(F.count(F.lit(1)).alias("n"))
     fallback = (
         spark.createDataFrame(
@@ -349,9 +363,14 @@ def percentage_of_total(
     test_plan_shape.py)."""
     from ..operators.analytics import global_row_number
 
+    # the filtered slice feeds TWO branches (the broadcast grand total
+    # and the ranked rows) — materialize it once (lazy localCheckpoint,
+    # stored inside the consuming action) so the upstream derivation
+    # (often a full fact build) never evaluates twice; the slice itself
+    # is one (channel, emote)'s per-user rows, bounded at any scale
     base = user_emote_totals.filter(
         (F.col("channel") == channel) & (F.col("emote") == emote)
-    )
+    ).localCheckpoint(eager=False)
     total = base.agg(F.sum("occurrences").alias("_total"))
     scored = base.crossJoin(F.broadcast(total)).select(
         "username",
@@ -567,7 +586,10 @@ def _q_channel_page_series(spark, sf_dir):
             F.col("occurrences").cast("double").alias("v"),
         )
     )
-    allseries = cs.unionByName(es)
+    # allseries (one channel's message + emote windows — small) feeds
+    # both the pre-window base agg and the in-window cumulative scan;
+    # materialize once so channel_stats + emote_stats derive only once
+    allseries = cs.unionByName(es).localCheckpoint(eager=False)
     base = (
         allseries.filter(
             (F.col("timestamp") > 0) & (F.col("timestamp") < START_MS)
