@@ -934,3 +934,48 @@ def test_ivf_pq_full_expand_equals_ivf(vecs):
     ka = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in a]
     kb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in b]
     assert ka == kb
+
+
+def test_embedding_signbits_packs_msb_first_and_sign_bit(spark):
+    """Element 1 lands on bit 63 (the sign bit), element 64 on bit 0;
+    zeros and negatives are 0-bits. Python reference = the contract."""
+    vecs = [
+        # element 1 positive -> sign bit set -> negative long
+        (1, [1.0] + [0.0] * 63),
+        (2, [0.0] * 63 + [2.5]),          # only bit 0
+        (3, [-1.0, 0.5] + [0.0] * 62),    # only bit 62
+        (4, [0.25] * 64),                 # all bits -> -1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["sig"]
+           for r in similarity.embedding_signbits(df).collect()}
+    assert got[1] == -(1 << 63)
+    assert got[2] == 1
+    assert got[3] == 1 << 62
+    assert got[4] == -1
+
+    def ref(emb):
+        acc = 0
+        for x in emb:
+            acc = ((acc << 1) & ((1 << 64) - 1)) | (1 if x > 0 else 0)
+        return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+    for vid, emb in vecs:
+        assert got[vid] == ref(emb)
+
+
+def test_signbit_dedup_pairs_matches_allpairs(spark):
+    """Banded join == brute-force Hamming filter on a frame with sign-bit
+    structure: near pair (2 flipped components around zero), far rest."""
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    near = list(base)
+    near[5], near[10] = -near[5], -near[10]  # flips 2 sign bits
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.signbit_dedup_pairs(df, max_hamming=3).collect()
+    assert [(r["vec_a"], r["vec_b"], r["hamming"]) for r in rows] == [(0, 1, 2)]
+    with pytest.raises(ValueError):
+        similarity.embedding_signbits(df, bits=65)

@@ -78,6 +78,9 @@ HEADLINE = [
     "corpus_datacard",
     "sample_k_per_group",
     "eval_kmeans_purity",
+    # round-5 addition: packed sign-bit embedding dedup (8-byte
+    # signature fold + 64-bit banded-Hamming equi-join)
+    "dedup_signbit_pairs",
     "eval_lsh_recall",
     "channel_triangles",
     "text_phrase_search",

@@ -51,6 +51,11 @@ EMB_BLOCK_CAP = 32
 # eval_simhash_cap_recall measures what the cap gives up on live data.
 SIMHASH_BLOCK_CAP = 32
 DUP_NGRAM_K = 5
+# sign-bit binarization pair radius: the testdata embeddings' closest
+# sign-signature pair sits at Hamming 15 of 64 (near-orthogonal vectors
+# flip many signs), so 16 yields a small non-empty pair set; production
+# binary-embedding dedup runs much tighter radii on trained embeddings
+SIGNBIT_MAX_HAMMING = 16
 EMB_DIM = 64  # embeddings vector width in the driver testdata (pinned by
 # tests/test_llmops.py::test_emb_dim_matches_testdata — the sq8 oracles
 # hardcode it into generate_series; a width change must fail loudly)
@@ -101,6 +106,12 @@ def _q_dedup_ngram(spark, sf_dir):
 def _q_dedup_embedding(spark, sf_dir):
     return similarity.embedding_dedup_pairs(
         _emb(spark, sf_dir), EMB_TOP_N, EMB_PLANES, EMB_BAND_BITS
+    )
+
+
+def _q_dedup_signbits(spark, sf_dir):
+    return similarity.signbit_dedup_pairs(
+        _emb(spark, sf_dir), SIGNBIT_MAX_HAMMING, EMB_DIM
     )
 
 
@@ -950,6 +961,7 @@ LLM_QUERIES = {
     "text_vocab_encode": _q_vocab_encode,
     "pack_sequences": _q_pack_sequences,
     "dedup_embedding_cosine": _q_dedup_embedding,
+    "dedup_signbit_pairs": _q_dedup_signbits,
     "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
     "text_unigram_surprise": _q_unigram_surprise,
     "decontaminate_ngram_overlap": _q_decontamination,
@@ -1334,6 +1346,26 @@ FROM cands
 JOIN emb a ON a.vec_id = vec_a
 JOIN emb b ON b.vec_id = vec_b
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
+        # packed sign-bit signature: element 1 is the MSB (Spark folds
+        # shiftleft(acc,1)+bit, so bit 1 lands on the sign bit — the
+        # idx=1 term contributes -2^63); pairs are the exact all-pairs
+        # Hamming filter (banding is result-identical by pigeonhole)
+        "dedup_signbit_pairs": f"""
+WITH sig AS (
+    SELECT vec_id, CAST(sum(CASE WHEN val > 0 THEN
+               CASE WHEN idx = 1 THEN -9223372036854775808::HUGEINT
+                    ELSE (1::BIGINT << (64 - CAST(idx AS INT)))::HUGEINT END
+               ELSE 0::HUGEINT END) AS BIGINT) AS sig
+    FROM (SELECT vec_id, unnest(embedding[1:{EMB_DIM}]) AS val,
+                 generate_subscripts(embedding[1:{EMB_DIM}], 1) AS idx
+          FROM embeddings)
+    GROUP BY vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a, sig b
+WHERE a.vec_id < b.vec_id
+  AND bit_count(xor(a.sig, b.sig)) <= {SIGNBIT_MAX_HAMMING}""",
         # same banding, directed candidate edges (dst side capped to the
         # block's EMB_BLOCK_CAP lowest-vec_id pivots — mirrors
         # similarity.knn_graph's occupancy bound), per-src top-k window

@@ -171,6 +171,7 @@ def ivf_topk(
     num_centroids: int = 8,
     k: int = 3,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse codebook (by default the first
     ``num_centroids`` vectors — deterministic, oracle-friendly; pass
@@ -178,20 +179,26 @@ def ivf_topk(
     vector is assigned to its nearest centroid; a query probes only its
     own centroid's inverted list.
 
+    A caller that already holds the coarse assignment (the recall eval
+    probes several IVF variants over the SAME cells) can pass it as
+    ``assigned`` (vec_id, v, v_nrm, centroid_id) to skip recomputing
+    the corpus-wide argmax.
+
     -> query_id, neighbor_id, cos_sim, rank
     """
-    vecs = as_double_vec(embeddings)
-    if centroids is None:
-        centroids = vecs.filter(F.col("vec_id") < num_centroids).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("v").alias("c"),
-            F.col("v_nrm").alias("c_nrm"),
-        )
-    elif "c_nrm" not in centroids.columns:
-        centroids = centroids.withColumn(
-            "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
-        )
-    assigned = _assign_to_centroids(vecs, centroids)
+    if assigned is None:
+        vecs = as_double_vec(embeddings)
+        if centroids is None:
+            centroids = vecs.filter(F.col("vec_id") < num_centroids).select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("v").alias("c"),
+                F.col("v_nrm").alias("c_nrm"),
+            )
+        elif "c_nrm" not in centroids.columns:
+            centroids = centroids.withColumn(
+                "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
+            )
+        assigned = _assign_to_centroids(vecs, centroids)
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q"),
@@ -363,6 +370,60 @@ def embedding_dedup_pairs(
         .select("vec_a", "vec_b", cosine("va", "vb").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(top_n)
+    )
+
+
+def embedding_signbits(embeddings: DataFrame, bits: int = 64) -> DataFrame:
+    """Binarize embeddings to a ``bits``-wide sign signature packed into
+    ONE long: bit i set when component i > 0 (component 1 is the most
+    significant bit). The 8-byte-per-vector representation that makes
+    corpus-scale embedding dedup memory-trivial: 100 TB of float vectors
+    becomes ~1/256 the bytes before any join, and Hamming distance on
+    the packed word approximates angular distance (sign-random-
+    projection view, with the identity basis as the projection).
+
+    JVM-only fold — ``shiftleft`` never throws on overflow (bitwise), so
+    the sign bit packs cleanly under ANSI mode.
+
+    -> vec_id, sig (long)
+    """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"embedding_signbits: bits={bits} not in [1, 64]")
+    return embeddings.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(slice(embedding, 1, {bits}), 0L, "
+            "(acc, x) -> shiftleft(acc, 1) + IF(x > 0, 1L, 0L))"
+        ).alias("sig"),
+    )
+
+
+def signbit_dedup_pairs(
+    embeddings: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    block_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup embedding pairs on the packed sign signature — the SAME
+    pigeonhole banded-Hamming equi-join as text simhash and media pHash
+    (``dedup.simhash_pairs_from_signatures``): ``max_hamming + 1`` bit
+    blocks, exact result set, never a cartesian. This is the cheap
+    first-pass dedup for embedding corpora where even SQ8 codes are too
+    wide to shuffle; survivors go to exact cosine verification.
+
+    -> vec_a, vec_b, hamming
+    """
+    from .dedup import simhash_pairs_from_signatures
+
+    sig = embedding_signbits(embeddings, bits).select(
+        F.col("vec_id").alias("doc_id"), F.col("sig").alias("simhash")
+    )
+    return simhash_pairs_from_signatures(
+        sig, bits, max_hamming, block_cap
+    ).select(
+        F.col("doc_a").alias("vec_a"),
+        F.col("doc_b").alias("vec_b"),
+        "hamming",
     )
 
 
@@ -728,12 +789,24 @@ def ivf_recall_eval(
     if truth is None:
         truth = brute_force_topk(embeddings, query_ids, k)
     truth = truth.select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    # both variants probe the SAME coarse cells — run the corpus-wide
+    # nearest-centroid argmax once and store it (lazy localCheckpoint:
+    # materialized inside the consuming action, reused by both probes)
+    vecs = as_double_vec(embeddings)
+    coarse = vecs.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("c"),
+        F.col("v_nrm").alias("c_nrm"),
+    )
+    assigned = _assign_to_centroids(vecs, coarse).localCheckpoint(eager=False)
     variants = [
-        ("ivf", ivf_topk(embeddings, query_ids, num_centroids, k)),
+        ("ivf", ivf_topk(embeddings, query_ids, num_centroids, k,
+                         assigned=assigned)),
         (
             "ivf_pq",
             ivf_pq_topk(
-                embeddings, query_ids, num_centroids, m, ksub, k, expand, dim
+                embeddings, query_ids, num_centroids, m, ksub, k, expand,
+                dim, assigned=assigned,
             ),
         ),
     ]
@@ -1215,6 +1288,7 @@ def ivf_pq_topk(
     k: int = 3,
     expand: int = 4,
     dim: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the compressed-probe composition completing the index
     matrix (IVF x {full precision, SQ8, PQ}) — coarse centroids prune
@@ -1230,9 +1304,12 @@ def ivf_pq_topk(
     cell-local. Recall compounds the IVF cell miss and the PQ
     approximation, both mirrored in the oracle.
 
+    Accepts a precomputed coarse ``assigned`` frame (vec_id, v, v_nrm,
+    centroid_id) like :func:`ivf_topk`, sharing the assignment argmax
+    across IVF variants that probe the same cells.
+
     -> query_id, neighbor_id, cos_sim, rank
     """
-    vecs = as_double_vec(embeddings)
     if dim is None:
         probe = embeddings.select("embedding").first()
         if probe is None:
@@ -1242,12 +1319,17 @@ def ivf_pq_topk(
     if dim % m != 0:
         raise ValueError(f"ivf_pq_topk: dim={dim} must be divisible by m={m}")
     sub = dim // m
-    coarse = vecs.filter(F.col("vec_id") < num_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("c"),
-        F.col("v_nrm").alias("c_nrm"),
-    )
-    cells = _assign_to_centroids(vecs, coarse).select("vec_id", "centroid_id")
+    if assigned is None:
+        vecs = as_double_vec(embeddings)
+        coarse = vecs.filter(F.col("vec_id") < num_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("c"),
+            F.col("v_nrm").alias("c_nrm"),
+        )
+        assigned = _assign_to_centroids(vecs, coarse)
+    else:
+        vecs = assigned.select("vec_id", "v", "v_nrm")
+    cells = assigned.select("vec_id", "centroid_id")
     cents = (
         vecs.filter(F.col("vec_id") < ksub)
         .select(
