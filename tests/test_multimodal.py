@@ -728,3 +728,447 @@ def test_jpeg_progressive_end_to_end_over_binaryfile(spark, tmp_path):
     out = J.decode_jpeg_pixels(bytes(thumbs[0]["out_bytes"]))
     assert out.shape == (8, 12, 3)
     assert out[:, 6:, 2].mean() > 150 and out[:, :6, 2].mean() < 40
+
+
+# --------------------------------------------------------------------------
+# Perceptual fingerprints: pixel-level decoders, DCT pHash, mel features,
+# and the banded-Hamming near-dup join over fingerprint columns.
+# --------------------------------------------------------------------------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _bmp_from_px(px) -> bytes:
+    """Pack an HxWx3 RGB uint8 array as a bottom-up 24-bpp BMP using the
+    existing make_bmp fixture (storage rows bottom-first, BGR)."""
+    rows = [
+        [(int(p[2]), int(p[1]), int(p[0])) for p in row] for row in px[::-1]
+    ]
+    return make_bmp(px.shape[1], px.shape[0], rows)
+
+
+def _test_image(kind: str = "gradient", w: int = 64, h: int = 48):
+    """Deterministic structured test images (no RNG)."""
+    np = _np()
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == "gradient":
+        r = (xx * 255 // max(1, w - 1)).astype(np.uint8)
+        g = (yy * 255 // max(1, h - 1)).astype(np.uint8)
+        b = ((xx + yy) % 256).astype(np.uint8)
+        px = np.dstack([r, g, b])
+        px[h // 4 : h // 2, w // 4 : w // 2] = (240, 30, 30)
+    else:  # checker
+        c = (((xx // 8) + (yy // 8)) % 2 * 255).astype(np.uint8)
+        px = np.dstack([c, 255 - c, c // 2])
+        px[: h // 3, 2 * w // 3 :] = (10, 200, 240)
+    return px
+
+
+def test_decode_bmp_pixels_exact():
+    np = _np()
+    px = multimodal.decode_bmp_pixels(BMP_BYTES)
+    assert px.shape == (2, 4, 3)
+    # storage row 0 is the BOTTOM row; decode returns top-down RGB
+    assert tuple(px[1, 0]) == (30, 20, 10)
+    assert tuple(px[0, 0]) == (255, 0, 0)
+    src = _test_image("gradient", 31, 17)  # odd width exercises row pad
+    assert np.array_equal(multimodal.decode_bmp_pixels(_bmp_from_px(src)), src)
+
+
+def test_decode_png_pixels_exact_and_means_match():
+    np = _np()
+    png = make_png(3, 5, PNG_PIXELS, ctype=2, filters=[0, 1, 2, 3, 4])
+    px = multimodal.decode_png_pixels(png)
+    assert np.array_equal(px, np.array(PNG_PIXELS, dtype=np.uint8))
+    w, h, means = multimodal.decode_png(png)
+    flat = [p for row in PNG_PIXELS for p in row]
+    assert means[0] == pytest.approx(sum(p[0] for p in flat) / 15)
+    # greyscale replicates, RGBA drops alpha
+    grey = multimodal.decode_png_pixels(make_png(2, 2, [[10, 30], [50, 70]], ctype=0))
+    assert grey.shape == (2, 2, 3) and tuple(grey[0, 1]) == (30, 30, 30)
+    rgba = multimodal.decode_png_pixels(
+        make_png(2, 1, [[(100, 50, 25, 7), (200, 150, 75, 250)]], ctype=6)
+    )
+    assert rgba.shape == (1, 2, 3) and tuple(rgba[0, 0]) == (100, 50, 25)
+
+
+def test_decode_image_pixels_routes_all_formats():
+    np = _np()
+    src = _test_image("gradient", 40, 24)
+    for payload in (
+        _bmp_from_px(src),
+        make_png(3, 5, PNG_PIXELS, ctype=2),
+    ):
+        px = multimodal.decode_image_pixels(payload)
+        assert px.dtype == np.uint8 and px.ndim == 3
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(b"RIFF....WEBP")
+
+
+def test_phash64_brightness_shift_is_exact_noop():
+    """DC carries global brightness and is excluded from the hash, and
+    area resample + DCT are linear — a constant shift changes ONLY the
+    DC coefficient, so the hash must be bit-identical."""
+    np = _np()
+    base = _test_image("gradient").astype(np.int16)
+    base = np.clip(base, 40, 200).astype(np.uint8)  # headroom for +25
+    h0 = multimodal.phash64(base)
+    h1 = multimodal.phash64((base.astype(np.int16) + 25).astype(np.uint8))
+    assert h0 == h1
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_reencode_close_distinct_far():
+    """pHash survives JPEG re-encode at aggressive quality (small
+    Hamming) while structurally different images land far apart."""
+    np, J = _jpeg_mod()
+    base = _test_image("gradient")
+    h_ref = multimodal.phash64(base)
+    h_q95 = multimodal.phash64(J.decode_jpeg_pixels(J.encode_jpeg(base, quality=95)))
+    h_q40 = multimodal.phash64(J.decode_jpeg_pixels(J.encode_jpeg(base, quality=40)))
+    h_other = multimodal.phash64(_test_image("checker"))
+    assert _hamming(h_ref, h_q95) <= 4
+    assert _hamming(h_ref, h_q40) <= 8
+    assert _hamming(h_ref, h_other) >= 16
+
+
+def test_phash_pairs_banded_join(spark):
+    """64-bit banded-Hamming pairing: near pair found at exact distance,
+    far ids absent, negative (bit-63) hashes handled."""
+    h1 = 0x0123456789ABCDEF
+    h2 = h1 ^ 0b101  # hamming 2
+    h3 = -(1 << 63) + 12345  # bit 63 set -> negative long
+    h4 = h3 ^ (1 << 62)  # hamming 1, still negative domain
+    far = 0x00FF00FF00FF00FF
+    df = spark.createDataFrame(
+        [(1, h1), (2, h2), (3, h3), (4, h4), (5, far)],
+        "media_id long, phash long",
+    )
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(df, max_hamming=7).collect()
+    }
+    assert got == {(1, 2): 2, (3, 4): 1}
+
+
+def test_image_phash_cross_format_near_dup_e2e(spark, tmp_path):
+    """The multimodal near-dup story end-to-end: the SAME picture stored
+    as BMP and as JPEG is found as a pair by the banded join over real
+    decoded pHashes; an unrelated image pairs with neither."""
+    np, J = _jpeg_mod()
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    base = _test_image("gradient")
+    (tmp_path / "img_1.bmp").write_bytes(_bmp_from_px(base))
+    (tmp_path / "img_2.jpg").write_bytes(J.encode_jpeg(base, quality=90))
+    (tmp_path / "img_3.bmp").write_bytes(_bmp_from_px(_test_image("checker")))
+    media = read_binary_media(spark, str(tmp_path))
+    hashes = multimodal.image_phash(media, fake=False)
+    pairs = multimodal.phash_pairs(hashes, max_hamming=7).collect()
+    assert [(r["media_a"], r["media_b"]) for r in pairs] == [(1, 2)]
+
+    # a GIF carrying the same picture's luma joins the near-dup set
+    # when video kinds are fingerprinted too (first-frame decode)
+    gray = (0.299 * base[:, :, 0] + 0.587 * base[:, :, 1]
+            + 0.114 * base[:, :, 2]).round().astype(np.uint8)
+    (tmp_path / "anim_4.gif").write_bytes(make_gif_gray(gray))
+    media = read_binary_media(spark, str(tmp_path))
+    hashes = multimodal.image_phash(
+        media, fake=False, kinds=("image", "video")
+    )
+    got = {(r["media_a"], r["media_b"])
+           for r in multimodal.phash_pairs(hashes, max_hamming=7).collect()}
+    assert (1, 4) in got and (2, 4) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_image_phash_fake_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"not an image"), (2, "audio", b"x")],
+        "media_id long, kind string, payload binary",
+    )
+    rows = multimodal.image_phash(df, fake=True).collect()
+    assert len(rows) == 1 and rows[0]["media_id"] == 1
+    again = multimodal.image_phash(df, fake=True).collect()
+    assert rows[0]["phash"] == again[0]["phash"]
+
+
+def _sine_wav(freq: float, rate: int = 8000, secs: float = 1.0, amp: float = 0.5):
+    np = _np()
+    t = np.arange(int(rate * secs)) / rate
+    return make_wav(rate, [int(amp * 32000 * s) for s in np.sin(2 * np.pi * freq * t)])
+
+
+def test_decode_wav_samples_and_mel_peak_band():
+    """A pure 440 Hz tone's energy must land in the mel band whose
+    filter covers 440 Hz — the spectrogram is real DSP, not a stub."""
+    np = _np()
+    rate, mono = multimodal.decode_wav_samples(_sine_wav(440.0))
+    assert rate == 8000 and abs(len(mono) - 8000) <= 1
+    assert float(np.abs(mono).max()) <= 1.0
+    mels = multimodal.mel_spectrogram(mono, rate, 1024, 512, 32)
+    mean_mel = mels.mean(axis=0)
+    fb = multimodal._mel_filterbank(32, 1024, rate)
+    bin440 = round(440.0 * 1024 / rate)
+    assert int(mean_mel.argmax()) == int(fb[:, bin440].argmax())
+
+
+def test_audio_mel_features_e2e(spark, tmp_path):
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    (tmp_path / "clip_7.wav").write_bytes(_sine_wav(440.0))
+    media = read_binary_media(spark, str(tmp_path))
+    rows = multimodal.audio_mel_features(media, fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sample_rate"] == 8000 and r["n_frames"] >= 14
+    assert len(r["mel_mean"]) == 32
+    assert r["spectral_centroid_hz"] == pytest.approx(440.0, abs=15.0)
+
+
+def test_audio_phash_amplitude_invariant_near_dup():
+    """Median-rule audio fingerprint: half-amplitude copy hashes nearly
+    identically; a different tone lands far."""
+    rate, loud = multimodal.decode_wav_samples(_sine_wav(440.0, amp=0.6))
+    _, quiet = multimodal.decode_wav_samples(_sine_wav(440.0, amp=0.3))
+    _, other = multimodal.decode_wav_samples(_sine_wav(1800.0, amp=0.6))
+    h_loud = multimodal.audio_phash64(loud, rate)
+    h_quiet = multimodal.audio_phash64(quiet, rate)
+    h_other = multimodal.audio_phash64(other, rate)
+    assert _hamming(h_loud, h_quiet) <= 4
+    assert _hamming(h_loud, h_other) >= 16
+
+
+def test_audio_phash_pairs_e2e(spark, tmp_path):
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    (tmp_path / "clip_1.wav").write_bytes(_sine_wav(440.0, amp=0.6))
+    (tmp_path / "clip_2.wav").write_bytes(_sine_wav(440.0, amp=0.3))
+    (tmp_path / "clip_3.wav").write_bytes(_sine_wav(1800.0, amp=0.6))
+    media = read_binary_media(spark, str(tmp_path))
+    hashes = multimodal.audio_phash(media, fake=False)
+    pairs = multimodal.phash_pairs(hashes, max_hamming=7).collect()
+    assert [(r["media_a"], r["media_b"]) for r in pairs] == [(1, 2)]
+
+
+# --------------------------------------------------------------------------
+# Adam7 PNG + GIF LZW pixel decode (real formats de-gated this round)
+# --------------------------------------------------------------------------
+
+
+def make_png_adam7(width, height, rows_px, ctype=2):
+    """Hand-pack an Adam7-interlaced 8-bit PNG: pixels split into the
+    seven passes, each pass filtered independently (filter 0)."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    out = bytearray()
+    for x0, y0, dx, dy in multimodal._ADAM7:
+        ys = range(y0, height, dy)
+        xs = range(x0, width, dx)
+        if not ys or not xs:
+            continue
+        for y in ys:
+            out.append(0)  # filter type None
+            for x in xs:
+                px = rows_px[y][x]
+                out += bytes(px if isinstance(px, (tuple, list)) else (px,))
+
+    def chunk(cid, body):
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", z.crc32(cid + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_adam7_matches_linear():
+    """Interlaced and linear encodings of the same image decode to
+    identical pixels — odd dimensions exercise empty/ragged passes."""
+    np = _np()
+    src = _test_image("gradient", 13, 9)  # odd dims: ragged Adam7 passes
+    rows = [[tuple(int(v) for v in p) for p in row] for row in src]
+    linear = multimodal.decode_png_pixels(make_png(13, 9, rows))
+    inter = multimodal.decode_png_pixels(make_png_adam7(13, 9, rows))
+    assert np.array_equal(inter, linear) and np.array_equal(linear, src)
+    # 1x1: six of seven passes are empty
+    one = multimodal.decode_png_pixels(make_png_adam7(1, 1, [[(9, 8, 7)]]))
+    assert tuple(one[0, 0]) == (9, 8, 7)
+
+
+def _lzw_uncompressed(indices, min_code=8):
+    """GIF LZW 'uncompressed' emission: literal codes with a CLEAR every
+    254 symbols so the code width never grows past min_code+1."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    count = 0
+    for idx in indices:
+        emit(int(idx))
+        count += 1
+        if count == clear - 2:
+            emit(clear)
+            count = 0
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif_gray(idx_rows, interlace=False) -> bytes:
+    """Pack a single-frame GIF with a 256-level grayscale palette from a
+    2-D array of palette indices (== gray levels)."""
+    np = _np()
+    arr = np.asarray(idx_rows, dtype=np.uint8)
+    h, w = arr.shape
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        storage = arr[order]
+    else:
+        storage = arr
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    lzw = _lzw_uncompressed(storage.flatten().tolist())
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return hdr + palette + desc + bytes(blocks) + b"\x3B"
+
+
+def test_decode_gif_pixels_lzw_real():
+    np = _np()
+    yy, xx = np.mgrid[0:23, 0:37]
+    idx = ((xx * 7 + yy * 13) % 256).astype(np.uint8)
+    px = multimodal.decode_gif_pixels(make_gif_gray(idx))
+    assert px.shape == (23, 37, 3)
+    assert np.array_equal(px[:, :, 0], idx)
+    assert np.array_equal(px[:, :, 1], idx)
+
+
+def test_decode_gif_pixels_interlaced_matches_linear():
+    np = _np()
+    yy, xx = np.mgrid[0:23, 0:37]
+    idx = ((xx * 5 + yy * 11) % 256).astype(np.uint8)
+    lin = multimodal.decode_gif_pixels(make_gif_gray(idx))
+    inter = multimodal.decode_gif_pixels(make_gif_gray(idx, interlace=True))
+    assert np.array_equal(lin, inter)
+
+
+def test_decode_gif_pixels_real_compression_via_fixture():
+    """The make_gif fixture (used for container metadata tests) carries a
+    real 2-color frame; the LZW path must decode it too."""
+    np = _np()
+    gif = make_gif(4, 3, 1, 10)
+    px = multimodal.decode_gif_pixels(gif)
+    assert px.shape == (3, 4, 3)
+
+
+def test_gif_routes_through_decode_image_pixels_and_phash():
+    """A GIF, a BMP, and a JPEG of the SAME image hash within pairing
+    distance of each other — the cross-format near-dup contract now
+    covers all pixel-decodable formats."""
+    np, J = _jpeg_mod()
+    src = _test_image("gradient", 64, 48)
+    gray = (0.299 * src[:, :, 0] + 0.587 * src[:, :, 1]
+            + 0.114 * src[:, :, 2]).round().astype(np.uint8)
+    gray3 = np.repeat(gray[:, :, None], 3, axis=2)
+    h_gif = multimodal.phash64(
+        multimodal.decode_image_pixels(make_gif_gray(gray)))
+    h_bmp = multimodal.phash64(
+        multimodal.decode_image_pixels(_bmp_from_px(gray3)))
+    h_jpg = multimodal.phash64(
+        multimodal.decode_image_pixels(J.encode_jpeg(gray3, quality=92)))
+    assert _hamming(h_gif, h_bmp) == 0  # identical luma -> identical hash
+    assert _hamming(h_gif, h_jpg) <= 6
+
+
+def test_encode_png_round_trips_and_resize_png():
+    np = _np()
+    src = _test_image("gradient", 20, 14)
+    png = multimodal.encode_png(src)
+    assert np.array_equal(multimodal.decode_png_pixels(png), src)
+    out = multimodal.resize_png(png, 10, 7)
+    px = multimodal.decode_png_pixels(out)
+    rows = (np.arange(7) * 14) // 7
+    cols = (np.arange(10) * 20) // 10
+    assert np.array_equal(px, src[rows][:, cols])
+    # an Adam7 source resizes to the same pixels
+    rows_px = [[tuple(int(v) for v in p) for p in row] for row in src]
+    out2 = multimodal.resize_png(make_png_adam7(20, 14, rows_px), 10, 7)
+    assert np.array_equal(multimodal.decode_png_pixels(out2), px)
+    # the resize entry point routes PNG to the real kernel
+    assert multimodal.resize_stub(png, 10, 7) == out
+    with pytest.raises(ValueError):
+        multimodal.encode_png(_np().zeros((3, 3), dtype="uint8"))
+
+
+def test_encode_gif_round_trips_exact_palette():
+    np = _np()
+    src = _test_image("checker", 24, 16)  # few distinct colors
+    out = multimodal.decode_gif_pixels(multimodal.encode_gif(src))
+    assert np.array_equal(out, src)
+
+
+def test_encode_gif_332_quantization_when_palette_overflows():
+    np = _np()
+    yy, xx = np.mgrid[0:32, 0:32]
+    src = np.dstack([
+        (xx * 8 % 256), (yy * 8 % 256), ((xx + yy) * 4 % 256)
+    ]).astype(np.uint8)  # > 256 distinct colors
+    out = multimodal.decode_gif_pixels(multimodal.encode_gif(src))
+    assert out.shape == src.shape
+    # 3-3-2 quantization error bounds: r/g within ceil(255/7)=37, b within 85
+    diff = np.abs(out.astype(int) - src.astype(int))
+    assert diff[:, :, 0].max() <= 37 and diff[:, :, 1].max() <= 37
+    assert diff[:, :, 2].max() <= 85
+
+
+def test_resize_gif_format_preserving():
+    np = _np()
+    src = _test_image("gradient", 40, 20)
+    gif = multimodal.encode_gif(src)  # >256 colors -> 3-3-2 quantized
+    out = multimodal.resize_gif(gif, 10, 5)
+    px = multimodal.decode_gif_pixels(out)
+    rows = (np.arange(5) * 20) // 5
+    cols = (np.arange(10) * 40) // 10
+    # nearest-neighbor over the DECODED first frame; the 50-color
+    # thumbnail re-encodes with an exact palette -> exact pixels
+    expect = multimodal.decode_gif_pixels(gif)[rows][:, cols]
+    assert np.array_equal(px, expect)
+    # entry point routes GIF to the real kernel
+    assert multimodal.resize_stub(gif, 10, 5) == out

@@ -8,8 +8,9 @@ batches without per-row serde.
 
 The decode step is REAL for every format a stdlib+numpy parser can
 cover — uncompressed 24-bpp BMP (``decode_bmp``, ``resize_bmp``),
-8-bit non-interlaced PNG (``decode_png``), baseline sequential AND
-progressive JPEG including 4:2:0 chroma and restart markers
+8-bit PNG, linear or Adam7-interlaced (``decode_png``), baseline
+sequential AND progressive JPEG including 4:2:0 chroma and restart
+markers
 (``jpegcodec``: full Huffman + dequant + IDCT decoder with the Annex-G
 progressive scan kinds, AND deterministic baseline/progressive
 encoders, so tests round-trip through real compressed streams), 16-bit
@@ -124,6 +125,23 @@ def decode_bmp(payload: bytes):
     return width, height, (sum_r / n, sum_g / n, sum_b / n)
 
 
+def decode_bmp_pixels(payload: bytes):
+    """Full-pixel BMP decode (uncompressed 24-bpp) -> HxWx3 uint8 RGB
+    ndarray in top-down row order — the pixel-level entry the
+    perceptual-hash and feature extractors need (``decode_bmp`` keeps
+    its cheap means-only walk for the metadata stage)."""
+    import numpy as np
+
+    data_off, width, height, bottom_up, row_stride = _bmp_header(payload)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_stride, offset=data_off
+    ).reshape(height, row_stride)[:, : width * 3]
+    px = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (RFC 2083 §6.6)."""
     p = a + b - c
@@ -133,18 +151,61 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes):
-    """REAL stdlib image decode: non-interlaced 8-bit greyscale / RGB /
-    RGBA PNG -> dimensions + per-channel means. Pure ``zlib`` +
-    ``struct``: chunk walk (IHDR/IDAT*/IEND), inflate, then scanline
-    unfiltering with the full filter set (None/Sub/Up/Average/Paeth).
-    Alpha is ignored for the means; greyscale replicates into all three
-    channels.
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    -> width, height, (mean_r, mean_g, mean_b)
+
+def _png_unfilter(raw: bytes, at: int, n_rows: int, stride: int, ch: int):
+    """Invert the PNG scanline filter chain over ``n_rows`` rows of
+    ``stride`` bytes starting at ``raw[at]`` (each row prefixed by its
+    filter-type byte). Returns (rows_bytes, next_offset). Shared by the
+    linear layout and each Adam7 pass (passes filter independently)."""
+    if len(raw) < at + n_rows * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    prev = bytearray(stride)
+    lines = []
+    for _ in range(n_rows):
+        ftype = raw[at]
+        line = bytearray(raw[at + 1 : at + 1 + stride])
+        at += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        lines.append(bytes(line))
+        prev = line
+    return lines, at
+
+
+def decode_png_pixels(payload: bytes):
+    """Full-pixel PNG decode (8-bit greyscale/RGB/RGBA, linear AND
+    Adam7-interlaced) -> HxWx3 uint8 RGB ndarray. Pure ``zlib`` +
+    ``struct``: chunk walk (IHDR/IDAT*/IEND), inflate, then scanline
+    unfiltering with the full filter set (None/Sub/Up/Average/Paeth);
+    Adam7 unfilters each pass independently and scatters its sub-image
+    onto the output grid. Alpha is dropped; greyscale replicates into
+    all three channels.
     """
     import struct
     import zlib
+
+    import numpy as np
 
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
@@ -167,58 +228,61 @@ def decode_png(payload: bytes):
     )
     if w < 1 or h < 1:
         raise ValueError("degenerate PNG dimensions")
-    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace > 1:
         raise ValueError(
-            "only 8-bit non-interlaced greyscale/RGB/RGBA PNG is supported"
+            "only 8-bit greyscale/RGB/RGBA PNG (linear or Adam7) is supported"
         )
     ch = {0: 1, 2: 3, 6: 4}[ctype]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    prev = bytearray(stride)
-    sums = [0] * ch
-    at = 0
-    for _ in range(h):
-        ftype = raw[at]
-        line = bytearray(raw[at + 1 : at + 1 + stride])
-        at += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        for k in range(ch):
-            sums[k] += sum(line[k::ch])
-        prev = line
-    n = w * h
-    if ch == 1:
-        means = (sums[0] / n,) * 3
+    if interlace == 0:
+        lines, _ = _png_unfilter(raw, 0, h, w * ch, ch)
+        px = np.frombuffer(b"".join(lines), dtype=np.uint8).reshape(h, w, ch)
     else:
-        means = (sums[0] / n, sums[1] / n, sums[2] / n)
-    return w, h, means
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass: no scanlines at all
+            lines, at = _png_unfilter(raw, at, hp, wp * ch, ch)
+            sub = np.frombuffer(b"".join(lines), dtype=np.uint8).reshape(
+                hp, wp, ch
+            )
+            px[y0::dy, x0::dx] = sub
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
+
+
+def decode_png(payload: bytes):
+    """REAL stdlib image decode: 8-bit greyscale / RGB / RGBA PNG
+    (linear or Adam7-interlaced) -> dimensions + per-channel means (the
+    full unfilter lives in :func:`decode_png_pixels`; this is the
+    metadata-stage wrapper).
+    Alpha is ignored for the means; greyscale replicates into all three
+    channels.
+
+    -> width, height, (mean_r, mean_g, mean_b)
+    """
+    import numpy as np
+
+    px = decode_png_pixels(payload)
+    sums = px.sum(axis=(0, 1), dtype=np.int64)
+    n = px.shape[0] * px.shape[1]
+    return px.shape[1], px.shape[0], tuple(float(s) / n for s in sums)
 
 
 def decode_image_stub(payload: bytes, fake: bool = False):
     """Image decode entry point: REAL parsers when the payload is a
     supported format — ``decode_bmp`` (uncompressed 24-bpp BMP),
-    ``decode_png`` (8-bit non-interlaced PNG), and
+    ``decode_png`` (8-bit PNG, linear or Adam7-interlaced), and
     ``jpegcodec.decode_jpeg`` (baseline sequential + progressive
     JPEG, any chroma sampling, restart markers) — all stdlib+numpy, no
-    imaging libs. Formats outside those profiles (interlaced PNG,
-    WebP, ...) would need an imaging library absent from this
+    imaging libs. Formats outside those profiles (WebP, 16-bit or
+    paletted PNG, ...) would need an imaging library absent from this
     container; for those, ``fake=True`` derives deterministic
     pseudo-properties from the bytes so plumbing tests have stable
     expectations."""
@@ -548,6 +612,138 @@ def decode_gif(payload: bytes):
     return width, height, n_frames, duration_ms
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int):
+    """GIF-variant LZW decompression (LSB-first variable-width codes,
+    clear/end codes, 12-bit cap) -> list of palette indices."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = bits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                return out  # stream ended early: return what decoded
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear + 2 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode of the FIRST frame — full LZW
+    decompression (variable-width LSB-first codes, clear/end, 12-bit
+    cap), palette mapping, and interlace row reorder, pure
+    stdlib+numpy. The frame is composited at its (left, top) offset
+    onto a canvas filled with the logical-screen background color, so
+    the result is always (screen_h, screen_w, 3) uint8 RGB — the frame
+    a thumbnailer or perceptual hash wants.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height, packed = struct.unpack_from("<HHB", payload, 6)
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+        raise ValueError("truncated GIF sub-blocks")
+
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension — skip
+            pos = skip_subblocks(pos + 1)
+        elif b == 0x2C:  # first image descriptor: decode it
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+            ipacked = payload[pos + 8]
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without any color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload):
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                chunks.append(payload[pos : pos + n])
+                pos += n
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, fw * fh)
+            if len(idx) < fw * fh:  # pad truncated stream with bg
+                idx = idx + [bg_index] * (fw * fh - len(idx))
+            frame = np.asarray(idx, dtype=np.int64).reshape(fh, fw)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, fh, 8)) + list(range(4, fh, 8))
+                    + list(range(2, fh, 4)) + list(range(1, fh, 2))
+                )
+                de = np.empty_like(frame)
+                de[order] = frame
+                frame = de
+            canvas = np.empty((height, width), dtype=np.int64)
+            canvas[:] = bg_index if (gct is not None and
+                                     bg_index < len(gct)) else 0
+            canvas[top : top + fh, left : left + fw] = frame
+            return pal[np.clip(canvas, 0, len(pal) - 1)]
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF with no image frames")
+
+
 def parse_mp4(payload: bytes):
     """REAL stdlib ISO-BMFF (MP4/MOV) box walk — container metadata
     without any codec: presentation duration from ``moov/mvhd``
@@ -727,30 +923,179 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     return file_hdr + info + pixel_bytes
 
 
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """GIF LZW emission in the spec's 'uncompressed' form: literal codes
+    only, with a CLEAR every ``2^min_code - 2`` symbols so the code
+    width never grows past ``min_code + 1``. Valid for any decoder;
+    trades compression ratio for simplicity (output ≈ 9/8 of the index
+    bytes at min_code=8)."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    count = 0
+    for idx in indices:
+        emit(int(idx))
+        count += 1
+        if count == clear - 2:  # decoder table about to widen codes
+            emit(clear)
+            count = 0
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(px) -> bytes:
+    """Minimal REAL single-frame GIF89a encoder: exact palette when the
+    frame has <= 256 distinct colors, else fixed 3-3-2 RGB
+    quantization; pixel data via :func:`_gif_lzw_encode`. Every output
+    round-trips through :func:`decode_gif_pixels` (exactly when the
+    palette is exact)."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(px, dtype=np.uint8))
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_gif expects an HxWx3 uint8 array")
+    h, w = px.shape[:2]
+    packed24 = (
+        px[:, :, 0].astype(np.int64) << 16
+    ) | (px[:, :, 1].astype(np.int64) << 8) | px[:, :, 2].astype(np.int64)
+    colors, inverse = np.unique(packed24.ravel(), return_inverse=True)
+    if len(colors) <= 256:
+        palette = np.stack(
+            [(colors >> 16) & 0xFF, (colors >> 8) & 0xFF, colors & 0xFF],
+            axis=1,
+        ).astype(np.uint8)
+        idx = inverse
+        n_pal = len(colors)
+    else:  # 3-3-2 fixed quantization
+        idx = (
+            (px[:, :, 0].astype(np.int64) & 0xE0)
+            | ((px[:, :, 1].astype(np.int64) >> 3) & 0x1C)
+            | (px[:, :, 2].astype(np.int64) >> 6)
+        ).ravel()
+        i = np.arange(256)
+        palette = np.stack(
+            [((i >> 5) & 7) * 255 // 7, ((i >> 2) & 7) * 255 // 7,
+             (i & 3) * 255 // 3],
+            axis=1,
+        ).astype(np.uint8)
+        n_pal = 256
+    # color table size must be a power of two in [2, 256]
+    size_bits = max(1, (int(n_pal) - 1).bit_length())
+    table_n = 1 << size_bits
+    pal_bytes = palette.tobytes() + b"\x00" * (3 * (table_n - n_pal))
+    min_code = max(2, size_bits)
+    hdr = b"GIF89a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0
+    )
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _gif_lzw_encode(idx.tolist(), min_code)
+    blocks = bytearray([min_code])
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return hdr + pal_bytes + desc + bytes(blocks) + b"\x3B"
+
+
+def resize_gif(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL GIF resize: first-frame LZW decode -> nearest-neighbor
+    resample -> re-encode as a single-frame GIF (exact palette when the
+    thumbnail has <= 256 colors). Same index mapping as
+    ``resize_bmp``/``resize_png``."""
+    import numpy as np
+
+    px = decode_gif_pixels(payload)
+    h, w = px.shape[:2]
+    rows = (np.arange(target_h) * h) // target_h
+    cols = (np.arange(target_w) * w) // target_w
+    return encode_gif(px[rows][:, cols])
+
+
+def encode_png(px) -> bytes:
+    """Minimal REAL PNG encoder: 8-bit RGB, filter type None on every
+    scanline, one zlib IDAT — a valid PNG any decoder opens. The
+    write half of the PNG path (thumbnails stay in their source
+    format)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(px, dtype=np.uint8))
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects an HxWx3 uint8 array")
+    h, w = px.shape[:2]
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL PNG resize: full decode (any supported PNG profile, incl.
+    Adam7) -> nearest-neighbor resample -> re-encode as 8-bit RGB
+    filter-None PNG. Same index mapping as ``resize_bmp``."""
+    import numpy as np
+
+    px = decode_png_pixels(payload)
+    h, w = px.shape[:2]
+    rows = (np.arange(target_h) * h) // target_h
+    cols = (np.arange(target_w) * w) // target_w
+    return encode_png(px[rows][:, cols])
+
+
 def resize_stub(payload: bytes, target_w: int, target_h: int, fake: bool = False):
     """Resize entry point: REAL nearest-neighbor kernels when the
     payload is a supported format (``resize_bmp`` for uncompressed
-    24-bpp BMP; ``jpegcodec.resize_jpeg`` for baseline JPEG —
-    decode -> resize -> re-encode); other formats need an imaging
-    library absent from this container — for those, ``fake=True``
-    produces a deterministic pseudo-thumbnail: sha256(payload||dims)
-    repeated to target_w*target_h bytes — stable content whose SIZE
-    scales with the target geometry, so batch-shape and byte-budget
-    tests are real."""
+    24-bpp BMP; ``resize_png`` for 8-bit PNG incl. Adam7;
+    ``jpegcodec.resize_jpeg`` for JPEG; ``resize_gif`` for GIF — each
+    is decode -> resize -> re-encode in the SOURCE format); other formats
+    need an imaging library absent from this container — for those,
+    ``fake=True`` produces a deterministic pseudo-thumbnail:
+    sha256(payload||dims) repeated to target_w*target_h bytes — stable
+    content whose SIZE scales with the target geometry, so batch-shape
+    and byte-budget tests are real."""
     if not fake:
         from .jpegcodec import resize_jpeg
 
         errs = []
-        for kern in (resize_bmp, resize_jpeg):
+        for kern in (resize_bmp, resize_png, resize_jpeg, resize_gif):
             try:
                 return kern(payload, target_w, target_h)
             except ValueError as exc:
                 errs.append(str(exc))
         raise NotImplementedError(
-            "real resize covers uncompressed 24-bpp BMP and baseline "
-            f"JPEG ({'; '.join(errs)}); other formats need an imaging "
-            "library not present in this environment; pass fake=True for "
-            "the deterministic stub"
+            "real resize covers uncompressed 24-bpp BMP, 8-bit PNG, "
+            f"baseline/progressive JPEG, and GIF ({'; '.join(errs)}); "
+            "other formats need an imaging library not present in this "
+            "environment; pass fake=True for the deterministic stub"
         )
     seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
     n = target_w * target_h
@@ -789,6 +1134,379 @@ def resize_images(
     return media.filter(F.col("kind") == "image").select(
         "media_id", "kind", "payload"
     ).mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual fingerprints: DCT pHash over decoded pixels (images) and a
+# time-x-mel-band energy hash (audio), both landing in a 64-bit column so
+# near-dup pairing reuses the simhash banded-Hamming join (dedup.py) —
+# the multimodal near-dup path is the SAME pigeonhole-blocked equi-join
+# the text path ships, just fed by a mapInPandas fingerprint stage.
+# --------------------------------------------------------------------------
+
+
+def decode_image_pixels(payload: bytes):
+    """Pixel-level image decode entry point: HxWx3 uint8 RGB ndarray for
+    every format the real decoders cover (24-bpp BMP, 8-bit PNG linear
+    or Adam7, baseline/progressive JPEG, GIF first frame incl. LZW +
+    interlace)."""
+    from .jpegcodec import decode_jpeg_pixels
+
+    errs = []
+    for dec in (decode_bmp_pixels, decode_png_pixels, decode_jpeg_pixels,
+                decode_gif_pixels):
+        try:
+            return dec(payload)
+        except ValueError as exc:
+            errs.append(str(exc))
+    raise NotImplementedError(
+        "pixel decode covers uncompressed 24-bpp BMP, 8-bit PNG (linear or "
+        "Adam7), baseline/progressive JPEG, and GIF first frames "
+        f"({'; '.join(errs)}); other formats need an imaging library not "
+        "present in this environment"
+    )
+
+
+def _dct_mat(n: int):
+    """Orthonormal DCT-II basis matrix (any size — the 8x8 special case
+    lives in jpegcodec; pHash needs 32x32)."""
+    import numpy as np
+
+    a = np.zeros((n, n))
+    for k in range(n):
+        scale = (1.0 / n) ** 0.5 if k == 0 else (2.0 / n) ** 0.5
+        for x in range(n):
+            a[k, x] = scale * np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    return a
+
+
+def _area_resample_gray(gray, out_h: int, out_w: int):
+    """Box-filter (area-mean) downsample of a 2-D float array to
+    (out_h, out_w) — integer bucket boundaries, pure numpy. Area
+    averaging (not nearest-neighbor) is what makes the hash stable under
+    re-encode noise: every source pixel contributes."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w))
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
+        cw = np.concatenate([[0.0], np.cumsum(gray[y0:y1].sum(axis=0))])
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
+            out[i, j] = (cw[x1] - cw[x0]) / ((y1 - y0) * (x1 - x0))
+    return out
+
+
+def phash64(px) -> int:
+    """64-bit perceptual image hash (classic DCT pHash): luma ->
+    32x32 area resample -> 2-D DCT-II -> top-left 8x8 low-frequency
+    block -> bit per coefficient above the median of the 63 AC
+    coefficients (DC excluded from both the median and the bits — it
+    carries only global brightness). Robust to re-encode noise, mild
+    blur, and brightness shifts; Hamming distance between hashes ranks
+    perceptual similarity."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    small = _area_resample_gray(gray, 32, 32)
+    d = _dct_mat(32)
+    block = (d @ small @ d.T)[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    h = 0
+    for i, c in enumerate(block[1:], start=1):
+        if c > med:
+            h |= 1 << (63 - i)
+    return h - (1 << 64) if h >= (1 << 63) else h  # as signed int64
+
+
+PHASH_SCHEMA = "media_id long, width int, height int, phash long"
+
+
+def image_phash(
+    media: DataFrame, fake: bool = True, kinds: tuple = ("image",)
+) -> DataFrame:
+    """Arrow-batched perceptual-hash stage: decode pixels, hash, drop the
+    bytes — only the 8-byte fingerprint (plus dims) leaves the stage, so
+    the near-dup join downstream never shuffles payloads. ``fake=True``
+    derives a deterministic pseudo-hash from the bytes for formats the
+    real decoders don't cover (plumbing stays exercised). Pass
+    ``kinds=("image", "video")`` to fingerprint GIFs too —
+    ``decode_image_pixels`` renders their first frame.
+
+    -> PHASH_SCHEMA rows
+    """
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if fake:
+                    dig = hashlib.sha256(payload).digest()
+                    w = 16 + dig[0] % 64
+                    h = 16 + dig[1] % 64
+                    ph = int.from_bytes(dig[2:10], "big", signed=True)
+                else:
+                    px = decode_image_pixels(payload)
+                    h, w = px.shape[0], px.shape[1]
+                    ph = phash64(px)
+                rows.append(
+                    {"media_id": r["media_id"], "width": w, "height": h,
+                     "phash": ph}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind").isin(list(kinds))).select(
+        "media_id", "payload"
+    ).mapInPandas(extract, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    block_cap: int | None = None,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-dup media pairs by fingerprint Hamming distance — the SAME
+    pigeonhole banded equi-join as text simhash
+    (``dedup.simhash_pairs_from_signatures``), over 64-bit perceptual
+    hashes: ``max_hamming + 1`` bit blocks, a pair within distance
+    ``max_hamming`` agrees exactly on at least one block, so candidates
+    are an equi-join on (block_idx, block_value), never a cartesian.
+    Default ``max_hamming=7`` -> eight 8-bit blocks. ``block_cap``
+    bounds block occupancy for mass-duplicate corpora (see the simhash
+    docstring; same pivot semantics).
+
+    -> media_a, media_b, hamming
+    """
+    from .dedup import simhash_pairs_from_signatures
+
+    sig = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
+    return simhash_pairs_from_signatures(
+        sig, 64, max_hamming, block_cap
+    ).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
+
+
+def decode_wav_samples(payload: bytes):
+    """Pixel-level counterpart for audio: 16-bit PCM WAV -> (sample_rate,
+    mono float64 ndarray in [-1, 1)) — channels averaged. The DSP
+    feature extractors start here; ``decode_wav`` keeps the cheap
+    metadata walk."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate < 1:
+        raise ValueError("only 16-bit PCM WAV with a positive rate is supported")
+    raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    n_frames = len(raw) // channels
+    mono = (
+        raw[: n_frames * channels]
+        .reshape(n_frames, channels)
+        .mean(axis=1)
+    ) / 32768.0
+    return rate, mono
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int):
+    """Triangular mel filterbank (HTK mel = 2595 log10(1 + f/700)) over
+    the rfft bin grid -> (n_mels, n_fft//2 + 1) weight matrix."""
+    import numpy as np
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    mel_pts = from_mel(
+        np.linspace(to_mel(0.0), to_mel(rate / 2.0), n_mels + 2)
+    )
+    bin_freqs = np.arange(n_bins) * rate / n_fft
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, mid, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (bin_freqs - lo) / max(mid - lo, 1e-9)
+        down = (hi - bin_freqs) / max(hi - mid, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def mel_spectrogram(
+    samples, rate: int, frame_len: int = 1024, hop: int = 512,
+    n_mels: int = 32, floor_db: float | None = None,
+):
+    """Log-mel spectrogram via numpy only: Hann-windowed frames ->
+    |rfft|^2 -> mel filterbank -> log. -> (n_frames, n_mels) float64;
+    zero frames for clips shorter than one window (padded to one
+    frame).
+
+    ``floor_db`` clamps band power at that level RELATIVE to the clip's
+    loudest band before the log. The fingerprint path needs this:
+    quantization/recording noise has a fixed ABSOLUTE level, so
+    noise-dominated cells reorder when a clip is merely re-gained; a
+    relative floor clamps them all to one value and the surviving cell
+    ordering depends only on power ratios — amplitude-invariant."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < frame_len:
+        x = np.pad(x, (0, frame_len - len(x)))
+    n_frames = 1 + (len(x) - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(frame_len)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = _mel_filterbank(n_mels, frame_len, rate)
+    banded = power @ fb.T
+    if floor_db is not None:
+        floor = banded.max() * (10.0 ** (floor_db / 10.0))
+        banded = np.maximum(banded, floor)
+    return np.log(banded + 1e-10)
+
+
+MEL_SCHEMA = (
+    "media_id long, sample_rate int, n_frames int, mel_mean array<double>, "
+    "spectral_centroid_hz double"
+)
+
+
+def audio_mel_features(
+    media: DataFrame, n_mels: int = 32, frame_len: int = 1024,
+    hop: int = 512, fake: bool = True,
+) -> DataFrame:
+    """Real audio feature extraction (the step ``audio_features``' RMS
+    summary points at): per-clip time-averaged log-mel vector + spectral
+    centroid, numpy FFT inside Arrow-batched ``mapInPandas``. Real for
+    16-bit PCM WAV; ``fake=True`` hashes bytes into a deterministic
+    pseudo-vector for codec-gated formats so the plumbing (schema, batch
+    shape, array column) is exercised regardless.
+
+    -> MEL_SCHEMA rows
+    """
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if fake:
+                    dig = hashlib.sha256(payload).digest()
+                    rate = 8000 + (dig[0] % 5) * 8000
+                    mel = [float(b) for b in
+                           (dig * (n_mels // 32 + 1))[:n_mels]]
+                    rows.append(
+                        {"media_id": r["media_id"], "sample_rate": rate,
+                         "n_frames": 1, "mel_mean": mel,
+                         "spectral_centroid_hz": float(dig[1]) * 16.0}
+                    )
+                    continue
+                rate, mono = decode_wav_samples(payload)
+                mels = mel_spectrogram(mono, rate, frame_len, hop, n_mels)
+                # centroid from the linear power spectrum of the whole clip
+                spec = np.abs(np.fft.rfft(mono)) ** 2
+                freqs = np.arange(len(spec)) * rate / max(1, len(mono))
+                centroid = float(
+                    (spec * freqs).sum() / max(spec.sum(), 1e-12)
+                )
+                rows.append(
+                    {"media_id": r["media_id"], "sample_rate": rate,
+                     "n_frames": int(mels.shape[0]),
+                     "mel_mean": [float(v) for v in mels.mean(axis=0)],
+                     "spectral_centroid_hz": centroid}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, schema=MEL_SCHEMA)
+
+
+def audio_phash64(samples, rate: int) -> int:
+    """64-bit audio fingerprint: 8 time segments x 8 mel bands of
+    log-energy, bit = cell above the median of all 64 cells — the audio
+    analogue of image pHash (median rule -> amplitude-scale invariant;
+    coarse grid -> robust to small edits). Hamming distance ranks
+    clip similarity; pairs via :func:`phash_pairs`. The -60 dB relative
+    floor makes noise-dominated cells clamp identically across gain
+    changes (see :func:`mel_spectrogram`)."""
+    import numpy as np
+
+    mels = mel_spectrogram(samples, rate, n_mels=8, floor_db=-60.0)
+    t = mels.shape[0]
+    seg = np.array(
+        [
+            mels[(i * t) // 8 : max((i * t) // 8 + 1, ((i + 1) * t) // 8)]
+            .mean(axis=0)
+            for i in range(8)
+        ]
+    )  # (8 time segments, 8 mel bands)
+    cells = seg.flatten()
+    med = float(np.median(cells))
+    h = 0
+    for i, c in enumerate(cells):
+        if c > med:
+            h |= 1 << (63 - i)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_phash(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched audio fingerprint stage -> (media_id, phash long);
+    near-dup audio pairs come from :func:`phash_pairs` on the output.
+    Real for 16-bit PCM WAV; deterministic byte-derived pseudo-hash
+    under ``fake=True`` for codec-gated formats."""
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if fake:
+                    ph = int.from_bytes(
+                        hashlib.sha256(payload).digest()[:8], "big",
+                        signed=True,
+                    )
+                else:
+                    rate, mono = decode_wav_samples(payload)
+                    ph = audio_phash64(mono, rate)
+                rows.append({"media_id": r["media_id"], "phash": ph})
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, schema="media_id long, phash long")
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
