@@ -163,3 +163,105 @@ def test_merge_touches_only_batch_buckets(spark, tmp_path):
         ).collect()
     }
     assert inc == full
+
+
+def test_legacy_flat_store_is_migrated_not_ignored(spark, tmp_path):
+    """A register store written by the pre-bucketing flat layout must be
+    folded into the bucketed layout on the first merge — not silently
+    excluded from the estimate, and not left at a conflicting directory
+    depth next to bucket= dirs."""
+    store = str(tmp_path / "store")
+    first = _messages(spark, 40, channels=("a", "b"))
+    # simulate the old layout: registers as plain parquet at the root
+    sketches.hll_registers(first, ["channel"]).write.mode(
+        "overwrite"
+    ).parquet(store)
+    assert shll._legacy_flat_files(store)
+
+    second = _messages(spark, 70, channels=("a", "b"))
+    shll.merge_registers(
+        spark, store, sketches.hll_registers(second), ["channel"]
+    )
+    # flat files gone, only bucket= partitions remain
+    assert not shll._legacy_flat_files(store)
+    assert all(
+        e.startswith("bucket=")
+        for e in os.listdir(store)
+        if not e.startswith((".", "_"))
+    )
+    # the merged estimate covers BOTH batches exactly (stream == batch)
+    got = {
+        r["channel"]: r["hll_est"]
+        for r in shll.serve_estimates(spark, store).collect()
+    }
+    both = first.unionByName(second)
+    want = {
+        r["channel"]: r["hll_est"]
+        for r in sketches.hll_estimate(
+            sketches.hll_registers(both, ["channel"]), ["channel"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_serve_reads_flat_and_mixed_stores(spark, tmp_path):
+    """serve_estimates answers from a legacy flat store before any merge
+    has migrated it, and from the mixed state (flat files + bucket dirs)
+    the earlier buggy merge could leave behind."""
+    store = str(tmp_path / "store")
+    first = _messages(spark, 30, channels=("a",))
+    sketches.hll_registers(first, ["channel"]).write.mode(
+        "overwrite"
+    ).parquet(store)
+    flat_only = {r["channel"]: r["hll_est"]
+                 for r in shll.serve_estimates(spark, store).collect()}
+    assert set(flat_only) == {"a"}
+
+    # mixed state: a bucket dir appears next to the flat files
+    second = _messages(spark, 30, channels=("b",))
+    shll.merge_registers(
+        spark, str(tmp_path / "other"),
+        sketches.hll_registers(second), ["channel"],
+    )
+    bdir = next(e for e in os.listdir(str(tmp_path / "other"))
+                if e.startswith("bucket="))
+    os.rename(os.path.join(str(tmp_path / "other"), bdir),
+              os.path.join(store, bdir))
+    mixed = {r["channel"]: r["hll_est"]
+             for r in shll.serve_estimates(spark, store).collect()}
+    assert set(mixed) == {"a", "b"} and mixed["a"] == flat_only["a"]
+
+
+def test_torn_bucket_swap_is_recovered(spark, tmp_path):
+    """Crash between rename(live -> backup) and rename(tmp -> live):
+    the stranded backup must be restored before the next merge or
+    serve, so no bucket's history is lost."""
+    store = str(tmp_path / "store")
+    msgs = _messages(spark, 50, channels=("a", "b", "c"))
+    shll.merge_registers(
+        spark, store, sketches.hll_registers(msgs), ["channel"],
+        num_buckets=4,
+    )
+    whole = sorted(map(tuple, spark.read.parquet(store).collect()))
+    est = {r["channel"]: r["hll_est"]
+           for r in shll.serve_estimates(spark, store).collect()}
+
+    # tear one bucket: live dir renamed away to a .old- backup (exactly
+    # the state after the first rename of a swap that never finished)
+    bdir = next(e for e in os.listdir(store) if e.startswith("bucket="))
+    b = bdir.split("=", 1)[1]
+    os.rename(os.path.join(store, bdir), f"{store}.old-deadbeef-b{b}")
+    assert not os.path.isdir(os.path.join(store, bdir))
+
+    # serve recovers and answers identically
+    got = {r["channel"]: r["hll_est"]
+           for r in shll.serve_estimates(spark, store).collect()}
+    assert got == est
+    assert os.path.isdir(os.path.join(store, bdir))
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == whole
+
+    # a stale backup whose live dir EXISTS is discarded, not restored
+    os.makedirs(f"{store}.old-cafebabe-b{b}")
+    shll._recover(store)
+    assert not os.path.isdir(f"{store}.old-cafebabe-b{b}")
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == whole

@@ -162,14 +162,37 @@ def _q_lsh_recall(spark, sf_dir):
 # brute-force truth memo for _q_ivf_recall: the eval should measure the
 # INDEX, not pay for the baseline on every invocation (the bench runs
 # each query twice, and ann_brute_topk already runs the same plan). The
-# truth set is Q*k tiny rows, so caching the collected rows per
-# (sf_dir, k) and rebuilding a local DataFrame is safe and exact.
-_IVF_TRUTH_ROWS: dict[tuple[str, int], list] = {}
+# truth set is Q*k tiny rows, so caching the collected rows is safe and
+# exact — PROVIDED the key also fingerprints the underlying parquet
+# (path + mtime + size of every data file): a long-lived process that
+# regenerates the testdata at the same path must not score a new index
+# against the old corpus's truth.
+_IVF_TRUTH_ROWS: dict[tuple, list] = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                out.append((os.path.join(root, f), st.st_mtime_ns, st.st_size))
+        return tuple(out)
+    return (path, None, None)
 
 
 def _ivf_truth(spark, sf_dir):
-    key = (sf_dir, IVF_K)
+    key = (sf_dir, IVF_K, _emb_fingerprint(sf_dir))
     if key not in _IVF_TRUTH_ROWS:
+        _IVF_TRUTH_ROWS.clear()  # one corpus at a time; drop stale sets
         _IVF_TRUTH_ROWS[key] = (
             similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, IVF_K)
             .select("query_id", "neighbor_id")

@@ -296,8 +296,8 @@ def decode_image_stub(payload: bytes, fake: bool = False):
             except ValueError as exc:
                 errs.append(str(exc))
         raise NotImplementedError(
-            "real decode covers uncompressed 24-bpp BMP, 8-bit "
-            "non-interlaced PNG, and baseline/progressive JPEG "
+            "real decode covers uncompressed 24-bpp BMP, 8-bit PNG "
+            "(linear or Adam7), and baseline/progressive JPEG "
             f"({'; '.join(errs)}); other formats need an imaging library "
             "not present in this environment; pass fake=True for the "
             "deterministic stub"

@@ -409,24 +409,33 @@ def start_bloom_corpus_dedup(
 def minhash_slot_candidates(
     probe: DataFrame,
     reference: DataFrame,
-    block_cap: int | None = 32,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Per-slot candidate join for the streaming minhash dedup: probe
     signatures against reference signatures on ``(seed, minhash)``. One
     output row per agreeing slot; the downstream groupBy counts rows per
     (probe doc, reference doc) pair to apply ``min_agree``.
 
-    BLOCK-OCCUPANCY BOUND (``block_cap``, None = exact): within each
+    BLOCK-OCCUPANCY BOUND (``block_cap``; None — the DEFAULT — is the
+    exact join, matching the batch-path contract): within each
     ``(seed, minhash)`` slot bucket only the ``block_cap``
     lowest-``doc_id`` reference members (the bucket's pivots) are
     eligible, so a mass-duplicate batch — where every copy shares every
     slot value and the join would otherwise emit ~R^2 rows per clique —
     emits at most ``block_cap * R`` rows per slot. Same pivot bound as
     the batch-path generators (operators/dedup.py::
-    simhash_pairs_from_signatures, similarity.py::knn_graph); the
-    drop-first-copy contract survives because each clique's lowest
-    doc_ids ARE the pivots of every slot they occupy, so every later
-    copy still agrees with them on >= min_agree slots.
+    simhash_pairs_from_signatures, similarity.py::knn_graph).
+
+    RECALL CAVEAT (why the cap is opt-in, not the default): pivots are
+    per-SLOT, so a true near-dup pair can escape when UNRELATED
+    lower-id docs crowd the pair's agreeing slots (each slot bucket's
+    32 pivots are all strangers sharing only that one minhash value —
+    the duplicate's earlier copy is never an eligible reference, and
+    the later copy agrees with no single pivot on >= min_agree slots).
+    A clique of TRUE duplicates is safe (its lowest ids share every
+    slot and rank first in each), but cross-doc crowding on skewed
+    shingle distributions is exactly where the cap can leak — turn it
+    on for mass-duplicate ingest bursts, knowing the trade.
 
     ``probe`` columns: doc_id, seed, minhash.
     ``reference`` columns: ref_id, seed, minhash.
@@ -456,7 +465,7 @@ def start_minhash_corpus_dedup(
     shingle_k: int = 3,
     min_agree: int = 6,
     max_files_per_trigger: int | None = None,
-    block_cap: int | None = 32,
+    block_cap: int | None = None,
 ) -> StreamingQuery:
     """Incremental NEAR-duplicate corpus ingest: the MinHash analog of
     :func:`start_incremental_corpus_dedup`. The persistent store holds
@@ -473,12 +482,14 @@ def start_minhash_corpus_dedup(
     hash keys, no skew; the store carries ``num_hashes`` 8-hex values
     per surviving doc (tiny vs text) and at 100 TB is bucketed on
     ``minhash`` so the probe co-locates. Agreement counting is a
-    groupBy on the candidate pairs, whose size is band-bounded — and
-    adversarially bounded by ``block_cap`` (see
+    groupBy on the candidate pairs, whose size is band-bounded — and,
+    when ``block_cap`` is set, adversarially bounded (see
     :func:`minhash_slot_candidates`): a mass-duplicate batch or a
-    boilerplate-heavy history slot emits at most ``block_cap *
-    occupancy`` candidate rows per slot instead of ~occupancy^2.
-    ``block_cap=None`` restores the exact join.
+    boilerplate-heavy history slot then emits at most ``block_cap *
+    occupancy`` candidate rows per slot instead of ~occupancy^2. The
+    default is the EXACT join (the drop-first-copy contract holds
+    unconditionally); opt into the cap for adversarial ingest bursts,
+    accepting the per-slot pivot recall caveat documented there.
 
     Exactly-once: ``batch=<id>`` overwrite partitions for both corpus
     and signatures; the history read excludes the current batch's own

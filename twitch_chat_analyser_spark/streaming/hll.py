@@ -31,10 +31,13 @@ batch, and (4) swaps only the touched bucket directories. A batch
 touching one dimension key rewrites 1/N of the store regardless of how
 many keys history has accumulated — the same per-flush-proportional-to-
 delta property the reference's accumulate loop has
-(AbstractStatsAggregation.java:108-112). Crash between bucket swaps is
-safe: max-merge is idempotent, so the checkpoint replay re-merges the
-same partials into whichever buckets did or didn't swap and both land
-in the identical state.
+(AbstractStatsAggregation.java:108-112). Crash safety: buckets that
+fully swapped are replay-no-ops by the max algebra; a crash INSIDE one
+bucket's two-rename swap strands a ``.old-`` backup, which ``_recover``
+restores (live dir missing) or discards (live dir present) before the
+next merge or serve — so no bucket's history is ever lost to a torn
+swap. Stores written by the earlier flat (unbucketed) layout are
+migrated into buckets on the first merge that sees them.
 """
 
 from __future__ import annotations
@@ -61,6 +64,50 @@ def _with_bucket(regs: DataFrame, dims: list[str], num_buckets: int) -> DataFram
     )
 
 
+def _recover(store: str) -> None:
+    """Make an interrupted bucket swap whole before reading or merging.
+
+    The swap sequence is rename(live -> backup), rename(tmp -> live),
+    delete(backup); a crash can strand a backup whose live dir is
+    missing (restore it — that bucket's history would otherwise be
+    lost) or whose live dir exists (the new dir already superseded it —
+    drop the stale backup). Leftover ``.tmp-*`` write dirs are always
+    stale (the merge that made them never swapped them all in) and are
+    removed; checkpoint replay re-merges that batch, and the max
+    algebra makes the re-merge a no-op for buckets that DID swap."""
+    parent = os.path.dirname(os.path.abspath(store)) or "."
+    base = os.path.basename(store)
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if entry.startswith(f"{base}.old-") and "-b" in entry:
+            bucket = entry.rsplit("-b", 1)[1]
+            live = os.path.join(store, f"bucket={bucket}")
+            if bucket.isdigit() and not os.path.isdir(live):
+                os.makedirs(store, exist_ok=True)
+                os.rename(full, live)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith(f"{base}.tmp-"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _legacy_flat_files(store: str) -> list[str]:
+    """Parquet part files written by the pre-bucketing flat layout,
+    sitting directly under the store root. They must be folded into the
+    bucketed layout (not silently ignored next to ``bucket=`` dirs —
+    mixed depths also break partition discovery on read)."""
+    if not os.path.isdir(store):
+        return []
+    return [
+        os.path.join(store, e)
+        for e in os.listdir(store)
+        if os.path.isfile(os.path.join(store, e))
+        and not e.startswith((".", "_"))
+    ]
+
+
 def merge_registers(
     spark: SparkSession,
     store: str,
@@ -74,6 +121,7 @@ def merge_registers(
     same rename discipline as pipeline.merge_upsert); untouched buckets'
     files are never opened. Idempotent under replay by the max algebra —
     re-merging identical partials changes nothing."""
+    _recover(store)
     batch_regs = _with_bucket(batch_regs, dims, num_buckets).cache()
     try:
         touched = sorted(
@@ -81,19 +129,46 @@ def merge_registers(
         )
         if not touched:  # empty micro-batch
             return
-        merged = batch_regs
-        has_store = os.path.isdir(store) and any(
-            e.startswith("bucket=") for e in os.listdir(store)
-        )
-        if has_store:
-            # partition pruning: only the touched bucket directories are
-            # listed/read — per-trigger IO is O(touched), not O(store)
-            old = spark.read.parquet(store).filter(F.col("bucket").isin(touched))
-            merged = (
-                old.unionByName(batch_regs)
-                .groupBy(*dims, "reg", "bucket")
-                .agg(F.max("mrho").alias("mrho"))
+        parts = [batch_regs]
+        legacy = _legacy_flat_files(store)
+        if legacy:
+            # one-time migration from the pre-bucketing flat layout:
+            # fold EVERY flat row into the bucketed merge (whatever
+            # buckets they hash to), then drop the flat files after the
+            # swap — ignoring them would silently lose history AND
+            # leave mixed directory depths that break partition
+            # discovery on the next read
+            parts.append(
+                _with_bucket(spark.read.parquet(*legacy), dims, num_buckets)
             )
+        # partition pruning: only the touched bucket directories are
+        # listed/read — per-trigger IO is O(touched), not O(store).
+        # Bucket dirs are enumerated explicitly (with basePath so the
+        # partition column survives) because during a legacy migration
+        # the root still holds flat files at a different depth.
+        if legacy:
+            touched = sorted(
+                {
+                    r["bucket"]
+                    for p in parts
+                    for r in p.select("bucket").distinct().collect()
+                }
+            )
+        bucket_dirs = [
+            os.path.join(store, f"bucket={b}")
+            for b in touched
+            if os.path.isdir(os.path.join(store, f"bucket={b}"))
+        ]
+        if bucket_dirs:
+            parts.append(
+                spark.read.option("basePath", store).parquet(*bucket_dirs)
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.groupBy(*dims, "reg", "bucket").agg(
+            F.max("mrho").alias("mrho")
+        )
         tmp = f"{store}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
         os.makedirs(store, exist_ok=True)
@@ -110,6 +185,11 @@ def merge_registers(
             if had_old:
                 shutil.rmtree(back, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        for f in legacy:  # after a successful swap the history is bucketed
+            try:
+                os.remove(f)
+            except OSError:
+                pass
     finally:
         batch_regs.unpersist()
 
@@ -146,5 +226,23 @@ def serve_estimates(
     spark: SparkSession, store_dir: str, dims: list[str] | None = None
 ) -> DataFrame:
     """Serving read: estimate straight off the stored registers — never
-    touches raw events. -> *dims, hll_est"""
-    return sketches.hll_estimate(spark.read.parquet(store_dir), dims or ["channel"])
+    touches raw events. Restores any interrupted bucket swap first and
+    reads flat legacy files alongside bucket partitions if a migration
+    hasn't folded them in yet. -> *dims, hll_est"""
+    _recover(store_dir)
+    dims = dims or ["channel"]
+    legacy = _legacy_flat_files(store_dir)
+    buckets = [
+        os.path.join(store_dir, e)
+        for e in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+        if e.startswith("bucket=")
+    ]
+    if legacy and buckets:
+        regs = spark.read.parquet(*legacy).unionByName(
+            spark.read.option("basePath", store_dir)
+            .parquet(*buckets)
+            .drop("bucket")
+        )
+    else:
+        regs = spark.read.parquet(store_dir)
+    return sketches.hll_estimate(regs, dims)
