@@ -1172,3 +1172,84 @@ def test_resize_gif_format_preserving():
     assert np.array_equal(px, expect)
     # entry point routes GIF to the real kernel
     assert multimodal.resize_stub(gif, 10, 5) == out
+
+
+# --------------------------------------------------------------------------
+# Property-based fuzz: codec round-trips and banding pigeonhole
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1), interlace=st.booleans(),
+)
+def test_gif_roundtrip_fuzz(w, h, seed, interlace):
+    """Any grayscale index frame round-trips the GIF encoder/decoder
+    bit-exactly, linear or interlaced, at any tiny geometry."""
+    np = _np()
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = multimodal.decode_gif_pixels(make_gif_gray(idx, interlace=interlace))
+    assert np.array_equal(out[:, :, 0], idx)
+    # package encoder too (exact palette path)
+    px = np.repeat(idx[:, :, None], 3, axis=2)
+    assert np.array_equal(
+        multimodal.decode_gif_pixels(multimodal.encode_gif(px)), px
+    )
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(1, 20), h=st.integers(1, 20),
+    seed=st.integers(0, 2**32 - 1),
+    ctype=st.sampled_from([0, 2, 6]),
+)
+def test_png_adam7_equals_linear_fuzz(w, h, seed, ctype):
+    """Adam7 and linear encodings of the same random image decode to
+    identical pixels for every geometry and color type."""
+    np = _np()
+    rng = np.random.default_rng(seed)
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    if ch == 1:
+        rows = [[int(raw[y, x, 0]) for x in range(w)] for y in range(h)]
+    else:
+        rows = [[tuple(int(v) for v in raw[y, x]) for x in range(w)]
+                for y in range(h)]
+    lin = multimodal.decode_png_pixels(make_png(w, h, rows, ctype=ctype))
+    inter = multimodal.decode_png_pixels(
+        make_png_adam7(w, h, rows, ctype=ctype)
+    )
+    assert _np().array_equal(lin, inter)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.integers(-(2**63), 2**63 - 1),
+    flips=st.sets(st.integers(0, 63), max_size=7),
+)
+def test_band_blocks_pigeonhole_fuzz(base, flips):
+    """For ANY 64-bit pair within Hamming distance 7, at least one of
+    the eight 8-bit blocks agrees exactly — the guarantee phash_pairs'
+    equi-join correctness rests on (masked arithmetic-shift semantics
+    included, i.e. negative hashes band correctly)."""
+    from twitch_chat_analyser_spark.operators.dedup import simhash_blocks
+
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    # two's-complement wrap into signed-long domain (Spark LongType)
+    if other >= 2**63:
+        other -= 2**64
+    agree = 0
+    for off, width in simhash_blocks(64, 7):
+        mask = (1 << width) - 1
+        if (base >> off) & mask == (other >> off) & mask:
+            agree += 1
+    assert agree >= 1

@@ -427,3 +427,70 @@ def test_minhash_mass_duplicate_batch_candidates_bounded(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
     )
     assert kept == [0]
+
+
+def test_phash_media_dedup_stream(spark, tmp_path):
+    """Streaming NEAR-dup media ingest: a JPEG re-encode of an in-batch
+    BMP is dropped, a GIF carrying a HISTORICAL image's luma is dropped
+    against the hash store, distinct media survive, and replay with no
+    new files changes nothing."""
+    import os
+
+    import numpy as np
+    from test_multimodal import _bmp_from_px, _jpeg_mod, _test_image, make_gif_gray
+
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    _, J = _jpeg_mod()
+    src = tmp_path / "media"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = _test_image("gradient")
+    (src / "img_1.bmp").write_bytes(_bmp_from_px(base))
+    (src / "img_2.jpg").write_bytes(J.encode_jpeg(base, quality=90))
+    (src / "img_3.bmp").write_bytes(_bmp_from_px(_test_image("checker")))
+    sd.start_phash_media_dedup(
+        spark, str(src), out, ckpt
+    ).awaitTermination()
+
+    kept = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(os.path.join(out, "media")).collect()
+    )
+    assert kept == [1, 3], kept  # 2 is an in-batch near-dup of 1
+
+    # second arrival: a GIF of doc 1's luma (historical near-dup) and a
+    # genuinely new image
+    gray = (0.299 * base[:, :, 0] + 0.587 * base[:, :, 1]
+            + 0.114 * base[:, :, 2]).round().astype(np.uint8)
+    (src / "anim_10.gif").write_bytes(make_gif_gray(gray))
+    (src / "img_11.bmp").write_bytes(
+        _bmp_from_px(_test_image("checker", 32, 32))
+    )
+    sd.start_phash_media_dedup(
+        spark, str(src), out, ckpt
+    ).awaitTermination()
+
+    kept = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(os.path.join(out, "media")).collect()
+    )
+    assert kept == [1, 3, 11], kept  # 10 matched history via the store
+
+    # the hash store carries survivors only, 8 bytes each — no payloads
+    hashes = spark.read.parquet(os.path.join(out, "phashes"))
+    assert sorted({r["media_id"] for r in hashes.collect()}) == [1, 3, 11]
+    assert "payload" not in hashes.columns
+
+    # replay with no new files: batch=N overwrite + own-partition
+    # exclusion keep the output byte-identical
+    sd.start_phash_media_dedup(
+        spark, str(src), out, ckpt
+    ).awaitTermination()
+    again = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(os.path.join(out, "media")).collect()
+    )
+    assert again == [1, 3, 11]

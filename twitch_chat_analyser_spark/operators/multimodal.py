@@ -1299,6 +1299,54 @@ def phash_pairs(
     )
 
 
+def phash_probe_candidates(
+    probe: DataFrame,
+    reference: DataFrame,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Probe-vs-reference fingerprint matching (the streaming-ingest
+    shape: a batch's hashes against the persistent hash store) — the
+    two-frame variant of :func:`phash_pairs`. Both sides band into
+    ``max_hamming + 1`` bit blocks; candidates are the equi-join on
+    (block_idx, block_value), exact by pigeonhole; the Hamming filter
+    keeps true matches only.
+
+    ``probe`` columns: media_id, phash. ``reference`` columns: ref_id,
+    phash. -> media_id, ref_id, hamming (distinct)
+    """
+    from .dedup import simhash_blocks
+
+    def banded(df: DataFrame, id_col: str, hash_alias: str) -> DataFrame:
+        block_vals = F.array(
+            *[
+                F.shiftright(F.col("phash"), off).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                )
+                for off, w in simhash_blocks(64, max_hamming)
+            ]
+        )
+        return df.select(
+            F.col(id_col),
+            F.col("phash").alias(hash_alias),
+            F.posexplode(block_vals).alias("blk", "blk_val"),
+        )
+
+    p = banded(probe, "media_id", "ph_a")
+    r = banded(reference, "ref_id", "ph_b")
+    return (
+        p.join(r, ["blk", "blk_val"])
+        .select(
+            "media_id",
+            "ref_id",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def decode_wav_samples(payload: bytes):
     """Pixel-level counterpart for audio: 16-bit PCM WAV -> (sample_rate,
     mono float64 ndarray in [-1, 1)) — channels averaged. The DSP

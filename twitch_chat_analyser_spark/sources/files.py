@@ -139,7 +139,34 @@ def read_binary_media(
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    raw = reader.load(path)
+    return _project_media(reader.load(path))
+
+
+# binaryFile's fixed schema — file stream sources require it explicitly
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_binary_media_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_binary_media`: the same
+    ``binaryFile`` format as a file STREAM source (new files become
+    micro-batch rows), projected to the identical media_table relation —
+    batch-mode duality for the media ingest pipelines."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _project_media(reader.load(path))
+
+
+def _project_media(raw: DataFrame) -> DataFrame:
     ext = F.lower(F.regexp_extract(F.col("path"), r"\.(\w+)$", 1))
     mime = F.create_map(*[F.lit(x) for kv in _MIME.items() for x in kv])[ext]
     return raw.select(

@@ -556,3 +556,92 @@ def start_minhash_corpus_dedup(
     return _start_doc_stream(
         spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
     )
+
+
+def start_phash_media_dedup(
+    spark: SparkSession,
+    media_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 7,
+    fake: bool = False,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental NEAR-duplicate MEDIA ingest: the multimodal analog of
+    :func:`start_minhash_corpus_dedup`. Each micro-batch of binary
+    media files is perceptually fingerprinted (DCT pHash over real
+    decoded pixels — multimodal.image_phash, GIF first frames
+    included); an item is dropped when its hash lies within
+    ``max_hamming`` bits of any stored (or smaller-id in-batch) item's
+    hash. The persistent store holds 8-byte HASHES, never payloads —
+    history verification at 100 TB costs one banded equi-join on block
+    values (exact by pigeonhole, multimodal.phash_probe_candidates),
+    and payload bytes never enter a shuffle (fingerprints are extracted
+    map-side, survivors are written straight back out).
+
+    Exactly-once: ``batch=<id>`` overwrite partitions for both the
+    surviving media and their hashes; the history read excludes the
+    current batch's own partition (same replay reasoning as
+    :func:`_dedup_against_history`).
+
+    Layout: ``out_dir/media/batch=N/`` and ``out_dir/phashes/batch=N/``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import image_phash, phash_probe_candidates
+    from ..sources.files import read_binary_media_stream
+
+    media_path = os.path.join(out_dir, "media")
+    hash_path = os.path.join(out_dir, "phashes")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hashes = image_phash(
+            batch_df, fake=fake, kinds=("image", "video")
+        ).localCheckpoint(eager=True)
+        in_batch = (
+            phash_probe_candidates(
+                hashes,
+                hashes.select(F.col("media_id").alias("ref_id"), "phash"),
+                max_hamming,
+            )
+            .filter(F.col("ref_id") < F.col("media_id"))
+            .select("media_id")
+            .distinct()
+        )
+        drops = in_batch
+        if os.path.isdir(hash_path):
+            hist = (
+                spark.read.parquet(hash_path)
+                .filter(F.col("batch") != batch_id)
+                .select(F.col("media_id").alias("ref_id"), "phash")
+            )
+            vs_hist = (
+                phash_probe_candidates(hashes, hist, max_hamming)
+                .select("media_id")
+                .distinct()
+            )
+            drops = drops.union(vs_hist).distinct()
+        survivors = batch_df.join(drops, "media_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(media_path, f"batch={batch_id}")
+        )
+        hashes.join(
+            survivors.select("media_id"), "media_id", "left_semi"
+        ).write.mode("overwrite").parquet(
+            os.path.join(hash_path, f"batch={batch_id}")
+        )
+
+    stream = read_binary_media_stream(
+        spark, media_dir, glob, max_files_per_trigger
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
