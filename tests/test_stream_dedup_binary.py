@@ -437,7 +437,13 @@ def test_phash_media_dedup_stream(spark, tmp_path):
     import os
 
     import numpy as np
-    from test_multimodal import _bmp_from_px, _jpeg_mod, _test_image, make_gif_gray
+    from test_multimodal import (
+        _bmp_from_px,
+        _jpeg_mod,
+        _sine_wav,
+        _test_image,
+        make_gif_gray,
+    )
 
     from twitch_chat_analyser_spark.streaming import dedup as sd
 
@@ -451,6 +457,8 @@ def test_phash_media_dedup_stream(spark, tmp_path):
     (src / "img_1.bmp").write_bytes(_bmp_from_px(base))
     (src / "img_2.jpg").write_bytes(J.encode_jpeg(base, quality=90))
     (src / "img_3.bmp").write_bytes(_bmp_from_px(_test_image("checker")))
+    (src / "clip_4.wav").write_bytes(_sine_wav(440.0, amp=0.6))
+    (src / "clip_5.wav").write_bytes(_sine_wav(440.0, amp=0.3))  # re-gained 4
     sd.start_phash_media_dedup(
         spark, str(src), out, ckpt
     ).awaitTermination()
@@ -459,16 +467,19 @@ def test_phash_media_dedup_stream(spark, tmp_path):
         r["media_id"]
         for r in spark.read.parquet(os.path.join(out, "media")).collect()
     )
-    assert kept == [1, 3], kept  # 2 is an in-batch near-dup of 1
+    assert kept == [1, 3, 4], kept  # 2 near-dups 1; 5 is a re-gain of 4
 
-    # second arrival: a GIF of doc 1's luma (historical near-dup) and a
-    # genuinely new image
+    # second arrival: a GIF of item 1's luma (historical visual
+    # near-dup), the 440 Hz tone again (historical audio near-dup), a
+    # genuinely new image and a genuinely new tone
     gray = (0.299 * base[:, :, 0] + 0.587 * base[:, :, 1]
             + 0.114 * base[:, :, 2]).round().astype(np.uint8)
     (src / "anim_10.gif").write_bytes(make_gif_gray(gray))
     (src / "img_11.bmp").write_bytes(
         _bmp_from_px(_test_image("checker", 32, 32))
     )
+    (src / "clip_12.wav").write_bytes(_sine_wav(440.0, amp=0.5))
+    (src / "clip_13.wav").write_bytes(_sine_wav(1800.0, amp=0.6))
     sd.start_phash_media_dedup(
         spark, str(src), out, ckpt
     ).awaitTermination()
@@ -477,12 +488,14 @@ def test_phash_media_dedup_stream(spark, tmp_path):
         r["media_id"]
         for r in spark.read.parquet(os.path.join(out, "media")).collect()
     )
-    assert kept == [1, 3, 11], kept  # 10 matched history via the store
+    # 10 and 12 matched history via the store (each in its own modality)
+    assert kept == [1, 3, 4, 11, 13], kept
 
     # the hash store carries survivors only, 8 bytes each — no payloads
     hashes = spark.read.parquet(os.path.join(out, "phashes"))
-    assert sorted({r["media_id"] for r in hashes.collect()}) == [1, 3, 11]
+    assert sorted({r["media_id"] for r in hashes.collect()}) == [1, 3, 4, 11, 13]
     assert "payload" not in hashes.columns
+    assert set(r["modality"] for r in hashes.collect()) == {"visual", "audio"}
 
     # replay with no new files: batch=N overwrite + own-partition
     # exclusion keep the output byte-identical
@@ -493,4 +506,4 @@ def test_phash_media_dedup_stream(spark, tmp_path):
         r["media_id"]
         for r in spark.read.parquet(os.path.join(out, "media")).collect()
     )
-    assert again == [1, 3, 11]
+    assert again == [1, 3, 4, 11, 13]

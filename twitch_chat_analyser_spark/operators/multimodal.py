@@ -1303,6 +1303,7 @@ def phash_probe_candidates(
     probe: DataFrame,
     reference: DataFrame,
     max_hamming: int = 7,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Probe-vs-reference fingerprint matching (the streaming-ingest
     shape: a batch's hashes against the persistent hash store) — the
@@ -1311,10 +1312,18 @@ def phash_probe_candidates(
     (block_idx, block_value), exact by pigeonhole; the Hamming filter
     keeps true matches only.
 
-    ``probe`` columns: media_id, phash. ``reference`` columns: ref_id,
-    phash. -> media_id, ref_id, hamming (distinct)
+    ``key_cols`` names extra columns (present on BOTH sides) folded
+    into the join key — e.g. ``["modality"]`` so an image hash can
+    never match an audio hash that happens to land nearby in the same
+    64-bit space.
+
+    ``probe`` columns: media_id, phash [, key_cols]. ``reference``
+    columns: ref_id, phash [, key_cols].
+    -> media_id, ref_id, hamming (distinct)
     """
     from .dedup import simhash_blocks
+
+    key_cols = list(key_cols or [])
 
     def banded(df: DataFrame, id_col: str, hash_alias: str) -> DataFrame:
         block_vals = F.array(
@@ -1328,13 +1337,14 @@ def phash_probe_candidates(
         return df.select(
             F.col(id_col),
             F.col("phash").alias(hash_alias),
+            *key_cols,
             F.posexplode(block_vals).alias("blk", "blk_val"),
         )
 
     p = banded(probe, "media_id", "ph_a")
     r = banded(reference, "ref_id", "ph_b")
     return (
-        p.join(r, ["blk", "blk_val"])
+        p.join(r, ["blk", "blk_val", *key_cols])
         .select(
             "media_id",
             "ref_id",

@@ -570,11 +570,13 @@ def start_phash_media_dedup(
 ) -> StreamingQuery:
     """Incremental NEAR-duplicate MEDIA ingest: the multimodal analog of
     :func:`start_minhash_corpus_dedup`. Each micro-batch of binary
-    media files is perceptually fingerprinted (DCT pHash over real
-    decoded pixels — multimodal.image_phash, GIF first frames
-    included); an item is dropped when its hash lies within
+    media files is perceptually fingerprinted — DCT pHash over real
+    decoded pixels (multimodal.image_phash, GIF first frames included)
+    for visual items, the time-x-mel-band hash (multimodal.audio_phash)
+    for audio — and an item is dropped when its hash lies within
     ``max_hamming`` bits of any stored (or smaller-id in-batch) item's
-    hash. The persistent store holds 8-byte HASHES, never payloads —
+    hash OF THE SAME MODALITY (the modality is part of the match key,
+    so the two 64-bit spaces never cross-match). The persistent store holds 8-byte HASHES, never payloads —
     history verification at 100 TB costs one banded equi-join on block
     values (exact by pigeonhole, multimodal.phash_probe_candidates),
     and payload bytes never enter a shuffle (fingerprints are extracted
@@ -591,21 +593,35 @@ def start_phash_media_dedup(
 
     from pyspark.sql import functions as F
 
-    from ..operators.multimodal import image_phash, phash_probe_candidates
+    from ..operators.multimodal import (
+        audio_phash,
+        image_phash,
+        phash_probe_candidates,
+    )
     from ..sources.files import read_binary_media_stream
 
     media_path = os.path.join(out_dir, "media")
     hash_path = os.path.join(out_dir, "phashes")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        hashes = image_phash(
+        # visual items (images + GIF first frames) and audio items are
+        # fingerprinted by their own extractors; `modality` rides along
+        # as a join key so the two 64-bit spaces can never cross-match
+        visual = image_phash(
             batch_df, fake=fake, kinds=("image", "video")
-        ).localCheckpoint(eager=True)
+        ).select("media_id", "phash", F.lit("visual").alias("modality"))
+        audio = audio_phash(batch_df, fake=fake).select(
+            "media_id", "phash", F.lit("audio").alias("modality")
+        )
+        hashes = visual.unionByName(audio).localCheckpoint(eager=True)
         in_batch = (
             phash_probe_candidates(
                 hashes,
-                hashes.select(F.col("media_id").alias("ref_id"), "phash"),
+                hashes.select(
+                    F.col("media_id").alias("ref_id"), "phash", "modality"
+                ),
                 max_hamming,
+                key_cols=["modality"],
             )
             .filter(F.col("ref_id") < F.col("media_id"))
             .select("media_id")
@@ -616,10 +632,14 @@ def start_phash_media_dedup(
             hist = (
                 spark.read.parquet(hash_path)
                 .filter(F.col("batch") != batch_id)
-                .select(F.col("media_id").alias("ref_id"), "phash")
+                .select(
+                    F.col("media_id").alias("ref_id"), "phash", "modality"
+                )
             )
             vs_hist = (
-                phash_probe_candidates(hashes, hist, max_hamming)
+                phash_probe_candidates(
+                    hashes, hist, max_hamming, key_cols=["modality"]
+                )
                 .select("media_id")
                 .distinct()
             )
