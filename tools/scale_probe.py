@@ -218,6 +218,16 @@ def probes(spark, sf_dir: str, r: int) -> dict:
         "knn graph (band join + per-src topk window)": pair(
             lambda n: similarity.knn_graph(embs[n], 5, 16, 8)
         ),
+        # replication keeps each copy's sign signature identical (the
+        # dim-0 perturbation rarely flips a sign), so like exact simhash
+        # the OUTPUT pair set grows ~R^2 while candidates stay banded —
+        # expect a near-R ratio, not sub-linear
+        "sign-bit dedup (packed fold + 64-bit banded pairs)": pair(
+            lambda n: similarity.signbit_dedup_pairs(embs[n], 16, 64)
+        ),
+        "hamming kNN (8-byte broadcast probe + bit_count scan)": pair(
+            lambda n: similarity.hamming_topk(embs[n], list(range(10)), 5)
+        ),
     }
 
 

@@ -115,6 +115,12 @@ def _q_dedup_signbits(spark, sf_dir):
     )
 
 
+def _q_ann_hamming(spark, sf_dir):
+    return similarity.hamming_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, EMB_DIM
+    )
+
+
 def _q_dedup_semantic(spark, sf_dir):
     return similarity.semdedup_pairs(
         _emb(spark, sf_dir),
@@ -985,6 +991,7 @@ LLM_QUERIES = {
     "pack_sequences": _q_pack_sequences,
     "dedup_embedding_cosine": _q_dedup_embedding,
     "dedup_signbit_pairs": _q_dedup_signbits,
+    "ann_hamming_topk": _q_ann_hamming,
     "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans,
     "text_unigram_surprise": _q_unigram_surprise,
     "decontaminate_ngram_overlap": _q_decontamination,
@@ -1031,6 +1038,22 @@ _EMB_CTES = """
 emb AS (
     SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
     FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+)
+"""
+
+# packed sign-bit signature: element 1 is the MSB (Spark folds
+# shiftleft(acc,1)+bit, so bit 1 lands on the sign bit — the idx=1 term
+# contributes -2^63). Shared by the signbit pair and Hamming-kNN oracles.
+_SIGNBIT_CTE = f"""
+sig AS (
+    SELECT vec_id, CAST(sum(CASE WHEN val > 0 THEN
+               CASE WHEN idx = 1 THEN -9223372036854775808::HUGEINT
+                    ELSE (1::BIGINT << (64 - CAST(idx AS INT)))::HUGEINT END
+               ELSE 0::HUGEINT END) AS BIGINT) AS sig
+    FROM (SELECT vec_id, unnest(embedding[1:{EMB_DIM}]) AS val,
+                 generate_subscripts(embedding[1:{EMB_DIM}], 1) AS idx
+          FROM embeddings)
+    GROUP BY vec_id
 )
 """
 
@@ -1369,26 +1392,38 @@ FROM cands
 JOIN emb a ON a.vec_id = vec_a
 JOIN emb b ON b.vec_id = vec_b
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {EMB_TOP_N}""",
-        # packed sign-bit signature: element 1 is the MSB (Spark folds
-        # shiftleft(acc,1)+bit, so bit 1 lands on the sign bit — the
-        # idx=1 term contributes -2^63); pairs are the exact all-pairs
-        # Hamming filter (banding is result-identical by pigeonhole)
+        # pairs are the exact all-pairs Hamming filter over the packed
+        # sign signature (banding is result-identical by pigeonhole)
         "dedup_signbit_pairs": f"""
-WITH sig AS (
-    SELECT vec_id, CAST(sum(CASE WHEN val > 0 THEN
-               CASE WHEN idx = 1 THEN -9223372036854775808::HUGEINT
-                    ELSE (1::BIGINT << (64 - CAST(idx AS INT)))::HUGEINT END
-               ELSE 0::HUGEINT END) AS BIGINT) AS sig
-    FROM (SELECT vec_id, unnest(embedding[1:{EMB_DIM}]) AS val,
-                 generate_subscripts(embedding[1:{EMB_DIM}], 1) AS idx
-          FROM embeddings)
-    GROUP BY vec_id
-)
+WITH {_SIGNBIT_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
 FROM sig a, sig b
 WHERE a.vec_id < b.vec_id
   AND bit_count(xor(a.sig, b.sig)) <= {SIGNBIT_MAX_HAMMING}""",
+        # exact Hamming-space kNN over the same packed signature;
+        # rank/tie-break identical to similarity.hamming_topk
+        "ann_hamming_topk": f"""
+WITH {_SIGNBIT_CTE},
+queries AS (
+    SELECT vec_id AS query_id, sig AS qsig FROM sig
+    WHERE vec_id IN ({",".join(str(i) for i in ANN_QUERY_IDS)})
+),
+scored AS (
+    SELECT q.query_id, s.vec_id AS neighbor_id,
+           CAST(bit_count(xor(s.sig, q.qsig)) AS INT) AS hamming
+    FROM sig s, queries q
+    WHERE s.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, hamming, rank
+FROM ranked WHERE rank <= {ANN_K}
+ORDER BY query_id, rank""",
         # same banding, directed candidate edges (dst side capped to the
         # block's EMB_BLOCK_CAP lowest-vec_id pivots — mirrors
         # similarity.knn_graph's occupancy bound), per-src top-k window

@@ -398,6 +398,49 @@ def embedding_signbits(embeddings: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
+def hamming_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 64,
+) -> DataFrame:
+    """Exact top-k nearest neighbors in HAMMING space over the packed
+    sign-bit signature — the binary-quantization endpoint of the ANN
+    matrix (full precision -> SQ8 -> PQ -> 1 bit/dim). The scan is one
+    broadcast of Q packed longs and a ``bit_count(xor)`` per corpus
+    row: 2 instructions of distance math against 8 bytes of data,
+    which is why binary signatures are the web-scale first-pass
+    (rerank survivors with exact cosine when ranking quality matters —
+    compose with :func:`_exact_rerank` exactly like sq8/pq do).
+
+    Ties break on neighbor_id for determinism (and oracle lockstep).
+
+    -> query_id, neighbor_id, hamming, rank
+    """
+    sig = embedding_signbits(embeddings, bits)
+    queries = sig.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        sig.select(F.col("vec_id").alias("neighbor_id"), "sig")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).alias(
+                "hamming"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def signbit_dedup_pairs(
     embeddings: DataFrame,
     max_hamming: int = 3,
