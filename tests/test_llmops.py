@@ -979,3 +979,83 @@ def test_signbit_dedup_pairs_matches_allpairs(spark):
     assert [(r["vec_a"], r["vec_b"], r["hamming"]) for r in rows] == [(0, 1, 2)]
     with pytest.raises(ValueError):
         similarity.embedding_signbits(df, bits=65)
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes quality classifier
+# --------------------------------------------------------------------------
+
+
+def test_nb_quality_separates_ruleworthy_text(spark):
+    # "good" docs: prose-like, pass the Gopher rules (stopwords present,
+    # alpha-heavy); "bad" docs: symbol soup that fails them. NB trained
+    # on those weak labels must score fresh docs of each style apart.
+    good = "the quick brown fox and the lazy dog are of an old tale"
+    bad = "$$$ ### @@@ %%% ^^^ &&& *** !!! ??? ;;;"
+    rows = [(i, "en", "web", good + f" v{i}") for i in range(10)]
+    rows += [(i + 10, "en", "web", bad + f" v{i}") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.nb_quality_score(docs).collect()}
+    assert len(out) == 20
+    good_scores = [out[i]["nb_score_micro"] for i in range(10)]
+    bad_scores = [out[i + 10]["nb_score_micro"] for i in range(10)]
+    assert min(good_scores) > max(bad_scores)
+    assert all(out[i]["nb_pass"] for i in range(10))
+    assert not any(out[i + 10]["nb_pass"] for i in range(10))
+
+
+def test_nb_quality_covers_every_doc_and_is_integer_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", "web", "word " * (i + 1)) for i in range(7)],
+        "doc_id long, lang string, source string, text string",
+    )
+    a = textops.nb_quality_score(docs).collect()
+    b = textops.nb_quality_score(docs).collect()
+    # deterministic: exact integer scores, stable across runs
+    assert sorted((r["doc_id"], r["nb_score_micro"]) for r in a) == sorted(
+        (r["doc_id"], r["nb_score_micro"]) for r in b
+    )
+    assert {r["doc_id"] for r in a} == set(range(7))
+
+
+# --------------------------------------------------------------------------
+# RRF hybrid retrieval
+# --------------------------------------------------------------------------
+
+
+def test_rrf_fuses_lexical_and_dense_rankings(spark):
+    # doc 1 wins lexically (query terms), doc 2 wins densely (vector
+    # near the query vec 0), doc 3 scores on both -> fusion puts the
+    # both-ranker doc first
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "spark merge window spark merge window"),
+            (2, "en", "web", "nothing relevant here at all"),
+            (3, "en", "web", "spark merge appears once"),
+            (4, "en", "web", "also irrelevant filler text"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),   # the query vector
+            (1, [0.0, 1.0, 0.0], 0),   # lexical winner, dense-orthogonal
+            (2, [0.9, 0.3, 0.0], 0),   # dense runner-up, lexical miss
+            (3, [0.99, 0.1, 0.0], 0),  # dense winner + lexical hit
+            (4, [0.0, 0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = llmops.hybrid_retrieval_rrf(docs, emb, k=4).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 3 appears in both rankers; every single-ranker doc scores
+    # strictly lower than a doc with comparable ranks in both lists
+    assert rows[3]["lex_rank"] is not None
+    assert rows[3]["dense_rank"] is not None
+    assert out[0]["doc_id"] == 3
+    # a lexical-only doc still fuses (dense_rank null, one RRF term)
+    assert rows[1]["dense_rank"] in (None,) or rows[1]["dense_rank"] > 0
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)

@@ -1253,3 +1253,134 @@ def test_band_blocks_pigeonhole_fuzz(base, flips):
         if (base >> off) & mask == (other >> off) & mask:
             agree += 1
     assert agree >= 1
+
+
+# --------------------------------------------------------------------------
+# Matroska/WebM EBML parse
+# --------------------------------------------------------------------------
+
+
+def test_parse_webm_dims_frames_duration():
+    payload = multimodal.build_webm(640, 360, 12, 4500, audio_blocks=7)
+    w, h, n, dur = multimodal.parse_webm(payload)
+    assert (w, h) == (640, 360)
+    # only the VIDEO track's blocks count as frames
+    assert n == 12
+    assert dur == 4500
+
+
+def test_parse_webm_routes_through_video_features_stub():
+    payload = multimodal.build_webm(320, 240, 3, 1000)
+    assert multimodal.video_features_stub(payload) == (320, 240, 3, 1000)
+    # GIF/MP4 payloads still route to their own parsers
+    with pytest.raises(NotImplementedError):
+        multimodal.video_features_stub(b"\x00" * 64)
+
+
+def test_parse_webm_rejects_non_matroska_doctype():
+    payload = bytearray(multimodal.build_webm(64, 64, 1, 100))
+    at = bytes(payload).find(b"webm")
+    payload[at : at + 4] = b"aaaa"
+    with pytest.raises(ValueError):
+        multimodal.parse_webm(bytes(payload))
+
+
+def test_parse_webm_unknown_size_segment():
+    # rewrite the Segment size as the 1-byte unknown marker (0xFF) and
+    # confirm the walk still terminates at end-of-payload
+    full = multimodal.build_webm(128, 96, 2, 640)
+    seg_id = (0x18538067).to_bytes(4, "big")
+    at = full.find(seg_id)
+    assert at >= 0
+    size_len = 1
+    b0 = full[at + 4]
+    mask = 0x80
+    while not (b0 & mask):
+        size_len += 1
+        mask >>= 1
+    patched = full[: at + 4] + b"\xff" + full[at + 4 + size_len :]
+    assert multimodal.parse_webm(patched) == (128, 96, 2, 640)
+
+
+def test_video_features_e2e_webm_over_binaryfile(spark, tmp_path):
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    (tmp_path / "clip_5.webm").write_bytes(
+        multimodal.build_webm(426, 240, 24, 960)
+    )
+    media = read_binary_media(spark, str(tmp_path))
+    rows = multimodal.video_features(media, fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["n_frames"], r["duration_ms"]) == (
+        426, 240, 24, 960,
+    )
+
+
+# --------------------------------------------------------------------------
+# FLAC decode end-to-end
+# --------------------------------------------------------------------------
+
+
+def _sine_i16(freq: float, rate: int = 8000, secs: float = 1.0, amp: float = 0.5):
+    np = _np()
+    t = np.arange(int(rate * secs))
+    return (np.sin(2 * np.pi * freq * t / rate) * amp * 32767).astype(np.int16)
+
+
+def test_flac_roundtrip_lossless_all_stereo_modes():
+    np = _np()
+    from twitch_chat_analyser_spark.operators import flaccodec as fc
+
+    sig = _sine_i16(440.0)
+    st = np.stack([sig, (sig * 0.5).astype(np.int16)], axis=1)
+    expect = st.mean(axis=1) / 32768.0
+    for mode in ("independent", "left_side", "mid_side"):
+        payload = fc.encode_flac(st, 8000, block_size=1024, stereo_mode=mode)
+        rate, mono = fc.decode_flac_samples(payload)
+        assert rate == 8000
+        assert float(np.abs(mono - expect).max()) == 0.0
+    # predictive coding actually compresses the tone
+    assert len(fc.encode_flac(sig, 8000)) < sig.nbytes
+
+
+def test_flac_crc_corruption_raises():
+    from twitch_chat_analyser_spark.operators import flaccodec as fc
+
+    payload = bytearray(fc.encode_flac(_sine_i16(440.0), 8000))
+    payload[-10] ^= 0x55  # flip a bit inside the final frame body
+    with pytest.raises(ValueError):
+        fc.decode_flac_samples(bytes(payload))
+
+
+def test_flac_metadata_parse_and_audio_features_chain():
+    from twitch_chat_analyser_spark.operators import flaccodec as fc
+
+    payload = fc.encode_flac(_sine_i16(440.0, secs=0.5), 8000)
+    rate, dur, rms = fc.parse_flac(payload)
+    assert rate == 8000 and dur == 500 and rms is None
+    # the features chain takes the FULL-decode branch: real RMS
+    rate, dur, rms = multimodal.audio_features_stub(payload)
+    assert rate == 8000 and dur == 500
+    assert rms == pytest.approx(0.5 * 32767 / (2 ** 0.5), rel=0.01)
+
+
+def test_flac_feeds_mel_and_fingerprint_paths(spark, tmp_path):
+    from twitch_chat_analyser_spark.operators import flaccodec as fc
+    from twitch_chat_analyser_spark.sources.files import read_binary_media
+
+    (tmp_path / "clip_1.flac").write_bytes(
+        fc.encode_flac(_sine_i16(440.0, amp=0.6), 8000)
+    )
+    (tmp_path / "clip_2.wav").write_bytes(_sine_wav(440.0, amp=0.3))
+    (tmp_path / "clip_3.flac").write_bytes(
+        fc.encode_flac(_sine_i16(1800.0, amp=0.6), 8000)
+    )
+    media = read_binary_media(spark, str(tmp_path))
+    mels = {r["media_id"]: r for r in
+            multimodal.audio_mel_features(media, fake=False).collect()}
+    assert mels[1]["spectral_centroid_hz"] == pytest.approx(440.0, abs=15.0)
+    # cross-format near-dup: FLAC tone vs quieter WAV of the same tone
+    hashes = multimodal.audio_phash(media, fake=False)
+    pairs = multimodal.phash_pairs(hashes, max_hamming=7).collect()
+    assert [(r["media_a"], r["media_b"]) for r in pairs] == [(1, 2)]

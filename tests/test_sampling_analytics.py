@@ -456,3 +456,51 @@ def test_weighted_sample_favors_heavy_weights(spark):
     out = sampling.weighted_sample(docs, k=50).collect()
     heavy = sum(1 for r in out if r["weight"] == 1000)
     assert heavy >= 45
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling
+# --------------------------------------------------------------------------
+
+
+def _dsir_docs(spark):
+    # two sharply-separated vocabularies: target-ish docs speak "alpha",
+    # off-target docs speak "zulu" (different md5 buckets w.h.p.)
+    rows = []
+    for i in range(40):
+        rows.append((i, "en", "web", "alpha beta gamma alpha"))
+    for i in range(40, 80):
+        rows.append((i, "de", "web", "zulu yankee xray zulu"))
+    # a few "de"-labeled docs that nonetheless speak the target tongue
+    for i in range(80, 90):
+        rows.append((i, "de", "web", "alpha beta gamma alpha"))
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+
+
+def test_dsir_upweights_target_distribution_docs(spark):
+    out = sampling.dsir_select(_dsir_docs(spark), "en", k=30).collect()
+    assert len(out) == 30
+    picked = {r["doc_id"] for r in out}
+    # the 50 target-tongue docs (ids <40 and 80-89) dominate the draw:
+    # their hashed-unigram profile matches the target model
+    target_tongue = set(range(40)) | set(range(80, 90))
+    assert len(picked & target_tongue) >= 25
+    # log-weights separate the two vocabularies by construction
+    weights = {r["doc_id"]: r["logw_micro"] for r in out}
+    for d, w in weights.items():
+        if d in target_tongue:
+            assert w > 0
+        else:
+            assert w < 0
+
+
+def test_dsir_is_deterministic_and_ranked(spark):
+    docs = _dsir_docs(spark)
+    a = sampling.dsir_select(docs, "en", k=20).collect()
+    b = sampling.dsir_select(docs, "en", k=20).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    keys = [r["dsir_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert [r["rank"] for r in a] == list(range(1, 21))

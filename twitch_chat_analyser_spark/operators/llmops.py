@@ -2308,6 +2308,8 @@ FROM (
     out["eval_ivf_recall"] = _ivf_recall_oracle_sql(
         out["ann_brute_topk"], out["ann_ivf_topk"], out["ann_ivf_pq_topk"]
     )
+    out["retrieval_hybrid_rrf"] = _rrf_oracle_sql()
+    out["text_nb_quality"] = _nb_quality_oracle_sql()
     return out
 
 
@@ -2505,3 +2507,193 @@ def _pii_oracle_sql() -> str:
         + phone_re
         + "')) AS BIGINT) AS n_phone\nFROM enriched"
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. 2009) of the
+# BM25 lexical ranking and the dense cosine ranking over the document
+# embeddings. The standard RAG serving pattern: two cheap rankers, one
+# rank-space fusion, no score normalization needed.
+# --------------------------------------------------------------------------
+
+RRF_C = 60  # the fusion constant from the RRF paper
+RRF_DEPTH = 50  # per-ranker candidate depth
+RRF_TOPK = 20
+RRF_QUERY_VEC_ID = 0  # the dense query: this document's embedding
+
+
+def hybrid_retrieval_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    query_vec_id: int = RRF_QUERY_VEC_ID,
+    depth: int = RRF_DEPTH,
+    k: int = RRF_TOPK,
+) -> DataFrame:
+    """Fuse BM25 and dense-cosine rankings with RRF:
+    ``score(d) = sum over rankers of 1 / (RRF_C + rank_r(d))`` over the
+    top-``depth`` of each ranker; a document missing from one list
+    contributes only the other term (full-outer fusion). The embedding
+    table's ``vec_id`` is the document id (document-embedding
+    correspondence in the test corpus).
+
+    Float determinism: both input rankings are integer ranks over
+    scores the per-ranker oracles already pin bit-exactly; the fused
+    score is a sum of exactly two doubles (commutative at n=2), rounded
+    once.
+
+    Scale shape: both rankers prune to ``depth`` with
+    TakeOrderedAndProject before any window; fusion joins two
+    ``depth``-row relations — driver-free and broadcastable.
+
+    -> doc_id, lex_rank, dense_rank, rrf_score, rank
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from . import similarity
+
+    lex_top = (
+        bm25_retrieval(docs, query_terms)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(depth)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    dense = similarity.brute_force_topk(
+        embeddings, [query_vec_id], depth
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_C) + F.col("dense_rank")), F.lit(0.0)),
+        12,
+    )
+    topk = (
+        fused.select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(k)
+    )
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("rrf_score"), "doc_id")),
+    )
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    return hybrid_retrieval_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+def _rrf_oracle_sql() -> str:
+    """RRF oracle composed from the committed BM25 oracle (nested WITH
+    subquery — it can never drift from ``bm25_retrieval``) and the same
+    cosine ranking expression the brute-force ANN oracle pins."""
+    cos = _cos("e.v", "q.v", "e.nrm", "q.nrm")
+    return f"""
+WITH bm AS ({_bm25_oracle_sql()}),
+lex AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS lex_rank
+    FROM bm
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {RRF_DEPTH}
+),
+{_EMB_CTES.strip().rstrip()},
+dense AS (
+    SELECT doc_id, dense_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY {cos} DESC, e.vec_id)
+                    AS INT) AS dense_rank
+        FROM emb e, emb q
+        WHERE q.vec_id = {RRF_QUERY_VEC_ID}
+          AND e.vec_id <> {RRF_QUERY_VEC_ID}
+    ) WHERE dense_rank <= {RRF_DEPTH}
+),
+fused AS (
+    SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+           lex_rank, dense_rank,
+           round(coalesce(1.0 / ({RRF_C} + lex_rank), 0.0)
+                 + coalesce(1.0 / ({RRF_C} + dense_rank), 0.0), 12)
+               AS rrf_score
+    FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOPK}"""
+
+
+def _q_nb_quality(spark, sf_dir):
+    return textops.nb_quality_score(_docs(spark, sf_dir))
+
+
+def _nb_quality_oracle_sql() -> str:
+    """Naive-Bayes quality oracle: same weak labels (the committed
+    Gopher-rules SQL as a nested-WITH subquery), top-V vocabulary,
+    Laplace LLRs rounded to the identical micro-nat fixed point, and
+    exact integer per-document dot product."""
+    v = textops.NB_VOCAB
+    s = textops.NB_SCALE
+    return f"""
+WITH rules AS ({_quality_rules_sql()}),
+labels AS (SELECT doc_id, quality_pass FROM rules),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token FROM (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ) ORDER BY cnt DESC, token LIMIT {v}
+),
+vtok AS (
+    SELECT t.doc_id, t.token, quality_pass
+    FROM tok t JOIN vocab USING (token) JOIN labels USING (doc_id)
+),
+per_token AS (
+    SELECT token,
+           CAST(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_cnt,
+           CAST(sum(CASE WHEN quality_pass THEN 0 ELSE 1 END) AS BIGINT)
+               AS neg_cnt
+    FROM vtok GROUP BY token
+),
+class_tot AS (SELECT CAST(sum(pos_cnt) AS BIGINT) AS pos_tot,
+                     CAST(sum(neg_cnt) AS BIGINT) AS neg_tot FROM per_token),
+llr_table AS (
+    SELECT token,
+           CAST(round((ln((pos_cnt + 1.0) / (pos_tot + {v}.0))
+                       - ln((neg_cnt + 1.0) / (neg_tot + {v}.0)))
+                      * {s}, 0) AS BIGINT) AS llr_micro
+    FROM per_token CROSS JOIN class_tot
+),
+doc_tot AS (
+    SELECT CAST(round((ln(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) + 1.0)
+                       - ln(sum(CASE WHEN quality_pass THEN 0 ELSE 1 END) + 1.0))
+                      * {s}, 0) AS BIGINT) AS prior_micro
+    FROM labels
+),
+doc_sums AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
+           CAST(sum(llr_micro) AS BIGINT) AS tok_micro
+    FROM tok JOIN llr_table USING (token) GROUP BY doc_id
+)
+SELECT l.doc_id,
+       coalesce(n_vocab_tokens, 0) AS n_vocab_tokens,
+       CAST(coalesce(tok_micro, 0) + prior_micro AS BIGINT) AS nb_score_micro,
+       (coalesce(tok_micro, 0) + prior_micro > 0) AS nb_pass
+FROM labels l LEFT JOIN doc_sums USING (doc_id) CROSS JOIN doc_tot"""
+
+
+LLM_QUERIES["retrieval_hybrid_rrf"] = _q_hybrid_rrf
+LLM_QUERIES["text_nb_quality"] = _q_nb_quality

@@ -483,24 +483,27 @@ def parse_mp3(payload: bytes):
 
 
 def audio_features_stub(payload: bytes, fake: bool = False):
-    """Audio entry point: REAL stdlib parsers when the payload is a
-    supported format — ``decode_wav`` (16-bit PCM: rate/duration/RMS)
-    or ``parse_mp3`` (MPEG frame walk: rate/duration exact, RMS None —
-    waveform decode needs a codec library); for anything else,
-    ``fake=True`` derives deterministic pseudo-features from the
+    """Audio entry point: REAL decoders when the payload is a supported
+    format — ``decode_wav`` (16-bit PCM: rate/duration/RMS),
+    ``flaccodec.decode_flac`` (full lossless decode: rate/duration/true
+    RMS) or ``parse_mp3`` (MPEG frame walk: rate/duration exact, RMS
+    None — the lossy waveform needs a codec library); for anything
+    else, ``fake=True`` derives deterministic pseudo-features from the
     bytes."""
     if not fake:
+        from .flaccodec import decode_flac
+
         errs = []
-        for dec in (decode_wav, parse_mp3):
+        for dec in (decode_wav, decode_flac, parse_mp3):
             try:
                 return dec(payload)
             except ValueError as exc:
                 errs.append(str(exc))
         raise NotImplementedError(
-            "real parse covers 16-bit PCM WAV and MPEG audio frame "
-            f"headers ({'; '.join(errs)}); other formats need an audio "
-            "library not present in this environment; pass fake=True for "
-            "the deterministic stub"
+            "real decode covers 16-bit PCM WAV, FLAC, and MPEG audio "
+            f"frame headers ({'; '.join(errs)}); other formats need an "
+            "audio library not present in this environment; pass "
+            "fake=True for the deterministic stub"
         )
     rate = 8000 + (hashlib.sha256(payload).digest()[0] % 5) * 8000
     duration_ms = max(1, len(payload) * 1000 // (rate * 2))
@@ -831,25 +834,270 @@ def parse_mp4(payload: bytes):
     return width, height, n_frames, duration_ms
 
 
+def _ebml_vint(data: bytes, pos: int, strip_marker: bool):
+    """Read one EBML variable-width integer at ``pos`` -> (value, new
+    pos, is_unknown). Element IDs keep the length-marker bit (they are
+    compared against full-ID constants); sizes strip it. An all-ones
+    size payload means 'unknown size' (extends to the parent's end)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML vint")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML vint lead byte 0x00")
+    length = 1
+    mask = 0x80
+    while not (b0 & mask):
+        length += 1
+        mask >>= 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML vint body")
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    if strip_marker:
+        val = raw & ~(mask << (8 * (length - 1)))
+        unknown = val == (1 << (7 * length)) - 1
+        return val, pos + length, unknown
+    return raw, pos + length, False
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for each child element
+    of a master element spanning [start, end)."""
+    pos = start
+    while pos < end:
+        eid, pos, _ = _ebml_vint(data, pos, strip_marker=False)
+        size, pos, unknown = _ebml_vint(data, pos, strip_marker=True)
+        body_end = end if unknown else pos + size
+        if body_end > end:
+            raise ValueError("EBML element overruns its parent")
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _ebml_uint(data: bytes, start: int, end: int) -> int:
+    return int.from_bytes(data[start:end], "big")
+
+
+def _ebml_float(data: bytes, start: int, end: int) -> float:
+    import struct
+
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", data[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", data[start:end])[0]
+    raise ValueError("EBML float must be 4 or 8 bytes")
+
+
+# Matroska/WebM element IDs (full IDs, marker bit included)
+_MKV_EBML = 0x1A45DFA3
+_MKV_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMP_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_NUMBER = 0xD7
+_MKV_TRACK_TYPE = 0x83
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_WIDTH = 0xB0
+_MKV_PIXEL_HEIGHT = 0xBA
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLE_BLOCK = 0xA3
+_MKV_BLOCK_GROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+
+def parse_webm(payload: bytes):
+    """REAL stdlib Matroska/WebM parse: EBML element walk (vint IDs and
+    sizes, unknown-size Segments) through Info (TimestampScale +
+    Duration), Tracks (first video TrackEntry's PixelWidth/PixelHeight
+    and TrackNumber), and every Cluster, counting the SimpleBlocks /
+    Blocks that belong to the video track — frame count without
+    touching a single codec byte. Like :func:`parse_mp4` this is a
+    metadata-rate pass: the VP8/VP9/AV1 frame payloads are skipped by
+    their declared sizes, which is exactly what a 100 TB
+    container-inspection job wants.
+
+    -> width, height, n_frames, duration_ms
+    """
+    if len(payload) < 4:
+        raise ValueError("not an EBML payload")
+    top = _ebml_children(payload, 0, len(payload))
+    try:
+        eid, hstart, hend = next(top)
+    except StopIteration:
+        raise ValueError("empty EBML stream") from None
+    if eid != _MKV_EBML:
+        raise ValueError("not an EBML payload (missing EBML header)")
+    doctype = "matroska"  # the spec default when DocType is absent
+    for ceid, cstart, cend in _ebml_children(payload, hstart, hend):
+        if ceid == _MKV_DOCTYPE:
+            doctype = payload[cstart:cend].split(b"\x00")[0].decode(
+                "ascii", "replace"
+            )
+    if doctype not in ("webm", "matroska"):
+        raise ValueError(f"EBML doctype {doctype!r} is not Matroska/WebM")
+    segment = None
+    for eid, start, end in top:
+        if eid == _MKV_SEGMENT:
+            segment = (start, end)
+            break
+    if segment is None:
+        raise ValueError("Matroska stream without a Segment")
+    ts_scale = 1_000_000  # nanoseconds per tick (spec default)
+    duration_ticks = None
+    width = height = 0
+    video_track = None
+    n_frames = 0
+    for eid, start, end in _ebml_children(payload, *segment):
+        if eid == _MKV_INFO:
+            for ceid, cstart, cend in _ebml_children(payload, start, end):
+                if ceid == _MKV_TIMESTAMP_SCALE:
+                    ts_scale = _ebml_uint(payload, cstart, cend)
+                elif ceid == _MKV_DURATION:
+                    duration_ticks = _ebml_float(payload, cstart, cend)
+        elif eid == _MKV_TRACKS:
+            for ceid, cstart, cend in _ebml_children(payload, start, end):
+                if ceid != _MKV_TRACK_ENTRY:
+                    continue
+                t_num = t_type = None
+                t_w = t_h = 0
+                for teid, tstart, tend in _ebml_children(
+                    payload, cstart, cend
+                ):
+                    if teid == _MKV_TRACK_NUMBER:
+                        t_num = _ebml_uint(payload, tstart, tend)
+                    elif teid == _MKV_TRACK_TYPE:
+                        t_type = _ebml_uint(payload, tstart, tend)
+                    elif teid == _MKV_VIDEO:
+                        for veid, vstart, vend in _ebml_children(
+                            payload, tstart, tend
+                        ):
+                            if veid == _MKV_PIXEL_WIDTH:
+                                t_w = _ebml_uint(payload, vstart, vend)
+                            elif veid == _MKV_PIXEL_HEIGHT:
+                                t_h = _ebml_uint(payload, vstart, vend)
+                if t_type == 1 and video_track is None and t_w and t_h:
+                    video_track = t_num
+                    width, height = t_w, t_h
+        elif eid == _MKV_CLUSTER:
+            for ceid, cstart, cend in _ebml_children(payload, start, end):
+                block_at = None
+                if ceid == _MKV_SIMPLE_BLOCK:
+                    block_at = cstart
+                elif ceid == _MKV_BLOCK_GROUP:
+                    for geid, gstart, gend in _ebml_children(
+                        payload, cstart, cend
+                    ):
+                        if geid == _MKV_BLOCK:
+                            block_at = gstart
+                if block_at is not None:
+                    tnum, _pos, _ = _ebml_vint(
+                        payload, block_at, strip_marker=True
+                    )
+                    if video_track is not None and tnum == video_track:
+                        n_frames += 1
+    if width == 0 or height == 0:
+        raise ValueError("Matroska stream without a video track")
+    duration_ms = (
+        int(duration_ticks * ts_scale / 1_000_000)
+        if duration_ticks is not None
+        else 0
+    )
+    return width, height, n_frames, duration_ms
+
+
+def _ebml_encode_vint(value: int, length: int | None = None) -> bytes:
+    """Encode an EBML SIZE vint (marker bit in the lead byte)."""
+    if length is None:
+        length = 1
+        while value >= (1 << (7 * length)) - 1:
+            length += 1
+    marked = value | (1 << (7 * length))
+    return marked.to_bytes(length, "big")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    id_len = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(id_len, "big") + _ebml_encode_vint(len(body)) + body
+
+
+def build_webm(
+    width: int,
+    height: int,
+    n_frames: int,
+    duration_ms: int,
+    audio_blocks: int = 0,
+) -> bytes:
+    """Deterministic WebM fixture builder (the EBML counterpart of
+    ``encode_gif``/``encode_png``): a valid two-track-capable Segment
+    with Info (TimestampScale + float Duration), a video TrackEntry,
+    optionally an audio TrackEntry, and Clusters carrying SimpleBlocks
+    for both tracks — so :func:`parse_webm`'s track-filtered frame
+    count is actually exercised."""
+    import struct
+
+    header = _ebml_el(
+        _MKV_EBML,
+        _ebml_el(0x4286, b"\x01")  # EBMLVersion
+        + _ebml_el(_MKV_DOCTYPE, b"webm"),
+    )
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TIMESTAMP_SCALE, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", float(duration_ms))),
+    )
+    video_entry = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(_MKV_TRACK_NUMBER, b"\x01")
+        + _ebml_el(_MKV_TRACK_TYPE, b"\x01")
+        + _ebml_el(
+            _MKV_VIDEO,
+            _ebml_el(_MKV_PIXEL_WIDTH, width.to_bytes(2, "big"))
+            + _ebml_el(_MKV_PIXEL_HEIGHT, height.to_bytes(2, "big")),
+        ),
+    )
+    audio_entry = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(_MKV_TRACK_NUMBER, b"\x02")
+        + _ebml_el(_MKV_TRACK_TYPE, b"\x02"),
+    )
+    tracks = _ebml_el(_MKV_TRACKS, video_entry + audio_entry)
+    blocks = b""
+    for i in range(n_frames):
+        # SimpleBlock: track vint, 16-bit rel. timestamp, flags, data
+        body = _ebml_encode_vint(1) + struct.pack(">hB", i, 0x80) + b"\xde"
+        blocks += _ebml_el(_MKV_SIMPLE_BLOCK, body)
+    for i in range(audio_blocks):
+        body = _ebml_encode_vint(2) + struct.pack(">hB", i, 0x80) + b"\xad"
+        blocks += _ebml_el(_MKV_SIMPLE_BLOCK, body)
+    cluster = _ebml_el(_MKV_CLUSTER, _ebml_el(0xE7, b"\x00") + blocks)
+    segment = _ebml_el(_MKV_SEGMENT, info + tracks + cluster)
+    return header + segment
+
+
 def video_features_stub(payload: bytes, fake: bool = False):
     """Video container entry point: REAL stdlib parsers when the
-    payload is a supported container — :func:`decode_gif` (block walk)
-    or :func:`parse_mp4` (ISO-BMFF box walk: mvhd duration, tkhd dims,
-    stsz frame count; codec data untouched); webm or codec-level decode
-    need a media library absent from this container — for those,
-    ``fake=True`` derives deterministic pseudo-features."""
+    payload is a supported container — :func:`decode_gif` (block walk),
+    :func:`parse_mp4` (ISO-BMFF box walk: mvhd duration, tkhd dims,
+    stsz frame count) or :func:`parse_webm` (Matroska EBML walk: Info
+    duration, video-track dims, per-Cluster block count; codec data
+    untouched in all three); codec-level frame decode needs a media
+    library absent from this container — for that, ``fake=True``
+    derives deterministic pseudo-features."""
     if not fake:
         errs = []
-        for dec in (decode_gif, parse_mp4):
+        for dec in (decode_gif, parse_mp4, parse_webm):
             try:
                 return dec(payload)
             except ValueError as exc:
                 errs.append(str(exc))
         raise NotImplementedError(
-            "real parse covers GIF and ISO-BMFF (MP4/MOV) containers "
-            f"({'; '.join(errs)}); webm/codec decode need a media library "
-            "not present in this environment; pass fake=True for the "
-            "deterministic stub"
+            "real parse covers GIF, ISO-BMFF (MP4/MOV) and Matroska "
+            f"(WebM/MKV) containers ({'; '.join(errs)}); codec-level "
+            "frame decode needs a media library not present in this "
+            "environment; pass fake=True for the deterministic stub"
         )
     h = hashlib.sha256(payload).digest()
     width = 160 + h[0] % 64
@@ -1395,6 +1643,25 @@ def decode_wav_samples(payload: bytes):
     return rate, mono
 
 
+
+
+def decode_audio_samples(payload: bytes):
+    """Waveform dispatcher for the DSP/fingerprint paths: 16-bit PCM
+    WAV or FLAC (full lossless decode via ``flaccodec``) -> (rate,
+    mono float64 ndarray in [-1, 1))."""
+    from .flaccodec import decode_flac_samples
+
+    errs = []
+    for dec in (decode_wav_samples, decode_flac_samples):
+        try:
+            return dec(payload)
+        except ValueError as exc:
+            errs.append(str(exc))
+    raise ValueError(
+        f"waveform decode covers WAV and FLAC ({'; '.join(errs)})"
+    )
+
+
 def _mel_filterbank(n_mels: int, n_fft: int, rate: int):
     """Triangular mel filterbank (HTK mel = 2595 log10(1 + f/700)) over
     the rfft bin grid -> (n_mels, n_fft//2 + 1) weight matrix."""
@@ -1490,7 +1757,7 @@ def audio_mel_features(
                          "spectral_centroid_hz": float(dig[1]) * 16.0}
                     )
                     continue
-                rate, mono = decode_wav_samples(payload)
+                rate, mono = decode_audio_samples(payload)
                 mels = mel_spectrogram(mono, rate, frame_len, hop, n_mels)
                 # centroid from the linear power spectrum of the whole clip
                 spec = np.abs(np.fft.rfft(mono)) ** 2
@@ -1557,7 +1824,7 @@ def audio_phash(media: DataFrame, fake: bool = True) -> DataFrame:
                         signed=True,
                     )
                 else:
-                    rate, mono = decode_wav_samples(payload)
+                    rate, mono = decode_audio_samples(payload)
                     ph = audio_phash64(mono, rate)
                 rows.append({"media_id": r["media_id"], "phash": ph})
             yield pd.DataFrame(rows)

@@ -534,10 +534,14 @@ SAMPLING_QUERIES = {
     "sample_group_safe_split": _q_group_safe_split,
     "sample_token_budget": _q_token_budget,
 }
+# _q_dsir is defined below the dict (the DSIR section sits at the end of
+# the module); registration happens right after its definition.
 
 
 def sampling_oracles() -> dict[str, str]:
     from .llmops import quality_sql_parts
+
+    dsir = {"sample_dsir_importance": dsir_oracle_sql()}
 
     thr_sample = hash_threshold(SAMPLE_FRACTION)
     thr_train = hash_threshold(TRAIN_FRACTION)
@@ -612,7 +616,7 @@ SELECT doc_id, content_hash,
             THEN 'train' ELSE 'test' END AS split
 FROM fp""",
     }
-    return extra | {
+    return extra | dsir | {
         "sample_deterministic": f"""
 SELECT doc_id, lang, source FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thr_sample}'""",
@@ -735,3 +739,181 @@ def token_budget_sample(
         .filter(F.col("tokens_before") < budget_per_source)
         .select("doc_id", "source", "n_tokens", "tokens_before")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+# Hashed-unigram bag-of-words generative models for the TARGET slice and
+# the RAW corpus give every document an importance log-weight
+# log p_target(x) - log p_raw(x); Gumbel-top-k on the log-weights then
+# draws a without-replacement sample distributed ~ importance weights
+# (Vieira 2014), with the Gumbel noise derived deterministically from
+# the doc-id hash so the draw is reproducible and engine-portable.
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed feature space: token -> md5 bucket
+DSIR_SCALE = 1_000_000  # per-bucket log-ratio fixed point (micro-nats)
+DSIR_K = 100
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = DSIR_K,
+) -> DataFrame:
+    """Select ``k`` documents from the corpus importance-resampled
+    toward the ``target_lang`` slice's hashed-unigram distribution.
+
+    Both "models" are one aggregation over the same token explode: the
+    raw distribution over all documents, the target distribution over
+    the target slice (Laplace-smoothed over ``n_buckets``). Each
+    bucket's log-ratio is rounded once to integer micro-nats, so every
+    document's log-weight is an EXACT integer dot product (count x
+    ratio) — order-free, bit-identical in the DuckDB oracle. The
+    Gumbel key ``logw + (-ln(-ln(u)))`` uses ``u`` from the doc-id md5,
+    so selection is a pure function of the corpus.
+
+    Scale shape: token explode -> 256-bucket aggregation (tiny, one
+    shuffle whose key space is the bucket id — no skew: md5 spreads
+    tokens uniformly); the per-bucket ratio table broadcasts; the
+    per-doc rollup is the only data-sized shuffle; top-k is
+    TakeOrderedAndProject, never a global sort.
+
+    -> doc_id, logw_micro, dsir_key, rank
+    """
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
+    )
+    bucketed = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 4), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    raw = bucketed.groupBy("b").agg(F.count("*").cast("long").alias("raw_cnt"))
+    tgt = (
+        bucketed.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("tgt_cnt"))
+    )
+    dist = (
+        raw.join(tgt, "b", "left")
+        .select("b", "raw_cnt", F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"))
+    )
+    totals = dist.agg(
+        F.sum("raw_cnt").cast("long").alias("raw_tot"),
+        F.sum("tgt_cnt").cast("long").alias("tgt_tot"),
+    )
+    bmod = F.lit(float(n_buckets))
+    log_ratio = F.log(
+        (F.col("tgt_cnt") + 1.0) / (F.col("tgt_tot") + bmod)
+    ) - F.log((F.col("raw_cnt") + 1.0) / (F.col("raw_tot") + bmod))
+    ratios = dist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(log_ratio * DSIR_SCALE, 0).cast("long").alias("lr_micro"),
+    )
+    doc_feats = bucketed.groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    logw = (
+        doc_feats.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lr_micro")).alias("logw_micro"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dsir:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    keyed = logw.select(
+        "doc_id",
+        "logw_micro",
+        F.round(
+            F.col("logw_micro") / F.lit(float(DSIR_SCALE)) + gumbel, 9
+        ).alias("dsir_key"),
+    )
+    topk = keyed.orderBy(F.desc("dsir_key"), "doc_id").limit(k)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("dsir_key"), "doc_id")),
+    )
+
+
+def _q_dsir(spark, sf_dir):
+    from .. import ingest
+
+    return dsir_select(ingest.load(spark, sf_dir, "documents"))
+
+
+def dsir_oracle_sql() -> str:
+    """DSIR oracle: identical bucket hash, Laplace log-ratio fixed
+    point, integer dot product, and Gumbel key expression tree."""
+    return f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(token), 1, 4))::BIGINT % {DSIR_BUCKETS} AS b
+    FROM tok
+),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS raw_cnt FROM bucketed GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tgt_cnt FROM bucketed
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+dist AS (
+    SELECT raw.b, raw_cnt, coalesce(tgt_cnt, 0) AS tgt_cnt
+    FROM raw LEFT JOIN tgt USING (b)
+),
+totals AS (SELECT CAST(sum(raw_cnt) AS BIGINT) AS raw_tot,
+                  CAST(sum(tgt_cnt) AS BIGINT) AS tgt_tot FROM dist),
+ratios AS (
+    SELECT b,
+           CAST(round((ln((tgt_cnt + 1.0) / (tgt_tot + {DSIR_BUCKETS}.0))
+                 - ln((raw_cnt + 1.0) / (raw_tot + {DSIR_BUCKETS}.0)))
+                * {DSIR_SCALE}, 0) AS BIGINT) AS lr_micro
+    FROM dist CROSS JOIN totals
+),
+doc_feats AS (
+    SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+    FROM bucketed GROUP BY doc_id, b
+),
+logw AS (
+    SELECT doc_id, sum(cnt * lr_micro) AS logw_micro
+    FROM doc_feats JOIN ratios USING (b) GROUP BY doc_id
+),
+keyed AS (
+    SELECT doc_id, logw_micro,
+           round(logw_micro / {DSIR_SCALE}.0
+                 + (-ln(-ln((('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                            / 4294967296.0))), 9) AS dsir_key
+    FROM logw
+)
+SELECT doc_id, logw_micro, dsir_key,
+       CAST(row_number() OVER (ORDER BY dsir_key DESC, doc_id) AS INT) AS rank
+FROM keyed
+ORDER BY dsir_key DESC, doc_id
+LIMIT {DSIR_K}"""
+
+
+SAMPLING_QUERIES["sample_dsir_importance"] = _q_dsir

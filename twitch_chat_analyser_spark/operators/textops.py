@@ -451,3 +451,119 @@ def unigram_surprise(docs: DataFrame) -> DataFrame:
             F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("avg_neg_logp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes quality classifier (fastText-style quality filter twin:
+# CCNet / GPT-3 / LLaMA pipelines train a linear text classifier on a
+# "good" corpus vs raw crawl and keep docs the model scores as good.
+# Naive Bayes is the closed-form member of that family — training IS one
+# aggregation, so both training and inference are single Spark passes
+# with no gradient loop, and the whole thing stays SQL-expressible.)
+# --------------------------------------------------------------------------
+
+NB_VOCAB = 512  # top-V tokens by corpus count; bounds the broadcast side
+NB_SCALE = 1_000_000  # log-likelihood-ratio fixed-point scale (micro-nats)
+
+
+def nb_quality_score(docs: DataFrame, vocab_size: int = NB_VOCAB) -> DataFrame:
+    """Train-and-score a multinomial Naive-Bayes quality classifier in
+    one job. Weak supervision comes from the pipeline's own hard rules
+    (:func:`quality_rule_flags` ``quality_pass`` — the Gopher-rules
+    conjunction), the standard bootstrap when no hand-labeled corpus
+    exists; per-token log-likelihood ratios use Laplace smoothing over
+    the top-``vocab_size`` vocabulary.
+
+    Float determinism: each token's LLR is rounded once to integer
+    micro-nats (``NB_SCALE``), so the per-document score is an EXACT
+    integer dot product — no shuffle-order float summation anywhere,
+    and the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: one token explode feeds both the vocabulary top-V
+    (TakeOrderedAndProject, no global sort) and the class-conditional
+    counts; the vocabulary and the per-token LLR table are O(V) and
+    broadcast. The only data-sized shuffles are the doc_id rollups.
+    The label join is doc-keyed (uniform). At 100 TB the weak labels
+    would come from the already-materialized rules table instead of
+    being recomputed — the operator takes them from ``docs`` content
+    only so the oracle is self-contained.
+
+    -> doc_id, n_vocab_tokens, nb_score_micro, nb_pass
+    """
+    labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    vtok = tok.join(F.broadcast(vocab), "token").join(labels, "doc_id")
+    per_token = vtok.groupBy("token").agg(
+        F.sum(F.when(F.col("quality_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("pos_cnt"),
+        F.sum(F.when(F.col("quality_pass"), 0).otherwise(1))
+        .cast("long")
+        .alias("neg_cnt"),
+    )
+    class_tot = per_token.agg(
+        F.sum("pos_cnt").cast("long").alias("pos_tot"),
+        F.sum("neg_cnt").cast("long").alias("neg_tot"),
+    )
+    doc_tot = labels.agg(
+        F.sum(F.when(F.col("quality_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("quality_pass"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    v = F.lit(float(vocab_size))
+    llr = F.log(
+        (F.col("pos_cnt") + 1.0) / (F.col("pos_tot") + v)
+    ) - F.log((F.col("neg_cnt") + 1.0) / (F.col("neg_tot") + v))
+    llr_table = (
+        per_token.crossJoin(F.broadcast(class_tot))
+        .select(
+            "token",
+            F.round(llr * NB_SCALE, 0).cast("long").alias("llr_micro"),
+        )
+    )
+    # Laplace on the doc-count prior too, so an all-pass (or all-fail)
+    # corpus still yields a finite prior
+    prior = F.round(
+        (
+            F.log(F.col("n_pos") + 1.0) - F.log(F.col("n_neg") + 1.0)
+        )
+        * NB_SCALE,
+        0,
+    ).cast("long")
+    doc_sums = (
+        tok.join(F.broadcast(llr_table), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vocab_tokens"),
+            F.sum("llr_micro").cast("long").alias("tok_micro"),
+        )
+    )
+    return (
+        labels.select("doc_id")
+        .join(doc_sums, "doc_id", "left")
+        .crossJoin(F.broadcast(doc_tot.select(prior.alias("prior_micro"))))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_vocab_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_vocab_tokens"),
+            (F.coalesce(F.col("tok_micro"), F.lit(0)) + F.col("prior_micro"))
+            .cast("long")
+            .alias("nb_score_micro"),
+            (
+                F.coalesce(F.col("tok_micro"), F.lit(0))
+                + F.col("prior_micro")
+                > 0
+            ).alias("nb_pass"),
+        )
+    )

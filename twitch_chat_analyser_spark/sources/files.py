@@ -110,7 +110,10 @@ _MIME = {
     "bmp": "image/bmp",
     "wav": "audio/wav",
     "mp3": "audio/mpeg",
+    "flac": "audio/flac",
     "mp4": "video/mp4",
+    "webm": "video/webm",
+    "mkv": "video/x-matroska",
     # animated container parsed by the REAL stdlib block walker
     # (multimodal.decode_gif) — routed to the video stage
     "gif": "video/gif",
