@@ -1059,3 +1059,27 @@ def test_rrf_fuses_lexical_and_dense_rankings(spark):
     assert rows[1]["dense_rank"] in (None,) or rows[1]["dense_rank"] > 0
     scores = [r["rrf_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bpe_train_merges_apply_and_order_deterministically(spark):
+    # Sennrich-style corpus: vocab {low:3, lower:2, newest:6}. Round-1
+    # pair counts put (w,e) on top with 8 (lower's w-e plus newest's);
+    # round 2 must see the APPLIED merge — 'we' participates as a
+    # symbol in the next argmax pair.
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"] * 6)
+    docs = spark.createDataFrame(
+        [(1, "en", "web", text)],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = textops.bpe_train(docs, n_merges=4).orderBy("step").collect()
+    assert len(out) == 4
+    assert (out[0]["pair_a"], out[0]["pair_b"], out[0]["pair_count"]) == (
+        "w", "e", 8,
+    )
+    assert out[0]["merged"] == "we"
+    # the merged symbol from round 1 is a pair member in round 2
+    # (ties at count 6 break on pair_a asc: 'e we' wins)
+    assert (out[1]["pair_a"], out[1]["pair_b"]) == ("e", "we")
+    # determinism across runs
+    again = textops.bpe_train(docs, n_merges=4).orderBy("step").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -2310,6 +2310,7 @@ FROM (
     )
     out["retrieval_hybrid_rrf"] = _rrf_oracle_sql()
     out["text_nb_quality"] = _nb_quality_oracle_sql()
+    out["text_bpe_train"] = _bpe_train_oracle_sql()
     return out
 
 
@@ -2697,3 +2698,58 @@ FROM labels l LEFT JOIN doc_sums USING (doc_id) CROSS JOIN doc_tot"""
 
 LLM_QUERIES["retrieval_hybrid_rrf"] = _q_hybrid_rrf
 LLM_QUERIES["text_nb_quality"] = _q_nb_quality
+
+
+def _q_bpe_train(spark, sf_dir):
+    return textops.bpe_train(_docs(spark, sf_dir))
+
+
+def _bpe_train_oracle_sql() -> str:
+    """Unrolled BPE training rounds (same technique as the k-means /
+    PageRank oracles): each round re-derives pair counts, the argmax,
+    and the fold-rewritten symbol table as chained CTEs. The DuckDB
+    fold runs over list-of-lists (list_reduce seeds the accumulator
+    with the first ELEMENT, so acc and element types must match) —
+    semantically identical to Spark's seeded `aggregate` fold because
+    a singleton first symbol can never complete a pair by itself."""
+    n = textops.BPE_TRAIN_MERGES
+    ctes = ["""vocab AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+          FROM documents)
+    WHERE len(word) >= 2 GROUP BY word
+),
+syms0 AS (
+    SELECT freq,
+           list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+    FROM vocab
+)"""]
+    selects = []
+    for k in range(1, n + 1):
+        prev = f"syms{k - 1}"
+        ctes.append(f"""pairs{k} AS (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+    FROM {prev} WHERE len(syms) >= 2
+),
+best{k} AS (
+    SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs{k} GROUP BY 1, 2
+    ORDER BY pair_count DESC, a, b LIMIT 1
+),
+syms{k} AS (
+    SELECT freq,
+           list_reduce(list_transform(syms, s -> [s]),
+             (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
+                         THEN list_append(acc[1:len(acc)-1], b.a || b.b)
+                         ELSE list_concat(acc, x) END) AS syms
+    FROM {prev} CROSS JOIN best{k} b
+)""")
+        selects.append(
+            f"SELECT CAST({k} AS INT) AS step, a AS pair_a, b AS pair_b,"
+            f" a || b AS merged, pair_count FROM best{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+LLM_QUERIES["text_bpe_train"] = _q_bpe_train

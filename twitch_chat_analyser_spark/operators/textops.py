@@ -567,3 +567,96 @@ def nb_quality_score(docs: DataFrame, vocab_size: int = NB_VOCAB) -> DataFrame:
             ).alias("nb_pass"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full BPE tokenizer training (Sennrich et al. 2016) — the driver loop
+# around bpe_merge_candidates' primitive, with the merge APPLICATION
+# in-plan: each round's argmax pair is a one-row relation crossJoined
+# back in, and the symbol rewrite is a JVM-side `aggregate` fold over
+# the symbol arrays (greedy left-to-right non-overlapping, exactly the
+# reference algorithm's scan). No collect anywhere: the trained merge
+# list is ONE Catalyst plan of n_merges chained rounds.
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 8
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus vocabulary and
+    return the ordered merge table. Each round: adjacent-pair counts
+    weighted by word frequency -> deterministic argmax (count desc,
+    pair asc) -> fold-rewrite of every vocabulary word's symbol array.
+
+    Scale shape: the corpus collapses to its vocabulary once (groupBy
+    word — dedup before any per-char work); every round is then a
+    vocab-sized pair explode + aggregation + a 1-row
+    TakeOrderedAndProject argmax broadcast back. Corpus size only
+    enters through the initial word count; rounds cost O(vocab).
+    Both the symbol table and the argmax are lineage-capped per round
+    (``localCheckpoint``) — each is consumed twice, and without the cap
+    Catalyst re-derives every earlier round per reference, turning the
+    n-round loop into 2^n recomputation (the same fix as
+    ``graph.pagerank``).
+
+    -> step, pair_a, pair_b, merged, pair_count
+    """
+    vocab = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = vocab.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    steps = []
+    for step in range(1, n_merges + 1):
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), i -> "
+                    "struct(element_at(syms, i) as a, "
+                    "element_at(syms, i + 1) as b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        ).localCheckpoint(eager=False)
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                "pair_count",
+            )
+        )
+        bp = best.select(F.col("a").alias("_pa"), F.col("b").alias("_pb"))
+        cur = (
+            cur.crossJoin(F.broadcast(bp))
+            .select(
+                "freq",
+                F.expr(
+                    "aggregate(syms, cast(array() as array<string>), "
+                    "(acc, x) -> CASE WHEN size(acc) > 0 "
+                    "AND element_at(acc, -1) = _pa AND x = _pb "
+                    "THEN concat(slice(acc, 1, size(acc) - 1), "
+                    "array(concat(_pa, _pb))) "
+                    "ELSE concat(acc, array(x)) END)"
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
