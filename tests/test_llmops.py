@@ -1083,3 +1083,22 @@ def test_bpe_train_merges_apply_and_order_deterministically(spark):
     # determinism across runs
     again = textops.bpe_train(docs, n_merges=4).orderBy("step").collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_pca_power_projection_finds_dominant_axis(spark):
+    # variance concentrated on axis 1 (values spread -10..10), noise on
+    # axis 0 — pc1 must align with axis 1: scores ~ centered y values
+    rows = [(i, [0.01 * (i % 3), float(i) - 4.5, 0.0], 0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r["pc1_score"]
+           for r in similarity.pca_power_projection(df, dim=3).collect()}
+    assert len(out) == 10
+    # scores are an affine image of the axis-1 coordinate: strictly
+    # monotone in i (either direction), symmetric around 0
+    seq = [out[i] for i in range(10)]
+    diffs = [b - a for a, b in zip(seq, seq[1:])]
+    assert all(d > 0 for d in diffs) or all(d < 0 for d in diffs)
+    assert abs(sum(seq)) < 1e-3
+    assert max(abs(s) for s in seq) == pytest.approx(4.5, rel=0.01)

@@ -106,6 +106,7 @@ def probes(spark, sf_dir: str, r: int) -> dict:
     from twitch_chat_analyser_spark.operators import (
         dedup,
         frequency,
+        llmops,
         sampling,
         similarity,
         sketches,
@@ -227,6 +228,18 @@ def probes(spark, sf_dir: str, r: int) -> dict:
         ),
         "hamming kNN (8-byte broadcast probe + bit_count scan)": pair(
             lambda n: similarity.hamming_topk(embs[n], list(range(10)), 5)
+        ),
+        "DSIR select (256-bucket models + integer dot + gumbel topk)": pair(
+            lambda n: sampling.dsir_select(docs[n])
+        ),
+        "NB quality classifier (train agg + broadcast LLR score)": pair(
+            lambda n: textops.nb_quality_score(docs[n])
+        ),
+        "RRF hybrid retrieval (bm25 + dense, depth-pruned fusion)": pair(
+            lambda n: llmops.hybrid_retrieval_rrf(docs[n], embs[n])
+        ),
+        "BPE train 4 rounds (vocab collapse + per-round argmax+fold)": pair(
+            lambda n: textops.bpe_train(docs[n], n_merges=4)
         ),
     }
 

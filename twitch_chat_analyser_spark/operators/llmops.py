@@ -2311,6 +2311,7 @@ FROM (
     out["retrieval_hybrid_rrf"] = _rrf_oracle_sql()
     out["text_nb_quality"] = _nb_quality_oracle_sql()
     out["text_bpe_train"] = _bpe_train_oracle_sql()
+    out["embedding_pca_projection"] = _pca_oracle_sql()
     return out
 
 
@@ -2753,3 +2754,51 @@ syms{k} AS (
 
 
 LLM_QUERIES["text_bpe_train"] = _q_bpe_train
+
+
+def _q_pca(spark, sf_dir):
+    return similarity.pca_power_projection(_emb(spark, sf_dir))
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power iteration (same technique as the k-means / BPE
+    oracles): scatter table once, then per-round matvec + normalize
+    CTEs, then the projection rollup."""
+    n = similarity.PCA_ITERATIONS
+    dim = EMB_DIM
+    ctes = [f"""xd AS (
+    SELECT vec_id, idx - 1 AS d, val
+    FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                 generate_subscripts(embedding, 1) AS idx
+          FROM embeddings)
+),
+mu AS (SELECT d, sum(val) / count(*) AS mu FROM xd GROUP BY d),
+centered AS (
+    SELECT vec_id, xd.d, val - mu AS c FROM xd JOIN mu USING (d)
+),
+scatter AS (
+    SELECT a.d AS dd, b.d AS de, sum(a.c * b.c) AS cde
+    FROM centered a JOIN centered b USING (vec_id) GROUP BY 1, 2
+),
+v0 AS (
+    SELECT CAST(i AS INT) AS pos,
+           CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS val
+    FROM range({dim}) t(i)
+)"""]
+    for k in range(1, n + 1):
+        ctes.append(f"""w{k} AS (
+    SELECT dd AS pos, sum(cde * val) AS wv
+    FROM scatter JOIN v{k - 1} ON de = pos GROUP BY dd
+),
+n{k} AS (SELECT sqrt(sum(wv * wv)) AS nrm FROM w{k}),
+v{k} AS (SELECT pos, wv / nrm AS val FROM w{k} CROSS JOIN n{k})""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, round(sum(c * val), 6) AS pc1_score
+FROM centered JOIN v{n} ON centered.d = v{n}.pos
+GROUP BY vec_id"""
+    )
+
+
+LLM_QUERIES["embedding_pca_projection"] = _q_pca

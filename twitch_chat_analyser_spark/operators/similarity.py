@@ -1446,3 +1446,95 @@ def ivf_pq_topk(
         F.when(ccs > 0, adc / (F.col("q_nrm") * F.sqrt(ccs))).alias("a_sim"),
     )
     return _expand_rerank(approx, vecs, queries, k, expand)
+
+
+# ---------------------------------------------------------------------------
+# PCA top component — power iteration on a one-pass covariance table.
+# The dominant-direction primitive embedding pipelines use for
+# de-biasing / "all-but-the-top" post-processing (Mu & Viswanath 2018)
+# and as the split axis for balanced space partitioning. Scale shape:
+# ONE corpus pass builds the d x d scatter table (map-side partial sums
+# to d^2 cells — the only data-sized stage); every power-iteration
+# round then runs on the d^2-row state and a d-row vector, so iteration
+# count never touches the corpus. The projection pass at the end is a
+# second corpus scan with a broadcast d-row join.
+# ---------------------------------------------------------------------------
+
+PCA_ITERATIONS = 6
+
+
+def pca_power_projection(
+    embeddings: DataFrame, iterations: int = PCA_ITERATIONS, dim: int = 64
+) -> DataFrame:
+    """Project every vector onto the corpus's top principal component.
+
+    Power iteration from the fixed start vector ``e_0`` on the centered
+    scatter matrix ``C = sum_i (x_i - mu)(x_i - mu)^T``, normalized to
+    unit length each round (fixed round count keeps the plan and the
+    unrolled SQL oracle in lockstep, like ``kmeans_centroids``). The
+    sign is whatever ``C^k e_0`` converges to — deterministic for a
+    fixed start and round count.
+
+    -> vec_id, pc1_score
+    """
+    vecs = as_double_vec(embeddings)
+    cells = vecs.select(
+        F.posexplode("v").alias("d", "xd")
+    ).groupBy("d").agg(
+        F.sum("xd").alias("s"), F.count("*").alias("n")
+    ).select("d", (F.col("s") / F.col("n")).alias("mu"))
+    # assemble mu as ONE broadcast array row; centering is then a pure
+    # per-row zip_with — no per-dimension join anywhere
+    mu_row = cells.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mu))), s -> s.mu)"
+        ).alias("mu_arr")
+    )
+    cvecs = vecs.crossJoin(F.broadcast(mu_row)).select(
+        "vec_id",
+        F.expr("zip_with(v, mu_arr, (x, m) -> x - m)").alias("cv"),
+    )
+    centered = cvecs.select("vec_id", F.posexplode("cv").alias("d", "c"))
+    # d^2 scatter cells in one corpus pass: the (d, e) pair products are
+    # generated ARRAY-LOCALLY per row (no self-join, no shuffle before
+    # the map-side-partial d^2-cell aggregation)
+    scatter = (
+        cvecs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cv, (xd, d) -> "
+                    "transform(cv, (xe, e) -> "
+                    "struct(d AS dd, e AS de, xd * xe AS p))))"
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.dd").alias("dd"), F.col("cell.de").alias("de"))
+        .agg(F.sum("cell.p").alias("cde"))
+        .localCheckpoint(eager=False)
+    )
+    v = None  # d-row (pos, val) relation; starts as e_0
+    spark = embeddings.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("pos"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("val"),
+    )
+    for _ in range(iterations):
+        w = (
+            scatter.join(v, scatter["de"] == v["pos"])
+            .groupBy(F.col("dd").alias("pos2"))
+            .agg(F.sum(F.col("cde") * F.col("val")).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("pos2").alias("pos"),
+                (F.col("wv") / F.col("nrm")).alias("val"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        centered.join(F.broadcast(v), centered["d"] == v["pos"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("val")), 6).alias("pc1_score"))
+    )
