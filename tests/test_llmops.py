@@ -1102,3 +1102,25 @@ def test_pca_power_projection_finds_dominant_axis(spark):
     assert all(d > 0 for d in diffs) or all(d < 0 for d in diffs)
     assert abs(sum(seq)) < 1e-3
     assert max(abs(s) for s in seq) == pytest.approx(4.5, rel=0.01)
+
+
+def test_bpe_encode_applies_trained_merges_to_documents(spark):
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"] * 6)
+    docs = spark.createDataFrame(
+        [(1, "en", "web", text), (2, "en", "web", "low x newest")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = textops.bpe_encode(docs, n_merges=4).collect()
+    enc = {}
+    for r in out:
+        enc.setdefault(r["doc_id"], {})[r["symbol"]] = r["sym_count"]
+    # round-1 merge 'we' must appear inside encoded symbols of doc 1
+    all_syms_1 = set(enc[1])
+    assert any("we" in s and len(s) > 1 for s in all_syms_1)
+    # doc 2: 'low'/'newest' encode via the shared vocab; the unseen
+    # 1-char word 'x' stays a single symbol
+    assert enc[2].get("x") == 1
+    # symbol counts reconstruct the total character mass of each doc
+    for d, text_d in ((1, text), (2, "low x newest")):
+        chars = sum(len(s) * c for s, c in enc[d].items())
+        assert chars == len(text_d.replace(" ", ""))

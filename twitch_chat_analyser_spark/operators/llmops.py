@@ -2311,6 +2311,7 @@ FROM (
     out["retrieval_hybrid_rrf"] = _rrf_oracle_sql()
     out["text_nb_quality"] = _nb_quality_oracle_sql()
     out["text_bpe_train"] = _bpe_train_oracle_sql()
+    out["text_bpe_encode"] = _bpe_encode_oracle_sql()
     out["embedding_pca_projection"] = _pca_oracle_sql()
     return out
 
@@ -2714,6 +2715,15 @@ def _bpe_train_oracle_sql() -> str:
     semantically identical to Spark's seeded `aggregate` fold because
     a singleton first symbol can never complete a pair by itself."""
     n = textops.BPE_TRAIN_MERGES
+    ctes, selects = _bpe_loop_ctes(n)
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_loop_ctes(n: int):
+    """Shared unrolled-round CTE list for the BPE train/encode oracles
+    (``word`` rides through the rewrite CTEs so the encode oracle can
+    join documents onto the final symbol table, mirroring
+    ``textops._bpe_loop``)."""
     ctes = ["""vocab AS (
     SELECT word, CAST(count(*) AS BIGINT) AS freq
     FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
@@ -2721,7 +2731,7 @@ def _bpe_train_oracle_sql() -> str:
     WHERE len(word) >= 2 GROUP BY word
 ),
 syms0 AS (
-    SELECT freq,
+    SELECT word, freq,
            list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
     FROM vocab
 )"""]
@@ -2739,7 +2749,7 @@ best{k} AS (
     ORDER BY pair_count DESC, a, b LIMIT 1
 ),
 syms{k} AS (
-    SELECT freq,
+    SELECT word, freq,
            list_reduce(list_transform(syms, s -> [s]),
              (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
                          THEN list_append(acc[1:len(acc)-1], b.a || b.b)
@@ -2750,7 +2760,38 @@ syms{k} AS (
             f"SELECT CAST({k} AS INT) AS step, a AS pair_a, b AS pair_b,"
             f" a || b AS merged, pair_count FROM best{k}"
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return ctes, selects
+
+
+def _q_bpe_encode(spark, sf_dir):
+    return textops.bpe_encode(_docs(spark, sf_dir))
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Encode = documents joined word-by-word onto the trained symbol
+    table (the final rewrite CTE); out-of-vocabulary (short) words stay
+    single symbols."""
+    n = textops.BPE_TRAIN_MERGES
+    ctes, _selects = _bpe_loop_ctes(n)
+    ctes.append("""doc_words AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+    FROM documents
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, symbol, CAST(count(*) AS BIGINT) AS sym_count
+FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN s.syms IS NULL THEN [w.word] ELSE s.syms END)
+               AS symbol
+    FROM doc_words w LEFT JOIN syms{n} s ON w.word = s.word
+)
+GROUP BY doc_id, symbol"""
+    )
+
+
+LLM_QUERIES["text_bpe_encode"] = _q_bpe_encode
 
 
 LLM_QUERIES["text_bpe_train"] = _q_bpe_train

@@ -601,6 +601,17 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
 
     -> step, pair_a, pair_b, merged, pair_count
     """
+    steps, _cur = _bpe_loop(docs, n_merges)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_loop(docs: DataFrame, n_merges: int):
+    """Shared BPE training loop -> (per-round merge rows, final
+    word->symbols table). ``word`` rides along so :func:`bpe_encode`
+    can join documents straight onto the rewritten vocabulary."""
     vocab = (
         docs.select(F.explode(tokens()).alias("word"))
         .filter(F.length("word") >= 2)
@@ -608,6 +619,7 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
         .agg(F.count("*").cast("long").alias("freq"))
     )
     cur = vocab.select(
+        "word",
         "freq",
         F.expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
@@ -644,6 +656,7 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
         cur = (
             cur.crossJoin(F.broadcast(bp))
             .select(
+                "word",
                 "freq",
                 F.expr(
                     "aggregate(syms, cast(array() as array<string>), "
@@ -656,7 +669,35 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out
+    return steps, cur
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """Tokenizer INFERENCE off the trained merges: the training loop's
+    final symbol table IS the encoder for every in-vocabulary word
+    (BPE's merge application is deterministic, so training already
+    rewrote each vocabulary word to its final symbols); documents join
+    onto it word-by-word, words too short to train (or unseen) stay
+    single symbols. Output is the per-document symbol histogram — the
+    relation a token-count budgeter or vocabulary auditor consumes.
+
+    Scale shape: the vocabulary table is O(vocab) and broadcastable;
+    encode is one explode + broadcast join + doc-keyed rollup.
+
+    -> doc_id, symbol, sym_count
+    """
+    _steps, vocab_syms = _bpe_loop(docs, n_merges)
+    words = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    return (
+        words.join(
+            F.broadcast(vocab_syms.select("word", "syms")), "word", "left"
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.coalesce(F.col("syms"), F.array(F.col("word")))
+            ).alias("symbol"),
+        )
+        .groupBy("doc_id", "symbol")
+        .agg(F.count("*").cast("long").alias("sym_count"))
+    )
