@@ -1335,7 +1335,7 @@ def test_flac_roundtrip_lossless_all_stereo_modes():
     sig = _sine_i16(440.0)
     st = np.stack([sig, (sig * 0.5).astype(np.int16)], axis=1)
     expect = st.mean(axis=1) / 32768.0
-    for mode in ("independent", "left_side", "mid_side"):
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
         payload = fc.encode_flac(st, 8000, block_size=1024, stereo_mode=mode)
         rate, mono = fc.decode_flac_samples(payload)
         assert rate == 8000

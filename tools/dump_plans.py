@@ -91,6 +91,12 @@ HEADLINE = [
     "eval_ivf_recall",
     "eval_simhash_cap_recall",
     "sketch_hll_portable",
+    "sample_dsir_importance",
+    "text_nb_quality",
+    "retrieval_hybrid_rrf",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "embedding_pca_projection",
 ]
 
 

@@ -22,8 +22,8 @@ garbage features).
 
 Encoder (fixture generator, same role as jpegcodec's Annex-K encoder):
 fixed-blocksize streams, per-block CONSTANT / FIXED order-2 + Rice /
-VERBATIM fallback subframe choice, independent or left-side or mid-side
-stereo — enough to exercise every decoder path the tests pin.
+VERBATIM fallback subframe choice, independent / left-side / right-side /
+mid-side stereo — enough to exercise every decoder path the tests pin.
 
 Reference parity: the reference engine has no audio decode at all (its
 scope is chat analytics); this module serves SURVEY.md §7.5's multimodal
@@ -517,7 +517,7 @@ def encode_flac(
     block size, CONSTANT / FIXED-order-2+Rice / VERBATIM subframe
     choice. ``samples`` is int16-valued ndarray shaped (n,) mono or
     (n, 2) stereo; ``stereo_mode`` picks the decorrelation the decoder
-    should exercise ('independent', 'left_side', 'mid_side')."""
+    should exercise ('independent', 'left_side', 'right_side', 'mid_side')."""
     arr = np.asarray(samples, dtype=np.int64)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -551,6 +551,8 @@ def encode_flac(
             bw.write(channels - 1, 4)
         elif stereo_mode == "left_side":
             bw.write(8, 4)
+        elif stereo_mode == "right_side":
+            bw.write(9, 4)
         else:
             bw.write(10, 4)
         bw.write(4, 3)  # 16 bps
@@ -571,6 +573,11 @@ def encode_flac(
             side = [int(l_) - int(r_) for l_, r_ in block]
             _encode_subframe(bw2, left, bps)
             _encode_subframe(bw2, side, bps + 1)
+        elif stereo_mode == "right_side":  # side first, +1 bit
+            right = [int(x) for x in block[:, 1]]
+            side = [int(l_) - int(r_) for l_, r_ in block]
+            _encode_subframe(bw2, side, bps + 1)
+            _encode_subframe(bw2, right, bps)
         else:  # mid_side
             mid = [(int(l_) + int(r_)) >> 1 for l_, r_ in block]
             side = [int(l_) - int(r_) for l_, r_ in block]
