@@ -140,8 +140,8 @@ def test_decode_gif_goldens():
 
 
 def test_video_features_stub_raises_on_unsupported_container():
-    # a valid-looking EBML/webm head is neither GIF nor ISO-BMFF
-    with pytest.raises(NotImplementedError, match="GIF and ISO-BMFF"):
+    # a truncated EBML head parses as none of the three real containers
+    with pytest.raises(NotImplementedError, match="GIF, ISO-BMFF"):
         multimodal.video_features_stub(b"\x1a\x45\xdf\xa3webm-fake")
 
 

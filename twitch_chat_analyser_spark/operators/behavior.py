@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import ingest
@@ -98,6 +98,56 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     )
 
 
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), the
+    sequence-mining summary behind "what do users do after X" product
+    questions and next-action models. Each user's events are ordered by
+    (ts, event_id) — the id tie-break keeps simultaneous events
+    deterministic across engines — and every adjacent pair contributes
+    one (src, dst) observation.
+
+    Float determinism: the probability is one division of two exact
+    BIGINT counts done identically in both engines, rounded once to 6
+    decimals.
+
+    Shape (100 TB): the lag window partitions by ``user_id`` — ONE
+    hash exchange on the uniform user key and a per-user sort bounded
+    by that user's event count; the transition rollup then groups a
+    2-column projection on (src, dst), whose cardinality is
+    |event types|^2 — tiny — so the final agg is map-side combinable
+    into almost nothing. No event x event self-join anywhere.
+
+    -> src_type, dst_type, transitions, src_total, prob
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("dst_type", F.lead("event_type").over(w))
+        .filter(F.col("dst_type").isNotNull())
+        .select(F.col("event_type").alias("src_type"), "dst_type")
+    )
+    counted = pairs.groupBy("src_type", "dst_type").agg(
+        F.count("*").cast("long").alias("transitions")
+    )
+    wsrc = Window.partitionBy("src_type")
+    return (
+        counted.withColumn(
+            "src_total", F.sum("transitions").over(wsrc).cast("long")
+        )
+        .select(
+            "src_type",
+            "dst_type",
+            "transitions",
+            "src_total",
+            F.round(
+                F.col("transitions").cast("double") / F.col("src_total"), 6
+            ).alias("prob"),
+        )
+        .orderBy("src_type", "dst_type")
+    )
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ingest.load(spark, sf_dir, "events"))
 
@@ -106,9 +156,14 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ingest.load(spark, sf_dir, "events"))
 
 
+def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_transitions(ingest.load(spark, sf_dir, "events"))
+
+
 BEHAVIOR_QUERIES = {
     "events_funnel_conversion": _q_funnel,
     "events_cohort_retention": _q_retention,
+    "events_markov_transitions": _q_markov,
 }
 
 
@@ -147,4 +202,20 @@ SELECT epoch_ms(cohort_week) AS cohort_week_ms,
        count(DISTINCT a.user_id) AS active_users
 FROM active a JOIN first USING (user_id)
 GROUP BY 1, 2""",
+        "events_markov_transitions": """
+WITH seq AS (
+    SELECT event_type AS src_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+    FROM events
+),
+counted AS (
+    SELECT src_type, dst_type, count(*) AS transitions
+    FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, transitions,
+       sum(transitions) OVER (PARTITION BY src_type) AS src_total,
+       round(CAST(transitions AS DOUBLE)
+             / sum(transitions) OVER (PARTITION BY src_type), 6) AS prob
+FROM counted""",
     }

@@ -229,6 +229,10 @@ def _q_kmeans_purity(spark, sf_dir):
     )
 
 
+def _q_prototype_prune(spark, sf_dir):
+    return similarity.prototype_prune(_emb(spark, sf_dir), IVF_CENTROIDS, 2)
+
+
 def _q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(
         _emb(spark, sf_dir), KNN_K, EMB_PLANES, EMB_BAND_BITS, EMB_BLOCK_CAP
@@ -981,6 +985,7 @@ LLM_QUERIES = {
     "ann_lsh_topk": _q_ann_lsh,
     "text_bpe_merge_candidates": _q_bpe_merges,
     "eval_kmeans_purity": _q_kmeans_purity,
+    "curate_prototype_prune": _q_prototype_prune,
     "dedup_semantic_clusters": _q_dedup_semantic,
     "ann_sq8_topk": _q_ann_sq8,
     "text_token_counts": _q_token_counts,
@@ -2309,6 +2314,7 @@ FROM (
         out["ann_brute_topk"], out["ann_ivf_topk"], out["ann_ivf_pq_topk"]
     )
     out["retrieval_hybrid_rrf"] = _rrf_oracle_sql()
+    out["curate_prototype_prune"] = _prototype_prune_oracle_sql()
     out["text_nb_quality"] = _nb_quality_oracle_sql()
     out["text_bpe_train"] = _bpe_train_oracle_sql()
     out["text_bpe_encode"] = _bpe_encode_oracle_sql()
@@ -2421,6 +2427,30 @@ SELECT centroid_id, vec_a, vec_b, cos_sim FROM (
 )
 WHERE cos_sim >= {SEMDEDUP_THRESHOLD}
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {SEMDEDUP_TOP_N}"""
+
+
+def _prototype_prune_oracle_sql() -> str:
+    """SSL-prototypes pruning over the trained codebook (shared
+    unrolled Lloyd rounds): cosine of every vector to its OWN final
+    centroid, per-cluster prototypicality rank, keep-flag against
+    floor(cluster_n * 0.25) — expression shapes in lockstep with
+    similarity.prototype_prune."""
+    return f"""{_kmeans_assigned_ctes()},
+scored AS (
+    SELECT a.vec_id, a.centroid_id,
+           list_dot_product(a.v, c.c) / (a.nrm * c.c_nrm) AS pc
+    FROM assigned a JOIN cent2 c USING (centroid_id)
+)
+SELECT vec_id, centroid_id, round(pc, 6) AS proto_cos,
+       CAST(proto_rank AS INT) AS proto_rank, cluster_n,
+       proto_rank > CAST(floor(cluster_n * 0.25) AS BIGINT) AS kept
+FROM (
+    SELECT *, row_number() OVER (
+               PARTITION BY centroid_id ORDER BY pc DESC, vec_id
+           ) AS proto_rank,
+           count(*) OVER (PARTITION BY centroid_id) AS cluster_n
+    FROM scored
+)"""
 
 
 def _ann_ivf_kmeans_oracle_sql() -> str:

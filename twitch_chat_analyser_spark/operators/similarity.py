@@ -930,6 +930,67 @@ def kmeans_label_purity(
     )
 
 
+def prototype_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    prune_fraction: float = 0.25,
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al., "Beyond neural
+    scaling laws: beating power law scaling via data pruning",
+    NeurIPS 2022): score every vector by its cosine to its OWN trained
+    cluster centroid — "prototypicality" — and, per cluster, mark the
+    most prototypical ``prune_fraction`` for removal. In the
+    abundant-data regime the paper shows keeping the HARD (least
+    prototypical) examples beats random pruning; this is the
+    curation-side counterpart of SemDeDup over the same codebook, and
+    both reuse the identical :func:`kmeans_centroids` +
+    :func:`_assign_to_centroids` training so one codebook drives
+    dedup, IVF indexing and pruning consistently.
+
+    Determinism: the keep decision compares the per-cluster rank
+    (cos desc, vec_id tie-break) against ``floor(cluster_n *
+    prune_fraction)`` — exact for the default 0.25 whose product with
+    a BIGINT count is an exact double.
+
+    Shape (100 TB): training and assignment are k linear passes with a
+    broadcast codebook (see kmeans_centroids); the scoring join
+    broadcasts k tiny centroid rows; the rank/count windows partition
+    by ``centroid_id`` — one exchange, partitions bounded by cluster
+    size (same occupancy caveat and knobs as semdedup: sweep k with
+    corpus size).
+
+    -> vec_id, centroid_id, proto_cos, proto_rank, cluster_n, kept
+    """
+    cents = kmeans_centroids(embeddings, k, iterations).withColumn(
+        "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
+    )
+    assigned = _assign_to_centroids(as_double_vec(embeddings), cents)
+    scored = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        cosine("v", "c", "v_nrm", "c_nrm").alias("pc"),
+    )
+    w = Window.partitionBy("centroid_id")
+    wrank = w.orderBy(F.desc("pc"), "vec_id")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(wrank).cast("int"))
+        .withColumn("cluster_n", F.count("*").over(w).cast("long"))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round("pc", 6).alias("proto_cos"),
+            "proto_rank",
+            "cluster_n",
+            (
+                F.col("proto_rank")
+                > F.floor(F.col("cluster_n") * F.lit(prune_fraction))
+            ).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def ann_topk_blas(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:

@@ -21,7 +21,7 @@ beyond test-data cardinality) and invariance of the merge path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import ingest
@@ -247,6 +247,155 @@ def hll_estimate(regs: DataFrame, dims: list[str] | None = None) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with SET-OPERATION estimates —
+# the capability HLL lacks: two KMV sketches support union AND
+# intersection estimation (Beyer et al., "On synopses for distinct-value
+# estimation under multiset operations", SIGMOD'07), which is what
+# audience-overlap questions ("how many chatters do channels A and B
+# share?") need without a COUNT(DISTINCT) over the pair blowup.
+# Engine-portable by the same construction as the HLL above: the hash is
+# a 60-bit integer assembled nibble-by-nibble from md5 hex (identical
+# instr/substr expression tree in Spark and DuckDB), every intermediate
+# is exact BIGINT, and the only floats are the final correctly-rounded
+# literal-constant divisions.
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+# (k-1) * 2^60: the KMV estimator numerator. 63 * 2^60 is exactly
+# representable in a double (6-bit mantissa), so the literal is exact in
+# both engines.
+KMV_NUMER = float((KMV_K - 1) * (1 << 60))
+
+# 60-bit uniform hash from the first 15 hex nibbles of md5(username) —
+# a pure instr/substr/md5 polynomial valid with identical semantics in
+# Spark SQL and DuckDB (same portability trick as _HLL_REG/_HLL_RHO).
+_KMV_HASH = " + ".join(
+    # CAST each weight: small weights would parse as 32-bit INT in
+    # Spark and the nibble product overflows under ANSI arithmetic
+    f"(instr('0123456789abcdef', substr(md5(username), {i}, 1)) - 1)"
+    f" * CAST({16 ** (15 - i)} AS BIGINT)"
+    for i in range(1, 16)
+)
+
+
+def kmv_kmin(messages: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The sketch STATE: per-channel k minimum DISTINCT hash values.
+    One distinct on (channel, hv) — a 2-column shuffle — then a
+    channel-partitioned bottom-k window. The window sees only the
+    channel's distinct hashes; at extreme per-channel cardinality the
+    standard refinement is a pre-pass keeping the per-partition k-min
+    before the global one (same two-phase shape the distributed rank
+    in analytics.global_row_number uses), which changes no results.
+
+    -> channel, hv
+    """
+    hashed = (
+        messages.filter(F.col("username").isNotNull())
+        .select("channel", F.expr(_KMV_HASH).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("channel").orderBy("hv")
+    return (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("channel", "hv")
+    )
+
+
+def _kmv_est(n, hk, k: int):
+    """KMV estimate: exact count below k values, else (k-1)*2^60/h_k.
+    Expression structure mirrored verbatim in the oracle SQL."""
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(KMV_NUMER) / hk.cast("double")
+    )
+
+
+def kmv_overlap(messages: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Audience-overlap estimates for every channel pair from the KMV
+    sketches alone: per-side distinct estimates, the merged (union)
+    sketch's estimate, and the intersection estimate via the k-min
+    agreement ratio — ``|A∩B| ≈ ρ · |A∪B|`` where ρ is the fraction of
+    the union sketch's k-min values present in BOTH sides' sketches.
+
+    Shape (100 TB): after :func:`kmv_kmin` the WHOLE computation runs
+    on ≤ k rows per channel (the sketches), never the fact table — the
+    pair cross join is |channels|² tiny sketch rows, exactly the
+    sketch-synopsis promise. The sketch table is lazily checkpointed
+    because three branches (per-side estimates, both union sides)
+    consume it.
+
+    -> channel_a, channel_b, est_a, est_b, kmin_overlap, est_union,
+       est_intersection
+    """
+    sk = kmv_kmin(messages, k).localCheckpoint(eager=False)
+    per = sk.groupBy("channel").agg(
+        F.count("*").alias("n"), F.max("hv").alias("hk")
+    )
+    per = per.select(
+        "channel", _kmv_est(F.col("n"), F.col("hk"), k).alias("est")
+    )
+    pairs = (
+        per.alias("a")
+        .crossJoin(per.alias("b"))
+        .filter(F.col("a.channel") < F.col("b.channel"))
+        .select(
+            F.col("a.channel").alias("channel_a"),
+            F.col("b.channel").alias("channel_b"),
+            F.col("a.est").alias("est_a_raw"),
+            F.col("b.est").alias("est_b_raw"),
+        )
+    )
+    keys = pairs.select("channel_a", "channel_b")
+    side_a = keys.join(
+        sk.withColumnRenamed("channel", "channel_a"), "channel_a"
+    ).select(
+        "channel_a", "channel_b", "hv",
+        F.lit(1).alias("ia"), F.lit(0).alias("ib"),
+    )
+    side_b = keys.join(
+        sk.withColumnRenamed("channel", "channel_b"), "channel_b"
+    ).select(
+        "channel_a", "channel_b", "hv",
+        F.lit(0).alias("ia"), F.lit(1).alias("ib"),
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("channel_a", "channel_b", "hv")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wu = Window.partitionBy("channel_a", "channel_b").orderBy("hv")
+    ukmin = merged.withColumn("r", F.row_number().over(wu)).filter(
+        F.col("r") <= k
+    )
+    pu = ukmin.groupBy("channel_a", "channel_b").agg(
+        F.count("*").alias("un"),
+        F.max("hv").alias("hku"),
+        F.sum(((F.col("ia") == 1) & (F.col("ib") == 1)).cast("int"))
+        .cast("long")
+        .alias("overlap"),
+    )
+    eu = _kmv_est(F.col("un"), F.col("hku"), k)
+    return (
+        pairs.join(pu, ["channel_a", "channel_b"])
+        .select(
+            "channel_a",
+            "channel_b",
+            F.round("est_a_raw", 3).alias("est_a"),
+            F.round("est_b_raw", 3).alias("est_b"),
+            F.col("overlap").alias("kmin_overlap"),
+            F.round(eu, 3).alias("est_union"),
+            F.round(
+                F.col("overlap").cast("double")
+                / F.col("un").cast("double")
+                * eu,
+                3,
+            ).alias("est_intersection"),
+        )
+        .orderBy("channel_a", "channel_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # registry entries. DataSketches HLL estimates are sketch-library-specific
 # (rows-only); the portable HLL above carries a bit-exact oracle; the
 # quantile summary at accuracy=10000 degenerates to EXACT order
@@ -267,9 +416,14 @@ def _q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_hll_chatters(ingest.messages(spark, sf_dir))
 
 
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_overlap(ingest.messages(spark, sf_dir))
+
+
 SKETCH_QUERIES = {
     "sketch_distinct_chatters": _q_sketch_chatters,
     "sketch_hll_portable": _q_hll_portable,
+    "sketch_kmv_overlap": _q_kmv_overlap,
     "approx_percentile_order_values": _q_approx_percentiles,
 }
 
@@ -324,6 +478,65 @@ SELECT c.channel, x.exact_chatters,
              / x.exact_chatters, 3) AS rel_err_pct
 FROM corrected c JOIN exact x ON x.channel = c.channel
 ORDER BY c.channel""",
+        # KMV set-op estimates, value-for-value: identical 60-bit
+        # nibble-polynomial hash, identical bottom-k windows, and the
+        # same CASE/divide expression shapes -> bit-identical estimates
+        "sketch_kmv_overlap": f"""{chat_ctes()},
+hv AS (
+    SELECT DISTINCT channel, {_KMV_HASH} AS hv
+    FROM messages WHERE username IS NOT NULL
+),
+sk AS (
+    SELECT channel, hv FROM (
+        SELECT channel, hv,
+               row_number() OVER (PARTITION BY channel ORDER BY hv) AS r
+        FROM hv
+    ) WHERE r <= {KMV_K}
+),
+per AS (
+    SELECT channel,
+           CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                ELSE {KMV_NUMER!r} / CAST(max(hv) AS DOUBLE) END AS est
+    FROM sk GROUP BY channel
+),
+pairs AS (
+    SELECT a.channel AS channel_a, b.channel AS channel_b,
+           a.est AS est_a_raw, b.est AS est_b_raw
+    FROM per a, per b WHERE a.channel < b.channel
+),
+u AS (
+    SELECT channel_a, channel_b, hv, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.channel_a, p.channel_b, s.hv, 1 AS ia, 0 AS ib
+        FROM pairs p JOIN sk s ON s.channel = p.channel_a
+        UNION ALL
+        SELECT p.channel_a, p.channel_b, s.hv, 0 AS ia, 1 AS ib
+        FROM pairs p JOIN sk s ON s.channel = p.channel_b
+    ) GROUP BY 1, 2, 3
+),
+uk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY channel_a, channel_b ORDER BY hv) AS r
+        FROM u
+    ) WHERE r <= {KMV_K}
+),
+pu AS (
+    SELECT channel_a, channel_b, count(*) AS un, max(hv) AS hku,
+           CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap
+    FROM uk GROUP BY 1, 2
+)
+SELECT p.channel_a, p.channel_b,
+       round(p.est_a_raw, 3) AS est_a, round(p.est_b_raw, 3) AS est_b,
+       pu.overlap AS kmin_overlap,
+       round(CASE WHEN pu.un < {KMV_K} THEN CAST(pu.un AS DOUBLE)
+                  ELSE {KMV_NUMER!r} / CAST(pu.hku AS DOUBLE) END, 3)
+           AS est_union,
+       round(CAST(pu.overlap AS DOUBLE) / CAST(pu.un AS DOUBLE)
+             * (CASE WHEN pu.un < {KMV_K} THEN CAST(pu.un AS DOUBLE)
+                     ELSE {KMV_NUMER!r} / CAST(pu.hku AS DOUBLE) END), 3)
+           AS est_intersection
+FROM pairs p JOIN pu USING (channel_a, channel_b)""",
         "approx_percentile_order_values": """
 SELECT o_orderpriority,
        max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
