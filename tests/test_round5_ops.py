@@ -1,0 +1,248 @@
+"""Goldens for the round-5 operator batch: Markov transitions, KMV
+set-op sketch, SSL-prototype pruning, bigram-LM surprise, and the
+prefix-filtered exact Jaccard join."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from twitch_chat_analyser_spark.operators import (
+    behavior,
+    dedup,
+    similarity,
+    sketches,
+    textops,
+)
+
+TS = "2024-01-01 00:00:{:02d}"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, (ts, u, t) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+# ---------------------------------------------------------------- markov
+
+
+def test_markov_transitions_golden(spark):
+    rows = [
+        (TS.format(1), 1, "view"),
+        (TS.format(2), 1, "click"),
+        (TS.format(3), 1, "view"),
+        (TS.format(4), 1, "click"),
+        (TS.format(1), 2, "view"),
+        (TS.format(2), 2, "buy"),
+    ]
+    out = {
+        (r["src_type"], r["dst_type"]): (r["transitions"], r["prob"])
+        for r in behavior.markov_transitions(_events(spark, rows)).collect()
+    }
+    # user1: view>click, click>view, view>click ; user2: view>buy
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "buy")] == (1, round(1 / 3, 6))
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3
+
+
+def test_markov_simultaneous_events_tie_break_on_event_id(spark):
+    # same-timestamp events order by event_id: 0:view -> 1:click -> 2:buy
+    rows = [
+        (TS.format(1), 1, "view"),
+        (TS.format(1), 1, "click"),
+        (TS.format(1), 1, "buy"),
+    ]
+    out = {
+        (r["src_type"], r["dst_type"])
+        for r in behavior.markov_transitions(_events(spark, rows)).collect()
+    }
+    assert out == {("view", "click"), ("click", "buy")}
+
+
+# ------------------------------------------------------------------- kmv
+
+
+def _msgs(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, channel string, username string, message string"
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer distinct users than k on both sides -> estimates are EXACT
+    rows = []
+    for u in range(10):
+        rows.append((None, "a", f"user{u}", "m"))
+    for u in range(5, 15):  # overlap = 5
+        rows.append((None, "b", f"user{u}", "m"))
+    out = sketches.kmv_overlap(_msgs(spark, rows), k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["est_a"], r["est_b"]) == (10.0, 10.0)
+    assert r["est_union"] == 15.0
+    assert r["kmin_overlap"] == 5
+    assert r["est_intersection"] == 5.0
+
+
+def test_kmv_estimate_within_error_above_k(spark):
+    rows = [(None, "a", f"u{i}", "m") for i in range(2000)]
+    rows += [(None, "b", f"u{i}", "m") for i in range(1000, 3000)]
+    out = sketches.kmv_overlap(_msgs(spark, rows), k=64).collect()[0]
+    # sigma ~ 1/sqrt(k) = 12.5%; allow 4 sigma
+    assert abs(out["est_a"] - 2000) / 2000 < 0.5
+    assert abs(out["est_union"] - 3000) / 3000 < 0.5
+    assert abs(out["est_intersection"] - 1000) / 1000 < 0.75
+
+
+def test_kmv_hash_is_60_bit_non_negative(spark):
+    df = _msgs(spark, [(None, "c", f"u{i}", "m") for i in range(50)])
+    vals = [
+        r["hv"] for r in sketches.kmv_kmin(df, k=64).select("hv").collect()
+    ]
+    assert all(0 <= v < (1 << 60) for v in vals)
+    assert len(set(vals)) == 50  # distinct users -> distinct hashes
+
+
+# ------------------------------------------------------- prototype prune
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_prototype_prune_drops_most_prototypical(spark):
+    # two tight clusters around the first two vectors (the k=2 init);
+    # within each cluster the vector NEAREST the centroid must be the
+    # pruned one at prune_fraction high enough to cut one per cluster
+    c1 = [[1.0, 0.0], [0.99, 0.01], [0.9, 0.1], [0.8, 0.2]]
+    c2 = [[0.0, 1.0], [0.01, 0.99], [0.1, 0.9], [0.2, 0.8]]
+    out = similarity.prototype_prune(
+        _emb(spark, c1 + c2), k=2, iterations=2, prune_fraction=0.25
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 8
+    # every cluster has 4 members -> floor(4 * 0.25) = 1 pruned each
+    pruned = [r["vec_id"] for r in out if not r["kept"]]
+    assert len(pruned) == 2
+    # pruned members are rank 1 (most prototypical)
+    for vid in pruned:
+        assert by_id[vid]["proto_rank"] == 1
+    # ranks within each cluster are a permutation of 1..4
+    for cid in {r["centroid_id"] for r in out}:
+        ranks = sorted(
+            r["proto_rank"] for r in out if r["centroid_id"] == cid
+        )
+        assert ranks == [1, 2, 3, 4]
+
+
+# ----------------------------------------------------------- bigram LM
+
+
+def _docs(spark, texts, langs=None):
+    return spark.createDataFrame(
+        [
+            (i, t, (langs or {}).get(i, "en"), "src0", len(t))
+            for i, t in enumerate(texts)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bigram_lm_separates_predictable_from_shuffled(spark):
+    # a corpus dominated by one repeated sentence: in-pattern docs score
+    # near the max; a doc with the same words in unseen order scores
+    # lower. ("the ... of ..." keeps >= 2 distinct stopwords so the
+    # docs pass the Gopher rules and actually train the model.)
+    base = "the quick fox of the barn jumps over the lazy dog " * 4
+    docs = [base.strip()] * 6 + [
+        "dog the over of fox quick lazy jumps barn the"
+    ]
+    out = textops.bigram_lm_surprise(_docs(spark, docs)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_bigrams"] > 0
+    in_pattern = by_id[0]["lm_logprob_micro"] / by_id[0]["n_bigrams"]
+    shuffled = by_id[6]["lm_logprob_micro"] / by_id[6]["n_bigrams"]
+    assert in_pattern > shuffled
+    assert by_id[6]["n_bigrams"] == 9
+
+
+def test_bigram_lm_short_doc_has_zero_bigrams_and_fails(spark):
+    out = textops.bigram_lm_surprise(
+        _docs(spark, ["solo", "two words here okay fine sure yes no"])
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_bigrams"] == 0
+    assert by_id[0]["lm_pass"] is False
+
+
+def test_bigram_laplace_math_matches_formula(spark):
+    # tiny corpus, hand-checked: train = the single rules-passing doc is
+    # impossible at this size (rules need >= 40 words), so the model is
+    # EMPTY -> v clamps to 1 and every bigram scores ln(1/1) = 0
+    out = textops.bigram_lm_surprise(_docs(spark, ["a b a b"])).collect()[0]
+    assert out["lm_logprob_micro"] == 0
+    assert out["n_bigrams"] == 3
+
+
+# ------------------------------------------------------- jaccard prefix
+
+
+def test_jaccard_prefix_join_exact_vs_brute_force(spark):
+    texts = [
+        "a b c d e",
+        "a b c d f",      # J with 0: 4/6 = 0.667
+        "a b c d e",      # J with 0: 1.0
+        "x y z w q",
+        "a x c d e",      # J with 0: 4/6
+    ]
+    docs = _docs(spark, texts)
+    out = dedup.jaccard_threshold_pairs(docs, threshold=0.6).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    # brute force in python
+    sets = [set(t.split()) for t in texts]
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            jac = inter / len(sets[i] | sets[j])
+            if jac >= 0.6:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+    r0 = {(r["doc_a"], r["doc_b"]): r for r in out}[(0, 2)]
+    assert (r0["inter_tokens"], r0["size_a"], r0["size_b"]) == (5, 5, 5)
+
+
+def test_jaccard_prefix_join_near_miss_excluded(spark):
+    # J = 3/5 = 0.6 < 0.9: must not appear even though prefixes collide
+    docs = _docs(spark, ["a b c d", "a b c e"])
+    assert dedup.jaccard_threshold_pairs(docs, threshold=0.9).count() == 0
+
+
+def test_jaccard_prefix_filter_completeness_random(spark):
+    # randomized-ish (deterministic seeds) cross-check vs brute force
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.sample(vocab, rng.randint(5, 12))) for _ in range(40)
+    ]
+    docs = _docs(spark, texts)
+    out = dedup.jaccard_threshold_pairs(docs, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    sets = [set(t.split()) for t in texts]
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            if len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= 0.5:
+                want.add((i, j))
+    assert got == want

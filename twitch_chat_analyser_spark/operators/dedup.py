@@ -669,3 +669,106 @@ def ngram_jaccard_pairs(
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(top_n)
     )
+
+
+# --------------------------------------------------------------------------
+# EXACT-threshold set-similarity self-join with prefix filtering — the
+# guaranteed-complete counterpart of the approximate (minhash/simhash)
+# pair generators above. Prefix filtering (Chaudhuri, Ganti, Kaushik,
+# "A primitive operator for similarity joins in data cleaning",
+# ICDE'06; the ordering/length-filter refinements are the PPJoin family,
+# Xiao et al. WWW'08): under a GLOBAL canonical token order, two sets
+# with Jaccard >= t must share a token within each side's first
+# |x| - ceil(t*|x|) + 1 tokens — so the candidate join touches only
+# those short prefixes, and ordering tokens by ascending document
+# frequency makes prefixes the RAREST tokens, collapsing the candidate
+# count on natural (Zipfian) corpora.
+# --------------------------------------------------------------------------
+
+PPJOIN_THRESHOLD = 0.9
+
+
+def jaccard_threshold_pairs(
+    docs: DataFrame, threshold: float = PPJOIN_THRESHOLD
+) -> DataFrame:
+    """All document pairs whose DISTINCT-token-set Jaccard similarity
+    is >= ``threshold`` — exact (no recall loss, unlike minhash/LSH),
+    with the quadratic candidate space cut by the prefix filter.
+
+    Plan: (1) one distinct (doc_id, token) projection feeds set sizes,
+    global token document frequencies, and verification; (2) per-doc
+    prefixes = the first ``n - ceil(t*n) + 1`` tokens in (df, token)
+    order — a doc-partitioned window whose partitions are single
+    documents' token sets; (3) the candidate join equi-joins PREFIX
+    tokens only, applies the length filter (``|a| >= ceil(t*|b|)`` both
+    ways), and (4) the verify step counts true intersections via one
+    token equi-join and filters on the exact Jaccard.
+
+    Shape (100 TB): no all-pairs anything — candidates are bounded by
+    prefix-token co-occurrence, which df-ascending ordering keeps small
+    on Zipfian corpora (the rarest ~10% of each doc's tokens). The
+    adversarial corpus (mass-duplicated docs ⇒ every prefix collides)
+    degrades toward the true output size, which is itself quadratic in
+    the duplicate clique — same output-shaped growth as exact simhash,
+    documented there; cap with the shared pivot bound if needed.
+    Determinism: IEEE double ceil/divide decisions are identical in
+    both engines for identical expressions.
+
+    -> doc_a, doc_b, inter_tokens, size_a, size_b, jaccard
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
+    ).localCheckpoint(eager=False)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix = (
+        toks.join(dfreq, "token")
+        .join(sizes, "doc_id")
+        .withColumn("pr", F.row_number().over(w))
+        .filter(
+            F.col("pr")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+        )
+        .select("doc_id", "token", "n")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("size_a"),
+            F.col("b.n").alias("size_b"),
+        )
+        .filter(F.col("size_a") >= F.ceil(F.col("size_b") * F.lit(threshold)))
+        .filter(F.col("size_b") >= F.ceil(F.col("size_a") * F.lit(threshold)))
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), "token"),
+            ["doc_b", "token"],
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").cast("long").alias("inter_tokens"))
+    )
+    jac = F.col("inter_tokens").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter_tokens")
+    ).cast("double")
+    return (
+        inter.filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_tokens",
+            "size_a",
+            "size_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

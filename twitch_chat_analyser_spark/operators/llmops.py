@@ -78,6 +78,10 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_jaccard_prefix_join(spark, sf_dir):
+    return dedup.jaccard_threshold_pairs(_docs(spark, sf_dir))
+
+
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_dedup_pairs(
         _docs(spark, sf_dir), NUM_HASHES, SHINGLE_K, MINHASH_JACCARD_THRESHOLD
@@ -991,6 +995,7 @@ LLM_QUERIES = {
     "text_token_counts": _q_token_counts,
     "corpus_prep": _q_corpus_prep,
     "dedup_ngram_jaccard": _q_dedup_ngram,
+    "dedup_jaccard_prefix_join": _q_jaccard_prefix_join,
     "ann_pq_topk": _q_ann_pq,
     "text_vocab_encode": _q_vocab_encode,
     "pack_sequences": _q_pack_sequences,
@@ -1345,6 +1350,32 @@ SELECT
           THEN CAST((SELECT count(*) FROM capped) AS DOUBLE)
                / (SELECT count(*) FROM exact)
           ELSE 1.0 END, 6) AS recall""",
+        # deliberately BRUTE-FORCE (all-pairs intersection, no prefix
+        # filter): result equality with the Spark plan independently
+        # verifies the prefix filter's completeness theorem on live
+        # data, not just the verify-step arithmetic
+        "dedup_jaccard_prefix_join": f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter_tokens
+    FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_tokens, sa.n AS size_a, sb.n AS size_b,
+       round(CAST(inter_tokens AS DOUBLE)
+             / CAST(sa.n + sb.n - inter_tokens AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(inter_tokens AS DOUBLE)
+      / CAST(sa.n + sb.n - inter_tokens AS DOUBLE)
+      >= {dedup.PPJOIN_THRESHOLD}""",
         # candidates via the same MinHash band join as dedup_minhash_lsh
         # (candidate generation is part of the operator contract), exact
         # Jaccard verify within the (lang, source) block
@@ -2316,6 +2347,7 @@ FROM (
     out["retrieval_hybrid_rrf"] = _rrf_oracle_sql()
     out["curate_prototype_prune"] = _prototype_prune_oracle_sql()
     out["text_nb_quality"] = _nb_quality_oracle_sql()
+    out["text_bigram_lm"] = _bigram_lm_oracle_sql()
     out["text_bpe_train"] = _bpe_train_oracle_sql()
     out["text_bpe_encode"] = _bpe_encode_oracle_sql()
     out["embedding_pca_projection"] = _pca_oracle_sql()
@@ -2728,8 +2760,63 @@ SELECT l.doc_id,
 FROM labels l LEFT JOIN doc_sums USING (doc_id) CROSS JOIN doc_tot"""
 
 
+def _q_bigram_lm(spark, sf_dir):
+    return textops.bigram_lm_surprise(_docs(spark, sf_dir))
+
+
+def _bigram_lm_oracle_sql() -> str:
+    """Bigram-LM surprise oracle: same weak-label training subset (the
+    committed Gopher-rules SQL), same Laplace ``(c2+1)/(c1+V)`` with
+    the greatest(V,1) clamp, log-probs rounded to the identical
+    micro-nat fixed point, exact integer doc sums and pass compare."""
+    s = textops.BIGRAM_SCALE
+    t = textops.BIGRAM_PASS_MICRO
+    return f"""
+WITH rules AS ({_quality_rules_sql()}),
+train_docs AS (SELECT doc_id FROM rules WHERE quality_pass),
+toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+big AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)
+),
+train_big AS (SELECT b.* FROM big b JOIN train_docs USING (doc_id)),
+c2 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+    FROM train_big GROUP BY 1, 2
+),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+vsize AS (
+    SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM (
+        SELECT unnest(string_split_regex(d.text, '\\s+')) AS token
+        FROM documents d JOIN train_docs USING (doc_id)
+    )
+),
+scored AS (
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
+                    / (coalesce(c1.c1, 0)
+                       + CAST(greatest(v.v, 1) AS DOUBLE))) * {s}, 0)
+                AS BIGINT)) AS BIGINT) AS lm_logprob_micro
+    FROM big b
+    LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    LEFT JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN vsize v
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.lm_logprob_micro, 0) AS lm_logprob_micro,
+       (coalesce(s.n_bigrams, 0) > 0
+        AND coalesce(s.lm_logprob_micro, 0)
+            >= {t} * coalesce(s.n_bigrams, 0)) AS lm_pass
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+
 LLM_QUERIES["retrieval_hybrid_rrf"] = _q_hybrid_rrf
 LLM_QUERIES["text_nb_quality"] = _q_nb_quality
+LLM_QUERIES["text_bigram_lm"] = _q_bigram_lm
 
 
 def _q_bpe_train(spark, sf_dir):

@@ -570,6 +570,132 @@ def nb_quality_score(docs: DataFrame, vocab_size: int = NB_VOCAB) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bigram language-model surprise (the CCNet/Wikipedia-LM perplexity
+# filter, Wenzek et al. 2020, one order up from unigram_surprise): train
+# a Laplace-smoothed bigram LM on the corpus' own rules-passing subset
+# (same weak-supervision bootstrap as nb_quality_score), then score
+# EVERY document by its total bigram log-likelihood. Low mean
+# log-likelihood = unpredictable word order = the crawl junk a
+# perplexity filter drops; pathologically HIGH likelihood = boilerplate.
+# --------------------------------------------------------------------------
+
+BIGRAM_SCALE = 1_000_000  # per-bigram log-prob fixed point (micro-nats)
+# keep docs whose MEAN bigram log-likelihood clears this (micro-nats per
+# bigram); compared as exact integers: sum_micro >= T * n_bigrams.
+# Corpus-tuned knob (like every perplexity filter): the testdata corpus
+# sits at median ≈ -3.39M with p25 ≈ -3.42M, so this cut drops the
+# least-predictable tail while keeping the bulk.
+BIGRAM_PASS_MICRO = -3_450_000
+
+
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) for every adjacent token pair; short docs
+    (< 2 tokens) contribute none. The sequence guard matters: Spark's
+    ``sequence(0, -1)`` counts DOWN, so an unguarded transform would
+    fabricate a reversed pair for 1-token docs."""
+    from .dedup import tokens
+
+    return (
+        docs.select("doc_id", tokens().alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN "
+                    "array() "
+                    "ELSE transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2)) END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def bigram_lm_surprise(docs: DataFrame) -> DataFrame:
+    """Train-and-score a Laplace-smoothed bigram LM in one job.
+
+    Training set: documents passing :func:`quality_rule_flags` (the
+    Gopher-rules conjunction — the same trusted-subset bootstrap the NB
+    classifier uses). ``logp(w2|w1) = ln((c(w1,w2)+1) / (c(w1,·)+V))``
+    with ``V`` = the training subset's distinct-token vocabulary size;
+    an unseen context degrades to ``ln(1/V)`` by the same formula (its
+    counts are zero), so scoring needs no special OOV branch.
+
+    Float determinism: like the NB classifier, each bigram's log-prob
+    is rounded ONCE to integer micro-nats, so per-document totals are
+    exact integer sums — shuffle-order-free — and the pass decision is
+    an exact integer comparison ``sum >= T * n``.
+
+    Shape (100 TB): one bigram explode feeds training counts and
+    scoring; the model join keys on (w1, w2) then w1 — uniform token
+    keys, no skew beyond natural Zipf (AQE skew-join handles the head
+    word); the vocabulary size and training-prior frames are 1-row
+    crossJoins. No window, no sort, no Python.
+
+    -> doc_id, n_bigrams, lm_logprob_micro, lm_pass
+    """
+    labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
+    big = _bigram_pairs(docs)
+    train_docs = labels.filter("quality_pass").select("doc_id")
+    train_big = big.join(train_docs, "doc_id")
+    c2 = train_big.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    from .dedup import tokens
+
+    vsize = (
+        docs.join(train_docs, "doc_id")
+        .select(F.explode(tokens()).alias("token"))
+        .agg(F.countDistinct("token").cast("long").alias("v"))
+    )
+    # greatest(v, 1): an all-fail-rules corpus has an empty model
+    # (v = 0, all counts 0) — the clamp keeps ln finite (logp 0) there
+    # and is a no-op on any real corpus
+    lp_micro = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+            / (
+                F.coalesce(F.col("c1"), F.lit(0))
+                + F.greatest(F.col("v"), F.lit(1)).cast("double")
+            )
+        )
+        * BIGRAM_SCALE,
+        0,
+    ).cast("long")
+    scored = (
+        big.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(lp_micro).cast("long").alias("lm_logprob_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_logprob_micro", F.lit(0))
+            .cast("long")
+            .alias("lm_logprob_micro"),
+            (
+                (F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0)
+                & (
+                    F.coalesce(F.col("lm_logprob_micro"), F.lit(0))
+                    >= F.lit(BIGRAM_PASS_MICRO)
+                    * F.coalesce(F.col("n_bigrams"), F.lit(0))
+                )
+            ).alias("lm_pass"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Full BPE tokenizer training (Sennrich et al. 2016) — the driver loop
 # around bpe_merge_candidates' primitive, with the merge APPLICATION
 # in-plan: each round's argmax pair is a one-row relation crossJoined
