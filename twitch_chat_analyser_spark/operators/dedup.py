@@ -685,7 +685,15 @@ def ngram_jaccard_pairs(
 # count on natural (Zipfian) corpora.
 # --------------------------------------------------------------------------
 
-PPJOIN_THRESHOLD = 0.9
+# Registry/oracle threshold. The synthetic corpus draws every document
+# from ONE small shared vocabulary, which is this operator's documented
+# adversarial case: TRUE pair count at moderate thresholds grows
+# quadratically with corpus size (190k pairs at t=0.95 / sf0.1), so the
+# committed query runs at the near-identity threshold where the output
+# stays output-shaped-sane (444 pairs at sf0.01, 36k at sf0.1). On a
+# Zipfian real-world corpus the prefix+positional filters keep ordinary
+# thresholds (0.7-0.9) cheap — that is the point of the operator.
+PPJOIN_THRESHOLD = 0.98
 
 
 def jaccard_threshold_pairs(
@@ -732,7 +740,22 @@ def jaccard_threshold_pairs(
             F.col("pr")
             <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
         )
-        .select("doc_id", "token", "n")
+        .select("doc_id", "token", "n", "pr")
+        # both sides of the candidate self-join consume this — without
+        # the (lazy) checkpoint the df-join + window subtree runs twice
+        .localCheckpoint(eager=False)
+    )
+    # positional filter (PPJoin, Xiao et al. WWW'08 — exact, results
+    # unchanged): a match at prefix positions (pa, pb) bounds the
+    # total overlap by 1 + min(na - pa, nb - pb), which must reach the
+    # Jaccard-equivalent overlap requirement ceil(t*(na+nb)/(1+t)).
+    # On vocabulary-saturated corpora (where every prefix token is
+    # common) this is the filter that actually cuts the candidate
+    # join — at t=0.95 with equal sizes only position-1 (rarest-token)
+    # matches survive.
+    alpha = F.ceil(
+        (F.col("size_a") + F.col("size_b"))
+        * F.lit(threshold / (1.0 + threshold))
     )
     cand = (
         prefix.alias("a")
@@ -743,9 +766,19 @@ def jaccard_threshold_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n").alias("size_a"),
             F.col("b.n").alias("size_b"),
+            F.col("a.pr").alias("pa"),
+            F.col("b.pr").alias("pb"),
         )
         .filter(F.col("size_a") >= F.ceil(F.col("size_b") * F.lit(threshold)))
         .filter(F.col("size_b") >= F.ceil(F.col("size_a") * F.lit(threshold)))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("size_a") - F.col("pa"), F.col("size_b") - F.col("pb")
+            )
+            >= alpha
+        )
+        .select("doc_a", "doc_b", "size_a", "size_b")
         .distinct()
     )
     inter = (
