@@ -2943,18 +2943,22 @@ v0 AS (
            CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS val
     FROM range({dim}) t(i)
 )"""]
+    # normalization deferred to one final step, in lockstep with the
+    # Spark plan (per-round normalize only rescales the direction)
     for k in range(1, n + 1):
-        ctes.append(f"""w{k} AS (
-    SELECT dd AS pos, sum(cde * val) AS wv
+        ctes.append(f"""v{k} AS (
+    SELECT dd AS pos, sum(cde * val) AS val
     FROM scatter JOIN v{k - 1} ON de = pos GROUP BY dd
-),
-n{k} AS (SELECT sqrt(sum(wv * wv)) AS nrm FROM w{k}),
-v{k} AS (SELECT pos, wv / nrm AS val FROM w{k} CROSS JOIN n{k})""")
+)""")
+    ctes.append(
+        f"nf AS (SELECT sqrt(sum(val * val)) AS nrm FROM v{n}),\n"
+        f"vf AS (SELECT pos, val / nrm AS val FROM v{n} CROSS JOIN nf)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"""
+        + """
 SELECT vec_id, round(sum(c * val), 6) AS pc1_score
-FROM centered JOIN v{n} ON centered.d = v{n}.pos
+FROM centered JOIN vf ON centered.d = vf.pos
 GROUP BY vec_id"""
     )
 

@@ -1558,7 +1558,10 @@ def pca_power_projection(
     centered = cvecs.select("vec_id", F.posexplode("cv").alias("d", "c"))
     # d^2 scatter cells in one corpus pass: the (d, e) pair products are
     # generated ARRAY-LOCALLY per row (no self-join, no shuffle before
-    # the map-side-partial d^2-cell aggregation)
+    # the map-side-partial d^2-cell aggregation). (A symmetric
+    # upper-triangle + mirror variant was measured and is NOT faster
+    # here — the extra union/exchange costs more than the halved
+    # explode saves once normalization is deferred.)
     scatter = (
         cvecs.select(
             F.explode(
@@ -1579,21 +1582,26 @@ def pca_power_projection(
         F.col("id").cast("int").alias("pos"),
         F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("val"),
     )
+    # the whole power iteration stays ONE Catalyst plan: the state is d
+    # rows, so chained join+agg rounds are a trivial lineage — no
+    # per-round checkpoint (each was a separate job + scheduler
+    # round-trip; only the d^2 scatter above is worth materializing).
+    # Normalization is DEFERRED to one final step: per-round normalize
+    # only rescales the direction, and each mid-plan broadcast of the
+    # norm was re-executing every earlier round. Magnitudes grow as
+    # lambda^k — at 6 rounds that stays far inside double range even
+    # for a 100 TB-scale eigenvalue (lambda ~ 1e11 -> 1e66 << 1e308).
     for _ in range(iterations):
-        w = (
+        v = (
             scatter.join(v, scatter["de"] == v["pos"])
             .groupBy(F.col("dd").alias("pos2"))
             .agg(F.sum(F.col("cde") * F.col("val")).alias("wv"))
+            .select(F.col("pos2").alias("pos"), F.col("wv").alias("val"))
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("pos2").alias("pos"),
-                (F.col("wv") / F.col("nrm")).alias("val"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    nrm = v.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+    v = v.crossJoin(F.broadcast(nrm)).select(
+        "pos", (F.col("val") / F.col("nrm")).alias("val")
+    )
     return (
         centered.join(F.broadcast(v), centered["d"] == v["pos"])
         .groupBy("vec_id")
