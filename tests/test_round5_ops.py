@@ -246,3 +246,39 @@ def test_jaccard_prefix_filter_completeness_random(spark):
             if len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= 0.5:
                 want.add((i, j))
     assert got == want
+
+
+# ----------------------------------------------------------------- kcore
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    from twitch_chat_analyser_spark.operators import graph
+    import pyspark.sql.functions as F
+
+    # K4 clique (0-3) with a pendant chain 3-10-11: 2-core = the clique
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 10), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["core_degree"] for r in graph.kcore(df, k=2).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_gate_rounds_reach_fixpoint(spark, sf_dir):
+    # the committed round budget must be a true fixpoint on gate data:
+    # one extra round changes nothing
+    from twitch_chat_analyser_spark import ingest
+    from twitch_chat_analyser_spark.operators import dedup, graph, llmops
+    import pyspark.sql.functions as F
+
+    docs = ingest.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, llmops.NUM_HASHES, llmops.SHINGLE_K,
+        llmops.MINHASH_JACCARD_THRESHOLD, sort=False,
+    )
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    e = e.localCheckpoint()
+    a = {(r["node"], r["core_degree"])
+         for r in graph.kcore(e, rounds=graph.KCORE_ROUNDS).collect()}
+    b = {(r["node"], r["core_degree"])
+         for r in graph.kcore(e, rounds=graph.KCORE_ROUNDS + 1).collect()}
+    assert a == b

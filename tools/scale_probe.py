@@ -97,6 +97,29 @@ def replicate_embeddings(spark, sf_dir: str, r: int):
     return out
 
 
+def replicate_events(spark, sf_dir: str, r: int):
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark import ingest
+
+    base = ingest.load(spark, sf_dir, "events")
+    parts = [
+        base.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i} DAY")).alias("ts"),
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(r)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def probes(spark, sf_dir: str, r: int) -> dict:
     """name -> (build_1x, build_Rx); each returns a DataFrame."""
     from twitch_chat_analyser_spark import dims
@@ -104,6 +127,7 @@ def probes(spark, sf_dir: str, r: int) -> dict:
         aggregations as agg,
     )
     from twitch_chat_analyser_spark.operators import (
+        behavior,
         dedup,
         frequency,
         llmops,
@@ -129,6 +153,8 @@ def probes(spark, sf_dir: str, r: int) -> dict:
             r: replicate_docs(spark, sf_dir, r).localCheckpoint()}
     embs = {1: replicate_embeddings(spark, sf_dir, 1).localCheckpoint(),
             r: replicate_embeddings(spark, sf_dir, r).localCheckpoint()}
+    evts = {1: replicate_events(spark, sf_dir, 1).localCheckpoint(),
+            r: replicate_events(spark, sf_dir, r).localCheckpoint()}
 
     # Serving-path probes read MATERIALIZED fact tables (the read path's
     # real input — streaming maintains these; PLANS.md argues their 100x
@@ -240,6 +266,27 @@ def probes(spark, sf_dir: str, r: int) -> dict:
         ),
         "BPE train 4 rounds (vocab collapse + per-round argmax+fold)": pair(
             lambda n: textops.bpe_train(docs[n], n_merges=4)
+        ),
+        # replication makes every copy a token-set near-dup of its
+        # siblings (the ' copyN' suffix adds one token to 25), so like
+        # exact simhash the TRUE pair set grows ~R^2 — expect the exact
+        # path near R, the filters bound CANDIDATES not output
+        "jaccard prefix join (df-prefix + positional filter + verify)":
+            pair(lambda n: dedup.jaccard_threshold_pairs(docs[n], 0.98)),
+        "KMV overlap (k-min sketches + pair set-op estimates)": pair(
+            lambda n: sketches.kmv_overlap(msgs[n])
+        ),
+        "bigram LM (train counts + model join + integer doc sums)": pair(
+            lambda n: textops.bigram_lm_surprise(docs[n])
+        ),
+        "prototype prune (Lloyd + cos-to-own-centroid rank)": pair(
+            lambda n: similarity.prototype_prune(embs[n], 8, 2)
+        ),
+        "markov transitions (user lead window + tiny rollup)": pair(
+            lambda n: behavior.markov_transitions(evts[n])
+        ),
+        "PCA projection (d^2 scatter + unrolled power rounds)": pair(
+            lambda n: similarity.pca_power_projection(embs[n])
         ),
     }
 

@@ -278,6 +278,70 @@ def cluster_representatives(
 # --------------------------------------------------------------------------
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node whose
+    degree is < k, re-count, repeat. The surviving subgraph (every node
+    has >= k neighbors WITHIN it) separates dense duplicate communities
+    from incidental pair chains — the near-dup-graph QA signal that
+    connected components can't give (CC merges a 100-doc boilerplate
+    clique and a 2-doc accident into equal clusters; the 2-core keeps
+    only the former's structure).
+
+    Fixed ``rounds`` keeps the plan and the unrolled SQL oracle in
+    lockstep (same technique as pagerank); a pytest asserts the gate
+    corpus reaches the fixpoint inside the budget. Each round is a
+    degree aggregation + two semi-joins on the EDGE set — the same
+    edges-only scale shape as connected_components (pairs are orders of
+    magnitude smaller than the corpus), with per-round lazy checkpoints
+    because each round's edge set feeds both the degree count and the
+    filter.
+
+    -> node, core_degree   (nodes in the k-core, with in-core degree)
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = sym
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
+def _q_dedup_kcore(spark, sf_dir):
+    from .. import ingest
+    from . import dedup, llmops
+
+    docs = ingest.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, llmops.NUM_HASHES, llmops.SHINGLE_K,
+        llmops.MINHASH_JACCARD_THRESHOLD, sort=False,
+    )
+    return kcore(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from .. import ingest
     from . import dedup, llmops
@@ -414,6 +478,7 @@ def _q_channel_pagerank(spark, sf_dir):
 GRAPH_QUERIES = {
     "dedup_connected_clusters": _q_dedup_clusters,
     "dedup_cluster_representatives": _q_cluster_representatives,
+    "dedup_kcore_membership": _q_dedup_kcore,
     "channel_triangles": _q_channel_triangles,
     "channel_pagerank": _q_channel_pagerank,
 }
@@ -548,9 +613,37 @@ tnodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS triangles
 FROM tnodes GROUP BY node"""
 
+    # k-core: reuse the pair-graph prefix (through `sym`) from the
+    # clusters oracle, then the fixed peel rounds unrolled — degree
+    # count, >= k keep set, both-endpoint filter — in lockstep with
+    # kcore()'s loop (integer-only, no float drift possible)
+    sym_prefix = clusters_sql.split("reach AS")[0].replace(
+        "WITH RECURSIVE", "WITH"
+    )
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge set twice (degree count + filter) and its keep set twice —
+    # un-materialized CTE inlining would blow up 4^rounds
+    kcore_rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        kcore_rounds.append(f"""k{i} AS MATERIALIZED (
+    SELECT a FROM (SELECT a, count(*) AS deg FROM {prev} GROUP BY a)
+    WHERE deg >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM {prev} e
+    JOIN k{i} x ON x.a = e.a JOIN k{i} y ON y.a = e.b
+)""")
+        prev = f"e{i}"
+    kcore_sql = f"""{sym_prefix}e0 AS MATERIALIZED (SELECT a, b FROM sym),
+{','.join(kcore_rounds)}
+SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY a"""
+
     return {
         "channel_pagerank": pagerank_sql,
         "dedup_connected_clusters": clusters_sql,
         "dedup_cluster_representatives": reps_sql,
+        "dedup_kcore_membership": kcore_sql,
         "channel_triangles": triangles_sql,
     }

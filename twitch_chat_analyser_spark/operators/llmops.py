@@ -2348,6 +2348,7 @@ FROM (
     out["curate_prototype_prune"] = _prototype_prune_oracle_sql()
     out["text_nb_quality"] = _nb_quality_oracle_sql()
     out["text_bigram_lm"] = _bigram_lm_oracle_sql()
+    out["text_source_divergence"] = _source_divergence_oracle_sql()
     out["text_bpe_train"] = _bpe_train_oracle_sql()
     out["text_bpe_encode"] = _bpe_encode_oracle_sql()
     out["embedding_pca_projection"] = _pca_oracle_sql()
@@ -2764,6 +2765,47 @@ def _q_bigram_lm(spark, sf_dir):
     return textops.bigram_lm_surprise(_docs(spark, sf_dir))
 
 
+def _q_source_divergence(spark, sf_dir):
+    return textops.source_divergence(_docs(spark, sf_dir))
+
+
+def _source_divergence_oracle_sql() -> str:
+    """Per-source KL/entropy with per-token-type nano-nat rounding —
+    expression shapes in lockstep with textops.source_divergence."""
+    s = textops.KL_SCALE
+    return f"""
+WITH tok AS (
+    SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+),
+st AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+    FROM tok GROUP BY 1, 2
+),
+s_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+g AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+n_tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_g FROM g),
+terms AS (
+    SELECT st.source, st.c_st,
+           CAST(round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                     / (CAST(c_t AS DOUBLE) / CAST(n_g AS DOUBLE)))
+                * {s}, 0) AS BIGINT) AS kl_term,
+           CAST(round(-(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                * ln(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                * {s}, 0) AS BIGINT) AS h_term
+    FROM st JOIN g USING (token) JOIN s_tot USING (source) CROSS JOIN n_tot
+)
+SELECT source,
+       CAST(sum(c_st) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(kl_term) AS BIGINT) AS kl_nano,
+       CAST(sum(h_term) AS BIGINT) AS entropy_nano,
+       round(CAST(sum(kl_term) AS BIGINT) / {s}, 6) AS kl,
+       round(CAST(sum(h_term) AS BIGINT) / {s}, 6) AS entropy
+FROM terms GROUP BY source"""
+
+
 def _bigram_lm_oracle_sql() -> str:
     """Bigram-LM surprise oracle: same weak-label training subset (the
     committed Gopher-rules SQL), same Laplace ``(c2+1)/(c1+V)`` with
@@ -2817,6 +2859,7 @@ FROM documents d LEFT JOIN scored s USING (doc_id)"""
 LLM_QUERIES["retrieval_hybrid_rrf"] = _q_hybrid_rrf
 LLM_QUERIES["text_nb_quality"] = _q_nb_quality
 LLM_QUERIES["text_bigram_lm"] = _q_bigram_lm
+LLM_QUERIES["text_source_divergence"] = _q_source_divergence
 
 
 def _q_bpe_train(spark, sf_dir):

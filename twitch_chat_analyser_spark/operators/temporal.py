@@ -197,10 +197,124 @@ def _q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_attribution(_events_ms(spark, sf_dir))
 
 
+OHLC_BUCKET_MS = 3_600_000  # hourly candles
+
+
+def ohlc_downsample(
+    events: DataFrame, bucket_ms: int = OHLC_BUCKET_MS
+) -> DataFrame:
+    """OHLC candle downsampling of the event value stream per event
+    type — the financial-style first/last/min/max rollup that a plain
+    min/max/avg time-series rollup (rollups.py) can't express because
+    open/close are ORDER-dependent. Determinism: open/close pick the
+    value at the (ms, event_id) extremes via min_by/max_by on a struct
+    key — total order, engine-identical; high/low/count are order-free.
+    No float arithmetic at all, so no summation-order concern.
+
+    Shape (100 TB): ONE hash aggregation on (event_type, bucket) —
+    min_by/max_by are partial-mergeable, so candles build map-side
+    exactly like sum/count; no window, no sort.
+
+    -> event_type, bucket_ms, open, high, low, close, n_events
+    """
+    ms = F.unix_millis("ts")
+    bucket = (F.floor(ms / bucket_ms) * bucket_ms).cast("long")
+    return (
+        events.groupBy(
+            "event_type", bucket.alias("bucket_ms")
+        )
+        .agg(
+            F.expr(
+                "min_by(value, struct(unix_millis(ts) AS ms, event_id))"
+            ).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr(
+                "max_by(value, struct(unix_millis(ts) AS ms, event_id))"
+            ).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "bucket_ms")
+    )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorize_values(
+    events: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Per-event-type winsorization: clip ``value`` to that type's
+    [p05, p95] — the standard robust-statistics pre-step before any
+    mean-based aggregate on a heavy-tailed metric column. Percentiles
+    are the EXACT order statistics at rank ``ceil(p * n)`` (the same
+    explicit-rank rule the approx_percentile oracle pins), selected by
+    one per-type window — never ``percentile_cont`` interpolation,
+    whose float blend would differ across engines.
+
+    Shape (100 TB): one window partitioned by event_type to rank
+    values (per-type partitions; a skewed type is the usual range-
+    partition-rank refinement), one 2-row-per-type bounds frame
+    broadcast back. The clip itself is a map-only projection.
+
+    -> event_id, event_type, value, value_winsorized
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_id", "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") * F.lit(lo)))
+            | (F.col("rn") == F.ceil(F.col("n") * F.lit(hi)))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(lo)),
+                    F.col("value"),
+                )
+            ).alias("lo_v"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(hi)),
+                    F.col("value"),
+                )
+            ).alias("hi_v"),
+        )
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo_v")), F.col("hi_v"))
+            .alias("value_winsorized"),
+        )
+    )
+
+
+def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_downsample(ingest.load(spark, sf_dir, "events"))
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorize_values(ingest.load(spark, sf_dir, "events"))
+
+
 TEMPORAL_QUERIES = {
     "asof_purchase_last_click": _q_asof,
     "range_incident_purchases": _q_range,
     "stream_join_click_attribution": _q_click_attribution,
+    "events_ohlc_hourly": _q_ohlc,
+    "events_winsorized_values": _q_winsorize,
 }
 
 _EV_CTE = (
@@ -254,4 +368,51 @@ JOIN clicks c
   ON c.user_id = p.user_id
  AND c.click_ms <= p.purchase_ms
  AND c.click_ms > p.purchase_ms - {ATTRIBUTION_HORIZON_MS}""",
+        # order-dependent open/close via explicit first/last rank over
+        # (ms, event_id); high/low/count order-free; no float sums
+        "events_ohlc_hourly": f"""
+WITH ev AS (
+    SELECT event_id, event_type, value, epoch_ms(ts) AS ms,
+           CAST(floor(epoch_ms(ts) / {OHLC_BUCKET_MS})
+                * {OHLC_BUCKET_MS} AS BIGINT) AS bucket_ms
+    FROM events
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, bucket_ms
+                              ORDER BY ms, event_id) AS rf,
+           row_number() OVER (PARTITION BY event_type, bucket_ms
+                              ORDER BY ms DESC, event_id DESC) AS rl
+    FROM ev
+)
+SELECT event_type, bucket_ms,
+       max(CASE WHEN rf = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rl = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM ranked GROUP BY 1, 2""",
+        # exact order statistics at rank ceil(p*n) — the same explicit
+        # rank rule as the approx_percentile oracle; clip is map-only
+        "events_winsorized_values": f"""
+WITH ranked AS (
+    SELECT event_id, event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+bounds AS (
+    SELECT event_type,
+           min(CASE WHEN rn = CAST(ceil(n * {WINSOR_LO}) AS BIGINT)
+                    THEN value END) AS lo_v,
+           min(CASE WHEN rn = CAST(ceil(n * {WINSOR_HI}) AS BIGINT)
+                    THEN value END) AS hi_v
+    FROM ranked
+    WHERE rn = CAST(ceil(n * {WINSOR_LO}) AS BIGINT)
+       OR rn = CAST(ceil(n * {WINSOR_HI}) AS BIGINT)
+    GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo_v), b.hi_v) AS value_winsorized
+FROM events e JOIN bounds b USING (event_type)""",
     }

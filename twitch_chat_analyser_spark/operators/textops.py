@@ -569,6 +569,65 @@ def nb_quality_score(docs: DataFrame, vocab_size: int = NB_VOCAB) -> DataFrame:
     )
 
 
+KL_SCALE = 1_000_000_000  # per-token-type fixed point (nano-nats)
+
+
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source distribution diagnostics: token-distribution KL
+    divergence vs the whole corpus and unigram entropy — the domain-
+    mixture datacard numbers (is this source on-distribution? how
+    repetitive is it?) that drive mixture reweighting decisions
+    (sampling.mixture_* operate on counts; this measures SHAPE).
+
+    ``KL(p_s || q) = Σ_t (c_st/n_s) · ln((c_st/n_s)/(c_t/N))`` and
+    ``H(p_s) = -Σ_t (c_st/n_s) · ln(c_st/n_s)``; every per-token-TYPE
+    term is rounded once to integer nano-nats, so the per-source totals
+    are exact integer sums — shuffle-order-free, bit-identical to the
+    oracle (the NB/bigram-LM fixed-point pattern).
+
+    Shape (100 TB): one token explode feeds the (source, token) rollup;
+    the corpus-marginal join keys on token (vocab-sized, uniform); the
+    totals are 1-row and |sources|-row broadcasts. Final rollup is
+    |sources| x |vocab| rows.
+
+    -> source, n_tokens, n_distinct, kl_nano, entropy_nano, kl, entropy
+    """
+    from .dedup import tokens
+
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    st = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("c_st")
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    g = st.groupBy("token").agg(F.sum("c_st").cast("long").alias("c_t"))
+    n_tot = g.agg(F.sum("c_t").cast("long").alias("n_g"))
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n_g").cast("double")
+    kl_term = F.round(p * F.log(p / q) * KL_SCALE, 0).cast("long")
+    h_term = F.round(-p * F.log(p) * KL_SCALE, 0).cast("long")
+    return (
+        st.join(g, "token")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(kl_term).cast("long").alias("kl_nano"),
+            F.sum(h_term).cast("long").alias("entropy_nano"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            "kl_nano",
+            "entropy_nano",
+            F.round(F.col("kl_nano") / KL_SCALE, 6).alias("kl"),
+            F.round(F.col("entropy_nano") / KL_SCALE, 6).alias("entropy"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Bigram language-model surprise (the CCNet/Wikipedia-LM perplexity
 # filter, Wenzek et al. 2020, one order up from unigram_surprise): train
