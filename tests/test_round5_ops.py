@@ -282,3 +282,21 @@ def test_kcore_gate_rounds_reach_fixpoint(spark, sf_dir):
     b = {(r["node"], r["core_degree"])
          for r in graph.kcore(e, rounds=graph.KCORE_ROUNDS + 1).collect()}
     assert a == b
+
+
+def test_jaccard_block_cap_bounds_candidates_keeps_connectivity(spark):
+    # 60 identical docs: exact path emits all C(60,2)=1770 pairs; the
+    # capped path emits only pivot pairs (~cap*N) but every doc still
+    # pairs with the bucket pivots, so the dup CLUSTER stays connected
+    texts = ["alpha beta gamma delta epsilon"] * 60
+    docs = _docs(spark, texts)
+    exact = dedup.jaccard_threshold_pairs(docs, threshold=0.9)
+    capped = dedup.jaccard_threshold_pairs(docs, threshold=0.9, block_cap=4)
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_exact == 60 * 59 // 2
+    # pivots = 4 lowest ids: pairs = C(4,2) + 4*(60-4) = 6 + 224
+    assert n_capped == 6 + 4 * 56
+    # connectivity: every doc appears in >= 1 capped pair
+    rows = capped.collect()
+    nodes = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    assert nodes == set(range(60))

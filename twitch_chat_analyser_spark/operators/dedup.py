@@ -697,7 +697,9 @@ PPJOIN_THRESHOLD = 0.98
 
 
 def jaccard_threshold_pairs(
-    docs: DataFrame, threshold: float = PPJOIN_THRESHOLD
+    docs: DataFrame,
+    threshold: float = PPJOIN_THRESHOLD,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """All document pairs whose DISTINCT-token-set Jaccard similarity
     is >= ``threshold`` — exact (no recall loss, unlike minhash/LSH),
@@ -709,18 +711,25 @@ def jaccard_threshold_pairs(
     order — a doc-partitioned window whose partitions are single
     documents' token sets; (3) the candidate join equi-joins PREFIX
     tokens only, applies the length filter (``|a| >= ceil(t*|b|)`` both
-    ways), and (4) the verify step counts true intersections via one
-    token equi-join and filters on the exact Jaccard.
+    ways) and the PPJoin positional filter, and (4) the verify step
+    counts true intersections via one token equi-join and filters on
+    the exact Jaccard.
 
     Shape (100 TB): no all-pairs anything — candidates are bounded by
     prefix-token co-occurrence, which df-ascending ordering keeps small
     on Zipfian corpora (the rarest ~10% of each doc's tokens). The
     adversarial corpus (mass-duplicated docs ⇒ every prefix collides)
     degrades toward the true output size, which is itself quadratic in
-    the duplicate clique — same output-shaped growth as exact simhash,
-    documented there; cap with the shared pivot bound if needed.
-    Determinism: IEEE double ceil/divide decisions are identical in
-    both engines for identical expressions.
+    the duplicate clique — same output-shaped growth as exact simhash.
+    ``block_cap`` is the same OPT-IN occupancy bound those operators
+    carry: within each prefix-token bucket only the ``block_cap``
+    lowest-doc_id PIVOTS pair against the bucket, so candidates are
+    ~N·cap instead of ~N² while every member still reaches its
+    bucket's pivots (cluster connectivity survives; a pair can be
+    missed only when BOTH endpoints are non-pivots in every shared
+    prefix bucket — default None keeps the exact oracle-checked
+    contract). Determinism: IEEE double ceil/divide decisions are
+    identical in both engines for identical expressions.
 
     -> doc_a, doc_b, inter_tokens, size_a, size_b, jaccard
     """
@@ -757,8 +766,16 @@ def jaccard_threshold_pairs(
         (F.col("size_a") + F.col("size_b"))
         * F.lit(threshold / (1.0 + threshold))
     )
+    left = prefix
+    if block_cap is not None:
+        wb = Window.partitionBy("token").orderBy("doc_id")
+        left = (
+            prefix.withColumn("prank", F.row_number().over(wb))
+            .filter(F.col("prank") <= block_cap)
+            .drop("prank")
+        )
     cand = (
-        prefix.alias("a")
+        left.alias("a")
         .join(prefix.alias("b"), "token")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
