@@ -97,6 +97,15 @@ HEADLINE = [
     "text_bpe_train",
     "text_bpe_encode",
     "embedding_pca_projection",
+    "dedup_jaccard_prefix_join",
+    "sketch_kmv_overlap",
+    "text_bigram_lm",
+    "curate_prototype_prune",
+    "events_markov_transitions",
+    "dedup_kcore_membership",
+    "text_source_divergence",
+    "events_ohlc_hourly",
+    "events_winsorized_values",
 ]
 
 

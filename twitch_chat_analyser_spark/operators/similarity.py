@@ -987,7 +987,8 @@ def prototype_prune(
                 > F.floor(F.col("cluster_n") * F.lit(prune_fraction))
             ).alias("kept"),
         )
-        .orderBy("vec_id")
+        # no presentation orderBy: output is corpus-sized — a global
+        # sort would be the plan's only corpus-wide range exchange
     )
 
 
