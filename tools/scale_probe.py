@@ -433,6 +433,14 @@ def main() -> None:
         "  adversarial worst case for blocking-based candidate",
         "  generation) now costs ~R, not ~R^2. Recall impact is measured",
         "  by the eval_lsh_recall / eval_embedding_recall queries.",
+        "- The jaccard prefix join is in the same output-shaped class",
+        "  as exact simhash: replication makes every copy a token-set",
+        "  near-dup of its siblings (a 1-token suffix on 25-token",
+        "  sets), so the TRUE pair set grows ~R^2 and a near-R time",
+        "  ratio is the expected exact-operator behavior — the prefix/",
+        "  positional filters bound CANDIDATES, not output. The opt-in",
+        "  block_cap pivot bound is the adversarial-corpus path (same",
+        "  contract as the simhash cap).",
         "- The serving probes time the read-path queries over",
         "  MATERIALIZED fact tables replicated Rx (more channel buckets,",
         "  more user keys) — the shapes PLANS.md argues (broadcast-sized",
