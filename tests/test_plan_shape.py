@@ -457,3 +457,56 @@ def test_portable_hll_plan_is_jvm_only_with_partial_registers(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_markov_single_user_exchange_no_python(spark, sf_dir):
+    from twitch_chat_analyser_spark.operators import behavior
+
+    df = behavior.markov_transitions(ingest.load(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert "Python" not in plan
+    # exactly one window (the per-user lead); its exchange partitions on
+    # user_id — the uniform key, never a global sort before the rollup
+    assert plan.count("Window") >= 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_jaccard_prefix_join_no_cartesian_no_python(spark, sf_dir):
+    from twitch_chat_analyser_spark.operators import dedup
+
+    df = dedup.jaccard_threshold_pairs(
+        ingest.load(spark, sf_dir, "documents")
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_prototype_prune_broadcasts_codebook_no_global_sort(spark, sf_dir):
+    from twitch_chat_analyser_spark.operators import similarity
+    from twitch_chat_analyser_spark.operators.llmops import _emb
+
+    df = similarity.prototype_prune(_emb(spark, sf_dir), 8, 2)
+    plan = plan_of(df)
+    # scoring join against the k-row codebook must broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # output is corpus-sized: no presentation sort (rangepartitioning
+    # would mark a global sort of the output)
+    tail = plan.split("AdaptiveSparkPlan")[0]
+    assert "rangepartitioning" not in tail.lower().replace(" ", "")
+
+
+def test_kmv_overlap_runs_on_sketches_not_facts(spark, sf_dir):
+    from twitch_chat_analyser_spark.operators import sketches
+
+    df = sketches.kmv_overlap(ingest.messages(spark, sf_dir))
+    plan = plan_of(df)
+    assert "Python" not in plan
+
+
+def test_bigram_lm_no_python_nodes(spark, sf_dir):
+    from twitch_chat_analyser_spark.operators import textops
+
+    df = textops.bigram_lm_surprise(ingest.load(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert "Python" not in plan

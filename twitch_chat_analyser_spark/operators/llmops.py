@@ -2349,6 +2349,8 @@ FROM (
     out["text_nb_quality"] = _nb_quality_oracle_sql()
     out["text_bigram_lm"] = _bigram_lm_oracle_sql()
     out["text_source_divergence"] = _source_divergence_oracle_sql()
+    out["eval_minhash_exact_recall"] = _eval_minhash_exact_recall_oracle_sql()
+    out["curation_scoreboard"] = _curation_scoreboard_oracle_sql()
     out["text_bpe_train"] = _bpe_train_oracle_sql()
     out["text_bpe_encode"] = _bpe_encode_oracle_sql()
     out["embedding_pca_projection"] = _pca_oracle_sql()
@@ -2769,6 +2771,142 @@ def _q_source_divergence(spark, sf_dir):
     return textops.source_divergence(_docs(spark, sf_dir))
 
 
+def _q_eval_minhash_exact_recall(spark, sf_dir):
+    """Measured LSH candidate-generation recall against EXACT truth
+    computed in-engine: the prefix-filtered Jaccard join
+    (dedup.jaccard_threshold_pairs, complete by theorem + brute-force
+    oracle) supplies the true TOKEN-SET near-dup pairs at the
+    near-identity threshold; each LSH variant's verified pairs are
+    checked against it. Closes the loop the sampled eval_lsh_recall
+    can't: exact truth over the WHOLE corpus, no hash sample —
+    affordable precisely because the exact operator exists.
+
+    Two variants quantify a property worth a number: 3-shingle LSH
+    (the dedup default) is ORDER-SENSITIVE by design — documents with
+    ~identical token sets but different word order share almost no
+    shingles, so its recall on token-set truth is near zero — while
+    token-level (1-shingle) LSH probes the same metric space as the
+    truth and should approach 1. A pipeline choosing a dedup key
+    chooses between these two behaviors; this measures the gap.
+
+    -> variant, n_truth, n_found, recall
+    """
+    from pyspark.sql import functions as F
+
+    from . import dedup
+
+    docs = _docs(spark, sf_dir)
+    truth = (
+        dedup.jaccard_threshold_pairs(docs, dedup.PPJOIN_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for variant, k in (("shingle3_lsh", SHINGLE_K), ("token_lsh", 1)):
+        found = dedup.minhash_dedup_pairs(
+            docs, NUM_HASHES, k, dedup.PPJOIN_THRESHOLD, sort=False
+        ).select("doc_a", "doc_b")
+        hit = truth.join(found, ["doc_a", "doc_b"], "left_semi")
+        rows.append(
+            truth.agg(F.count("*").cast("long").alias("n_truth"))
+            .crossJoin(hit.agg(F.count("*").cast("long").alias("n_found")))
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_truth",
+                "n_found",
+                F.round(
+                    F.when(
+                        F.col("n_truth") > 0,
+                        F.col("n_found").cast("double")
+                        / F.col("n_truth").cast("double"),
+                    ).otherwise(F.lit(1.0)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+def _eval_minhash_exact_recall_oracle_sql() -> str:
+    """Truth = brute-force all-pairs Jaccard at the same threshold;
+    found = the committed minhash band-join + exact-verify pipeline at
+    the same threshold. Counts + one rounded division."""
+    from . import dedup
+
+    t = dedup.PPJOIN_THRESHOLD
+    return f"""
+WITH {_DOC_CTES},
+sh AS (SELECT DISTINCT doc_id, token FROM doc_tokens),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+truth AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) x JOIN sz sa ON sa.doc_id = x.doc_a JOIN sz sb ON sb.doc_id = x.doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {t}
+),
+seeds AS (SELECT CAST(x AS INT) AS seed FROM range({NUM_HASHES}) t(x)),
+sigs3 AS (
+    SELECT doc_id, seed,
+           min(substr(md5(repeat('x', seed // 4) || sh),
+                      (seed % 4) * 8 + 1, 8)) AS minhash
+    FROM doc_shingles, seeds GROUP BY 1, 2
+),
+sigs1 AS (
+    SELECT doc_id, seed,
+           min(substr(md5(repeat('x', seed // 4) || token),
+                      (seed % 4) * 8 + 1, 8)) AS minhash
+    FROM doc_tokens, seeds GROUP BY 1, 2
+),
+tsets AS (SELECT doc_id, list_distinct(toks) AS tok_set FROM doc_toks),
+cands3 AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs3 a JOIN sigs3 b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+cands1 AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs1 a JOIN sigs1 b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+found3 AS (
+    SELECT doc_a, doc_b FROM cands3
+    JOIN tsets ta ON ta.doc_id = doc_a
+    JOIN tsets tb ON tb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.tok_set, tb.tok_set))) >= {t}
+),
+found1 AS (
+    SELECT doc_a, doc_b FROM cands1
+    JOIN tsets ta ON ta.doc_id = doc_a
+    JOIN tsets tb ON tb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.tok_set, tb.tok_set))) >= {t}
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+SELECT 'shingle3_lsh' AS variant, n_truth,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM truth SEMI JOIN found3 USING (doc_a, doc_b)) AS n_found,
+       round(CASE WHEN n_truth > 0
+                  THEN CAST((SELECT count(*) FROM truth
+                             SEMI JOIN found3 USING (doc_a, doc_b))
+                            AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                  ELSE 1.0 END, 6) AS recall
+FROM nt
+UNION ALL
+SELECT 'token_lsh', n_truth,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM truth SEMI JOIN found1 USING (doc_a, doc_b)),
+       round(CASE WHEN n_truth > 0
+                  THEN CAST((SELECT count(*) FROM truth
+                             SEMI JOIN found1 USING (doc_a, doc_b))
+                            AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                  ELSE 1.0 END, 6)
+FROM nt"""
+
+
 def _source_divergence_oracle_sql() -> str:
     """Per-source KL/entropy with per-token-type nano-nat rounding —
     expression shapes in lockstep with textops.source_divergence."""
@@ -2859,7 +2997,64 @@ FROM documents d LEFT JOIN scored s USING (doc_id)"""
 LLM_QUERIES["retrieval_hybrid_rrf"] = _q_hybrid_rrf
 LLM_QUERIES["text_nb_quality"] = _q_nb_quality
 LLM_QUERIES["text_bigram_lm"] = _q_bigram_lm
+def _q_curation_scoreboard(spark, sf_dir):
+    """Doc-level curation scoreboard: the three independent quality
+    filters (Gopher hard rules, NB classifier, bigram-LM perplexity)
+    side by side with their agreement count and the conjunctive keep
+    decision — the table a curation review actually looks at before
+    committing a filter stack (how much does each filter uniquely
+    remove? where do they disagree?). Pure composition of the three
+    committed operators; one doc-keyed join chain, no new shuffles
+    beyond the components'.
+
+    -> doc_id, rules_pass, nb_pass, lm_pass, n_pass, keep
+    """
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    rules = textops.quality_rule_flags(docs).select(
+        "doc_id", F.col("quality_pass").alias("rules_pass")
+    )
+    nb = textops.nb_quality_score(docs).select("doc_id", "nb_pass")
+    lm = textops.bigram_lm_surprise(docs).select("doc_id", "lm_pass")
+    n_pass = (
+        F.col("rules_pass").cast("int")
+        + F.col("nb_pass").cast("int")
+        + F.col("lm_pass").cast("int")
+    )
+    return (
+        rules.join(nb, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id",
+            "rules_pass",
+            "nb_pass",
+            "lm_pass",
+            n_pass.cast("int").alias("n_pass"),
+            (F.col("rules_pass") & F.col("nb_pass") & F.col("lm_pass"))
+            .alias("keep"),
+        )
+    )
+
+
+def _curation_scoreboard_oracle_sql() -> str:
+    """Nested-WITH composition of the three committed filter oracles
+    (the corpus_datacard technique)."""
+    return f"""
+WITH rules_q AS ({_quality_rules_sql()}),
+nb_q AS ({_nb_quality_oracle_sql()}),
+lm_q AS ({_bigram_lm_oracle_sql()})
+SELECT r.doc_id, r.quality_pass AS rules_pass, n.nb_pass, l.lm_pass,
+       CAST((CASE WHEN r.quality_pass THEN 1 ELSE 0 END)
+            + (CASE WHEN n.nb_pass THEN 1 ELSE 0 END)
+            + (CASE WHEN l.lm_pass THEN 1 ELSE 0 END) AS INT) AS n_pass,
+       (r.quality_pass AND n.nb_pass AND l.lm_pass) AS keep
+FROM rules_q r JOIN nb_q n USING (doc_id) JOIN lm_q l USING (doc_id)"""
+
+
 LLM_QUERIES["text_source_divergence"] = _q_source_divergence
+LLM_QUERIES["eval_minhash_exact_recall"] = _q_eval_minhash_exact_recall
+LLM_QUERIES["curation_scoreboard"] = _q_curation_scoreboard
 
 
 def _q_bpe_train(spark, sf_dir):
