@@ -300,3 +300,105 @@ def test_jaccard_block_cap_bounds_candidates_keeps_connectivity(spark):
     rows = capped.collect()
     nodes = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
     assert nodes == set(range(60))
+
+
+# ------------------------------------------------------ ohlc / winsorize
+
+
+def test_ohlc_golden_order_dependence(spark):
+    rows = [
+        (TS.format(1), 1, "view"),   # event 0: first in bucket
+        (TS.format(30), 1, "view"),  # event 1: last in bucket
+        (TS.format(15), 2, "view"),  # event 2: middle (max value)
+    ]
+    ev = _events(spark, rows)
+    ev = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == 0, 10.0)
+        .when(F.col("event_id") == 1, 20.0)
+        .otherwise(99.0),
+    )
+    from twitch_chat_analyser_spark.operators import temporal
+
+    out = temporal.ohlc_downsample(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (
+        10.0, 99.0, 10.0, 20.0, 3,
+    )
+
+
+def test_ohlc_same_ms_ties_break_on_event_id(spark):
+    rows = [(TS.format(1), 1, "view")] * 3
+    ev = _events(spark, rows).withColumn(
+        "value", F.col("event_id").cast("double")
+    )
+    from twitch_chat_analyser_spark.operators import temporal
+
+    r = temporal.ohlc_downsample(ev).collect()[0]
+    assert (r["open"], r["close"]) == (0.0, 2.0)
+
+
+def test_winsorize_clips_both_tails(spark):
+    rows = [(TS.format(i % 60), 1, "view") for i in range(100)]
+    ev = _events(spark, rows).withColumn(
+        "value", F.col("event_id").cast("double")
+    )
+    from twitch_chat_analyser_spark.operators import temporal
+
+    out = {r["event_id"]: r["value_winsorized"]
+           for r in temporal.winsorize_values(ev).collect()}
+    # p05 = value at rank ceil(0.05*100)=5 -> 4.0; p95 -> rank 95 -> 94.0
+    assert out[0] == 4.0 and out[2] == 4.0
+    assert out[99] == 94.0 and out[97] == 94.0
+    assert out[50] == 50.0  # middle untouched
+
+
+# -------------------------------------------- source divergence / board
+
+
+def test_source_divergence_uniform_source_has_zero_kl(spark):
+    # both sources drawn identically -> p_s == q -> KL exactly 0
+    texts = ["aa bb cc dd", "aa bb cc dd"]
+    rows = [
+        (0, texts[0], "en", "s0", 11),
+        (1, texts[1], "en", "s1", 11),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in textops.source_divergence(docs).collect()}
+    assert out["s0"]["kl_nano"] == 0 and out["s1"]["kl_nano"] == 0
+    # entropy of 4 equiprobable tokens = ln(4)
+    assert abs(out["s0"]["entropy"] - math.log(4)) < 1e-6
+
+
+def test_source_divergence_skewed_source_positive_kl(spark):
+    rows = [
+        (0, "aa aa aa aa aa aa aa aa", "en", "skew", 23),
+        (1, "aa bb cc dd ee ff gg hh", "en", "mix", 23),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in textops.source_divergence(docs).collect()}
+    assert out["skew"]["kl"] > 0.2
+    assert out["skew"]["entropy_nano"] == 0  # single token type
+    assert out["mix"]["n_distinct"] == 8
+
+
+def test_curation_scoreboard_composition(spark, sf_dir):
+    from twitch_chat_analyser_spark import ingest
+    from twitch_chat_analyser_spark.operators.llmops import (
+        _q_curation_scoreboard,
+    )
+
+    out = _q_curation_scoreboard(spark, sf_dir).collect()
+    docs_n = ingest.load(spark, sf_dir, "documents").count()
+    assert len(out) == docs_n
+    for r in out:
+        n = int(r["rules_pass"]) + int(r["nb_pass"]) + int(r["lm_pass"])
+        assert r["n_pass"] == n
+        assert r["keep"] == (n == 3)
