@@ -1,0 +1,159 @@
+"""Streaming OHLC candle maintenance: the continuous-aggregate twin of
+``temporal.ohlc_downsample`` (rollups.start_rollup_pipeline's pattern,
+but for NON-additive merge algebra).
+
+Open/close are order statistics, not sums — yet they are still
+MERGEABLE: carry the full ``(ms, event_id, value)`` struct and merge by
+struct min/max (lexicographic struct ordering = the exact (ms,
+event_id) total order the batch operator ranks by), while high/low/
+n_events merge by max/min/sum. So each micro-batch is aggregated ALONE
+(batch/stream duality), the store merge is one full-outer join with
+five pure-merge expressions, and a late event lands in its enclosing
+bucket with unbounded lateness — no watermark, no streaming state; the
+store holds history. Replay safety: the applied-batch journal + atomic
+directory swap, same as streaming.pipeline.additive_merge.
+
+Scale: per-trigger cost is O(store ∩ touched buckets + batch) on the
+(event_type, bucket) key space — candle tables are tiny relative to
+their input by construction (one row per type x bucket).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import OHLC_BUCKET_MS
+
+_KEYS = ["event_type", "bucket_ms"]
+
+
+def ohlc_delta(events: DataFrame, bucket_ms: int = OHLC_BUCKET_MS) -> DataFrame:
+    """Per-batch candle state: the mergeable representation (full
+    (ms, event_id, value) structs for the open/close extremes).
+
+    -> event_type, bucket_ms, open_s, high, low, close_s, n_events
+    """
+    ms = F.unix_millis("ts")
+    bucket = (F.floor(ms / bucket_ms) * bucket_ms).cast("long")
+    key = F.struct(
+        ms.alias("ms"), F.col("event_id").alias("event_id"),
+        F.col("value").alias("value"),
+    )
+    return events.groupBy("event_type", bucket.alias("bucket_ms")).agg(
+        F.min(key).alias("open_s"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key).alias("close_s"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def _applied(path: str) -> set[int]:
+    j = os.path.join(path, "_applied_batches.json")
+    if os.path.isfile(j):
+        with open(j) as fh:
+            return set(json.load(fh))
+    return set()
+
+
+def ohlc_merge(
+    spark: SparkSession, path: str, deltas: DataFrame, batch_id: int
+) -> None:
+    """Merge one batch's candle deltas into the store: struct-min/max
+    for the open/close extremes, max/min/sum for the rest — exactly
+    the algebra that makes the merged candle equal the from-scratch
+    batch candle for any batching (pinned by the stream==batch test).
+    Journaled batch ids + atomic swap give exactly-once under replay.
+    """
+    applied = _applied(path)
+    if batch_id in applied:
+        return
+    deltas = deltas.cache()
+    try:
+        if os.path.isdir(path):
+            old = spark.read.parquet(path)
+            j = old.alias("o").join(deltas.alias("d"), _KEYS, "full_outer")
+
+            def both(fn, col):
+                return fn(F.col(f"o.{col}"), F.col(f"d.{col}"))
+
+            merged = j.select(
+                *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in _KEYS],
+                F.when(
+                    F.col("o.open_s").isNull(), F.col("d.open_s")
+                ).when(
+                    F.col("d.open_s").isNull(), F.col("o.open_s")
+                ).otherwise(both(F.least, "open_s")).alias("open_s"),
+                both(F.greatest, "high").alias("high"),
+                both(F.least, "low").alias("low"),
+                F.when(
+                    F.col("o.close_s").isNull(), F.col("d.close_s")
+                ).when(
+                    F.col("d.close_s").isNull(), F.col("o.close_s")
+                ).otherwise(both(F.greatest, "close_s")).alias("close_s"),
+                (
+                    F.coalesce("o.n_events", F.lit(0))
+                    + F.coalesce("d.n_events", F.lit(0))
+                ).cast("long").alias("n_events"),
+            )
+        else:
+            merged = deltas
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
+            json.dump(sorted(applied | {batch_id}), fh)
+        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        had_old = os.path.isdir(path)
+        if had_old:
+            os.rename(path, back)
+        os.rename(tmp, path)
+        if had_old:
+            shutil.rmtree(back, ignore_errors=True)
+    finally:
+        deltas.unpersist()
+
+
+def serve_candles(spark: SparkSession, path: str) -> DataFrame:
+    """Store -> the public candle schema (same columns as
+    temporal.ohlc_downsample)."""
+    s = spark.read.parquet(path)
+    return s.select(
+        "event_type",
+        "bucket_ms",
+        F.col("open_s.value").alias("open"),
+        "high",
+        "low",
+        F.col("close_s.value").alias("close"),
+        "n_events",
+    )
+
+
+def start_ohlc_pipeline(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    bucket_ms: int = OHLC_BUCKET_MS,
+    trigger: dict | None = None,
+):
+    """readStream(events) -> per-batch candle deltas -> journaled
+    struct-merge store. ``serve_candles(spark, out_dir)`` reads it."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ohlc_merge(
+            spark, out_dir, ohlc_delta(batch_df, bucket_ms), batch_id
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+    return q
