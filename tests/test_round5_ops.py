@@ -402,3 +402,23 @@ def test_curation_scoreboard_composition(spark, sf_dir):
         n = int(r["rules_pass"]) + int(r["nb_pass"]) + int(r["lm_pass"])
         assert r["n_pass"] == n
         assert r["keep"] == (n == 3)
+
+
+def test_hard_negatives_exclude_same_label_and_rank_by_cos(spark):
+    # labels: 0 for first 4 vecs, 1 for rest; query 0's nearest SAME-
+    # label vec must be absent, nearest DIFFERENT-label vec is rank 1
+    vecs = [
+        ([1.0, 0.0], 0),          # query
+        ([0.999, 0.01], 0),       # nearest overall but same label
+        ([0.9, 0.1], 1),          # nearest hard negative
+        ([0.0, 1.0], 1),
+        ([-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, (v, l) in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.hard_negative_topk(df, [0], k=2).collect()
+    ids = [(r["rank"], r["neighbor_id"], r["neighbor_label"]) for r in out]
+    assert ids == [(1, 2, 1), (2, 3, 1)]
+    assert all(r["neighbor_label"] != 0 for r in out)

@@ -237,6 +237,12 @@ def _q_prototype_prune(spark, sf_dir):
     return similarity.prototype_prune(_emb(spark, sf_dir), IVF_CENTROIDS, 2)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    return similarity.hard_negative_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K
+    )
+
+
 def _q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(
         _emb(spark, sf_dir), KNN_K, EMB_PLANES, EMB_BAND_BITS, EMB_BLOCK_CAP
@@ -990,6 +996,7 @@ LLM_QUERIES = {
     "text_bpe_merge_candidates": _q_bpe_merges,
     "eval_kmeans_purity": _q_kmeans_purity,
     "curate_prototype_prune": _q_prototype_prune,
+    "mine_hard_negatives": _q_hard_negatives,
     "dedup_semantic_clusters": _q_dedup_semantic,
     "ann_sq8_topk": _q_ann_sq8,
     "text_token_counts": _q_token_counts,
@@ -1734,6 +1741,23 @@ scored AS (
     FROM emb e, q WHERE e.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {ANN_K}""",
+        # hard-negative mining: the brute-force scan with the label
+        # disagreement pushed into the scan filter
+        "mine_hard_negatives": f"""
+WITH {_EMB_CTES},
+q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS q_nrm
+      FROM emb WHERE vec_id < {len(ANN_QUERY_IDS)}),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+           {_cos('qv', 'e.v', 'q_nrm', 'e.nrm')} AS cos_sim
+    FROM emb e, q
+    WHERE e.vec_id != q.query_id AND e.label != q.q_label
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, rank FROM (
     SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
     FROM scored

@@ -930,6 +930,54 @@ def kmeans_label_purity(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training-pair construction:
+    per query vector, the top-k most cosine-similar vectors carrying a
+    DIFFERENT gold label — the near-miss negatives that carry the
+    gradient signal random negatives don't (the standard retrieval/
+    embedding-training recipe). Same broadcast-queries + one-linear-scan
+    shape as :func:`brute_force_topk`, with the label disagreement
+    pushed into the scan filter; swap the scan for any of the IVF/PQ
+    probes when the corpus outgrows brute force.
+
+    -> query_id, neighbor_id, neighbor_label, cos_sim, rank
+    """
+    vecs = as_double_vec(embeddings)
+    queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("q"),
+        F.col("v_nrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "v",
+            "v_nrm",
+        )
+        .crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine("q", "v").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def prototype_prune(
     embeddings: DataFrame,
     k: int = 8,
