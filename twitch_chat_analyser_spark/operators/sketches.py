@@ -328,6 +328,14 @@ def kmv_overlap(messages: DataFrame, k: int = KMV_K) -> DataFrame:
        est_intersection
     """
     sk = kmv_kmin(messages, k).localCheckpoint(eager=False)
+    return kmv_overlap_from_sketch(sk, k)
+
+
+def kmv_overlap_from_sketch(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pair estimates from an ALREADY-built (channel, hv) k-min sketch
+    table — the serving entry point for the streaming-maintained store
+    (streaming/kmv.py); :func:`kmv_overlap` is the batch composition.
+    """
     per = sk.groupBy("channel").agg(
         F.count("*").alias("n"), F.max("hv").alias("hk")
     )
