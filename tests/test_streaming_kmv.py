@@ -73,3 +73,19 @@ def test_stream_pipeline_estimates_and_overlap_match_batch(spark, tmp_path):
             for r in kmv.serve_estimates(spark, out, k=64).collect()}
     assert set(ests) == {"a", "b"}
     assert abs(ests["a"] - 300) / 300 < 0.5  # within KMV error at k=64
+
+
+def test_torn_swap_recovery_restores_history(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "store")
+    b1 = _msgs(spark, [(None, "a", f"u{i}", "m") for i in range(100)])
+    kmv.merge_kmv(spark, path, b1, k=64)
+    before = _sorted_rows(spark.read.parquet(path))
+    # simulate a crash between the two swap renames: live dir gone,
+    # backup stranded
+    os.rename(path, path + ".old-deadbeef")
+    # any subsequent read or merge must restore the stranded history
+    got = _sorted_rows(kmv.serve_estimates(spark, path, k=64))
+    assert len(got) == 1
+    assert _sorted_rows(spark.read.parquet(path)) == before

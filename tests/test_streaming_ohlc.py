@@ -105,3 +105,17 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     ohlc.ohlc_merge(spark, out, delta, batch_id=1)
     r = ohlc.serve_candles(spark, out).collect()[0]
     assert r["n_events"] == 2 and r["open"] == 10.0 and r["high"] == 10.0
+
+
+def test_torn_swap_recovery_restores_history(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "candles")
+    df = _rows(spark, [("2024-01-01 10:05:00", "view", 10.0)])
+    ohlc.ohlc_merge(spark, out, ohlc.ohlc_delta(df), batch_id=0)
+    before = sorted(map(tuple, ohlc.serve_candles(spark, out).collect()))
+    os.rename(out, out + ".old-deadbeef")
+    assert sorted(map(tuple, ohlc.serve_candles(spark, out).collect())) == before
+    # the restored journal still suppresses a replay of batch 0
+    ohlc.ohlc_merge(spark, out, ohlc.ohlc_delta(df), batch_id=0)
+    assert sorted(map(tuple, ohlc.serve_candles(spark, out).collect())) == before

@@ -26,8 +26,6 @@ operator (bit-identical math).
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -38,12 +36,15 @@ from ..operators.sketches import (
     kmv_kmin,
     kmv_overlap_from_sketch,
 )
+from .storeswap import recover, swap_in
 
 
 def merge_kmv(
     spark: SparkSession, path: str, batch: DataFrame, k: int = KMV_K
 ) -> None:
-    """Merge one micro-batch of messages into the k-min store."""
+    """Merge one micro-batch of messages into the k-min store
+    (``recover`` first makes any torn swap whole)."""
+    recover(path)
     delta = kmv_kmin(batch, k).cache()
     try:
         if os.path.isdir(path):
@@ -62,15 +63,7 @@ def merge_kmv(
             merged = merged_hot.unionByName(cold)
         else:
             merged = delta
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-        had_old = os.path.isdir(path)
-        if had_old:
-            os.rename(path, back)
-        os.rename(tmp, path)
-        if had_old:
-            shutil.rmtree(back, ignore_errors=True)
+        swap_in(merged, path)
     finally:
         delta.unpersist()
 
@@ -83,6 +76,7 @@ def serve_estimates(
 
     -> channel, est
     """
+    recover(path)
     sk = spark.read.parquet(path)
     return (
         sk.groupBy("channel")
@@ -97,6 +91,7 @@ def serve_estimates(
 def serve_overlap(spark: SparkSession, path: str, k: int = KMV_K) -> DataFrame:
     """Store -> live pairwise audience-overlap estimates (the batch
     operator's pair stage over the maintained sketches)."""
+    recover(path)
     return kmv_overlap_from_sketch(spark.read.parquet(path), k)
 
 

@@ -30,13 +30,12 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .pipeline import additive_merge
+from .storeswap import recover, swap_in
 
 
 def _applied(path: str) -> set[int]:
@@ -45,20 +44,6 @@ def _applied(path: str) -> set[int]:
         with open(j) as fh:
             return set(json.load(fh))
     return set()
-
-
-def _swap_write(df: DataFrame, path: str, applied: set[int], batch_id: int):
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-        json.dump(sorted(applied | {batch_id}), fh)
-    back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    had_old = os.path.isdir(path)
-    if had_old:
-        os.rename(path, back)
-    os.rename(tmp, path)
-    if had_old:
-        shutil.rmtree(back, ignore_errors=True)
 
 
 def _batch_last_events(events: DataFrame) -> DataFrame:
@@ -80,7 +65,9 @@ def process_batch(
 ) -> None:
     """One micro-batch: in-batch pairs + store-boundary pairs into the
     additive transition store; then struct-max merge the last-event
-    store. Idempotent per batch id on both stores."""
+    store. Idempotent per batch id on both stores; ``recover`` first
+    makes any torn last-store swap whole (storeswap.py)."""
+    recover(last_dir)
     events = events.select("user_id", "ts", "event_id", "event_type").cache()
     try:
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -128,7 +115,7 @@ def process_batch(
             )
         else:
             merged = batch_last
-        _swap_write(merged, last_dir, applied, batch_id)
+        swap_in(merged, last_dir, applied | {batch_id})
     finally:
         events.unpersist()
 

@@ -22,13 +22,12 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.temporal import OHLC_BUCKET_MS
+from .storeswap import recover, swap_in
 
 _KEYS = ["event_type", "bucket_ms"]
 
@@ -69,8 +68,10 @@ def ohlc_merge(
     for the open/close extremes, max/min/sum for the rest — exactly
     the algebra that makes the merged candle equal the from-scratch
     batch candle for any batching (pinned by the stream==batch test).
-    Journaled batch ids + atomic swap give exactly-once under replay.
+    Journaled batch ids + atomic swap give exactly-once under replay;
+    ``recover`` first makes any torn swap whole (storeswap.py).
     """
+    recover(path)
     applied = _applied(path)
     if batch_id in applied:
         return
@@ -104,17 +105,7 @@ def ohlc_merge(
             )
         else:
             merged = deltas
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-            json.dump(sorted(applied | {batch_id}), fh)
-        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-        had_old = os.path.isdir(path)
-        if had_old:
-            os.rename(path, back)
-        os.rename(tmp, path)
-        if had_old:
-            shutil.rmtree(back, ignore_errors=True)
+        swap_in(merged, path, applied | {batch_id})
     finally:
         deltas.unpersist()
 
@@ -122,6 +113,7 @@ def ohlc_merge(
 def serve_candles(spark: SparkSession, path: str) -> DataFrame:
     """Store -> the public candle schema (same columns as
     temporal.ohlc_downsample)."""
+    recover(path)
     s = spark.read.parquet(path)
     return s.select(
         "event_type",

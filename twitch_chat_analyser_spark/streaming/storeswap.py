@@ -1,0 +1,57 @@
+"""Shared atomic-swap + crash-recovery for the flat (non-bucketed)
+streaming store directories (ohlc / markov / kmv).
+
+Swap sequence: write ``<path>.tmp-*`` -> rename(live -> ``.old-*``)
+-> rename(tmp -> live) -> delete backup. A crash between the two
+renames strands a backup whose live dir is MISSING — without recovery
+the next merge would silently start from an empty store and lose all
+history. :func:`recover` (called before every read/merge) restores
+such a backup, drops superseded backups, and clears stale ``.tmp-*``
+write dirs (their merge never swapped in; checkpoint replay re-runs
+that batch). Single-writer assumption: foreachBatch serializes merges
+per query — same contract as streaming/hll.py's bucketed twin.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def recover(path: str) -> None:
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    if not os.path.isdir(parent):
+        return
+    for entry in sorted(os.listdir(parent)):
+        full = os.path.join(parent, entry)
+        if entry.startswith(f"{base}.old-"):
+            if not os.path.isdir(path):
+                os.rename(full, path)  # torn swap: restore history
+            else:
+                shutil.rmtree(full, ignore_errors=True)  # superseded
+        elif entry.startswith(f"{base}.tmp-"):
+            shutil.rmtree(full, ignore_errors=True)  # never swapped in
+
+
+def swap_in(merged: DataFrame, path: str, journal_ids=None) -> None:
+    """Write ``merged`` as the new live store via the two-rename swap;
+    optionally journal applied batch ids INSIDE the new dir (committed
+    by the same rename that publishes the data)."""
+    import json
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if journal_ids is not None:
+        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
+            json.dump(sorted(journal_ids), fh)
+    back = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    had_old = os.path.isdir(path)
+    if had_old:
+        os.rename(path, back)
+    os.rename(tmp, path)
+    if had_old:
+        shutil.rmtree(back, ignore_errors=True)
