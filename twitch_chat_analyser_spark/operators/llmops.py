@@ -3074,11 +3074,23 @@ def _q_curation_scoreboard(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
-    rules = textops.quality_rule_flags(docs).select(
+    # ONE rules computation, lazily checkpointed, feeds the scoreboard
+    # column AND both learned filters' weak labels (their `labels`
+    # hook) — without it the rules token-explode runs three times
+    labels = (
+        textops.quality_rule_flags(docs)
+        .select("doc_id", "quality_pass")
+        .localCheckpoint(eager=False)
+    )
+    rules = labels.select(
         "doc_id", F.col("quality_pass").alias("rules_pass")
     )
-    nb = textops.nb_quality_score(docs).select("doc_id", "nb_pass")
-    lm = textops.bigram_lm_surprise(docs).select("doc_id", "lm_pass")
+    nb = textops.nb_quality_score(docs, labels=labels).select(
+        "doc_id", "nb_pass"
+    )
+    lm = textops.bigram_lm_surprise(docs, labels=labels).select(
+        "doc_id", "lm_pass"
+    )
     n_pass = (
         F.col("rules_pass").cast("int")
         + F.col("nb_pass").cast("int")

@@ -466,7 +466,11 @@ NB_VOCAB = 512  # top-V tokens by corpus count; bounds the broadcast side
 NB_SCALE = 1_000_000  # log-likelihood-ratio fixed-point scale (micro-nats)
 
 
-def nb_quality_score(docs: DataFrame, vocab_size: int = NB_VOCAB) -> DataFrame:
+def nb_quality_score(
+    docs: DataFrame,
+    vocab_size: int = NB_VOCAB,
+    labels: DataFrame | None = None,
+) -> DataFrame:
     """Train-and-score a multinomial Naive-Bayes quality classifier in
     one job. Weak supervision comes from the pipeline's own hard rules
     (:func:`quality_rule_flags` ``quality_pass`` — the Gopher-rules
@@ -488,9 +492,15 @@ def nb_quality_score(docs: DataFrame, vocab_size: int = NB_VOCAB) -> DataFrame:
     being recomputed — the operator takes them from ``docs`` content
     only so the oracle is self-contained.
 
+    ``labels`` (doc_id, quality_pass) lets a composing caller (the
+    curation scoreboard) share ONE rules computation across filters;
+    default None derives them from ``docs`` so the operator and its
+    oracle stay self-contained.
+
     -> doc_id, n_vocab_tokens, nb_score_micro, nb_pass
     """
-    labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
+    if labels is None:
+        labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
     tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
     vocab = (
         tok.groupBy("token")
@@ -671,7 +681,9 @@ def _bigram_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def bigram_lm_surprise(docs: DataFrame) -> DataFrame:
+def bigram_lm_surprise(
+    docs: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
     """Train-and-score a Laplace-smoothed bigram LM in one job.
 
     Training set: documents passing :func:`quality_rule_flags` (the
@@ -692,9 +704,13 @@ def bigram_lm_surprise(docs: DataFrame) -> DataFrame:
     word); the vocabulary size and training-prior frames are 1-row
     crossJoins. No window, no sort, no Python.
 
+    ``labels`` shares a caller's rules computation (see
+    nb_quality_score); default None stays self-contained.
+
     -> doc_id, n_bigrams, lm_logprob_micro, lm_pass
     """
-    labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
+    if labels is None:
+        labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
     big = _bigram_pairs(docs)
     train_docs = labels.filter("quality_pass").select("doc_id")
     train_big = big.join(train_docs, "doc_id")
