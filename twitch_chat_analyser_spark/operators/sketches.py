@@ -353,7 +353,10 @@ def kmv_overlap_from_sketch(sk: DataFrame, k: int = KMV_K) -> DataFrame:
             F.col("b.est").alias("est_b_raw"),
         )
     )
-    keys = pairs.select("channel_a", "channel_b")
+    # broadcast the |channels|^2-row pair key set: without the hint the
+    # optimizer (no stats behind the window) picks sort-merge joins for
+    # relations that are k*|channels| rows at most
+    keys = F.broadcast(pairs.select("channel_a", "channel_b"))
     side_a = keys.join(
         sk.withColumnRenamed("channel", "channel_a"), "channel_a"
     ).select(
@@ -384,7 +387,7 @@ def kmv_overlap_from_sketch(sk: DataFrame, k: int = KMV_K) -> DataFrame:
     )
     eu = _kmv_est(F.col("un"), F.col("hku"), k)
     return (
-        pairs.join(pu, ["channel_a", "channel_b"])
+        pairs.join(F.broadcast(pu), ["channel_a", "channel_b"])
         .select(
             "channel_a",
             "channel_b",
