@@ -5,10 +5,12 @@ driver testdata and print a JSON summary per stage.
     python tools/run_pipeline.py [sf_dir] [out_dir]
 
 Stages (each a plain DataFrame -> DataFrame operator from the package):
-quality-rule gate -> exact-substring span rewrite -> MinHash near-dup
-cluster dedup (keep-best representative) -> temperature mixture ->
-globally-ordered epoch shards, with the per-source datacard printed for
-the input and the surviving corpus.
+three-filter quality gate (Gopher rules AND NB classifier AND bigram-LM
+perplexity — the curation scoreboard's conjunctive keep) ->
+exact-substring span rewrite -> MinHash near-dup cluster dedup
+(keep-best representative) -> temperature mixture -> globally-ordered
+epoch shards, with the per-source datacard printed for the input and
+the surviving corpus.
 """
 
 from __future__ import annotations
@@ -47,10 +49,28 @@ def main() -> None:
         r.asDict() for r in llmops.corpus_datacard(docs).collect()
     ]
 
-    flags = textops.quality_rule_flags(docs)
-    good = docs.join(
-        flags.filter("quality_pass").select("doc_id"), "doc_id", "left_semi"
+    # three-filter gate: rules (hard heuristics) + NB classifier + the
+    # bigram-LM perplexity cut, each trained on the corpus' own
+    # rules-passing subset (ONE shared rules computation)
+    labels = (
+        textops.quality_rule_flags(docs)
+        .select("doc_id", "quality_pass")
+        .localCheckpoint(eager=False)
     )
+    nb = textops.nb_quality_score(docs, labels=labels)
+    lm = textops.bigram_lm_surprise(docs, labels=labels)
+    keep = (
+        labels.filter("quality_pass")
+        .join(nb.filter("nb_pass").select("doc_id"), "doc_id", "left_semi")
+        .join(lm.filter("lm_pass").select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id")
+    )
+    good = docs.join(keep, "doc_id", "left_semi")
+    summary["gate_filters"] = {
+        "rules_pass": labels.filter("quality_pass").count(),
+        "nb_pass": nb.filter("nb_pass").count(),
+        "lm_pass": lm.filter("lm_pass").count(),
+    }
     summary["after_quality_gate"] = good.count()
 
     # the rewrite's output IS the downstream corpus: text becomes the
