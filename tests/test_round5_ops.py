@@ -422,3 +422,31 @@ def test_hard_negatives_exclude_same_label_and_rank_by_cos(spark):
     ids = [(r["rank"], r["neighbor_id"], r["neighbor_label"]) for r in out]
     assert ids == [(1, 2, 1), (2, 3, 1)]
     assert all(r["neighbor_label"] != 0 for r in out)
+
+
+def test_purchase_latency_percentiles_golden(spark):
+    from twitch_chat_analyser_spark.operators import temporal
+
+    # same hour: 10 purchases, each 1..10 minutes after the user's click
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append((eid, f"2024-01-01 09:0{0}:00", u, "click"))
+        eid += 1
+        rows.append((eid, f"2024-01-01 09:{u + 1:02d}:00", u, "purchase"))
+        eid += 1
+    ev = spark.createDataFrame(
+        [(i, ts, u, t) for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    )
+    ev = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis(F.to_timestamp("ts")).alias("ms"),
+    )
+    out = temporal.purchase_latency_percentiles(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["hour_of_day"] == 9 and r["n_purchases"] == 10
+    # lags are 1..10 min; rank ceil(0.5*10)=5 -> 5 min, ceil(0.9*10)=9
+    assert r["p50_lag_ms"] == 5 * 60_000
+    assert r["p90_lag_ms"] == 9 * 60_000

@@ -109,6 +109,7 @@ HEADLINE = [
     "mine_hard_negatives",
     "eval_minhash_exact_recall",
     "curation_scoreboard",
+    "purchase_latency_percentiles",
 ]
 
 

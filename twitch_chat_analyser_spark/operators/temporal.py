@@ -301,6 +301,60 @@ def winsorize_values(
     )
 
 
+def purchase_latency_percentiles(events_ms: DataFrame) -> DataFrame:
+    """Time-to-convert distribution: for purchases with an attributed
+    click (:func:`asof_last_click`), the p50/p90 click->purchase lag
+    per hour-of-day of the purchase — the "when are users decisive"
+    serving analytic that composes the as-of join with exact order
+    statistics. Percentiles are the explicit rank-``ceil(p*n)`` values
+    (the approx_percentile-oracle rule), ordered by (lag_ms, event_id)
+    so ties are deterministic; every output is an exact BIGINT.
+
+    Shape (100 TB): the as-of join's one user-keyed merge (see
+    asof_last_click) followed by a 24-partition window — the hour
+    dimension bounds the partition count, the per-hour sort is the
+    standard distributed-rank refinement target if a single hour ever
+    dominates.
+
+    -> hour_of_day, n_purchases, p50_lag_ms, p90_lag_ms
+    """
+    from pyspark.sql import Window
+
+    attributed = asof_last_click(events_ms).filter(
+        F.col("click_event_id").isNotNull()
+    )
+    hour = (
+        F.floor((F.col("ms") % 86_400_000) / 3_600_000).cast("int")
+    ).alias("hour_of_day")
+    base = attributed.select(hour, "event_id", "lag_ms")
+    w = Window.partitionBy("hour_of_day").orderBy("lag_ms", "event_id")
+    ranked = base.select(
+        "hour_of_day",
+        "lag_ms",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("hour_of_day")).alias("n"),
+    )
+    return (
+        ranked.groupBy("hour_of_day")
+        .agg(
+            F.max("n").cast("long").alias("n_purchases"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)),
+                    F.col("lag_ms"),
+                )
+            ).cast("long").alias("p50_lag_ms"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.9)),
+                    F.col("lag_ms"),
+                )
+            ).cast("long").alias("p90_lag_ms"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
 def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_downsample(ingest.load(spark, sf_dir, "events"))
 
@@ -309,12 +363,17 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_values(ingest.load(spark, sf_dir, "events"))
 
 
+def _q_latency_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchase_latency_percentiles(_events_ms(spark, sf_dir))
+
+
 TEMPORAL_QUERIES = {
     "asof_purchase_last_click": _q_asof,
     "range_incident_purchases": _q_range,
     "stream_join_click_attribution": _q_click_attribution,
     "events_ohlc_hourly": _q_ohlc,
     "events_winsorized_values": _q_winsorize,
+    "purchase_latency_percentiles": _q_latency_pct,
 }
 
 _EV_CTE = (
@@ -415,4 +474,38 @@ bounds AS (
 SELECT e.event_id, e.event_type, e.value,
        least(greatest(e.value, b.lo_v), b.hi_v) AS value_winsorized
 FROM events e JOIN bounds b USING (event_type)""",
+        # the committed ASOF join + explicit rank-ceil(p*n) order
+        # statistics per hour-of-day — all-integer outputs
+        "purchase_latency_percentiles": f"""
+WITH ev AS ({_EV_CTE}),
+clicks AS (
+    SELECT user_id, ms, max(event_id) AS click_event_id
+    FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+    SELECT event_id, user_id, ms FROM ev WHERE event_type = 'purchase'
+),
+attributed AS (
+    SELECT p.event_id, p.ms, p.ms - c.ms AS lag_ms
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ms >= c.ms
+),
+ranked AS (
+    SELECT CAST(floor((ms % 86400000) / 3600000) AS INT) AS hour_of_day,
+           lag_ms,
+           row_number() OVER (
+               PARTITION BY CAST(floor((ms % 86400000) / 3600000) AS INT)
+               ORDER BY lag_ms, event_id) AS rn,
+           count(*) OVER (
+               PARTITION BY CAST(floor((ms % 86400000) / 3600000) AS INT)
+           ) AS n
+    FROM attributed
+)
+SELECT hour_of_day,
+       CAST(max(n) AS BIGINT) AS n_purchases,
+       CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                     THEN lag_ms END) AS BIGINT) AS p50_lag_ms,
+       CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                     THEN lag_ms END) AS BIGINT) AS p90_lag_ms
+FROM ranked GROUP BY hour_of_day""",
     }
