@@ -510,3 +510,26 @@ def test_bigram_lm_no_python_nodes(spark, sf_dir):
     df = textops.bigram_lm_surprise(ingest.load(spark, sf_dir, "documents"))
     plan = plan_of(df)
     assert "Python" not in plan
+
+
+def test_ohlc_single_hash_agg_no_window(spark, sf_dir):
+    from twitch_chat_analyser_spark.operators import temporal
+
+    df = temporal.ohlc_downsample(ingest.load(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    # candles build in ONE partial-mergeable hash aggregation — the
+    # order statistics ride min_by/max_by, never a window sort
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_latency_percentiles_no_python_and_user_keyed_merge(spark, sf_dir):
+    from twitch_chat_analyser_spark.operators import temporal
+
+    df = temporal.purchase_latency_percentiles(
+        temporal._events_ms(spark, sf_dir)
+    )
+    plan = plan_of(df)
+    assert "Python" not in plan
+    # the as-of core merges on the user key
+    assert "hashpartitioning(user_id" in plan
