@@ -41,13 +41,13 @@ def test_markov_transitions_golden(spark):
         (TS.format(2), 2, "buy"),
     ]
     out = {
-        (r["src_type"], r["dst_type"]): (r["transitions"], r["prob"])
+        (r["src_type"], r["dst_type"]): (r["transitions"], r["prob_ppm"])
         for r in behavior.markov_transitions(_events(spark, rows)).collect()
     }
     # user1: view>click, click>view, view>click ; user2: view>buy
-    assert out[("view", "click")] == (2, round(2 / 3, 6))
-    assert out[("view", "buy")] == (1, round(1 / 3, 6))
-    assert out[("click", "view")] == (1, 1.0)
+    assert out[("view", "click")] == (2, 666667)
+    assert out[("view", "buy")] == (1, 333333)
+    assert out[("click", "view")] == (1, 1000000)
     assert len(out) == 3
 
 

@@ -28,7 +28,7 @@ def _rows(spark, rows, id0=0):
 def _collect(df):
     return sorted(
         (r["src_type"], r["dst_type"], r["transitions"], r["src_total"],
-         r["prob"])
+         r["prob_ppm"])
         for r in df.collect()
     )
 

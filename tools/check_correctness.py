@@ -11,18 +11,29 @@ spark_rows/oracle_rows/err) — so the complete gate result is a
 committed artifact rather than a session log (the driver caps its own
 ``CORRECTNESS_r*.json`` at 50 entries).
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+Float policy: RAW equality by default — a Spark DOUBLE must equal the
+DuckDB DOUBLE bit-for-bit (NaN == NaN), because the driver's gate
+hashes raw values; the round-5 driver red row (markov `prob`) was
+invisible locally precisely because this mirror used to round floats
+to 6 decimals first. ``--lenient`` restores the old rounding for
+debugging only. The registry's answer to float exposure is to not
+emit derived DOUBLEs where a scaled integer is exact, and to pin any
+genuinely-float math to one expression tree evaluated identically in
+both engines.
+
+Usage: python tools/check_correctness.py [--lenient] [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 
-def normalize(rows: list[tuple], cols: list[str]):
+def normalize(rows: list[tuple], cols: list[str], lenient: bool = False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -30,7 +41,10 @@ def normalize(rows: list[tuple], cols: list[str]):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 6)
+                if lenient:
+                    v = round(v, 6)
+                elif math.isnan(v):
+                    v = "NaN"  # raw mode: NaN compares equal to NaN
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
@@ -44,8 +58,10 @@ def main() -> int:
     from tools.check_artifacts import check as artifact_check
     from twitch_chat_analyser_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--lenient"]
+    lenient = "--lenient" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     drift = artifact_check()
     for p in drift:
@@ -109,8 +125,8 @@ def main() -> int:
         if not entry["rows_match"]:
             status.append(f"ROWCOUNT spark={len(srows)} duck={len(drows)}")
         if not status:
-            a = normalize(srows, scols)
-            b = normalize(drows, dcols)
+            a = normalize(srows, scols, lenient)
+            b = normalize(drows, dcols, lenient)
             entry["hash_match"] = a == b
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]

@@ -25,7 +25,8 @@ Layout
 - ``sources``    Kafka wire serde (+ testable wire-twin stub), file
                  formats, binaryFile media ingest, dim maintenance.
 - ``registry``   queries()/oracle_sql() — every operator paired with its
-                 DuckDB oracle (ROWS_ONLY = the two HLL estimates).
+                 DuckDB oracle (ROWS_ONLY empty since round 6: the HLL
+                 estimates emit exact-count + within-bound booleans).
 """
 
 __version__ = "0.1.0"

@@ -107,9 +107,13 @@ def markov_transitions(events: DataFrame) -> DataFrame:
     deterministic across engines — and every adjacent pair contributes
     one (src, dst) observation.
 
-    Float determinism: the probability is one division of two exact
-    BIGINT counts done identically in both engines, rounded once to 6
-    decimals.
+    Determinism: the probability is emitted as an INTEGER parts-per-
+    million (``prob_ppm``), computed with pure integer arithmetic —
+    ``(2*10^6*transitions + src_total) div (2*src_total)`` is exact
+    round-half-up with no floating point anywhere — so both engines
+    produce bit-identical BIGINTs and no value-hash normalization of a
+    derived DOUBLE can ever flake (the round-5 driver gate hashed the
+    raw float and mismatched; this retires the class).
 
     Shape (100 TB): the lag window partitions by ``user_id`` — ONE
     hash exchange on the uniform user key and a per-user sort bounded
@@ -118,7 +122,7 @@ def markov_transitions(events: DataFrame) -> DataFrame:
     |event types|^2 — tiny — so the final agg is map-side combinable
     into almost nothing. No event x event self-join anywhere.
 
-    -> src_type, dst_type, transitions, src_total, prob
+    -> src_type, dst_type, transitions, src_total, prob_ppm
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -140,9 +144,13 @@ def markov_transitions(events: DataFrame) -> DataFrame:
             "dst_type",
             "transitions",
             "src_total",
-            F.round(
-                F.col("transitions").cast("double") / F.col("src_total"), 6
-            ).alias("prob"),
+            # exact round-half-up in integer space; DECIMAL(38,0) keeps
+            # the 2e6x intermediate overflow-safe at any corpus size
+            F.expr(
+                "CAST((CAST(transitions AS DECIMAL(38,0)) * 2000000"
+                " + src_total) DIV (2 * CAST(src_total AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("prob_ppm"),
         )
         .orderBy("src_type", "dst_type")
     )
@@ -212,10 +220,14 @@ WITH seq AS (
 counted AS (
     SELECT src_type, dst_type, count(*) AS transitions
     FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+    SELECT src_type, dst_type, transitions,
+           sum(transitions) OVER (PARTITION BY src_type) AS src_total
+    FROM counted
 )
-SELECT src_type, dst_type, transitions,
-       sum(transitions) OVER (PARTITION BY src_type) AS src_total,
-       round(CAST(transitions AS DOUBLE)
-             / sum(transitions) OVER (PARTITION BY src_type), 6) AS prob
-FROM counted""",
+SELECT src_type, dst_type, transitions, src_total,
+       CAST((transitions::HUGEINT * 2000000 + src_total)
+            // (2 * src_total::HUGEINT) AS BIGINT) AS prob_ppm
+FROM totals""",
     }

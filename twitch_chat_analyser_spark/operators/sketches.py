@@ -77,6 +77,41 @@ def channel_chatters_via_sketch_merge(messages: DataFrame) -> DataFrame:
     return merge_chatters(daily_chatter_sketches(messages), ["channel"])
 
 
+# DataSketches HLL_4 at the default lgConfigK=12 has relative standard
+# error ~1.04/sqrt(4096) = 1.6%; the contract bound is ~3 sigma.
+SKETCH_EPS_PCT = 5
+
+
+def channel_chatters_sketch_checked(messages: DataFrame) -> DataFrame:
+    """The DataSketches estimate made DRIVER-CHECKABLE: emit the exact
+    distinct count plus an in-plan ``within_bound`` boolean
+    (|est - exact| / exact <= SKETCH_EPS_PCT%), so the oracle side is
+    fully deterministic (exact count + literal TRUE) while the
+    engine-specific estimate is still exercised — approximate is not
+    unverifiable. The bound test is pure integer arithmetic
+    (20*|diff| <= exact for the 5% bound): no float in the output.
+
+    -> channel, n_chatters, within_bound
+    """
+    est = channel_chatters_via_sketch_merge(messages)
+    exact = messages.groupBy("channel").agg(
+        F.countDistinct("username").cast("long").alias("n_chatters")
+    )
+    mult = 100 // SKETCH_EPS_PCT
+    return (
+        exact.join(est, "channel")
+        .select(
+            "channel",
+            "n_chatters",
+            (
+                F.abs(F.col("distinct_chatters") - F.col("n_chatters")) * mult
+                <= F.col("n_chatters")
+            ).alias("within_bound"),
+        )
+        .orderBy("channel")
+    )
+
+
 def order_value_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile per group — the one-pass partial-mergeable
     quantile path promised in tpch.percentile_order_values' scale note.
@@ -416,7 +451,7 @@ def kmv_overlap_from_sketch(sk: DataFrame, k: int = KMV_K) -> DataFrame:
 
 
 def _q_sketch_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return channel_chatters_via_sketch_merge(ingest.messages(spark, sf_dir))
+    return channel_chatters_sketch_checked(ingest.messages(spark, sf_dir))
 
 
 def _q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +484,15 @@ def sketch_oracles() -> dict[str, str]:
     from ..registry import chat_ctes
 
     return {
+        # the DataSketches estimate is engine-specific, but the QUERY
+        # contract is deterministic: exact distinct count + a bound
+        # check the estimate must satisfy — the oracle's side of that
+        # contract is the exact count and literal TRUE
+        "sketch_distinct_chatters": f"""{chat_ctes()}
+SELECT channel,
+       CAST(count(DISTINCT username) AS BIGINT) AS n_chatters,
+       TRUE AS within_bound
+FROM messages GROUP BY channel""",
         # the portable HLL, register-for-register: same shared SQL
         # fragments as the Spark plan (module constants), integer-scaled
         # harmonic sum (1<<50 >> rho via the dialect's shift), embedded

@@ -211,11 +211,32 @@ def distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct — engine-specific sketch, rows-only check
-    (DuckDB's approx_count_distinct uses a different sketch)."""
+    """HyperLogLog++ distinct made driver-checkable: the engine-specific
+    estimate (default rsd 0.05) is folded into an in-plan integer bound
+    check — 20*|est - exact| <= 3*exact, i.e. within 15% (= 3x the
+    configured relative standard deviation) — so the output is fully
+    deterministic (exact count + boolean) while the sketch still runs.
+
+    -> channel, n_chatters, within_bound
+    """
     msgs = ingest.messages(spark, sf_dir)
-    return msgs.groupBy("channel").agg(
+    est = msgs.groupBy("channel").agg(
         F.approx_count_distinct("username").alias("approx_chatters")
+    )
+    exact = msgs.groupBy("channel").agg(
+        F.countDistinct("username").cast("long").alias("n_chatters")
+    )
+    return (
+        exact.join(est, "channel")
+        .select(
+            "channel",
+            "n_chatters",
+            (
+                F.abs(F.col("approx_chatters") - F.col("n_chatters")) * 20
+                <= F.col("n_chatters") * 3
+            ).alias("within_bound"),
+        )
+        .orderBy("channel")
     )
 
 
@@ -1023,7 +1044,7 @@ TPCH_QUERIES = {
     "topk_orders_per_priority": topk_orders_per_priority,
     "except_high_balance_customers": except_high_balance_customers,
     "distinct_chatters": distinct_chatters,
-    "approx_distinct_chatters": approx_distinct_chatters,  # rows-only
+    "approx_distinct_chatters": approx_distinct_chatters,
     "percentile_order_values": percentile_order_values,
     "pivot_event_type_daily": pivot_event_type_daily,
     "intersect_repeat_customers": intersect_repeat_customers,
@@ -1341,6 +1362,13 @@ SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > {ACCTBAL_CUT}""",
         "distinct_chatters": chat_ctes()
         + """
 SELECT channel, CAST(count(DISTINCT username) AS BIGINT) AS n_chatters
+FROM messages GROUP BY channel""",
+        # estimate is engine-specific; the deterministic contract is
+        # the exact count + the bound boolean (see the query docstring)
+        "approx_distinct_chatters": chat_ctes()
+        + """
+SELECT channel, CAST(count(DISTINCT username) AS BIGINT) AS n_chatters,
+       TRUE AS within_bound
 FROM messages GROUP BY channel""",
         "percentile_order_values": """
 SELECT o_orderpriority,

@@ -24,11 +24,12 @@ from .operators import aggregations as agg
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Queries with no DuckDB oracle BY DESIGN: HLL estimates are
-# sketch-implementation-specific, so only a rows-only check is possible.
-# Every other queries() entry MUST carry an oracle — enforced by
-# tools/check_artifacts.py (run inside the correctness gate).
-ROWS_ONLY = frozenset({"sketch_distinct_chatters", "approx_distinct_chatters"})
+# Queries with no DuckDB oracle BY DESIGN. EMPTY since round 6: the two
+# HLL-estimate queries now emit (exact count, within_bound boolean)
+# instead of the raw engine-specific estimate, so they carry full
+# oracles — approximate != unverifiable. Every queries() entry MUST
+# carry an oracle — enforced by tools/check_artifacts.py.
+ROWS_ONLY = frozenset()
 
 # SQL fragment: window-end epoch-ms of the 15-min tumbling window,
 # identical to aggregations.window_end_ms (reference bucket math

@@ -76,7 +76,7 @@ def serve_estimates(
 
     -> channel, est
     """
-    recover(path)
+    recover(path, restore_only=True)
     sk = spark.read.parquet(path)
     return (
         sk.groupBy("channel")
@@ -90,8 +90,9 @@ def serve_estimates(
 
 def serve_overlap(spark: SparkSession, path: str, k: int = KMV_K) -> DataFrame:
     """Store -> live pairwise audience-overlap estimates (the batch
-    operator's pair stage over the maintained sketches)."""
-    recover(path)
+    operator's pair stage over the maintained sketches). Restore-only:
+    readers never delete a concurrent writer's tmp dir."""
+    recover(path, restore_only=True)
     return kmv_overlap_from_sketch(spark.read.parquet(path), k)
 
 

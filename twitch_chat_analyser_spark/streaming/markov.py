@@ -66,8 +66,13 @@ def process_batch(
     """One micro-batch: in-batch pairs + store-boundary pairs into the
     additive transition store; then struct-max merge the last-event
     store. Idempotent per batch id on both stores; ``recover`` first
-    makes any torn last-store swap whole (storeswap.py)."""
+    makes any torn swap whole on BOTH stores (storeswap.py) —
+    additive_merge uses the same .tmp-*/.old-* naming, so a crash
+    between its two renames is restored here before the batch reads
+    the store (otherwise transitions would silently rebuild from
+    empty and lose the applied-batch journal with the history)."""
     recover(last_dir)
+    recover(transitions_dir)
     events = events.select("user_id", "ts", "event_id", "event_type").cache()
     try:
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -121,7 +126,11 @@ def process_batch(
 
 
 def serve_transitions(spark: SparkSession, transitions_dir: str) -> DataFrame:
-    """Store -> the public schema of behavior.markov_transitions."""
+    """Store -> the public schema of behavior.markov_transitions.
+
+    Restore-only recovery first (never deletes an in-flight writer's
+    tmp dir — storeswap.recover(restore_only=True))."""
+    recover(transitions_dir, restore_only=True)
     t = spark.read.parquet(transitions_dir)
     wsrc = Window.partitionBy("src_type")
     return t.select(
@@ -130,9 +139,11 @@ def serve_transitions(spark: SparkSession, transitions_dir: str) -> DataFrame:
         "transitions",
         F.sum("transitions").over(wsrc).cast("long").alias("src_total"),
     ).withColumn(
-        "prob",
-        F.round(
-            F.col("transitions").cast("double") / F.col("src_total"), 6
+        "prob_ppm",
+        F.expr(
+            "CAST((CAST(transitions AS DECIMAL(38,0)) * 2000000"
+            " + src_total) DIV (2 * CAST(src_total AS DECIMAL(38,0)))"
+            " AS BIGINT)"
         ),
     )
 

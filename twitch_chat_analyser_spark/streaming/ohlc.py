@@ -112,8 +112,9 @@ def ohlc_merge(
 
 def serve_candles(spark: SparkSession, path: str) -> DataFrame:
     """Store -> the public candle schema (same columns as
-    temporal.ohlc_downsample)."""
-    recover(path)
+    temporal.ohlc_downsample). Restore-only recovery: a reader must
+    never delete an in-flight writer's tmp dir (storeswap.py)."""
+    recover(path, restore_only=True)
     s = spark.read.parquet(path)
     return s.select(
         "event_type",

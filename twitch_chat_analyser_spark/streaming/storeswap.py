@@ -21,7 +21,17 @@ import uuid
 from pyspark.sql import DataFrame
 
 
-def recover(path: str) -> None:
+def recover(path: str, restore_only: bool = False) -> None:
+    """Make a torn swap whole.
+
+    ``restore_only=True`` is the READ-path mode: it still restores a
+    stranded ``.old-*`` backup whose live dir is missing (the torn-swap
+    case a reader must heal to see history), but never deletes
+    anything — a serving call concurrent with an in-flight foreachBatch
+    merge must not rmtree the writer's ``.tmp-*`` dir mid-write or drop
+    the backup between the writer's two renames. Cleanup of stale tmp
+    dirs and superseded backups belongs to the single writer, which
+    calls the default (full) mode before each merge."""
     parent = os.path.dirname(os.path.abspath(path)) or "."
     base = os.path.basename(path)
     if not os.path.isdir(parent):
@@ -31,9 +41,9 @@ def recover(path: str) -> None:
         if entry.startswith(f"{base}.old-"):
             if not os.path.isdir(path):
                 os.rename(full, path)  # torn swap: restore history
-            else:
+            elif not restore_only:
                 shutil.rmtree(full, ignore_errors=True)  # superseded
-        elif entry.startswith(f"{base}.tmp-"):
+        elif entry.startswith(f"{base}.tmp-") and not restore_only:
             shutil.rmtree(full, ignore_errors=True)  # never swapped in
 
 
