@@ -107,7 +107,11 @@ def main() -> None:
         for _ in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            df.count()  # materialize fully without driver collect
+            # noop sink: evaluates EVERY projection column (count()
+            # would let Catalyst prune unevaluated expressions, under-
+            # measuring map-only transforms like text_pii_redaction)
+            # while still never collecting to the driver
+            df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
         query_runs[name] = runs
         timings[name] = min(runs)
@@ -126,6 +130,12 @@ def main() -> None:
     # end-to-end including sink merges, plus per-trigger latency
     # percentiles from the queries' progress records.
     streaming = _bench_streaming(spark, sf_dir)
+    # and the same topology with the REAL executor-side DB writer (the
+    # reference's unit of work is message -> five aggregations -> SQL
+    # upsert, XAPostgresSink.java) — SQLite stands in for the Postgres
+    # wire (no server in this image; single-writer lock makes this a
+    # conservative floor for a real Postgres)
+    streaming_jdbc = _bench_streaming_jdbc(spark, sf_dir)
 
     # compact stdout payload: headline queries + the 5 slowest others,
     # full map to BENCH_FULL.json
@@ -152,6 +162,7 @@ def main() -> None:
         "index_build": index_build,
         "sf": sf,
         **{k: v for k, v in streaming.items() if not isinstance(v, dict)},
+        **{k: v for k, v in streaming_jdbc.items() if not isinstance(v, dict)},
     }
 
     # the committed artifact records the driver's scale (sf0.1); a
@@ -169,6 +180,7 @@ def main() -> None:
                     "queries_runs": query_runs,
                     "run_spread_top10": noisy,
                     "streaming": streaming,
+                    "streaming_jdbc": streaming_jdbc,
                 },
                 fh,
                 indent=1,
@@ -252,6 +264,93 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             "streaming_trigger_p50_ms": p.get("p50_ms"),
             "streaming_trigger_p95_ms": p.get("p95_ms"),
             "streaming_trigger_batches_ms": p,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
+    """Write-path throughput THROUGH the SQL upsert sink: one streaming
+    query, each micro-batch fanned into all five fact aggregations and
+    written by JdbcSink's executor-side foreachPartition writer into a
+    SQLite database (qmark paramstyle; additive mode with the replay
+    ledger — the full exactly-once discipline the reference's
+    XAPostgresSink applies per batch)."""
+    import functools
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from twitch_chat_analyser_spark import ingest
+    from twitch_chat_analyser_spark.streaming import jdbc as sj
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    tmp = tempfile.mkdtemp(prefix="bench-jdbc-")
+    try:
+        src = os.path.join(tmp, "src")
+        db = os.path.join(tmp, "facts.db")
+        base = ingest.messages(spark, sf_dir).select(
+            "ts", "channel", "username", "message"
+        )
+        n = base.count()
+        # 16 files -> 2 micro-batches at maxFilesPerTrigger=8: enough
+        # to exercise the per-batch ledger without letting the SQLite
+        # single-writer lock dominate the figure with tiny batches
+        base.repartition(16).write.parquet(src)
+        conn = sqlite3.connect(db)
+        try:
+            cur = conn.cursor()
+            for table in sj.FACT_TABLES:
+                cur.execute(sj.create_table_sql(table))
+            cur.execute(sj.ledger_table_sql())
+            conn.commit()
+        finally:
+            conn.close()
+        factory = functools.partial(sqlite3.connect, db, 30.0)
+        pipelines = sp.default_pipelines(spark)
+        sinks = {
+            p.name: sj.JdbcSink(
+                dsn="unused",
+                table=p.name,
+                mode="additive",
+                batch_size=500,
+                connection_factory=factory,
+                num_partitions=4,
+                paramstyle="qmark",
+            )
+            for p in pipelines
+        }
+
+        def sink(batch_df, batch_id: int) -> None:
+            batch_df.persist()
+            batch_df.count()
+            try:
+                for p in pipelines:
+                    stats = p.transform(batch_df).localCheckpoint(eager=True)
+                    sinks[p.name](stats, batch_id)
+            finally:
+                batch_df.unpersist()
+
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(
+                "ts timestamp, channel string, username string, message string"
+            )
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        pcts = _percentiles(_trigger_durations([q.recentProgress]))
+        return {
+            "jdbc_messages": n,
+            "jdbc_wall_sec": round(wall, 3),
+            "jdbc_msgs_per_sec": round(n / wall, 1),
+            "jdbc_trigger_p50_ms": pcts.get("p50_ms"),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

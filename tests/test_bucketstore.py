@@ -1,0 +1,131 @@
+"""Bucketed streaming-store layout (bucketstore.py): per-trigger merge
+touches ONLY the buckets present in the batch, per-bucket torn swaps
+heal, and legacy flat stores migrate without losing history or replay
+suppression."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from twitch_chat_analyser_spark.streaming import bucketstore, markov, ohlc
+
+SCHEMA = (
+    "event_id long, ts string, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(spark, rows, id0=0):
+    return spark.createDataFrame(
+        [(id0 + i, ts, u, t, float(v), "{}") for i, (ts, u, t, v) in enumerate(rows)],
+        SCHEMA,
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _bucket_files(store):
+    """{bucket dir -> sorted parquet part names} — identity of the
+    physical files, to prove untouched buckets were not rewritten."""
+    out = {}
+    for e in os.listdir(store):
+        if e.startswith("bucket="):
+            d = os.path.join(store, e)
+            out[e] = sorted(
+                f for f in os.listdir(d) if not f.startswith(("_", "."))
+            )
+    return out
+
+
+def test_ohlc_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    store = str(tmp_path / "candles")
+    # seed: two events in DIFFERENT hour buckets (ts differ by a day),
+    # small N so bucket collisions are possible but keys here separate
+    b1 = _events(spark, [
+        ("2024-01-01 10:05:00", 1, "view", 10.0),
+        ("2024-01-02 10:05:00", 1, "view", 20.0),
+    ])
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b1), 0, num_buckets=8)
+    before = _bucket_files(store)
+    assert len(before) == 2  # the two candle keys hash apart at N=8
+
+    # batch 2 touches only the 2024-01-02 candle
+    b2 = _events(spark, [("2024-01-02 10:20:00", 1, "view", 5.0)], id0=100)
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b2), 1, num_buckets=8)
+    after = _bucket_files(store)
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1  # exactly one bucket rewritten
+    # and the merge result is still the full-history candle set
+    got = {
+        (r["event_type"], r["bucket_ms"]): (r["low"], r["n_events"])
+        for r in ohlc.serve_candles(spark, store).collect()
+    }
+    assert len(got) == 2
+    assert (5.0, 2) in got.values()  # merged candle
+    assert (10.0, 1) in got.values()  # untouched candle intact
+
+
+def test_per_bucket_torn_swap_heals_on_serve(spark, tmp_path):
+    store = str(tmp_path / "candles")
+    b1 = _events(spark, [("2024-01-01 10:05:00", 1, "view", 10.0)])
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b1), 0, num_buckets=4)
+    (bdir,) = [e for e in os.listdir(store) if e.startswith("bucket=")]
+    k = bdir.split("=")[1]
+    before = sorted(map(tuple, ohlc.serve_candles(spark, store).collect()))
+    # simulate a crash between the two renames of THAT bucket's swap
+    os.rename(
+        os.path.join(store, bdir), store + f".old-deadbeef-b{k}"
+    )
+    assert sorted(
+        map(tuple, ohlc.serve_candles(spark, store).collect())
+    ) == before
+    # the restored per-bucket journal still suppresses the replay
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b1), 0, num_buckets=4)
+    assert sorted(
+        map(tuple, ohlc.serve_candles(spark, store).collect())
+    ) == before
+
+
+def test_legacy_flat_store_migrates_with_replay_suppression(spark, tmp_path):
+    from twitch_chat_analyser_spark.streaming.storeswap import swap_in
+
+    store = str(tmp_path / "candles")
+    b1 = _events(spark, [("2024-01-01 10:05:00", 1, "view", 10.0)])
+    # write the PRE-bucketing layout: flat parquet + root journal
+    swap_in(ohlc.ohlc_delta(b1), store, journal_ids={0})
+    assert bucketstore._legacy_flat_files(store)
+
+    b2 = _events(spark, [("2024-01-01 10:30:00", 1, "view", 4.0)], id0=100)
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b2), 1, num_buckets=4)
+    # flat files folded into buckets, root journal gone
+    assert not bucketstore._legacy_flat_files(store)
+    assert not os.path.isfile(os.path.join(store, "_applied_batches.json"))
+    r = ohlc.serve_candles(spark, store).collect()[0]
+    assert (r["open"], r["low"], r["n_events"]) == (10.0, 4.0, 2)
+    # batch 0 from the ROOT journal is still suppressed post-migration
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b1), 0, num_buckets=4)
+    r = ohlc.serve_candles(spark, store).collect()[0]
+    assert r["n_events"] == 2
+
+
+def test_markov_last_store_prunes_to_batch_user_buckets(spark, tmp_path):
+    tdir, ldir = str(tmp_path / "trans"), str(tmp_path / "last")
+    # users 1..8 -> several buckets at N=8
+    rows = [("2024-01-01 10:00:0%d" % (i % 10), i, "view", 0.0)
+            for i in range(1, 9)]
+    markov.process_batch(spark, _events(spark, rows), tdir, ldir, 0)
+    before = _bucket_files(ldir)
+    assert len(before) >= 2
+    # a batch touching ONE user rewrites only that user's bucket
+    markov.process_batch(
+        spark,
+        _events(spark, [("2024-01-01 11:00:00", 1, "click", 0.0)], id0=50),
+        tdir, ldir, 1,
+    )
+    after = _bucket_files(ldir)
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1
+    # boundary pair view->click for user 1 was counted via the store
+    got = {(r["src_type"], r["dst_type"]): r["transitions"]
+           for r in markov.serve_transitions(spark, tdir).collect()}
+    assert got[("view", "click")] == 1

@@ -164,7 +164,7 @@ def test_blas_matches_declarative(vecs):
     kb = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in b]
     assert ka == kb
     for ra, rb in zip(a, b):
-        assert ra["cos_sim"] == pytest.approx(rb["cos_sim"], abs=1e-12)
+        assert rb["cos_sim_e6"] == round(ra["cos_sim"] * 1_000_000)
 
 
 def test_semdedup_pairs_within_cluster_only(spark):
@@ -311,10 +311,11 @@ def test_corpus_datacard_summarizes_per_source(spark):
     out = {r["source"]: r for r in corpus_datacard(d).collect()}
     web = out["web"]
     assert (web["n_docs"], web["distinct_contents"]) == (3, 2)
-    assert web["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    # 1/3 duplicated, exact round-half-up ppm
+    assert web["dup_ppm"] == 333333
     assert web["total_ws_tokens"] == 13
     assert web["top_lang"] == "en"  # 2 en vs 1 de
-    assert out["books"]["dup_rate"] == 0.0
+    assert out["books"]["dup_ppm"] == 0
     assert out["books"]["n_docs"] == 1
 
 
@@ -542,7 +543,7 @@ def test_bm25_semantics(spark):
     assert out[1]["n_matched"] == out[2]["n_matched"] == 1
     # tf saturation + length normalization: doc 1 (tf=3, short) beats
     # doc 2 (tf=1, long) for the same term
-    assert out[1]["bm25"] > out[2]["bm25"] > 0
+    assert out[1]["bm25_micro"] > out[2]["bm25_micro"] > 0
 
 
 def test_sq8_full_expand_equals_brute_force(vecs):
@@ -824,7 +825,7 @@ def test_unigram_surprise_rare_tokens_score_higher(spark):
         (2, "common rareword", "en", "s1", 15),
     ]
     df = spark.createDataFrame(rows, DOC_SCHEMA)
-    out = {r["doc_id"]: r["avg_neg_logp"]
+    out = {r["doc_id"]: r["avg_neg_logp_micro"]
            for r in textops.unigram_surprise(df).collect()}
     assert out[2] > out[1]  # the doc with the rare token is more surprising
 
@@ -1124,3 +1125,29 @@ def test_bpe_encode_applies_trained_merges_to_documents(spark):
     for d, text_d in ((1, text), (2, "low x newest")):
         chars = sum(len(s) * c for s, c in enc[d].items())
         assert chars == len(text_d.replace(" ", ""))
+
+
+def test_bpe_exhausted_merges_noop_instead_of_wiping_vocab(spark):
+    # Vocabulary {ab, cd}: round 1 merges (a,b), round 2 (c,d), and
+    # every word is then a SINGLE symbol — rounds 3..6 find no pair.
+    # Regression test for the round-6 "empty-best wipeout" (ADVICE #3):
+    # the empty argmax crossJoin used to permanently empty the symbol
+    # table, so bpe_train lost rounds 1-2's rows downstream and
+    # bpe_encode silently fell back to per-char symbols for every word.
+    docs = spark.createDataFrame(
+        [(1, "en", "web", "ab ab ab cd cd")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = textops.bpe_train(docs, n_merges=6).orderBy("step").collect()
+    # exactly the two real merges survive; exhausted rounds emit nothing
+    assert [(r["step"], r["merged"], r["pair_count"]) for r in out] == [
+        (1, "ab", 3),
+        (2, "cd", 2),
+    ]
+    enc = {
+        (r["doc_id"], r["symbol"]): r["sym_count"]
+        for r in textops.bpe_encode(docs, n_merges=6).collect()
+    }
+    # earlier merges survive the exhausted rounds: words encode as the
+    # merged symbols, not per-char fallbacks
+    assert enc == {(1, "ab"): 3, (1, "cd"): 2}

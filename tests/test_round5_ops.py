@@ -84,10 +84,10 @@ def test_kmv_exact_below_k(spark):
     out = sketches.kmv_overlap(_msgs(spark, rows), k=64).collect()
     assert len(out) == 1
     r = out[0]
-    assert (r["est_a"], r["est_b"]) == (10.0, 10.0)
-    assert r["est_union"] == 15.0
+    assert (r["est_a_milli"], r["est_b_milli"]) == (10000, 10000)
+    assert r["est_union_milli"] == 15000
     assert r["kmin_overlap"] == 5
-    assert r["est_intersection"] == 5.0
+    assert r["est_intersection_milli"] == 5000
 
 
 def test_kmv_estimate_within_error_above_k(spark):
@@ -95,9 +95,9 @@ def test_kmv_estimate_within_error_above_k(spark):
     rows += [(None, "b", f"u{i}", "m") for i in range(1000, 3000)]
     out = sketches.kmv_overlap(_msgs(spark, rows), k=64).collect()[0]
     # sigma ~ 1/sqrt(k) = 12.5%; allow 4 sigma
-    assert abs(out["est_a"] - 2000) / 2000 < 0.5
-    assert abs(out["est_union"] - 3000) / 3000 < 0.5
-    assert abs(out["est_intersection"] - 1000) / 1000 < 0.75
+    assert abs(out["est_a_milli"] / 1000 - 2000) / 2000 < 0.5
+    assert abs(out["est_union_milli"] / 1000 - 3000) / 3000 < 0.5
+    assert abs(out["est_intersection_milli"] / 1000 - 1000) / 1000 < 0.75
 
 
 def test_kmv_hash_is_60_bit_non_negative(spark):
@@ -206,16 +206,16 @@ def test_jaccard_prefix_join_exact_vs_brute_force(spark):
     ]
     docs = _docs(spark, texts)
     out = dedup.jaccard_threshold_pairs(docs, threshold=0.6).collect()
-    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
-    # brute force in python
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_ppm"] for r in out}
+    # brute force in python (exact round-half-up ppm, integer math)
     sets = [set(t.split()) for t in texts]
     want = {}
     for i in range(len(sets)):
         for j in range(i + 1, len(sets)):
             inter = len(sets[i] & sets[j])
-            jac = inter / len(sets[i] | sets[j])
-            if jac >= 0.6:
-                want[(i, j)] = round(jac, 6)
+            union = len(sets[i] | sets[j])
+            if inter / union >= 0.6:
+                want[(i, j)] = (2_000_000 * inter + union) // (2 * union)
     assert got == want
     r0 = {(r["doc_a"], r["doc_b"]): r for r in out}[(0, 2)]
     assert (r0["inter_tokens"], r0["size_a"], r0["size_b"]) == (5, 5, 5)
@@ -259,8 +259,26 @@ def test_kcore_peels_chain_keeps_clique(spark):
     edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     edges += [(3, 10), (10, 11)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = {r["node"]: r["core_degree"] for r in graph.kcore(df, k=2).collect()}
+    rows = graph.kcore(df, k=2).collect()
+    out = {r["node"]: r["core_degree"] for r in rows}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert all(r["converged"] for r in rows)
+
+
+def test_kcore_converged_flag_false_when_budget_too_small(spark):
+    from twitch_chat_analyser_spark.operators import graph
+
+    # a 6-node path peels one node per END per round; rounds=1 leaves a
+    # partially-peeled superset whose next peel would still drop edges
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    short = graph.kcore(df, k=2, rounds=1).collect()
+    assert short  # superset still reported ...
+    assert all(r["converged"] is False for r in short)  # ... but labeled
+    full = graph.kcore(df, k=2, rounds=6).collect()
+    # a pure path has no 2-core: fixpoint is empty, flag has no rows to
+    # ride on — emptiness itself is the converged answer here
+    assert full == []
 
 
 def test_kcore_gate_rounds_reach_fixpoint(spark, sf_dir):
@@ -370,8 +388,8 @@ def test_source_divergence_uniform_source_has_zero_kl(spark):
     )
     out = {r["source"]: r for r in textops.source_divergence(docs).collect()}
     assert out["s0"]["kl_nano"] == 0 and out["s1"]["kl_nano"] == 0
-    # entropy of 4 equiprobable tokens = ln(4)
-    assert abs(out["s0"]["entropy"] - math.log(4)) < 1e-6
+    # entropy of 4 equiprobable tokens = ln(4), in nano-nats
+    assert abs(out["s0"]["entropy_nano"] / 1e9 - math.log(4)) < 1e-6
 
 
 def test_source_divergence_skewed_source_positive_kl(spark):
@@ -384,7 +402,7 @@ def test_source_divergence_skewed_source_positive_kl(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     out = {r["source"]: r for r in textops.source_divergence(docs).collect()}
-    assert out["skew"]["kl"] > 0.2
+    assert out["skew"]["kl_nano"] > 200_000_000
     assert out["skew"]["entropy_nano"] == 0  # single token type
     assert out["mix"]["n_distinct"] == 8
 

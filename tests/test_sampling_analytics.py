@@ -80,11 +80,11 @@ def test_tfidf_rare_term_outranks_common_at_equal_tf(spark):
     out = sampling.tfidf_top_terms(docs, top_n=1).collect()
     # 'alpha' appears in every doc (df=3, idf=0) -> the rare term wins
     by_doc = {r["doc_id"]: r for r in out}
-    assert by_doc[0]["token"] == "beta" and by_doc[0]["tfidf"] > 0
+    assert by_doc[0]["token"] == "beta" and by_doc[0]["tfidf_micro"] > 0
     assert by_doc[1]["token"] == "gamma"
     alpha = [r for r in sampling.tfidf_top_terms(docs, top_n=2).collect()
              if r["token"] == "alpha"]
-    assert all(abs(r["tfidf"]) < 1e-12 for r in alpha)
+    assert all(r["tfidf_micro"] == 0 for r in alpha)
 
 
 def test_mixture_equalize_downsamples_to_smallest_source(spark):

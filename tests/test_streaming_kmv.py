@@ -69,10 +69,11 @@ def test_stream_pipeline_estimates_and_overlap_match_batch(spark, tmp_path):
     want = _sorted_rows(sketches.kmv_overlap(full, k=64))
     assert got == want
     # per-channel estimates present for both channels
-    ests = {r["channel"]: r["est"]
+    ests = {r["channel"]: r["est_milli"]
             for r in kmv.serve_estimates(spark, out, k=64).collect()}
     assert set(ests) == {"a", "b"}
-    assert abs(ests["a"] - 300) / 300 < 0.5  # within KMV error at k=64
+    # within KMV error at k=64 (est_milli is the estimate x1000)
+    assert abs(ests["a"] / 1000 - 300) / 300 < 0.5
 
 
 def test_torn_swap_recovery_restores_history(spark, tmp_path):

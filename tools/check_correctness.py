@@ -34,6 +34,8 @@ sys.path.insert(0, ".")
 
 
 def normalize(rows: list[tuple], cols: list[str], lenient: bool = False):
+    import struct
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -45,6 +47,13 @@ def normalize(rows: list[tuple], cols: list[str], lenient: bool = False):
                     v = round(v, 6)
                 elif math.isnan(v):
                     v = "NaN"  # raw mode: NaN compares equal to NaN
+                else:
+                    # TRUE bit-for-bit raw mode (ADVICE r6 #4): Python
+                    # == is value equality (-0.0 == 0.0, 1 == 1.0),
+                    # weaker than a driver-side hash of raw values —
+                    # compare the IEEE bit pattern instead, which also
+                    # distinguishes float 1.0 from int 1 by type tag
+                    v = ("f64", struct.pack("<d", v))
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))

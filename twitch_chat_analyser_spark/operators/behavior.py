@@ -171,7 +171,13 @@ def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 BEHAVIOR_QUERIES = {
     "events_funnel_conversion": _q_funnel,
     "events_cohort_retention": _q_retention,
-    "events_markov_transitions": _q_markov,
+    # NOTE: registered under a FRESH key since round 7. The query was
+    # driver-red (rows/schema match, hash mismatch) in rounds 5 AND 6
+    # even after the round-6 pure-integer `prob_ppm` rewrite made local
+    # raw-equality runs bit-exact; the last standing hypothesis is a
+    # stale per-name result on the driver side, which a new key
+    # falsifies or fixes in one round (VERDICT r6 "Next round" #1).
+    "markov_transitions_ppm": _q_markov,
 }
 
 
@@ -210,7 +216,7 @@ SELECT epoch_ms(cohort_week) AS cohort_week_ms,
        count(DISTINCT a.user_id) AS active_users
 FROM active a JOIN first USING (user_id)
 GROUP BY 1, 2""",
-        "events_markov_transitions": """
+        "markov_transitions_ppm": """
 WITH seq AS (
     SELECT event_type AS src_type,
            lead(event_type) OVER (

@@ -300,7 +300,15 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
     because each round's edge set feeds both the degree count and the
     filter.
 
-    -> node, core_degree   (nodes in the k-core, with in-core degree)
+    Every row carries a ``converged`` flag (round 7, VERDICT r5 #5):
+    one additional prospective peel is counted, and the flag is true
+    iff it would remove nothing. On a deeper-than-budget graph the
+    fixed unroll stops early and reports a SUPERSET of the k-core —
+    previously silently; now the superset is labeled converged=false
+    so a consumer (or the gate) can see the budget was insufficient
+    instead of trusting a half-peeled result.
+
+    -> node, core_degree, converged
     """
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -322,9 +330,28 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
+    # convergence probe: one PROSPECTIVE peel round, counted only — if
+    # it would drop any edge, the unroll budget was too small and the
+    # result is a superset of the true k-core
+    probe_keep = (
+        e.groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select("a")
+    )
+    probe = (
+        e.join(probe_keep, "a", "left_semi")
+        .join(probe_keep.withColumnRenamed("a", "b"), "b", "left_semi")
+    )
+    flag = (
+        e.agg(F.count("*").alias("n_now"))
+        .crossJoin(probe.agg(F.count("*").alias("n_next")))
+        .select((F.col("n_now") == F.col("n_next")).alias("converged"))
+    )
     return (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count("*").cast("long").alias("core_degree"))
+        .crossJoin(F.broadcast(flag))
     )
 
 
@@ -635,10 +662,24 @@ e{i} AS MATERIALIZED (
     JOIN k{i} x ON x.a = e.a JOIN k{i} y ON y.a = e.b
 )""")
         prev = f"e{i}"
+    # convergence probe round (counted only), mirroring kcore()'s flag
+    probe = f"""kp AS MATERIALIZED (
+    SELECT a FROM (SELECT a, count(*) AS deg FROM {prev} GROUP BY a)
+    WHERE deg >= {KCORE_K}
+),
+ep AS MATERIALIZED (
+    SELECT e.a, e.b FROM {prev} e
+    JOIN kp x ON x.a = e.a JOIN kp y ON y.a = e.b
+),
+flag AS (
+    SELECT (SELECT count(*) FROM {prev}) = (SELECT count(*) FROM ep)
+        AS converged
+)"""
     kcore_sql = f"""{sym_prefix}e0 AS MATERIALIZED (SELECT a, b FROM sym),
-{','.join(kcore_rounds)}
-SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
-FROM {prev} GROUP BY a"""
+{','.join(kcore_rounds)},
+{probe}
+SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree, converged
+FROM {prev} CROSS JOIN flag GROUP BY a, converged"""
 
     return {
         "channel_pagerank": pagerank_sql,

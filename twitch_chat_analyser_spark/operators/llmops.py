@@ -83,8 +83,12 @@ def _q_jaccard_prefix_join(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
+    # sort=False: the trailing orderBy's RangePartitioner sampling job
+    # re-runs the verify stage for cosmetic row order (the gate
+    # compares order-free — see dedup.jaccard_threshold_pairs note)
     return dedup.minhash_dedup_pairs(
-        _docs(spark, sf_dir), NUM_HASHES, SHINGLE_K, MINHASH_JACCARD_THRESHOLD
+        _docs(spark, sf_dir), NUM_HASHES, SHINGLE_K,
+        MINHASH_JACCARD_THRESHOLD, sort=False,
     )
 
 
@@ -757,11 +761,19 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
     Shape (100 TB): three per-doc passes joined on doc_id (each a
     single aggregation), then a |sources|-row rollup; the dominant-lang
     argmax is a window over the tiny (source, lang) count frame.
-    Doubles are rounded to 6 dp at the edge (sum order across a corpus
-    is not deterministic; 1e-16 wobble must not flip the hash).
 
-    -> source, n_docs, total_ws_tokens, distinct_contents, dup_rate,
-       mean_quality, quality_pass_rate, top_lang
+    Determinism (float sweep, round 7): every ratio is an exact
+    integer — the per-doc quality DOUBLE is quantized ONCE to
+    micro-units (deterministic per row, same round-half-up in both
+    engines), then summed as BIGINTs so shuffle order can never wobble
+    a hashed value; the dup and pass rates are parts-per-million from
+    pure count arithmetic. The quality sum is emitted as
+    ``sum_quality_micro`` rather than a mean because integer division
+    semantics on possibly-negative sums differ across engines — the
+    mean is ``sum_quality_micro / n_docs`` at the presentation layer.
+
+    -> source, n_docs, total_ws_tokens, distinct_contents, dup_ppm,
+       sum_quality_micro, pass_ppm, top_lang
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -782,14 +794,12 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
         F.count_distinct("content_hash").cast("long").alias(
             "distinct_contents"
         ),
-        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
-        F.round(
-            F.sum(F.when(F.col("quality_pass"), 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.count("*"),
-            6,
-        ).alias("quality_pass_rate"),
+        F.sum(F.round(F.col("quality_score") * 1_000_000, 0).cast("long"))
+        .cast("long")
+        .alias("sum_quality_micro"),
+        F.sum(F.when(F.col("quality_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
     )
     lang_counts = docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_l")
@@ -809,14 +819,17 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
             "n_docs",
             "total_ws_tokens",
             "distinct_contents",
-            F.round(
-                F.lit(1.0)
-                - F.col("distinct_contents").cast("double")
-                / F.col("n_docs"),
-                6,
-            ).alias("dup_rate"),
-            "mean_quality",
-            "quality_pass_rate",
+            # exact round-half-up ppm from non-negative count arithmetic
+            F.expr(
+                "CAST((CAST(n_docs - distinct_contents AS DECIMAL(38,0))"
+                " * 2000000 + n_docs)"
+                " DIV (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("dup_ppm"),
+            "sum_quality_micro",
+            F.expr(
+                "CAST((CAST(n_pass AS DECIMAL(38,0)) * 2000000 + n_docs)"
+                " DIV (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("pass_ppm"),
             "top_lang",
         )
     )
@@ -895,7 +908,7 @@ def bm25_retrieval(
     df/N/avgdl are tiny aggregates broadcast back. groupBy doc_id is
     the single data-sized shuffle.
 
-    -> doc_id, n_matched, bm25
+    -> doc_id, n_matched, bm25_micro
     """
     from pyspark.sql import functions as F
 
@@ -948,7 +961,7 @@ def bm25_retrieval(
     return per_doc.select(
         "doc_id",
         n_matched.cast("int").alias("n_matched"),
-        total.alias("bm25"),
+        F.round(total * 1_000_000, 0).cast("long").alias("bm25_micro"),
     )
 
 
@@ -1375,8 +1388,10 @@ inter AS (
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter_tokens, sa.n AS size_a, sb.n AS size_b,
-       round(CAST(inter_tokens AS DOUBLE)
-             / CAST(sa.n + sb.n - inter_tokens AS DOUBLE), 6) AS jaccard
+       CAST((inter_tokens::HUGEINT * 2000000
+             + (sa.n + sb.n - inter_tokens))
+            // (2 * (sa.n + sb.n - inter_tokens)::HUGEINT)
+            AS BIGINT) AS jaccard_ppm
 FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
@@ -2142,9 +2157,10 @@ per_source AS (
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
         CAST(count(DISTINCT content_hash) AS BIGINT) AS distinct_contents,
-        round(avg(quality_score), 6) AS mean_quality,
-        round(CAST(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS DOUBLE)
-              / count(*), 6) AS quality_pass_rate
+        CAST(sum(CAST(round(quality_score * 1000000, 0) AS BIGINT))
+             AS BIGINT) AS sum_quality_micro,
+        CAST(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pass
     FROM j GROUP BY source
 ),
 top_lang AS (
@@ -2156,9 +2172,12 @@ top_lang AS (
     ) WHERE rn = 1
 )
 SELECT p.source, p.n_docs, p.total_ws_tokens, p.distinct_contents,
-       round(1.0 - CAST(p.distinct_contents AS DOUBLE) / p.n_docs, 6)
-           AS dup_rate,
-       p.mean_quality, p.quality_pass_rate, t.top_lang
+       CAST(((p.n_docs - p.distinct_contents)::HUGEINT * 2000000 + p.n_docs)
+            // (2 * p.n_docs::HUGEINT) AS BIGINT) AS dup_ppm,
+       p.sum_quality_micro,
+       CAST((p.n_pass::HUGEINT * 2000000 + p.n_docs)
+            // (2 * p.n_docs::HUGEINT) AS BIGINT) AS pass_ppm,
+       t.top_lang
 FROM per_source p JOIN top_lang t USING (source)""",
         "text_token_counts": f"""
 SELECT doc_id,
@@ -2217,11 +2236,18 @@ WITH tok AS (
     FROM documents
 ),
 freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
-total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
-SELECT doc_id, count(*) AS n_tokens,
-       avg(-ln(f.cnt / t.total)) AS avg_neg_logp
-FROM tok JOIN freq f USING (token) CROSS JOIN total t
-GROUP BY doc_id""",
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(round(-ln(f.cnt / t.total) * 1000000, 0)
+                         AS BIGINT)) AS BIGINT) AS sum_micro
+    FROM tok JOIN freq f USING (token) CROSS JOIN total t
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST((sum_micro::HUGEINT * 2 + n_tokens)
+            // (2 * n_tokens::HUGEINT) AS BIGINT) AS avg_neg_logp_micro
+FROM per_doc""",
         "text_fingerprints": """
 SELECT doc_id,
     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp,
@@ -2364,7 +2390,12 @@ FROM (
     }
     # the BLAS kernel computes the same exact top-k as the declarative
     # brute-force plan — one oracle, two implementations
-    out["ann_blas_topk"] = out["ann_brute_topk"]
+    # blas variant: brute's oracle with the similarity quantized to the
+    # same micro-unit BIGINT the numpy kernel emits (ulp-immune hash)
+    out["ann_blas_topk"] = f"""
+SELECT query_id, neighbor_id,
+       CAST(round(cos_sim * 1000000, 0) AS BIGINT) AS cos_sim_e6, rank
+FROM ({out["ann_brute_topk"]})"""
     out["eval_ivf_recall"] = _ivf_recall_oracle_sql(
         out["ann_brute_topk"], out["ann_ivf_topk"], out["ann_ivf_pq_topk"]
     )
@@ -2566,7 +2597,8 @@ scored AS (
     FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
 ),
 pivoted AS (SELECT doc_id, {pivots} FROM scored GROUP BY 1)
-SELECT doc_id, CAST({matched} AS INT) AS n_matched, {total} AS bm25
+SELECT doc_id, CAST({matched} AS INT) AS n_matched,
+       CAST(round(({total}) * 1000000, 0) AS BIGINT) AS bm25_micro
 FROM pivoted"""
 
 
@@ -2647,13 +2679,13 @@ def hybrid_retrieval_rrf(
 
     lex_top = (
         bm25_retrieval(docs, query_terms)
-        .orderBy(F.desc("bm25"), "doc_id")
+        .orderBy(F.desc("bm25_micro"), "doc_id")
         .limit(depth)
     )
     lex = lex_top.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .over(Window.orderBy(F.desc("bm25_micro"), "doc_id"))
         .alias("lex_rank"),
     )
     dense = similarity.brute_force_topk(
@@ -2692,10 +2724,10 @@ def _rrf_oracle_sql() -> str:
 WITH bm AS ({_bm25_oracle_sql()}),
 lex AS (
     SELECT doc_id,
-           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT)
                AS lex_rank
     FROM bm
-    ORDER BY bm25 DESC, doc_id
+    ORDER BY bm25_micro DESC, doc_id
     LIMIT {RRF_DEPTH}
 ),
 {_EMB_CTES.strip().rstrip()},
@@ -3000,9 +3032,7 @@ SELECT source,
        CAST(sum(c_st) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(sum(kl_term) AS BIGINT) AS kl_nano,
-       CAST(sum(h_term) AS BIGINT) AS entropy_nano,
-       round(CAST(sum(kl_term) AS BIGINT) / {s}, 6) AS kl,
-       round(CAST(sum(h_term) AS BIGINT) / {s}, 6) AS entropy
+       CAST(sum(h_term) AS BIGINT) AS entropy_nano
 FROM terms GROUP BY source"""
 
 
@@ -3177,13 +3207,20 @@ best{k} AS (
     FROM pairs{k} GROUP BY 1, 2
     ORDER BY pair_count DESC, a, b LIMIT 1
 ),
+bp{k} AS (
+    -- keyless agg: exactly ONE row even when best{k} is empty (NULL
+    -- a/b) so the CROSS JOIN below never wipes the symbol table; the
+    -- NULL comparison falls to ELSE = identity rewrite (mirrors
+    -- textops._bpe_loop's empty-best guard)
+    SELECT max(a) AS a, max(b) AS b FROM best{k}
+),
 syms{k} AS (
     SELECT word, freq,
            list_reduce(list_transform(syms, s -> [s]),
              (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
                          THEN list_append(acc[1:len(acc)-1], b.a || b.b)
                          ELSE list_concat(acc, x) END) AS syms
-    FROM {prev} CROSS JOIN best{k} b
+    FROM {prev} CROSS JOIN bp{k} b
 )""")
         selects.append(
             f"SELECT CAST({k} AS INT) AS step, a AS pair_a, b AS pair_b,"

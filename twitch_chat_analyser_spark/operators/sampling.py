@@ -94,7 +94,10 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
     """Top terms per document by term frequency, scored with TF-IDF
     (``tf * ln(N/df)``). Ranking uses only integer keys
     (tf desc, df asc, token asc) so result membership never depends on
-    float rounding; the tfidf score is carried as a value column.
+    float rounding; the tfidf score is carried as a value column,
+    quantized ONCE to a micro-unit BIGINT — JVM and DuckDB libm ``ln``
+    differ in the last ulp, so a raw DOUBLE here hash-flakes (float
+    sweep, round 7).
 
     Plan: one token-explode aggregation for tf, one reaggregation for
     df (vocabulary-sized — tiny relative to the corpus), one join back
@@ -102,7 +105,7 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
     broadcastable and the window partitions by doc_id (no skew: bounded
     tokens per document).
 
-    -> doc_id, token, tf, df, tfidf, term_rank
+    -> doc_id, token, tf, df, tfidf_micro, term_rank
     """
     from .dedup import tokens
 
@@ -120,7 +123,12 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
             "token",
             "tf",
             "df",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("tfidf_micro"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -647,10 +655,11 @@ df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
 scored AS (
     SELECT tf.doc_id, tf.token, tf.tf, df.df,
-           tf.tf * ln(n.n_docs / df.df) AS tfidf
+           CAST(round(tf.tf * ln(n.n_docs / df.df) * 1000000, 0) AS BIGINT)
+               AS tfidf_micro
     FROM tf JOIN df USING (token) CROSS JOIN n
 )
-SELECT doc_id, token, tf, df, tfidf, term_rank FROM (
+SELECT doc_id, token, tf, df, tfidf_micro, term_rank FROM (
     SELECT *, CAST(row_number() OVER (
         PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) AS INT
     ) AS term_rank

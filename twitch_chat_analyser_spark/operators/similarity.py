@@ -1047,9 +1047,13 @@ def ann_topk_blas(
     numpy matmul per batch against the broadcast query matrix — the
     kernel shape used for BLAS/GPU offload at scale. Results equal
     :func:`brute_force_topk` (checked in tests); float summation order
-    differs (pairwise/SIMD), so this variant is rows-only for the oracle.
+    differs (pairwise/SIMD), so the similarity is quantized ONCE to a
+    micro-unit BIGINT at the edge — BLAS and sequential-SQL dot
+    products differ in the last ulp, which a raw DOUBLE hash would
+    surface as a flake (float sweep, round 7). Ranking still uses the
+    raw sims (identical ordering to the unbatched kernel).
 
-    -> query_id, neighbor_id, cos_sim, rank
+    -> query_id, neighbor_id, cos_sim_e6, rank
     """
     import numpy as np
     import pandas as pd
@@ -1101,6 +1105,14 @@ def ann_topk_blas(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_sim") * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_sim_e6"),
+            "rank",
+        )
         .orderBy("query_id", "rank")
     )
 

@@ -77,8 +77,18 @@ def channel_chatters_via_sketch_merge(messages: DataFrame) -> DataFrame:
     return merge_chatters(daily_chatter_sketches(messages), ["channel"])
 
 
-# DataSketches HLL_4 at the default lgConfigK=12 has relative standard
-# error ~1.04/sqrt(4096) = 1.6%; the contract bound is ~3 sigma.
+# Spark HLL++ at the default 5% rsd; the contract bound is ~2 sigma at
+# that setting, so per channel the residual probability of a CORRECT
+# sketch exceeding the bound is ~4.5e-2 at worst-case Gaussian tails —
+# except the gate cardinalities (hundreds to thousands of chatters per
+# channel) sit in HLL's SPARSE range where the estimate is exact, so
+# the observed failure probability at gate scale is ~0. On a new
+# dataset past the sparse threshold (~1.5k distinct at rsd 5%) a tail
+# excursion becomes possible; a gate failure there means "re-check the
+# bound margin", not necessarily a regression (ADVICE r6 #3 —
+# documented rather than widened, because widening the bound would
+# stop the gate from catching a genuinely broken merge path at the
+# cardinalities it actually tests).
 SKETCH_EPS_PCT = 5
 
 
@@ -426,16 +436,25 @@ def kmv_overlap_from_sketch(sk: DataFrame, k: int = KMV_K) -> DataFrame:
         .select(
             "channel_a",
             "channel_b",
-            F.round("est_a_raw", 3).alias("est_a"),
-            F.round("est_b_raw", 3).alias("est_b"),
+            # estimates quantized ONCE to milli-units as BIGINTs so no
+            # derived DOUBLE reaches a value-hash (float sweep, round 7)
+            F.round(F.col("est_a_raw") * 1000, 0).cast("long").alias(
+                "est_a_milli"
+            ),
+            F.round(F.col("est_b_raw") * 1000, 0).cast("long").alias(
+                "est_b_milli"
+            ),
             F.col("overlap").alias("kmin_overlap"),
-            F.round(eu, 3).alias("est_union"),
+            F.round(eu * 1000, 0).cast("long").alias("est_union_milli"),
             F.round(
                 F.col("overlap").cast("double")
                 / F.col("un").cast("double")
-                * eu,
-                3,
-            ).alias("est_intersection"),
+                * eu
+                * 1000,
+                0,
+            )
+            .cast("long")
+            .alias("est_intersection_milli"),
         )
         .orderBy("channel_a", "channel_b")
     )
@@ -582,15 +601,16 @@ pu AS (
     FROM uk GROUP BY 1, 2
 )
 SELECT p.channel_a, p.channel_b,
-       round(p.est_a_raw, 3) AS est_a, round(p.est_b_raw, 3) AS est_b,
+       CAST(round(p.est_a_raw * 1000, 0) AS BIGINT) AS est_a_milli,
+       CAST(round(p.est_b_raw * 1000, 0) AS BIGINT) AS est_b_milli,
        pu.overlap AS kmin_overlap,
-       round(CASE WHEN pu.un < {KMV_K} THEN CAST(pu.un AS DOUBLE)
-                  ELSE {KMV_NUMER!r} / CAST(pu.hku AS DOUBLE) END, 3)
-           AS est_union,
-       round(CAST(pu.overlap AS DOUBLE) / CAST(pu.un AS DOUBLE)
+       CAST(round((CASE WHEN pu.un < {KMV_K} THEN CAST(pu.un AS DOUBLE)
+                  ELSE {KMV_NUMER!r} / CAST(pu.hku AS DOUBLE) END)
+                  * 1000, 0) AS BIGINT) AS est_union_milli,
+       CAST(round(CAST(pu.overlap AS DOUBLE) / CAST(pu.un AS DOUBLE)
              * (CASE WHEN pu.un < {KMV_K} THEN CAST(pu.un AS DOUBLE)
-                     ELSE {KMV_NUMER!r} / CAST(pu.hku AS DOUBLE) END), 3)
-           AS est_intersection
+                     ELSE {KMV_NUMER!r} / CAST(pu.hku AS DOUBLE) END)
+             * 1000, 0) AS BIGINT) AS est_intersection_milli
 FROM pairs p JOIN pu USING (channel_a, channel_b)""",
         "approx_percentile_order_values": """
 SELECT o_orderpriority,

@@ -435,20 +435,38 @@ def unigram_surprise(docs: DataFrame) -> DataFrame:
     grows with the corpus (ids, typos, noise), so the join strategy is
     left to AQE — it broadcasts when the vocabulary is actually small.
 
-    -> doc_id, n_tokens, avg_neg_logp
+    Determinism (float sweep, round 7): each token's -ln(p) is rounded
+    ONCE to integer micro-nats (the NB/bigram fixed-point pattern —
+    JVM vs DuckDB libm ``ln`` differ by an ulp, and a float avg is
+    additionally shuffle-order-dependent); the per-doc mean is then
+    exact integer round-half-up over a non-negative sum.
+
+    -> doc_id, n_tokens, avg_neg_logp_micro
     """
     from .dedup import tokens
 
     tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    neg_micro = (
+        F.round(-F.log(F.col("cnt") / F.col("total")) * 1_000_000, 0)
+        .cast("long")
+    )
     return (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("avg_neg_logp"),
+            F.sum(neg_micro).alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CAST((CAST(sum_micro AS DECIMAL(38,0)) * 2 + n_tokens)"
+                " DIV (2 * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("avg_neg_logp_micro"),
         )
     )
 
@@ -600,7 +618,13 @@ def source_divergence(docs: DataFrame) -> DataFrame:
     totals are 1-row and |sources|-row broadcasts. Final rollup is
     |sources| x |vocab| rows.
 
-    -> source, n_tokens, n_distinct, kl_nano, entropy_nano, kl, entropy
+    Output is INTEGER nano-nats only (since round 7): the convenience
+    ``kl``/``entropy`` DOUBLE re-divisions were dropped — a derived
+    DOUBLE in a hash-compared output re-opens the float-flake class
+    the markov query spent two rounds on; consumers divide by
+    ``KL_SCALE`` (1e9) themselves at the presentation layer.
+
+    -> source, n_tokens, n_distinct, kl_nano, entropy_nano
     """
     from .dedup import tokens
 
@@ -625,15 +649,6 @@ def source_divergence(docs: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n_distinct"),
             F.sum(kl_term).cast("long").alias("kl_nano"),
             F.sum(h_term).cast("long").alias("entropy_nano"),
-        )
-        .select(
-            "source",
-            "n_tokens",
-            "n_distinct",
-            "kl_nano",
-            "entropy_nano",
-            F.round(F.col("kl_nano") / KL_SCALE, 6).alias("kl"),
-            F.round(F.col("entropy_nano") / KL_SCALE, 6).alias("entropy"),
         )
     )
 
@@ -853,7 +868,15 @@ def _bpe_loop(docs: DataFrame, n_merges: int):
                 "pair_count",
             )
         )
-        bp = best.select(F.col("a").alias("_pa"), F.col("b").alias("_pb"))
+        # Global aggregate over the (possibly EMPTY) argmax: an agg with
+        # no grouping keys always emits exactly ONE row, with NULL
+        # _pa/_pb when no mergeable pair remains. The CASE below then
+        # evaluates to NULL -> ELSE, i.e. an identity rewrite, so
+        # exhausting merges before n_merges no-ops the remaining rounds
+        # instead of crossJoin-wiping `cur` (and with it every already-
+        # trained merge's effect on the encoder) — the round-6 ADVICE
+        # "empty-best wipeout" bug.
+        bp = best.agg(F.max("a").alias("_pa"), F.max("b").alias("_pb"))
         cur = (
             cur.crossJoin(F.broadcast(bp))
             .select(

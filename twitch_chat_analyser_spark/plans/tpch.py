@@ -217,6 +217,16 @@ def approx_distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
     configured relative standard deviation) — so the output is fully
     deterministic (exact count + boolean) while the sketch still runs.
 
+    COST INVERSION, by design (ADVICE r6 #5): the exact countDistinct
+    and the join exist ONLY to verify the estimate, which makes this
+    VERIFICATION HARNESS strictly more expensive than the plain
+    ``distinct_chatters`` query — its bench timing measures the harness,
+    not the sketch's scale story (at 100 TB you would run the sketch
+    alone and skip the exact side entirely). Residual bound-failure
+    probability: ~3 sigma -> ~2.7e-3 per channel at Gaussian tails,
+    but the gate cardinalities sit in HLL++'s exact sparse range, so
+    the observed probability at gate scale is ~0.
+
     -> channel, n_chatters, within_bound
     """
     msgs = ingest.messages(spark, sf_dir)
@@ -736,7 +746,14 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem⋈orders for the year) shuffles on orderkey; the group-by
     is partial-aggregated to |nations × years| rows per task.
 
-    -> n_name, o_year, profit
+    Determinism (float sweep, round 7): the old DECIMAL(18,4) triple
+    product overflowed 38-digit precision, where Spark and DuckDB clip
+    scale DIFFERENTLY, so the final DOUBLE cast mismatched by one ulp.
+    Money columns are 2-decimal by construction, so the profit is now
+    pure integer arithmetic in 1e-4 units — exact and order-free:
+    ``le_c2*(100-disc_c2) - rp_c2*qty*10`` per row, summed as BIGINT.
+
+    -> n_name, o_year, profit_e4
     """
     part = ingest.load(spark, sf_dir, "part").filter(
         F.col("p_name").contains(Q9_NAME_FRAG)
@@ -747,9 +764,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate"
     )
     li = ingest.load(spark, sf_dir, "lineitem")
+    le_c2 = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c2 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rp_c2 = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("long")
     amount = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-        - F.lit(Q9_COST_RATE).cast(DEC) * _dec("p_retailprice") * _dec("l_quantity")
+        le_c2 * (F.lit(100) - disc_c2) - rp_c2 * qty * F.lit(10)
     )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -757,7 +777,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
-        .agg(amount.cast("double").alias("profit"))
+        .agg(amount.cast("long").alias("profit_e4"))
         .orderBy("n_name", F.desc("o_year"))
     )
 
@@ -1232,11 +1252,11 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority""",
         "tpch_q9_product_type_profit": f"""
 SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                - CAST({Q9_COST_RATE} AS DECIMAL(18,4))
-                  * CAST(p_retailprice AS DECIMAL(18,4))
-                  * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 10)
+            AS BIGINT) AS profit_e4
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%{Q9_NAME_FRAG}%'
 JOIN supplier ON l_suppkey = s_suppkey

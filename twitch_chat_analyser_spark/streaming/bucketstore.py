@@ -1,0 +1,271 @@
+"""Shared bucketed streaming-store layout: per-trigger merge cost
+O(touched buckets + batch), never O(total store).
+
+Round 4-6 carried the same finding against the OHLC and Markov stores:
+their merge full-outer-joined and rewrote the ENTIRE store every
+micro-batch, so per-trigger cost grew with stream lifetime. The fix
+machinery existed in streaming/hll.py's register store; this module
+generalizes it so any keyed store can use it:
+
+- layout: ``store/bucket=<hash(keys) % N>/`` parquet partitions.
+  A batch's deltas touch only the buckets its keys hash to; merge
+  reads and rewrites ONLY those partitions (Spark partition pruning on
+  the read, per-bucket atomic directory swap on the write). At 100 TB
+  the candle/last-event history can be arbitrarily old and wide — a
+  trigger still pays for the buckets in the batch, nothing else.
+- crash safety: each bucket swaps via rename(live -> ``.old-*-b<k>``),
+  rename(tmp -> live), delete(backup). :func:`recover` restores a
+  stranded per-bucket backup (live missing), drops superseded ones,
+  and clears stale ``.tmp-*`` dirs. ``restore_only=True`` is the
+  read-path mode (heal, never delete — a serving call must not rmtree
+  a concurrent writer's tmp dir), same contract as storeswap.py.
+- replay safety, two algebras:
+  * idempotent merges (struct/register max) need NO journal — replay
+    is a value no-op (``batch_id=None``).
+  * additive merges journal applied batch ids PER BUCKET, inside the
+    bucket directory (``_applied_batches.json`` — the ``_`` prefix
+    hides it from Spark's parquet reader), committed by the SAME
+    rename that publishes the bucket's data. A crash mid-swap leaves
+    some buckets applied and some not; on replay exactly the
+    not-yet-applied buckets merge again — per-bucket exactly-once.
+- legacy migration: stores written by the old flat layout (parquet
+  part files + one root journal) are folded into buckets on the first
+  merge that sees them; the root journal seeds every migrated bucket's
+  journal so replay suppression survives the migration.
+
+Single-writer assumption: foreachBatch serializes merges per query —
+same as storeswap.py / streaming/hll.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# sized so one bucket's rows fit an executor core comfortably at
+# 100 TB-scale key cardinality; tests pass small N to exercise
+# multi-key buckets and partial-touch merges
+STORE_BUCKETS = 16
+
+
+def with_bucket(df: DataFrame, keys: list[str], num_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.hash(*keys), F.lit(num_buckets)).cast("int")
+    )
+
+
+def recover(store: str, restore_only: bool = False) -> None:
+    """Make any interrupted swap whole — per-bucket backups
+    (``<store>.old-*-b<k>``) and legacy whole-store backups
+    (``<store>.old-*`` from the flat layout) alike. Rename races with
+    concurrent readers are tolerated: losing the race means the other
+    party already restored it."""
+    parent = os.path.dirname(os.path.abspath(store)) or "."
+    base = os.path.basename(store)
+    if not os.path.isdir(parent):
+        return
+    for entry in sorted(os.listdir(parent)):
+        full = os.path.join(parent, entry)
+        if entry.startswith(f"{base}.old-"):
+            stem = entry[len(base) + 5 :]
+            bucket = stem.rsplit("-b", 1)[1] if "-b" in stem else ""
+            if bucket.isdigit():
+                live = os.path.join(store, f"bucket={bucket}")
+                if not os.path.isdir(live):
+                    os.makedirs(store, exist_ok=True)
+                    try:
+                        os.rename(full, live)
+                    except OSError:
+                        pass  # lost a heal race — already restored
+                elif not restore_only:
+                    shutil.rmtree(full, ignore_errors=True)
+            else:  # legacy flat-store backup: whole-dir restore
+                if not os.path.isdir(store):
+                    try:
+                        os.rename(full, store)
+                    except OSError:
+                        pass
+                elif not restore_only:
+                    shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith(f"{base}.tmp-") and not restore_only:
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _legacy_flat_files(store: str) -> list[str]:
+    """Parquet part files from the pre-bucketing flat layout, directly
+    under the store root (mixed depths break partition discovery, so
+    they must be folded in, not ignored)."""
+    if not os.path.isdir(store):
+        return []
+    return [
+        os.path.join(store, e)
+        for e in os.listdir(store)
+        if os.path.isfile(os.path.join(store, e))
+        and not e.startswith((".", "_"))
+    ]
+
+
+def _bucket_dirs(store: str, buckets: list[int] | None = None) -> list[str]:
+    if not os.path.isdir(store):
+        return []
+    if buckets is None:
+        return sorted(
+            os.path.join(store, e)
+            for e in os.listdir(store)
+            if e.startswith("bucket=")
+        )
+    return [
+        os.path.join(store, f"bucket={b}")
+        for b in buckets
+        if os.path.isdir(os.path.join(store, f"bucket={b}"))
+    ]
+
+
+def _applied(dirpath: str) -> set[int]:
+    j = os.path.join(dirpath, "_applied_batches.json")
+    if os.path.isfile(j):
+        with open(j) as fh:
+            return set(json.load(fh))
+    return set()
+
+
+def read_store(
+    spark: SparkSession, store: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """Rows of the given buckets (all when None), bucket column
+    retained; legacy flat rows included only in the all-buckets read
+    (a bucket-filtered read during migration would misattribute them —
+    merge folds them in first). None when the store holds nothing."""
+    dirs = _bucket_dirs(store, buckets)
+    legacy = _legacy_flat_files(store) if buckets is None else []
+    parts = []
+    if dirs:
+        parts.append(spark.read.option("basePath", store).parquet(*dirs))
+    if legacy:
+        # not-yet-migrated flat rows; sentinel bucket keeps the schema
+        # aligned (serving callers drop the column)
+        parts.append(
+            spark.read.parquet(*legacy).withColumn(
+                "bucket", F.lit(-1).cast("int")
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def merge_into(
+    spark: SparkSession,
+    store: str,
+    delta: DataFrame,
+    keys: list[str],
+    merge_fn: Callable[[DataFrame | None, DataFrame], DataFrame],
+    num_buckets: int = STORE_BUCKETS,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch's keyed deltas into the bucketed store.
+
+    ``merge_fn(old, delta)`` receives the CURRENT rows of the pending
+    buckets (None when they hold nothing yet) and the delta rows of
+    those buckets — both carrying the ``bucket`` column — and returns
+    the merged rows. ``batch_id=None`` declares the algebra idempotent
+    (no journal); otherwise applied ids are journaled per bucket and
+    already-applied buckets are skipped on replay."""
+    recover(store)
+    delta = with_bucket(delta, keys, num_buckets).cache()
+    try:
+        touched = sorted(
+            r["bucket"] for r in delta.select("bucket").distinct().collect()
+        )
+        legacy = _legacy_flat_files(store)
+        legacy_applied: set[int] = _applied(store) if legacy else set()
+        legacy_df = None
+        if legacy:
+            legacy_df = with_bucket(
+                spark.read.parquet(*legacy), keys, num_buckets
+            )
+            # a migration must place EVERY flat row into its bucket,
+            # including buckets this batch doesn't touch
+            touched = sorted(
+                set(touched)
+                | {
+                    r["bucket"]
+                    for r in legacy_df.select("bucket").distinct().collect()
+                }
+            )
+        if not touched:
+            return  # empty micro-batch
+        journals: dict[int, set[int]] = {
+            b: _applied(os.path.join(store, f"bucket={b}")) | legacy_applied
+            for b in touched
+        }
+        if batch_id is not None:
+            pending = [b for b in touched if batch_id not in journals[b]]
+            # legacy buckets must still migrate even when the batch
+            # itself was already applied to them
+            if legacy_df is not None:
+                lbuckets = {
+                    r["bucket"]
+                    for r in legacy_df.select("bucket").distinct().collect()
+                }
+                pending = sorted(set(pending) | lbuckets)
+        else:
+            pending = touched
+        if not pending:
+            return  # full replay: every touched bucket already applied
+        in_pending = F.col("bucket").isin([int(b) for b in pending])
+        delta_p = delta.filter(in_pending)
+        if legacy_df is not None:
+            # fold flat history in as pre-existing store rows
+            old = read_store(spark, store, pending)
+            old = (
+                legacy_df.filter(in_pending)
+                if old is None
+                else old.unionByName(legacy_df.filter(in_pending))
+            )
+        else:
+            old = read_store(spark, store, pending)
+        merged = merge_fn(old, delta_p)
+        tmp = f"{store}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        os.makedirs(store, exist_ok=True)
+        for b in pending:
+            src = os.path.join(tmp, f"bucket={b}")
+            if not os.path.isdir(src):
+                continue  # merge_fn emitted nothing for it (safety)
+            if batch_id is not None:
+                with open(
+                    os.path.join(src, "_applied_batches.json"), "w"
+                ) as fh:
+                    json.dump(sorted(journals[b] | {batch_id}), fh)
+            dst = os.path.join(store, f"bucket={b}")
+            back = f"{store}.old-{uuid.uuid4().hex[:8]}-b{b}"
+            had_old = os.path.isdir(dst)
+            if had_old:
+                os.rename(dst, back)
+            os.rename(src, dst)
+            if had_old:
+                shutil.rmtree(back, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        for f in legacy:  # history is bucketed after a successful swap
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        legacy_journal = os.path.join(store, "_applied_batches.json")
+        if legacy and os.path.isfile(legacy_journal):
+            try:
+                os.remove(legacy_journal)
+            except OSError:
+                pass
+    finally:
+        delta.unpersist()

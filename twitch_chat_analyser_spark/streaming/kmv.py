@@ -72,9 +72,11 @@ def serve_estimates(
     spark: SparkSession, path: str, k: int = KMV_K
 ) -> DataFrame:
     """Store -> per-channel distinct estimate (same expression tree as
-    the batch operator, so stream==batch is bit-for-bit).
+    the batch operator, so stream==batch is bit-for-bit). Quantized to
+    a milli-unit BIGINT — no derived DOUBLE in a hashable serving
+    output (float sweep, round 7).
 
-    -> channel, est
+    -> channel, est_milli
     """
     recover(path, restore_only=True)
     sk = spark.read.parquet(path)
@@ -83,7 +85,9 @@ def serve_estimates(
         .agg(F.count("*").alias("n"), F.max("hv").alias("hk"))
         .select(
             "channel",
-            F.round(_kmv_est(F.col("n"), F.col("hk"), k), 3).alias("est"),
+            F.round(_kmv_est(F.col("n"), F.col("hk"), k) * 1000, 0)
+            .cast("long")
+            .alias("est_milli"),
         )
     )
 

@@ -1,49 +1,47 @@
 """Streaming Markov-transition maintenance: the continuous twin of
 ``behavior.markov_transitions``.
 
-Two journaled stores make the sequence computation incremental:
+Two stores make the sequence computation incremental:
 
 - ``last_event/`` — one row per user: the (ts, event_id, event_type)
   struct-MAX of everything seen (the same mergeable-order-statistic
-  trick as streaming/ohlc.py's open/close).
+  trick as streaming/ohlc.py's open/close). BUCKETED by
+  ``hash(user_id) % N`` (round 7 — closes the round-4/5/6 whole-store-
+  rewrite finding): a trigger reads and rewrites ONLY the buckets its
+  batch's users hash to, so per-trigger cost is O(batch ∩ buckets),
+  not O(|all users ever seen|). The struct-max algebra is idempotent,
+  so replay needs no journal (bucketstore.merge_into, batch_id=None).
 - ``transitions/`` — additive (src_type, dst_type) counts, maintained
-  with streaming.pipeline.additive_merge.
+  with streaming.pipeline.additive_merge. |types|^2 rows — BOUNDED by
+  the type alphabet, not the stream — so the flat journaled store is
+  the right shape and stays.
 
 Per micro-batch: within-batch adjacent pairs come from the batch's own
 per-user lead window (batch/stream duality); the ONE cross-batch pair
 per active user comes from joining the user's stored last event to the
-batch's first event. Contract: per-user MONOTONE arrival (each user's
-events arrive in (ts, event_id) order across batches) — the standard
+batch's first event — read partition-pruned to the batch users'
+buckets. Contract: per-user MONOTONE arrival (each user's events
+arrive in (ts, event_id) order across batches) — the standard
 log-ingestion assumption; an out-of-order straggler would need a
 re-sort no per-user-constant state can provide, which is exactly why
 the batch operator exists for reprocessing.
 
-Replay safety: both stores journal applied batch ids behind one atomic
-swap each; a replayed micro-batch is a no-op on both.
-
-Scale: state is ONE ROW PER USER (bounded by the user dimension, not
-the stream), transitions are |types|^2 rows; the per-batch plan is one
-user-partitioned window + one user-keyed join against the store.
+Replay safety: the transitions store journals applied batch ids behind
+one atomic swap; the last-event store replays as a value no-op by the
+max algebra. A replayed micro-batch changes neither.
 """
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import bucketstore
 from .pipeline import additive_merge
-from .storeswap import recover, swap_in
+from .storeswap import recover
 
-
-def _applied(path: str) -> set[int]:
-    j = os.path.join(path, "_applied_batches.json")
-    if os.path.isfile(j):
-        with open(j) as fh:
-            return set(json.load(fh))
-    return set()
+LAST_KEYS = ["user_id"]
+STORE_BUCKETS = bucketstore.STORE_BUCKETS
 
 
 def _batch_last_events(events: DataFrame) -> DataFrame:
@@ -56,22 +54,33 @@ def _batch_last_events(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").agg(F.max(key).alias("last"))
 
 
+def _merge_last(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+    if old is None:
+        return delta
+    return (
+        old.unionByName(delta)
+        .groupBy("user_id", "bucket")
+        .agg(F.max("last").alias("last"))
+    )
+
+
 def process_batch(
     spark: SparkSession,
     events: DataFrame,
     transitions_dir: str,
     last_dir: str,
     batch_id: int,
+    num_buckets: int = STORE_BUCKETS,
 ) -> None:
     """One micro-batch: in-batch pairs + store-boundary pairs into the
-    additive transition store; then struct-max merge the last-event
-    store. Idempotent per batch id on both stores; ``recover`` first
-    makes any torn swap whole on BOTH stores (storeswap.py) —
-    additive_merge uses the same .tmp-*/.old-* naming, so a crash
-    between its two renames is restored here before the batch reads
-    the store (otherwise transitions would silently rebuild from
-    empty and lose the applied-batch journal with the history)."""
-    recover(last_dir)
+    additive transition store; then bucketed struct-max merge of the
+    last-event store. ``recover`` first makes any torn swap whole on
+    BOTH stores — additive_merge uses storeswap's .tmp-*/.old-* naming
+    and the last store uses bucketstore's per-bucket twin, so a crash
+    between renames is healed before the batch reads either store
+    (otherwise transitions would silently rebuild from empty and lose
+    the applied-batch journal with the history)."""
+    bucketstore.recover(last_dir)
     recover(transitions_dir)
     events = events.select("user_id", "ts", "event_id", "event_type").cache()
     try:
@@ -89,8 +98,28 @@ def process_batch(
             .filter("rn = 1")
             .select("user_id", F.col("event_type").alias("dst_type"))
         )
-        if os.path.isdir(last_dir):
-            prev = spark.read.parquet(last_dir).select(
+        # boundary join reads ONLY the buckets the batch's users hash
+        # to — the rest of the per-user history is never opened. One
+        # exception: un-migrated legacy flat files (pre-bucketing
+        # layout) sit outside any bucket, so until the merge below
+        # folds them in, the boundary read must see the whole store.
+        if bucketstore._legacy_flat_files(last_dir):
+            store_rows = bucketstore.read_store(spark, last_dir)
+        else:
+            touched = sorted(
+                r["bucket"]
+                for r in bucketstore.with_bucket(
+                    events.select("user_id").distinct(),
+                    LAST_KEYS,
+                    num_buckets,
+                )
+                .select("bucket")
+                .distinct()
+                .collect()
+            )
+            store_rows = bucketstore.read_store(spark, last_dir, touched)
+        if store_rows is not None:
+            prev = store_rows.select(
                 "user_id", F.col("last.event_type").alias("src_type")
             )
             boundary = first.join(prev, "user_id").select(
@@ -107,20 +136,16 @@ def process_batch(
             ["src_type", "dst_type"], "transitions", batch_id,
         )
 
-        applied = _applied(last_dir)
-        if batch_id in applied:
-            return
-        batch_last = _batch_last_events(events)
-        if os.path.isdir(last_dir):
-            old = spark.read.parquet(last_dir)
-            merged = (
-                old.unionByName(batch_last)
-                .groupBy("user_id")
-                .agg(F.max("last").alias("last"))
-            )
-        else:
-            merged = batch_last
-        swap_in(merged, last_dir, applied | {batch_id})
+        # idempotent max algebra: no journal needed; a replayed batch
+        # merges to identical values (bucketstore batch_id=None)
+        bucketstore.merge_into(
+            spark,
+            last_dir,
+            _batch_last_events(events),
+            LAST_KEYS,
+            _merge_last,
+            num_buckets,
+        )
     finally:
         events.unpersist()
 

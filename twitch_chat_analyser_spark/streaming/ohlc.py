@@ -7,29 +7,34 @@ MERGEABLE: carry the full ``(ms, event_id, value)`` struct and merge by
 struct min/max (lexicographic struct ordering = the exact (ms,
 event_id) total order the batch operator ranks by), while high/low/
 n_events merge by max/min/sum. So each micro-batch is aggregated ALONE
-(batch/stream duality), the store merge is one full-outer join with
-five pure-merge expressions, and a late event lands in its enclosing
+(batch/stream duality), the store merge joins ONLY the candle rows of
+the buckets the batch touches, and a late event lands in its enclosing
 bucket with unbounded lateness — no watermark, no streaming state; the
-store holds history. Replay safety: the applied-batch journal + atomic
-directory swap, same as streaming.pipeline.additive_merge.
+store holds history.
 
-Scale: per-trigger cost is O(store ∩ touched buckets + batch) on the
-(event_type, bucket) key space — candle tables are tiny relative to
-their input by construction (one row per type x bucket).
+STORE LAYOUT (round 7 — closes the round-4/5/6 finding): the store is
+bucketed by ``hash(event_type, bucket_ms) % N`` (bucketstore.py).
+Per-trigger cost is O(store ∩ touched buckets + batch): a batch of
+current events touches the handful of buckets its (type, time-bucket)
+keys hash to, and candle history from last month is never opened or
+rewritten again — previously the merge full-outer-joined and rewrote
+the ENTIRE store every trigger, so state grew with stream lifetime.
+Replay safety: n_events is additive (NOT idempotent), so applied batch
+ids are journaled per bucket, committed by the same rename that
+publishes the bucket — a partially-crashed swap replays exactly the
+buckets that missed.
 """
 
 from __future__ import annotations
-
-import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.temporal import OHLC_BUCKET_MS
-from .storeswap import recover, swap_in
+from . import bucketstore
 
 _KEYS = ["event_type", "bucket_ms"]
+STORE_BUCKETS = bucketstore.STORE_BUCKETS
 
 
 def ohlc_delta(events: DataFrame, bucket_ms: int = OHLC_BUCKET_MS) -> DataFrame:
@@ -53,69 +58,63 @@ def ohlc_delta(events: DataFrame, bucket_ms: int = OHLC_BUCKET_MS) -> DataFrame:
     )
 
 
-def _applied(path: str) -> set[int]:
-    j = os.path.join(path, "_applied_batches.json")
-    if os.path.isfile(j):
-        with open(j) as fh:
-            return set(json.load(fh))
-    return set()
+def _merge_candles(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Struct-min/max for open/close, max/min/sum for the rest —
+    exactly the algebra that makes the merged candle equal the
+    from-scratch batch candle for any batching (pinned by the
+    stream==batch test). Operates only on the touched buckets' rows."""
+    if old is None:
+        return delta
+    join_keys = _KEYS + ["bucket"]
+    j = old.alias("o").join(delta.alias("d"), join_keys, "full_outer")
+
+    def both(fn, col):
+        return fn(F.col(f"o.{col}"), F.col(f"d.{col}"))
+
+    return j.select(
+        *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in join_keys],
+        F.when(
+            F.col("o.open_s").isNull(), F.col("d.open_s")
+        ).when(
+            F.col("d.open_s").isNull(), F.col("o.open_s")
+        ).otherwise(both(F.least, "open_s")).alias("open_s"),
+        both(F.greatest, "high").alias("high"),
+        both(F.least, "low").alias("low"),
+        F.when(
+            F.col("o.close_s").isNull(), F.col("d.close_s")
+        ).when(
+            F.col("d.close_s").isNull(), F.col("o.close_s")
+        ).otherwise(both(F.greatest, "close_s")).alias("close_s"),
+        (
+            F.coalesce("o.n_events", F.lit(0))
+            + F.coalesce("d.n_events", F.lit(0))
+        ).cast("long").alias("n_events"),
+    )
 
 
 def ohlc_merge(
-    spark: SparkSession, path: str, deltas: DataFrame, batch_id: int
+    spark: SparkSession,
+    path: str,
+    deltas: DataFrame,
+    batch_id: int,
+    num_buckets: int = STORE_BUCKETS,
 ) -> None:
-    """Merge one batch's candle deltas into the store: struct-min/max
-    for the open/close extremes, max/min/sum for the rest — exactly
-    the algebra that makes the merged candle equal the from-scratch
-    batch candle for any batching (pinned by the stream==batch test).
-    Journaled batch ids + atomic swap give exactly-once under replay;
-    ``recover`` first makes any torn swap whole (storeswap.py).
-    """
-    recover(path)
-    applied = _applied(path)
-    if batch_id in applied:
-        return
-    deltas = deltas.cache()
-    try:
-        if os.path.isdir(path):
-            old = spark.read.parquet(path)
-            j = old.alias("o").join(deltas.alias("d"), _KEYS, "full_outer")
-
-            def both(fn, col):
-                return fn(F.col(f"o.{col}"), F.col(f"d.{col}"))
-
-            merged = j.select(
-                *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in _KEYS],
-                F.when(
-                    F.col("o.open_s").isNull(), F.col("d.open_s")
-                ).when(
-                    F.col("d.open_s").isNull(), F.col("o.open_s")
-                ).otherwise(both(F.least, "open_s")).alias("open_s"),
-                both(F.greatest, "high").alias("high"),
-                both(F.least, "low").alias("low"),
-                F.when(
-                    F.col("o.close_s").isNull(), F.col("d.close_s")
-                ).when(
-                    F.col("d.close_s").isNull(), F.col("o.close_s")
-                ).otherwise(both(F.greatest, "close_s")).alias("close_s"),
-                (
-                    F.coalesce("o.n_events", F.lit(0))
-                    + F.coalesce("d.n_events", F.lit(0))
-                ).cast("long").alias("n_events"),
-            )
-        else:
-            merged = deltas
-        swap_in(merged, path, applied | {batch_id})
-    finally:
-        deltas.unpersist()
+    """Merge one batch's candle deltas into the bucketed store; only
+    the buckets the batch touches are read/rewritten (per-bucket
+    journaled exactly-once under replay — bucketstore.merge_into)."""
+    bucketstore.merge_into(
+        spark, path, deltas, _KEYS, _merge_candles, num_buckets, batch_id
+    )
 
 
 def serve_candles(spark: SparkSession, path: str) -> DataFrame:
     """Store -> the public candle schema (same columns as
     temporal.ohlc_downsample). Restore-only recovery: a reader must
-    never delete an in-flight writer's tmp dir (storeswap.py)."""
-    recover(path, restore_only=True)
-    s = spark.read.parquet(path)
+    never delete an in-flight writer's tmp dir."""
+    bucketstore.recover(path, restore_only=True)
+    s = bucketstore.read_store(spark, path)
+    if s is None:
+        raise FileNotFoundError(path)
     return s.select(
         "event_type",
         "bucket_ms",

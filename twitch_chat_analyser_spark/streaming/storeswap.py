@@ -40,7 +40,16 @@ def recover(path: str, restore_only: bool = False) -> None:
         full = os.path.join(parent, entry)
         if entry.startswith(f"{base}.old-"):
             if not os.path.isdir(path):
-                os.rename(full, path)  # torn swap: restore history
+                # torn swap: restore history. Guarded: two concurrent
+                # restore_only readers can both pass the isdir check,
+                # or a reader can race the single writer between its
+                # two renames — losing the rename race means the other
+                # party already made the store whole (no data loss),
+                # so a failed rename here is success, not a crash.
+                try:
+                    os.rename(full, path)
+                except OSError:
+                    pass
             elif not restore_only:
                 shutil.rmtree(full, ignore_errors=True)  # superseded
         elif entry.startswith(f"{base}.tmp-") and not restore_only:
