@@ -108,6 +108,54 @@ def test_legacy_flat_store_migrates_with_replay_suppression(spark, tmp_path):
     assert r["n_events"] == 2
 
 
+def test_additive_fact_store_day_partitions_leave_history_untouched(
+    spark, tmp_path
+):
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    store = str(tmp_path / "channel_stats")
+    day = sp.DAY_MS
+
+    def deltas(ts, ch, n):
+        rows = [(ch, ts, n), (ch, 0, n)]  # window row + timestamp=0 total
+        return spark.createDataFrame(
+            rows, "channel string, timestamp long, messages long"
+        )
+
+    # day 1 history
+    sp.additive_merge(
+        spark, store, deltas(day + 1000, "a", 3),
+        ["channel", "timestamp"], "messages", 0,
+    )
+    before = _bucket_files(store)
+    assert set(before) == {"bucket=0", "bucket=1"}  # sentinel + day 1
+    # a day-2 trigger touches {day 2, sentinel}; day 1 files untouched
+    sp.additive_merge(
+        spark, store, deltas(2 * day + 1000, "a", 4),
+        ["channel", "timestamp"], "messages", 1,
+    )
+    after = _bucket_files(store)
+    assert set(after) == {"bucket=0", "bucket=1", "bucket=2"}
+    assert after["bucket=1"] == before["bucket=1"]  # history not rewritten
+    assert after["bucket=0"] != before["bucket=0"]  # totals merged
+    got = {
+        (r["channel"], r["timestamp"]): r["messages"]
+        for r in sp.read_table(spark, store).collect()
+    }
+    assert got[("a", 0)] == 7  # running total accumulated across days
+    assert got[("a", day + 1000)] == 3 and got[("a", 2 * day + 1000)] == 4
+    # replay of an applied batch id is a no-op on every partition
+    sp.additive_merge(
+        spark, store, deltas(2 * day + 1000, "a", 4),
+        ["channel", "timestamp"], "messages", 1,
+    )
+    got2 = {
+        (r["channel"], r["timestamp"]): r["messages"]
+        for r in sp.read_table(spark, store).collect()
+    }
+    assert got2 == got
+
+
 def test_markov_last_store_prunes_to_batch_user_buckets(spark, tmp_path):
     tdir, ldir = str(tmp_path / "trans"), str(tmp_path / "last")
     # users 1..8 -> several buckets at N=8

@@ -86,8 +86,10 @@ def test_streaming_rollup_cascade_matches_batch(spark, tmp_path):
     }
     import os
 
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
     for name, exp in expected.items():
-        got = spark.read.parquet(os.path.join(out, name))
+        got = sp.read_table(spark, os.path.join(out, name))
         assert _sorted_rows(got) == _sorted_rows(exp), name
 
 

@@ -41,8 +41,11 @@ BATCH_2 = [
 
 
 def _table(spark, out_dir, name):
-    path = os.path.join(out_dir, name)
-    return spark.read.parquet(path)
+    # reads flat (SET-merge) and bucketed (additive day-partitioned)
+    # store layouts alike; the physical bucket column is dropped
+    from twitch_chat_analyser_spark.streaming import pipeline as _sp
+
+    return _sp.read_table(spark, os.path.join(out_dir, name))
 
 
 def _sorted_rows(df):

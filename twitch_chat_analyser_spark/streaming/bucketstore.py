@@ -171,6 +171,7 @@ def merge_into(
     merge_fn: Callable[[DataFrame | None, DataFrame], DataFrame],
     num_buckets: int = STORE_BUCKETS,
     batch_id: int | None = None,
+    bucketize: Callable[[DataFrame], DataFrame] | None = None,
 ) -> None:
     """Merge one batch's keyed deltas into the bucketed store.
 
@@ -179,9 +180,18 @@ def merge_into(
     those buckets — both carrying the ``bucket`` column — and returns
     the merged rows. ``batch_id=None`` declares the algebra idempotent
     (no journal); otherwise applied ids are journaled per bucket and
-    already-applied buckets are skipped on replay."""
+    already-applied buckets are skipped on replay.
+
+    ``bucketize`` overrides the default hash(keys)%N layout with any
+    row -> int bucket assignment (must add an int ``bucket`` column).
+    Time-windowed fact stores use a DAY-of-window bucket this way: a
+    trigger's rows share their event time, so day buckets turn the
+    touched set into {today, sentinel-day} instead of "every hash
+    bucket the batch's many keys scatter to" — the property that keeps
+    per-trigger IO O(batch), with history partitions never reopened."""
     recover(store)
-    delta = with_bucket(delta, keys, num_buckets).cache()
+    bucketize = bucketize or (lambda df: with_bucket(df, keys, num_buckets))
+    delta = bucketize(delta).cache()
     try:
         touched = sorted(
             r["bucket"] for r in delta.select("bucket").distinct().collect()
@@ -190,9 +200,7 @@ def merge_into(
         legacy_applied: set[int] = _applied(store) if legacy else set()
         legacy_df = None
         if legacy:
-            legacy_df = with_bucket(
-                spark.read.parquet(*legacy), keys, num_buckets
-            )
+            legacy_df = bucketize(spark.read.parquet(*legacy))
             # a migration must place EVERY flat row into its bucket,
             # including buckets this batch doesn't touch
             touched = sorted(

@@ -12,9 +12,9 @@ Two stores make the sequence computation incremental:
   not O(|all users ever seen|). The struct-max algebra is idempotent,
   so replay needs no journal (bucketstore.merge_into, batch_id=None).
 - ``transitions/`` — additive (src_type, dst_type) counts, maintained
-  with streaming.pipeline.additive_merge. |types|^2 rows — BOUNDED by
-  the type alphabet, not the stream — so the flat journaled store is
-  the right shape and stays.
+  with streaming.pipeline.additive_merge (which round 7 moved onto the
+  bucketed layout too; for this |types|^2-row store — BOUNDED by the
+  type alphabet, not the stream — the bucketing is cost-neutral).
 
 Per micro-batch: within-batch adjacent pairs come from the batch's own
 per-user lead window (batch/stream duality); the ONE cross-batch pair
@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 
 from . import bucketstore
 from .pipeline import additive_merge
-from .storeswap import recover
 
 LAST_KEYS = ["user_id"]
 STORE_BUCKETS = bucketstore.STORE_BUCKETS
@@ -74,14 +73,13 @@ def process_batch(
 ) -> None:
     """One micro-batch: in-batch pairs + store-boundary pairs into the
     additive transition store; then bucketed struct-max merge of the
-    last-event store. ``recover`` first makes any torn swap whole on
-    BOTH stores — additive_merge uses storeswap's .tmp-*/.old-* naming
-    and the last store uses bucketstore's per-bucket twin, so a crash
-    between renames is healed before the batch reads either store
+    last-event store. ``bucketstore.recover`` first makes any torn
+    per-bucket swap whole on BOTH stores, so a crash between renames
+    is healed before the batch reads either store
     (otherwise transitions would silently rebuild from empty and lose
     the applied-batch journal with the history)."""
     bucketstore.recover(last_dir)
-    recover(transitions_dir)
+    bucketstore.recover(transitions_dir)
     events = events.select("user_id", "ts", "event_id", "event_type").cache()
     try:
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -131,9 +129,19 @@ def process_batch(
         deltas = pairs.groupBy("src_type", "dst_type").agg(
             F.count("*").cast("long").alias("transitions")
         )
+        # SINGLE-bucket layout on purpose: this delta is state-dependent
+        # (the boundary join reads the last-event store), so a replay
+        # recomputes a DIFFERENT delta — per-bucket journals would leak
+        # its rows into never-journaled buckets. One bucket makes the
+        # journal all-or-nothing, the old flat-store semantics; the
+        # store is |types|^2 rows, so one partition is also the right
+        # physical size.
         additive_merge(
             spark, transitions_dir, deltas,
             ["src_type", "dst_type"], "transitions", batch_id,
+            bucketize=lambda df: df.withColumn(
+                "bucket", F.lit(0).cast("int")
+            ),
         )
 
         # idempotent max algebra: no journal needed; a replayed batch
@@ -154,9 +162,11 @@ def serve_transitions(spark: SparkSession, transitions_dir: str) -> DataFrame:
     """Store -> the public schema of behavior.markov_transitions.
 
     Restore-only recovery first (never deletes an in-flight writer's
-    tmp dir — storeswap.recover(restore_only=True))."""
-    recover(transitions_dir, restore_only=True)
-    t = spark.read.parquet(transitions_dir)
+    tmp dir — bucketstore.recover(restore_only=True))."""
+    bucketstore.recover(transitions_dir, restore_only=True)
+    t = bucketstore.read_store(spark, transitions_dir)
+    if t is None:
+        raise FileNotFoundError(transitions_dir)
     wsrc = Window.partitionBy("src_type")
     return t.select(
         "src_type",

@@ -25,12 +25,16 @@ worst case is one trigger interval — strictly better than the
 reference's aggregation-interval + checkpoint-interval bound
 (README.md:62-67).
 
-The local merge sink rewrites a parquet directory via left-anti union +
-atomic directory swap — the portable stand-in for ``MERGE INTO`` on
-Delta/Iceberg (jars not in this image) or JDBC ``INSERT .. ON CONFLICT
-DO UPDATE SET x = EXCLUDED.x``. At 100 TB use Delta MERGE partitioned by
-channel: the per-batch changed-key set is tiny relative to the table, so
-the rewrite cost is per touched partition, not per table.
+Sink layouts: the update-mode SET-merge sink (``merge_upsert``) rewrites
+a flat parquet directory via left-anti union + atomic swap — the
+portable stand-in for ``MERGE INTO`` on Delta/Iceberg (jars not in this
+image) or JDBC ``INSERT .. ON CONFLICT DO UPDATE SET x = EXCLUDED.x``.
+The additive delta sink (``additive_merge``, the default single-pass
+topology's store) is DAY-PARTITIONED since round 7: a trigger reads and
+rewrites only the {current-day, sentinel-day-0} partitions with
+per-partition replay journals, so per-trigger cost is O(batch + today's
+partition), never O(all windows ever) — the same touched-partition
+property a Delta MERGE on a date-partitioned table gives at 100 TB.
 """
 
 from __future__ import annotations
@@ -240,13 +244,39 @@ def run_all_multi_query(
 
 
 def _applied_batches(path: str) -> set[int]:
-    f = os.path.join(path, "_applied_batches.json")
-    if os.path.isfile(f):
-        import json
+    """Union of applied batch ids across the store's journals — the
+    root journal of the legacy flat layout plus every per-bucket
+    journal of the bucketed layout (introspection/tests; the merge
+    itself checks per bucket)."""
+    import json
 
-        with open(f) as fh:
-            return set(json.load(fh))
-    return set()
+    out: set[int] = set()
+    candidates = [path]
+    if os.path.isdir(path):
+        candidates += [
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.startswith("bucket=")
+        ]
+    for d in candidates:
+        f = os.path.join(d, "_applied_batches.json")
+        if os.path.isfile(f):
+            with open(f) as fh:
+                out |= set(json.load(fh))
+    return out
+
+
+# day-of-window bucketing for the fact stores: all of a trigger's rows
+# share their event time, so the touched partition set is {today's day,
+# the timestamp=0 sentinel day} — NOT the all-hash-buckets scatter a
+# key-hash layout would give a batch with many (channel, window) keys.
+DAY_MS = 86_400_000
+
+
+def _day_bucketize(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.floor(F.col("timestamp") / F.lit(DAY_MS)).cast("int")
+    )
 
 
 def additive_merge(
@@ -256,52 +286,69 @@ def additive_merge(
     keys: list[str],
     value_col: str,
     batch_id: int,
+    bucketize=None,
 ) -> None:
     """The reference's additive upsert (`ON CONFLICT ... SET v = v +
     EXCLUDED.v`, ChannelStatsAggregation.java:44-63) with exactly-once
-    replay safety: the set of applied batch ids is journaled in an
-    ``_applied_batches.json`` file WRITTEN INTO the new table directory
-    before the atomic swap — data and journal commit in one rename, the
-    same all-or-nothing property the reference buys with XA 2PC
-    (XAPostgresSink.java:122-175). A replayed batch id is a no-op.
+    replay safety, on the BUCKETED store layout (round 7 — previously
+    the merge full-outer-joined and rewrote the ENTIRE table every
+    micro-batch, so per-trigger cost grew with stream lifetime):
 
-    (Underscore-prefixed files are ignored by parquet readers, so the
-    journal can live inside the table directory.)
+    - window rows land in a day-of-window partition (``_day_bucketize``
+      when ``timestamp`` is a merge key, hash(keys) otherwise), so a
+      trigger reads and rewrites only {current day, sentinel day-0}
+      partitions; last month's windows are never reopened;
+    - applied batch ids are journaled PER BUCKET, committed by the same
+      rename that publishes that bucket's data (bucketstore.merge_into)
+      — a crash mid-swap replays exactly the buckets that missed, the
+      per-partition analogue of the all-or-nothing the reference buys
+      with XA 2PC (XAPostgresSink.java:122-175).
+
+    Per-bucket journaling REQUIRES the delta to be a pure function of
+    the batch (true for the fact pipelines: transform(batch) +
+    with_total_rows): a replay then recomputes identical rows and
+    already-applied buckets skip exactly. A caller whose delta depends
+    on OTHER store state (markov's boundary join) must pass a
+    single-bucket ``bucketize`` so the journal stays all-or-nothing —
+    a replayed state-dependent delta can differ from the original and
+    would otherwise leak rows into never-journaled buckets.
     """
-    import json
+    from . import bucketstore
 
-    applied = _applied_batches(path)
-    if batch_id in applied:
-        return
-    deltas = deltas.cache()
-    try:
-        if os.path.isdir(path):
-            old = spark.read.parquet(path)
-            joined = old.alias("o").join(
-                deltas.alias("d"), keys, "full_outer"
-            )
-            merged = joined.select(
-                *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in keys],
-                (
-                    F.coalesce(f"o.{value_col}", F.lit(0))
-                    + F.coalesce(f"d.{value_col}", F.lit(0))
-                ).alias(value_col),
-            )
-        else:
-            merged = deltas
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-            json.dump(sorted(applied | {batch_id}), fh)
-        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-        had_old = os.path.isdir(path)
-        if had_old:
-            os.rename(path, back)
-        os.rename(tmp, path)
-        if had_old:
-            shutil.rmtree(back, ignore_errors=True)
-    finally:
-        deltas.unpersist()
+    def merge_fn(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+        if old is None:
+            return delta
+        jk = keys + ["bucket"]
+        joined = old.alias("o").join(delta.alias("d"), jk, "full_outer")
+        return joined.select(
+            *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in jk],
+            (
+                F.coalesce(f"o.{value_col}", F.lit(0))
+                + F.coalesce(f"d.{value_col}", F.lit(0))
+            ).alias(value_col),
+        )
+
+    if bucketize is None and "timestamp" in keys:
+        bucketize = _day_bucketize
+    bucketstore.merge_into(
+        spark, path, deltas, keys, merge_fn,
+        batch_id=batch_id, bucketize=bucketize,
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Serving read of a fact store: heal any torn per-bucket (or
+    legacy flat) swap restore-only, read bucketed + not-yet-migrated
+    flat rows, and drop the physical ``bucket`` column."""
+    from . import bucketstore
+
+    bucketstore.recover(path, restore_only=True)
+    df = bucketstore.read_store(spark, path)
+    if df is None:
+        # not a bucketed store: a flat SET-merge table or a
+        # batch=<id>-partitioned side output — plain parquet read
+        return spark.read.parquet(path)
+    return df.drop("bucket")
 
 
 def with_total_rows(stats: DataFrame, keys: list[str], value_col: str) -> DataFrame:
