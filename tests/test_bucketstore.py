@@ -122,17 +122,18 @@ def test_additive_fact_store_day_partitions_leave_history_untouched(
             rows, "channel string, timestamp long, messages long"
         )
 
-    # day 1 history
+    # day 1 history (flat_max_bytes=0 forces the partitioned layout —
+    # at the default threshold a store this small stays flat)
     sp.additive_merge(
         spark, store, deltas(day + 1000, "a", 3),
-        ["channel", "timestamp"], "messages", 0,
+        ["channel", "timestamp"], "messages", 0, flat_max_bytes=0,
     )
     before = _bucket_files(store)
     assert set(before) == {"bucket=0", "bucket=1"}  # sentinel + day 1
     # a day-2 trigger touches {day 2, sentinel}; day 1 files untouched
     sp.additive_merge(
         spark, store, deltas(2 * day + 1000, "a", 4),
-        ["channel", "timestamp"], "messages", 1,
+        ["channel", "timestamp"], "messages", 1, flat_max_bytes=0,
     )
     after = _bucket_files(store)
     assert set(after) == {"bucket=0", "bucket=1", "bucket=2"}
@@ -147,7 +148,58 @@ def test_additive_fact_store_day_partitions_leave_history_untouched(
     # replay of an applied batch id is a no-op on every partition
     sp.additive_merge(
         spark, store, deltas(2 * day + 1000, "a", 4),
-        ["channel", "timestamp"], "messages", 1,
+        ["channel", "timestamp"], "messages", 1, flat_max_bytes=0,
+    )
+    got2 = {
+        (r["channel"], r["timestamp"]): r["messages"]
+        for r in sp.read_table(spark, store).collect()
+    }
+    assert got2 == got
+
+
+def test_additive_store_flat_under_threshold_migrates_over_it(
+    spark, tmp_path
+):
+    """Adaptive layout: a small store stays flat (whole-rewrite is one
+    job — cheapest); crossing FLAT_STORE_MAX_BYTES migrates it to day
+    partitions WITH its replay journal, and accumulated values
+    survive."""
+    import os
+
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    store = str(tmp_path / "channel_stats")
+    day = sp.DAY_MS
+
+    def deltas(ts, n):
+        return spark.createDataFrame(
+            [("a", ts, n), ("a", 0, n)],
+            "channel string, timestamp long, messages long",
+        )
+
+    # under threshold: flat layout, root journal
+    sp.additive_merge(
+        spark, store, deltas(day + 1000, 3),
+        ["channel", "timestamp"], "messages", 0,
+    )
+    assert not any(e.startswith("bucket=") for e in os.listdir(store))
+    assert os.path.isfile(os.path.join(store, "_applied_batches.json"))
+    # next merge "crosses" the threshold (forced with flat_max_bytes=0)
+    # -> migration folds flat history + journal into day partitions
+    sp.additive_merge(
+        spark, store, deltas(2 * day + 1000, 4),
+        ["channel", "timestamp"], "messages", 1, flat_max_bytes=0,
+    )
+    assert any(e.startswith("bucket=") for e in os.listdir(store))
+    got = {
+        (r["channel"], r["timestamp"]): r["messages"]
+        for r in sp.read_table(spark, store).collect()
+    }
+    assert got[("a", 0)] == 7
+    # batch 0 from the migrated ROOT journal is still suppressed
+    sp.additive_merge(
+        spark, store, deltas(day + 1000, 3),
+        ["channel", "timestamp"], "messages", 0, flat_max_bytes=0,
     )
     got2 = {
         (r["channel"], r["timestamp"]): r["messages"]

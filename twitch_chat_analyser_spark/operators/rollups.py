@@ -143,7 +143,20 @@ def start_rollup_pipeline(
     keys = [*dims, "timestamp"]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        stats = transform(batch_df)
+        stats = transform(batch_df).localCheckpoint(eager=True)
+        # one span agg prices the day-bucket hint for ALL THREE merges
+        # (skips bucketstore's per-merge distinct-collect probe job)
+        span = stats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("timestamp").alias("min_ms"),
+            F.max("timestamp").alias("max_ms"),
+        ).first()
+        if span["n"] == 0:
+            return
+        hint = [0] + list(range(
+            int(span["min_ms"] // DAY_MS),
+            int(span["max_ms"] // DAY_MS) + 2,
+        ))
         hourly = rollup(stats, dims, value_col, HOUR_MS)
         daily = rollup(hourly, dims, value_col, DAY_MS)
         for suffix, deltas in (("", stats), ("_1h", hourly), ("_1d", daily)):
@@ -154,6 +167,7 @@ def start_rollup_pipeline(
                 keys,
                 value_col,
                 batch_id,
+                touched_hint=hint,
             )
 
     return (

@@ -172,6 +172,7 @@ def merge_into(
     num_buckets: int = STORE_BUCKETS,
     batch_id: int | None = None,
     bucketize: Callable[[DataFrame], DataFrame] | None = None,
+    touched_hint: list[int] | None = None,
 ) -> None:
     """Merge one batch's keyed deltas into the bucketed store.
 
@@ -188,14 +189,28 @@ def merge_into(
     trigger's rows share their event time, so day buckets turn the
     touched set into {today, sentinel-day} instead of "every hash
     bucket the batch's many keys scatter to" — the property that keeps
-    per-trigger IO O(batch), with history partitions never reopened."""
+    per-trigger IO O(batch), with history partitions never reopened.
+
+    ``touched_hint`` is a SUPERSET of the delta's bucket set computed
+    by the caller without a Spark job (e.g. the day span of the
+    batch's event times). It replaces the per-merge distinct-collect
+    probe — a topology merging five tables per trigger pays ONE
+    span-agg for all five instead of five probe jobs, which at
+    micro-batch cadence is the difference between meeting and missing
+    a seconds-scale trigger budget. Superset buckets that turn out
+    empty just rewrite identical content (and are journaled), so the
+    hint only needs to cover, not to be exact."""
     recover(store)
     bucketize = bucketize or (lambda df: with_bucket(df, keys, num_buckets))
     delta = bucketize(delta).cache()
     try:
-        touched = sorted(
-            r["bucket"] for r in delta.select("bucket").distinct().collect()
-        )
+        if touched_hint is not None:
+            touched = sorted(set(int(b) for b in touched_hint))
+        else:
+            touched = sorted(
+                r["bucket"]
+                for r in delta.select("bucket").distinct().collect()
+            )
         legacy = _legacy_flat_files(store)
         legacy_applied: set[int] = _applied(store) if legacy else set()
         legacy_df = None

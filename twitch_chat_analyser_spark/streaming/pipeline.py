@@ -30,10 +30,13 @@ a flat parquet directory via left-anti union + atomic swap — the
 portable stand-in for ``MERGE INTO`` on Delta/Iceberg (jars not in this
 image) or JDBC ``INSERT .. ON CONFLICT DO UPDATE SET x = EXCLUDED.x``.
 The additive delta sink (``additive_merge``, the default single-pass
-topology's store) is DAY-PARTITIONED since round 7: a trigger reads and
-rewrites only the {current-day, sentinel-day-0} partitions with
-per-partition replay journals, so per-trigger cost is O(batch + today's
-partition), never O(all windows ever) — the same touched-partition
+topology's store) has an ADAPTIVE layout since round 7: flat
+whole-rewrite while the store is under FLAT_STORE_MAX_BYTES (cheapest
+for small tables — one job, one file set), then DAY-PARTITIONED with
+per-partition replay journals once it crosses, so a trigger reads and
+rewrites only the {current-day, sentinel-day-0} partitions. Per-trigger
+cost is bounded by max(threshold, batch + today's partition) at every
+store age — never O(all windows ever) — the same touched-partition
 property a Delta MERGE on a date-partitioned table gives at 100 TB.
 """
 
@@ -279,6 +282,30 @@ def _day_bucketize(df: DataFrame) -> DataFrame:
     )
 
 
+# Adaptive layout threshold: below this total size a store stays FLAT
+# and each trigger rewrites it whole — for a small table that is ONE
+# job writing one file set, strictly cheaper than partitioned IO (the
+# per-merge bucket probe/journal/commit overhead measured ~0.4 s x 5
+# tables per trigger at bench scale, pushing p50 from 2.6 s to 5.3 s).
+# Once the store crosses the threshold the day-partitioned layout
+# engages (the existing flat->bucketed migration folds history in), so
+# per-trigger cost is bounded by max(threshold, batch + today's
+# partition) — never O(all windows ever). At 100 TB every fact store
+# crosses this in the first minutes of the stream.
+FLAT_STORE_MAX_BYTES = 64 * 2**20
+
+
+def _flat_bytes(path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    total = 0
+    for e in os.listdir(path):
+        f = os.path.join(path, e)
+        if os.path.isfile(f) and not e.startswith((".", "_")):
+            total += os.path.getsize(f)
+    return total
+
+
 def additive_merge(
     spark: SparkSession,
     path: str,
@@ -287,6 +314,8 @@ def additive_merge(
     value_col: str,
     batch_id: int,
     bucketize=None,
+    touched_hint=None,
+    flat_max_bytes: int | None = None,
 ) -> None:
     """The reference's additive upsert (`ON CONFLICT ... SET v = v +
     EXCLUDED.v`, ChannelStatsAggregation.java:44-63) with exactly-once
@@ -312,8 +341,51 @@ def additive_merge(
     single-bucket ``bucketize`` so the journal stays all-or-nothing —
     a replayed state-dependent delta can differ from the original and
     would otherwise leak rows into never-journaled buckets.
+
+    ADAPTIVE LAYOUT: while the store is flat and under
+    ``FLAT_STORE_MAX_BYTES``, the merge keeps the flat whole-rewrite
+    path (one job, one file set, root journal — all-or-nothing, so
+    safe for every delta kind); crossing the threshold switches to the
+    partitioned layout, with the flat history and its journal folded
+    in by bucketstore's migration. Per-trigger cost is therefore
+    bounded by max(threshold, batch + touched partitions) at every
+    store age.
     """
     from . import bucketstore
+    from . import storeswap
+
+    limit = FLAT_STORE_MAX_BYTES if flat_max_bytes is None else flat_max_bytes
+    has_buckets = os.path.isdir(path) and any(
+        e.startswith("bucket=") for e in os.listdir(path)
+    )
+    if not has_buckets:
+        # heal a torn FLAT swap before sizing/merging (crash between
+        # the two renames would otherwise silently lose the store)
+        storeswap.recover(path)
+        if _flat_bytes(path) < limit:
+            applied = _applied_batches(path)
+            if batch_id in applied:
+                return
+            deltas = deltas.cache()
+            try:
+                if os.path.isdir(path):
+                    old = spark.read.parquet(path)
+                    joined = old.alias("o").join(
+                        deltas.alias("d"), keys, "full_outer"
+                    )
+                    merged = joined.select(
+                        *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in keys],
+                        (
+                            F.coalesce(f"o.{value_col}", F.lit(0))
+                            + F.coalesce(f"d.{value_col}", F.lit(0))
+                        ).alias(value_col),
+                    )
+                else:
+                    merged = deltas
+                storeswap.swap_in(merged, path, applied | {batch_id})
+            finally:
+                deltas.unpersist()
+            return
 
     def merge_fn(old: DataFrame | None, delta: DataFrame) -> DataFrame:
         if old is None:
@@ -333,6 +405,7 @@ def additive_merge(
     bucketstore.merge_into(
         spark, path, deltas, keys, merge_fn,
         batch_id=batch_id, bucketize=bucketize,
+        touched_hint=touched_hint,
     )
 
 
@@ -444,9 +517,26 @@ def run_all_single_pass(
         from concurrent.futures import ThreadPoolExecutor
 
         batch_df.persist()
-        # materialize the cache once so the concurrent downstream jobs
-        # all hit it instead of racing to fill it
-        batch_df.count()
+        # materialize the cache AND pick up the batch's event-time span
+        # in the same pass (replaces the bare count) — the span prices
+        # one day-bucket hint shared by all five merges below, so the
+        # per-merge distinct-collect probe job is skipped entirely
+        # (five probe jobs per trigger was the difference between
+        # meeting and missing the 5 s trigger budget at bench scale)
+        span = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_millis("ts")).alias("min_ms"),
+            F.max(F.unix_millis("ts")).alias("max_ms"),
+        ).first()
+        if span["n"] == 0:
+            batch_df.unpersist()
+            return
+        # window-end timestamps can cross into the next day; +1 day of
+        # slack keeps the hint a superset (extra buckets are no-ops)
+        hint = [0] + list(range(
+            int(span["min_ms"] // DAY_MS),
+            int(span["max_ms"] // DAY_MS) + 2,
+        ))
 
         def merge_one(p: Pipeline) -> None:
             # materialize the (small, post-aggregation) stats ONCE:
@@ -462,6 +552,7 @@ def run_all_single_pass(
                 p.keys,
                 value_col,
                 batch_id,
+                touched_hint=hint,
             )
 
         def side_output() -> None:
