@@ -21,7 +21,10 @@ emit derived DOUBLEs where a scaled integer is exact, and to pin any
 genuinely-float math to one expression tree evaluated identically in
 both engines.
 
-Usage: python tools/check_correctness.py [--lenient] [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--lenient] [--stability]
+       [sf_dir] [name ...]
+``--stability`` re-runs the Spark side of float-output queries and
+fails on run-to-run value drift (shuffle-order float nondeterminism).
 """
 
 from __future__ import annotations
@@ -67,8 +70,17 @@ def main() -> int:
     from tools.check_artifacts import check as artifact_check
     from twitch_chat_analyser_spark.session import get_spark
 
-    argv = [a for a in sys.argv[1:] if a != "--lenient"]
+    argv = [
+        a for a in sys.argv[1:] if a not in ("--lenient", "--stability")
+    ]
     lenient = "--lenient" in sys.argv[1:]
+    # --stability: for every query whose output carries a DOUBLE/FLOAT
+    # column, execute the SPARK side twice and compare the normalized
+    # value sets of the two runs. This catches SHUFFLE-ORDER float
+    # nondeterminism (a sum whose value depends on partition merge
+    # order) — invisible to a single spark-vs-oracle pass, which can
+    # coincidentally agree on one run and flake on the driver's.
+    stability = "--stability" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -110,6 +122,15 @@ def main() -> int:
             continue
         entry["spark_rows"] = len(srows)
         status = []
+        if stability and any(
+            f.dataType.simpleString() in ("double", "float")
+            for f in sdf.schema.fields
+        ):
+            srows2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+            if normalize(srows, scols, lenient) != normalize(
+                srows2, scols, lenient
+            ):
+                status.append("UNSTABLE spark run-to-run float values")
         if name not in oracles:
             print(f"  {name}: rows={len(srows)} (no oracle — rows-only) "
                   f"[{time.time()-t0:.1f}s]")
