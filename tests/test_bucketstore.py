@@ -229,3 +229,69 @@ def test_markov_last_store_prunes_to_batch_user_buckets(spark, tmp_path):
     got = {(r["src_type"], r["dst_type"]): r["transitions"]
            for r in markov.serve_transitions(spark, tdir).collect()}
     assert got[("view", "click")] == 1
+
+
+def test_crash_at_every_rename_point_converges_after_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Systematic torn-swap matrix: inject a crash at EVERY os.rename
+    call site inside a multi-bucket additive merge, then run recovery +
+    replay, and require the final store to equal the uninterrupted
+    result — for every injection point. This is the property the
+    per-bucket journals + backup renames exist to guarantee."""
+    import os as _os
+
+    from twitch_chat_analyser_spark.streaming import bucketstore
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    day = sp.DAY_MS
+
+    def deltas(n):
+        rows = [("a", day + 1000, n), ("a", 2 * day + 1000, n), ("a", 0, n)]
+        return spark.createDataFrame(
+            rows, "channel string, timestamp long, messages long"
+        )
+
+    def run(store, crash_after: int | None) -> None:
+        """One batch-0 merge, optionally crashing after N renames."""
+        real_rename = _os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            if crash_after is not None and calls["n"] >= crash_after:
+                raise OSError("injected crash")
+            calls["n"] += 1
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(bucketstore.os, "rename", flaky_rename)
+        try:
+            sp.additive_merge(
+                spark, store, deltas(5),
+                ["channel", "timestamp"], "messages", 0, flat_max_bytes=0,
+            )
+        except OSError:
+            pass
+        finally:
+            monkeypatch.setattr(bucketstore.os, "rename", real_rename)
+
+    # uninterrupted reference result
+    ref_store = str(tmp_path / "ref")
+    run(ref_store, crash_after=None)
+    want = sorted(
+        map(tuple, sp.read_table(spark, ref_store).collect())
+    )
+    assert want  # sanity: 3 rows
+
+    # 3 buckets x (up to 2 renames each in the swap loop) => probe a
+    # generous range of injection points; points past the last rename
+    # just succeed
+    for k in range(0, 7):
+        store = str(tmp_path / f"s{k}")
+        run(store, crash_after=k)
+        # checkpoint replay: the same batch id runs again, uninjected
+        sp.additive_merge(
+            spark, store, deltas(5),
+            ["channel", "timestamp"], "messages", 0, flat_max_bytes=0,
+        )
+        got = sorted(map(tuple, sp.read_table(spark, store).collect()))
+        assert got == want, f"crash point {k} diverged"
