@@ -330,29 +330,23 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
-    # convergence probe: one PROSPECTIVE peel round, counted only — if
-    # it would drop any edge, the unroll budget was too small and the
-    # result is a superset of the true k-core
-    probe_keep = (
-        e.groupBy("a")
-        .agg(F.count("*").alias("deg"))
-        .filter(F.col("deg") >= k)
-        .select("a")
-    )
-    probe = (
-        e.join(probe_keep, "a", "left_semi")
-        .join(probe_keep.withColumnRenamed("a", "b"), "b", "left_semi")
-    )
-    flag = (
-        e.agg(F.count("*").alias("n_now"))
-        .crossJoin(probe.agg(F.count("*").alias("n_next")))
-        .select((F.col("n_now") == F.col("n_next")).alias("converged"))
-    )
-    return (
+    # convergence flag from the OUTPUT degree aggregate itself: one
+    # more peel removes nothing iff no surviving node has degree < k,
+    # so converged == (min degree >= k) — no extra semi-join round or
+    # edge count needed (an empty survivor set is trivially a
+    # fixpoint). The degree relation is computed once (lazy
+    # checkpoint) and feeds both the output and the 1-row flag.
+    deg = (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count("*").cast("long").alias("core_degree"))
-        .crossJoin(F.broadcast(flag))
+        .localCheckpoint(eager=False)
     )
+    flag = deg.agg(
+        (
+            F.coalesce(F.min("core_degree"), F.lit(k)) >= F.lit(k)
+        ).alias("converged")
+    )
+    return deg.crossJoin(F.broadcast(flag))
 
 
 def _q_dedup_kcore(spark, sf_dir):
@@ -662,24 +656,19 @@ e{i} AS MATERIALIZED (
     JOIN k{i} x ON x.a = e.a JOIN k{i} y ON y.a = e.b
 )""")
         prev = f"e{i}"
-    # convergence probe round (counted only), mirroring kcore()'s flag
-    probe = f"""kp AS MATERIALIZED (
-    SELECT a FROM (SELECT a, count(*) AS deg FROM {prev} GROUP BY a)
-    WHERE deg >= {KCORE_K}
-),
-ep AS MATERIALIZED (
-    SELECT e.a, e.b FROM {prev} e
-    JOIN kp x ON x.a = e.a JOIN kp y ON y.a = e.b
-),
-flag AS (
-    SELECT (SELECT count(*) FROM {prev}) = (SELECT count(*) FROM ep)
-        AS converged
-)"""
+    # convergence flag from the output degree aggregate (min degree
+    # >= k iff one more peel removes nothing), mirroring kcore()
     kcore_sql = f"""{sym_prefix}e0 AS MATERIALIZED (SELECT a, b FROM sym),
 {','.join(kcore_rounds)},
-{probe}
-SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree, converged
-FROM {prev} CROSS JOIN flag GROUP BY a, converged"""
+deg AS MATERIALIZED (
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY a
+),
+flag AS (
+    SELECT coalesce(min(core_degree), {KCORE_K}) >= {KCORE_K} AS converged
+    FROM deg
+)
+SELECT node, core_degree, converged FROM deg CROSS JOIN flag"""
 
     return {
         "channel_pagerank": pagerank_sql,
