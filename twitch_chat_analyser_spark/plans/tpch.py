@@ -42,34 +42,104 @@ def _dec(col: str):
     return F.col(col).cast(DEC)
 
 
+def _i4(col: str):
+    """Exact scale-4 integer (value × 10⁴) from a raw double column.
+
+    The double is first quantized to DECIMAL(18,4) (the repo-wide
+    convention — deterministic in both engines because a double is
+    never an exact decimal midpoint), then the unscaled integer is
+    extracted exactly. All downstream math stays in int64, so the
+    final int64→double emission is correctly rounded IDENTICALLY in
+    Spark and DuckDB. Summing the decimal and casting the sum to
+    DOUBLE is NOT portable: DuckDB converts via int128 arithmetic with
+    an extra rounding, which produced a 1-ulp `sum_charge` mismatch at
+    sf0.001 (round 8).
+    """
+    return (F.col(col).cast(DEC) * 10000).cast("long")
+
+
+def _i4_sql(col: str) -> str:
+    """DuckDB twin of :func:`_i4` (exact ×10⁴ int64 of a money column)."""
+    return f"CAST(CAST({col} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+
+
+# exact ×10⁴ int64 of l_extendedprice·(1−l_discount): the scale-8 integer
+# product rounded half-up back to scale 4 in pure int64 math, so both
+# engines agree bit for bit (see _i4 docstring for why decimal→DOUBLE
+# emission is not portable). `div`/`//` truncate identically on the
+# always-positive operands.
+_REV_I4_SPARK = (
+    f"({_i4_sql('l_extendedprice')}"
+    f" * (10000 - {_i4_sql('l_discount')}) + 5000) div 10000"
+)
+_REV_I4_DUCK = _REV_I4_SPARK.replace(" div ", " // ")
+
+
+def _rev_d():
+    """Portable DOUBLE revenue aggregate: Σ rev_i4 emitted via int64."""
+    return F.sum(F.expr(_REV_I4_SPARK)).cast("double") / F.lit(10000.0)
+
+
+def _sum_d4(col: str):
+    """Portable DOUBLE sum of a money column (exact ×10⁴ accumulation)."""
+    return F.sum(_i4(col)).cast("double") / F.lit(10000.0)
+
+
+# oracle-side twins (DuckDB sum(BIGINT) is HUGEINT → cast back to BIGINT
+# before the correctly-rounded int64→double conversion)
+REV_D_SQL = (
+    f"CAST(CAST(sum({_REV_I4_DUCK}) AS BIGINT) AS DOUBLE) / 10000.0"
+)
+
+
+def SUM_D4_SQL(col: str) -> str:
+    return (
+        f"CAST(CAST(sum({_i4_sql(col)}) AS BIGINT) AS DOUBLE) / 10000.0"
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ingest.load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= Q1_CUTOFF
     )
-    qd, pd_, dd, td = (
-        _dec("l_quantity"),
-        _dec("l_extendedprice"),
-        _dec("l_discount"),
-        _dec("l_tax"),
+    ints = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        _i4("l_quantity").alias("qi4"),
+        _i4("l_extendedprice").alias("pi4"),
+        _i4("l_discount").alias("di4"),
+        _i4("l_tax").alias("ti4"),
     )
-    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qd).alias("sq"),
-        F.sum(pd_).alias("sp"),
-        F.sum(pd_ * (F.lit(1).cast(DEC) - dd)).alias("sdp"),
-        F.sum(pd_ * (F.lit(1).cast(DEC) - dd) * (F.lit(1).cast(DEC) + td)).alias(
-            "sc"
-        ),
+    # per-row products are exact int64 (≤ ~1.2e17); the scale-8/-12
+    # products are rounded half-up back to scale 4 with pure integer
+    # math ((x + 5·10^{s-5}) div 10^{s-4}) so every engine agrees bit
+    # for bit; group sums stay well inside int64 through sf1000
+    grouped = ints.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qi4").alias("sqi"),
+        F.sum("pi4").alias("spi"),
+        F.sum(F.expr("(pi4 * (10000 - di4) + 5000) div 10000")).alias("sdpi"),
+        F.sum(
+            F.expr(
+                "(pi4 * (10000 - di4) * (10000 + ti4) + 50000000)"
+                " div 100000000"
+            )
+        ).alias("sci"),
         F.count("*").alias("count_order"),
     )
+    ten_k = F.lit(10000.0)
     return grouped.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("sq").cast("double").alias("sum_qty"),
-        F.col("sp").cast("double").alias("sum_base_price"),
-        F.col("sdp").cast("double").alias("sum_disc_price"),
-        F.col("sc").cast("double").alias("sum_charge"),
-        (F.col("sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        (F.col("sqi").cast("double") / ten_k).alias("sum_qty"),
+        (F.col("spi").cast("double") / ten_k).alias("sum_base_price"),
+        (F.col("sdpi").cast("double") / ten_k).alias("sum_disc_price"),
+        (F.col("sci").cast("double") / ten_k).alias("sum_charge"),
+        (F.col("sqi").cast("double") / ten_k / F.col("count_order")).alias(
+            "avg_qty"
+        ),
+        (F.col("spi").cast("double") / ten_k / F.col("count_order")).alias(
+            "avg_price"
+        ),
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -84,9 +154,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ingest.load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > Q3_DATE
     )
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -95,7 +162,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
             "o_orderpriority",
         )
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(_rev_d().alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -113,9 +180,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = ingest.load(spark, sf_dir, "lineitem")
     supp = ingest.load(spark, sf_dir, "supplier")
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -135,7 +199,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (supp.s_nationkey == cust.c_nationkey),
         )
         .groupBy("n_name")
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(_rev_d().alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -170,7 +234,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status,
-               CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+               CAST(sum(CAST(CAST(l_quantity AS {DEC}) * 10000 AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS sum_qty
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -213,7 +278,7 @@ def distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct made driver-checkable: the engine-specific
     estimate (default rsd 0.05) is folded into an in-plan integer bound
-    check — 20*|est - exact| <= 3*exact, i.e. within 15% (= 3x the
+    check — 4*|est - exact| <= exact, i.e. within 25% (= 5x the
     configured relative standard deviation) — so the output is fully
     deterministic (exact count + boolean) while the sketch still runs.
 
@@ -223,9 +288,12 @@ def approx_distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``distinct_chatters`` query — its bench timing measures the harness,
     not the sketch's scale story (at 100 TB you would run the sketch
     alone and skip the exact side entirely). Residual bound-failure
-    probability: ~3 sigma -> ~2.7e-3 per channel at Gaussian tails,
-    but the gate cardinalities sit in HLL++'s exact sparse range, so
-    the observed probability at gate scale is ~0.
+    probability at the 5σ margin: ~3e-7 per channel at Gaussian tails
+    (VERDICT r7 #8 — the old 3σ bound left ~2.7e-3, a deterministic
+    flake waiting for a tail estimate at a new scale factor); at gate
+    cardinalities the estimate sits in HLL++'s exact sparse range, so
+    the observed probability is ~0 and a genuinely broken sketch path
+    (whole multiples off, not percent) still reds the gate.
 
     -> channel, n_chatters, within_bound
     """
@@ -242,8 +310,8 @@ def approx_distinct_chatters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel",
             "n_chatters",
             (
-                F.abs(F.col("approx_chatters") - F.col("n_chatters")) * 20
-                <= F.col("n_chatters") * 3
+                F.abs(F.col("approx_chatters") - F.col("n_chatters")) * 4
+                <= F.col("n_chatters")
             ).alias("within_bound"),
         )
         .orderBy("channel")
@@ -358,14 +426,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ingest.load(spark, sf_dir, "lineitem").filter(
         F.year("l_shipdate").isin(*Q7_YEARS)
     )
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    )
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("l_shipdate").alias("l_year"))
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(_rev_d().alias("revenue"))
         .select(
             F.lit(Q7_SUPP_NATION).alias("supp_nation"),
             F.lit(Q7_CUST_NATION).alias("cust_nation"),
@@ -391,14 +456,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ingest.load(spark, sf_dir, "nation")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     )
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(_rev_d().alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -424,13 +486,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(10, 30)
         & F.col("l_quantity").between(10, 40)
     )
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond1 | cond2)
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(_rev_d().alias("revenue"))
     )
 
 
@@ -499,10 +558,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
+    disc_rev_i4 = F.expr(
+        f"({_i4_sql('l_extendedprice')} * {_i4_sql('l_discount')}"
+        " + 5000) div 10000"
+    )
     return li.agg(
-        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
-        .cast("double")
-        .alias("revenue")
+        (F.sum(disc_rev_i4).cast("double") / F.lit(10000.0)).alias("revenue")
     )
 
 
@@ -514,8 +575,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Five joins, but lineitem never shuffles for any of them: part,
     supplier+nation, and customer+nation+region all broadcast; the only
-    shuffle is the final group-by on year. The ratio is computed from
-    two exact DECIMAL sums cast to double at the end.
+    shuffle is the final group-by on year. The ratio is one IEEE divide
+    of two exact ×10⁴ int64 sums emitted via the correctly-rounded
+    int64→double conversion (portable across engines).
 
     -> o_year, mkt_share
     """
@@ -545,7 +607,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_nation")
     li = ingest.load(spark, sf_dir, "lineitem")
     orders = ingest.load(spark, sf_dir, "orders")
-    vol = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    vol_i4 = F.expr(_REV_I4_SPARK)
     joined = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -554,11 +616,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grouped = joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.sum(
-            F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(
-                F.lit(0).cast(DEC)
+            F.when(F.col("supp_nation") == Q8_NATION, vol_i4).otherwise(
+                F.lit(0).cast("long")
             )
         ).alias("nation_vol"),
-        F.sum(vol).alias("total_vol"),
+        F.sum(vol_i4).alias("total_vol"),
     )
     return grouped.select(
         "o_year",
@@ -602,8 +664,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) whose revenue equals the maximum — the classic
     view + scalar-subquery-max pattern. The max is a one-row aggregate
     broadcast back onto the per-supplier revenues; the equality
-    comparison happens on the exact DECIMAL sums (order-independent),
-    so ties and the winner are deterministic across engines.
+    comparison happens on the exact ×10⁴ int64 sums
+    (order-independent), so ties and the winner are deterministic
+    across engines.
 
     -> s_suppkey, s_name, total_revenue
     """
@@ -611,9 +674,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= Q15_START) & (F.col("l_shipdate") < Q15_END)
     )
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(
-            _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-        ).alias("rev")
+        F.sum(F.expr(_REV_I4_SPARK)).alias("rev")
     )
     max_rev = revenue.agg(F.max("rev").alias("max_rev"))
     return (
@@ -625,7 +686,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("rev").cast("double").alias("total_revenue"),
+            (F.col("rev").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
         )
         .orderBy("s_suppkey")
     )
@@ -802,13 +865,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+        .agg(F.sum(_i4("l_extendedprice")).alias("val"))
     )
     total = per_part.agg(F.sum("val").alias("total"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("val") * Q11_FRACTION_INV > F.col("total"))
-        .select("partkey", F.col("val").cast("double").alias("value"))
+        .select(
+            "partkey",
+            (F.col("val").cast("double") / F.lit(10000.0)).alias("value"),
+        )
         .orderBy(F.desc("value"), "partkey")
     )
 
@@ -850,15 +916,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= Q14_START) & (F.col("l_shipdate") < Q14_END)
     )
     part = ingest.load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
-        F.lit(0).cast(DEC)
+    disc_i4 = F.expr(_REV_I4_SPARK)
+    promo_i4 = F.when(F.col("p_type") == "PROMO", disc_i4).otherwise(
+        F.lit(0).cast("long")
     )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(promo).alias("p"),
-            F.sum(disc).alias("t"),
+            F.sum(promo_i4).alias("p"),
+            F.sum(disc_i4).alias("t"),
         )
         .select(
             (
@@ -929,9 +995,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("sq")
         )
         .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
-                "avg_yearly"
-            )
+            (
+                F.sum(_i4("l_extendedprice")).cast("double")
+                / F.lit(10000.0)
+                / F.lit(7.0)
+            ).alias("avg_yearly")
         )
     )
 
@@ -948,8 +1016,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         ingest.load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("sq"))
-        .filter(F.col("sq") > F.lit(Q18_MIN_QTY).cast(DEC))
+        .agg(F.sum(_i4("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > F.lit(Q18_MIN_QTY * 10000))
     )
     orders = ingest.load(spark, sf_dir, "orders")
     cust = ingest.load(spark, sf_dir, "customer").select(
@@ -964,7 +1032,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
             "o_totalprice",
-            F.col("sq").cast("double").alias("total_qty"),
+            (F.col("sq").cast("double") / F.lit(10000.0)).alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -1029,7 +1097,9 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+            (F.sum(_i4("c_acctbal")).cast("double") / F.lit(10000.0)).alias(
+                "totacctbal"
+            ),
         )
         .orderBy("c_nationkey")
     )
@@ -1079,8 +1149,7 @@ def tpch_oracles() -> dict[str, str]:
         "tpch_q7_volume_shipping": f"""
 SELECT '{Q7_SUPP_NATION}' AS supp_nation, '{Q7_CUST_NATION}' AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       {REV_D_SQL}
            AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1092,8 +1161,7 @@ WHERE year(l_shipdate) IN ({Q7_YEARS[0]}, {Q7_YEARS[1]})
 GROUP BY 3""",
         "tpch_q10_returned_items": f"""
 SELECT c_custkey, c_name, n_name, c_acctbal,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       {REV_D_SQL}
            AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1104,9 +1172,8 @@ WHERE l_returnflag = 'R'
   AND o_orderdate < TIMESTAMP '{Q10_END}'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
-        "tpch_q19_disjunctive_revenue": """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        "tpch_q19_disjunctive_revenue": f"""
+SELECT {REV_D_SQL}
            AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1131,26 +1198,34 @@ SELECT j.p_partkey, j.p_brand,
 FROM joined j JOIN best USING (p_partkey, s_acctbal)
 GROUP BY j.p_partkey, j.p_brand, j.s_acctbal""",
         "tpch_q1_pricing_summary": f"""
+WITH ints AS (
+    -- scaled-int twin of the Spark plan: quantize to DECIMAL(18,4),
+    -- extract the exact ×10⁴ integer, keep ALL math in int64 so the
+    -- final int64→double conversion is correctly rounded identically
+    -- in both engines (decimal-sum→DOUBLE is 1-ulp nonportable)
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi4,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pi4,
+           CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS di4,
+           CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ti4
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+)
 SELECT l_returnflag, l_linestatus,
-    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-        AS sum_disc_price,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-         * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
-        AS sum_charge,
-    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+    CAST(CAST(sum(qi4) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_qty,
+    CAST(CAST(sum(pi4) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_base_price,
+    CAST(CAST(sum((pi4 * (10000 - di4) + 5000) // 10000) AS BIGINT)
+         AS DOUBLE) / 10000.0 AS sum_disc_price,
+    CAST(CAST(sum((pi4 * (10000 - di4) * (10000 + ti4) + 50000000)
+                  // 100000000) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_charge,
+    CAST(CAST(sum(qi4) AS BIGINT) AS DOUBLE) / 10000.0 / count(*) AS avg_qty,
+    CAST(CAST(sum(pi4) AS BIGINT) AS DOUBLE) / 10000.0 / count(*) AS avg_price,
     count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+FROM ints
 GROUP BY l_returnflag, l_linestatus""",
         "tpch_q3_shipping_priority": f"""
 SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    {REV_D_SQL}
         AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1162,8 +1237,7 @@ GROUP BY 1, 2, 3
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "tpch_q5_local_supplier_volume": f"""
 SELECT n_name,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    {REV_D_SQL}
         AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1176,8 +1250,9 @@ WHERE r_name = '{Q5_REGION}'
   AND o_orderdate < TIMESTAMP '{Q5_YEAR_END}'
 GROUP BY n_name""",
         "tpch_q6_forecast_revenue": f"""
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-         * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(sum(({_i4_sql('l_extendedprice')}
+         * {_i4_sql('l_discount')} + 5000) // 10000) AS BIGINT)
+       AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
   AND l_shipdate < TIMESTAMP '{Q6_END}'
@@ -1185,12 +1260,10 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
   AND l_quantity < 24""",
         "tpch_q8_market_share": f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
-                THEN CAST(l_extendedprice AS DECIMAL(18,4))
-                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       CAST(CAST(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                THEN {_REV_I4_DUCK}
+                ELSE 0 END) AS BIGINT) AS DOUBLE)
+       / CAST(CAST(sum({_REV_I4_DUCK}) AS BIGINT) AS DOUBLE)
            AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_size <= {Q8_PART_SIZE_MAX}
@@ -1212,15 +1285,14 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1""",
         "tpch_q15_top_supplier": f"""
 WITH revenue AS (
-    SELECT l_suppkey,
-           sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+    SELECT l_suppkey, CAST(sum({_REV_I4_DUCK}) AS BIGINT) AS rev
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
       AND l_shipdate < TIMESTAMP '{Q15_END}'
     GROUP BY 1
 )
-SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name,
+       CAST(rev AS DOUBLE) / 10000.0 AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev = (SELECT max(rev) FROM revenue)""",
         "tpch_q21_waiting_suppliers": f"""
@@ -1266,13 +1338,13 @@ GROUP BY 1, 2""",
         "tpch_q11_important_parts": f"""
 WITH v AS (
     SELECT l_partkey AS partkey,
-           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+           CAST(sum({_i4_sql('l_extendedprice')}) AS BIGINT) AS val
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     WHERE s_nationkey < {Q11_NATIONKEY_MAX}
     GROUP BY 1
 )
-SELECT partkey, CAST(val AS DOUBLE) AS value
+SELECT partkey, CAST(val AS DOUBLE) / 10000.0 AS value
 FROM v
 WHERE val * {Q11_FRACTION_INV} > (SELECT sum(val) FROM v)""",
         "tpch_q13_customer_distribution": f"""
@@ -1285,12 +1357,10 @@ FROM (
 )
 GROUP BY c_count""",
         "tpch_q14_promo_revenue": f"""
-SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-           THEN CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+SELECT 100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN {_REV_I4_DUCK}
+           ELSE 0 END) AS BIGINT) AS DOUBLE)
+       / CAST(CAST(sum({_REV_I4_DUCK}) AS BIGINT) AS DOUBLE)
            AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
@@ -1309,20 +1379,19 @@ WITH pa AS (
            count(*) AS cnt
     FROM lineitem GROUP BY 1
 )
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
-           AS avg_yearly
+SELECT CAST(CAST(sum({_i4_sql('l_extendedprice')}) AS BIGINT) AS DOUBLE)
+           / 10000.0 / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_brand = '{Q17_BRAND}'
 JOIN pa ON l_partkey = pk
 WHERE CAST(5 AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) * cnt < sq""",
         "tpch_q18_large_volume_customers": f"""
 SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
-       o_totalprice, CAST(sq AS DOUBLE) AS total_qty
+       o_totalprice, CAST(sq AS DOUBLE) / 10000.0 AS total_qty
 FROM (
-    SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+    SELECT l_orderkey, CAST(sum({_i4_sql('l_quantity')}) AS BIGINT) AS sq
     FROM lineitem GROUP BY 1
-    HAVING sum(CAST(l_quantity AS DECIMAL(18,4)))
-           > CAST({Q18_MIN_QTY} AS DECIMAL(18,4))
+    HAVING sum({_i4_sql('l_quantity')}) > {Q18_MIN_QTY} * 10000
 )
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1348,7 +1417,8 @@ WITH pos AS (
     FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       CAST(CAST(sum({_i4_sql('c_acctbal')}) AS BIGINT) AS DOUBLE)
+           / 10000.0 AS totacctbal
 FROM customer, pos
 WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -1361,11 +1431,12 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "cube_order_counts": """
 SELECT l_returnflag, l_linestatus, count(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
-        "grouping_sets_revenue": """
+        "grouping_sets_revenue": f"""
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) AS INT) AS g_flag,
        CAST(grouping(l_linestatus) AS INT) AS g_status,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       CAST(CAST(sum({_i4_sql('l_quantity')}) AS BIGINT) AS DOUBLE)
+           / 10000.0 AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
         "topk_orders_per_priority": """
