@@ -295,3 +295,152 @@ def test_crash_at_every_rename_point_converges_after_replay(
         )
         got = sorted(map(tuple, sp.read_table(spark, store).collect()))
         assert got == want, f"crash point {k} diverged"
+
+
+def test_crash_during_flat_migration_replays_without_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 (high): crash injection at every rename point of a
+    migration that STARTS from a flat store. The old fold re-unioned
+    flat rows into already-swapped buckets and re-applied the delta to
+    already-journaled buckets on replay; the per-bucket
+    ``_legacy_migrated`` markers + journal-pending delta filter must
+    make the replayed migration converge to the uninterrupted result."""
+    import os as _os
+
+    from twitch_chat_analyser_spark.streaming import bucketstore
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+    from twitch_chat_analyser_spark.streaming.storeswap import swap_in
+
+    day = sp.DAY_MS
+
+    def flat_seed(store):
+        # pre-bucketing layout: flat parquet spanning TWO day buckets
+        # plus the sentinel-day total row, with a root journal
+        hist = spark.createDataFrame(
+            [("a", day + 1000, 3), ("a", 2 * day + 1000, 4), ("a", 0, 7)],
+            "channel string, timestamp long, messages long",
+        )
+        swap_in(hist, store, journal_ids={0})
+
+    def deltas(n):
+        return spark.createDataFrame(
+            [("a", 3 * day + 1000, n), ("a", 0, n)],
+            "channel string, timestamp long, messages long",
+        )
+
+    def run(store, crash_after: int | None) -> None:
+        real_rename = _os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            if crash_after is not None and calls["n"] >= crash_after:
+                raise OSError("injected crash")
+            calls["n"] += 1
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(bucketstore.os, "rename", flaky_rename)
+        try:
+            sp.additive_merge(
+                spark, store, deltas(5),
+                ["channel", "timestamp"], "messages", 1, flat_max_bytes=0,
+            )
+        except OSError:
+            pass
+        finally:
+            monkeypatch.setattr(bucketstore.os, "rename", real_rename)
+
+    ref = str(tmp_path / "ref")
+    flat_seed(ref)
+    run(ref, crash_after=None)
+    want = sorted(map(tuple, sp.read_table(spark, ref).collect()))
+    assert ("a", 0, 12) in want  # 7 folded + 5 delta, applied once
+
+    # 3 day-buckets to fold + 1 new bucket, 2 renames each -> probe a
+    # generous range; points past the last rename just succeed
+    for k in range(0, 10):
+        store = str(tmp_path / f"s{k}")
+        flat_seed(store)
+        run(store, crash_after=k)
+        # checkpoint replay of the same batch, uninjected
+        sp.additive_merge(
+            spark, store, deltas(5),
+            ["channel", "timestamp"], "messages", 1, flat_max_bytes=0,
+        )
+        got = sorted(map(tuple, sp.read_table(spark, store).collect()))
+        assert got == want, f"crash point {k} diverged"
+        # migration fully committed: flat files + root journal gone
+        assert not bucketstore._legacy_flat_files(store), f"point {k}"
+        assert not os.path.isfile(
+            os.path.join(store, "_applied_batches.json")
+        ), f"point {k}"
+
+
+def test_touched_hint_miss_falls_back_to_probe_not_data_loss(
+    spark, tmp_path, capsys
+):
+    """ADVICE r8 (medium): a touched_hint that is NOT a superset of the
+    delta's buckets must not silently drop the out-of-hint rows."""
+    from twitch_chat_analyser_spark.streaming import bucketstore
+
+    store = str(tmp_path / "s")
+    delta = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    )
+
+    def merge_fn(old, d):
+        if old is None:
+            return d
+        return (
+            old.unionByName(d)
+            .groupBy("k", "bucket")
+            .agg(F.sum("v").alias("v"))
+            .select("k", "v", "bucket")
+        )
+
+    bucketize = lambda df: df.withColumn(  # noqa: E731
+        "bucket", (F.col("k") % 4).cast("int")
+    )
+    # hint covers ONLY bucket 1; key 2 lives in bucket 2
+    bucketstore.merge_into(
+        spark, store, delta, ["k"], merge_fn,
+        num_buckets=4, batch_id=0, bucketize=bucketize, touched_hint=[1],
+    )
+    assert "missed" in capsys.readouterr().out
+    got = {r["k"]: r["v"] for r in
+           bucketstore.read_store(spark, store).collect()}
+    assert got == {1: 10, 2: 20}  # nothing lost
+
+
+def test_writer_swap_survives_concurrent_restore_only_heal(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 (low): a restore-only reader healing the bucket's
+    backup between the writer's two renames must not crash the query —
+    the writer retakes the swap and the new data wins."""
+    import os as _os
+
+    from twitch_chat_analyser_spark.streaming import bucketstore, ohlc
+
+    store = str(tmp_path / "candles")
+    b1 = _events(spark, [("2024-01-01 10:05:00", 1, "view", 10.0)])
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b1), 0, num_buckets=4)
+
+    real_rename = _os.rename
+    state = {"armed": True}
+
+    def racing_rename(src, dst):
+        real_rename(src, dst)
+        # right after the writer parks live -> .old backup, a reader's
+        # recover(restore_only=True) heals it back
+        if state["armed"] and ".old-" in str(dst):
+            state["armed"] = False
+            bucketstore.recover(store, restore_only=True)
+
+    monkeypatch.setattr(bucketstore.os, "rename", racing_rename)
+    b2 = _events(spark, [("2024-01-01 10:30:00", 1, "view", 4.0)], id0=9)
+    ohlc.ohlc_merge(spark, store, ohlc.ohlc_delta(b2), 1, num_buckets=4)
+    monkeypatch.setattr(bucketstore.os, "rename", real_rename)
+
+    r = ohlc.serve_candles(spark, store).collect()[0]
+    assert (r["low"], r["n_events"]) == (4.0, 2)  # batch 2 landed once

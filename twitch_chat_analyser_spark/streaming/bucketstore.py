@@ -31,7 +31,14 @@ generalizes it so any keyed store can use it:
 - legacy migration: stores written by the old flat layout (parquet
   part files + one root journal) are folded into buckets on the first
   merge that sees them; the root journal seeds every migrated bucket's
-  journal so replay suppression survives the migration.
+  journal so replay suppression survives the migration. The fold is
+  replay-idempotent per bucket: a ``_legacy_migrated`` marker is
+  committed by the SAME rename that publishes the bucket, the delta is
+  only ever applied to journal-pending buckets (never re-applied just
+  because a migration re-ran), and the flat files are removed only
+  once EVERY legacy bucket carries the marker — so a crash at any
+  rename point of the migration replays without double-counting
+  either the legacy rows or the batch.
 
 Single-writer assumption: foreachBatch serializes merges per query —
 same as storeswap.py / streaming/hll.py.
@@ -111,6 +118,17 @@ def _legacy_flat_files(store: str) -> list[str]:
     ]
 
 
+def _has_data(dirpath: str) -> bool:
+    """True when the bucket dir holds at least one parquet part file.
+    Marker-only dirs (a migrated-empty bucket: just ``_legacy_migrated``
+    and ``_applied_batches.json``) must be skipped by readers — handing
+    an empty directory to the parquet reader fails schema inference."""
+    try:
+        return any(not e.startswith(("_", ".")) for e in os.listdir(dirpath))
+    except OSError:
+        return False
+
+
 def _bucket_dirs(store: str, buckets: list[int] | None = None) -> list[str]:
     if not os.path.isdir(store):
         return []
@@ -118,12 +136,12 @@ def _bucket_dirs(store: str, buckets: list[int] | None = None) -> list[str]:
         return sorted(
             os.path.join(store, e)
             for e in os.listdir(store)
-            if e.startswith("bucket=")
+            if e.startswith("bucket=") and _has_data(os.path.join(store, e))
         )
     return [
         os.path.join(store, f"bucket={b}")
         for b in buckets
-        if os.path.isdir(os.path.join(store, f"bucket={b}"))
+        if _has_data(os.path.join(store, f"bucket={b}"))
     ]
 
 
@@ -133,6 +151,39 @@ def _applied(dirpath: str) -> set[int]:
         with open(j) as fh:
             return set(json.load(fh))
     return set()
+
+
+def _migrated(store: str, b: int) -> bool:
+    return os.path.isfile(
+        os.path.join(store, f"bucket={b}", "_legacy_migrated")
+    )
+
+
+def _swap_bucket(store: str, b: int, src: str) -> None:
+    """Atomically publish one bucket dir, tolerating the heal race
+    with a concurrent ``recover(restore_only=True)`` reader: between
+    our rename(dst→back) and rename(src→dst) the reader may restore
+    the backup, making the second rename fail — retake the swap
+    instead of crashing the streaming query (ADVICE r7 low). If the
+    retake loses ANOTHER race, fail the bucket softly: the journal
+    wasn't committed, so checkpoint replay re-merges it."""
+    dst = os.path.join(store, f"bucket={b}")
+    back = f"{store}.old-{uuid.uuid4().hex[:8]}-b{b}"
+    had_old = os.path.isdir(dst)
+    if had_old:
+        os.rename(dst, back)
+    try:
+        os.rename(src, dst)
+    except OSError:
+        back2 = f"{store}.old-{uuid.uuid4().hex[:8]}-b{b}"
+        try:
+            os.rename(dst, back2)
+            os.rename(src, dst)
+        except OSError:
+            return  # lost twice; recover()/replay converge the bucket
+        shutil.rmtree(back2, ignore_errors=True)
+    if had_old:
+        shutil.rmtree(back, ignore_errors=True)
 
 
 def read_store(
@@ -206,6 +257,25 @@ def merge_into(
     try:
         if touched_hint is not None:
             touched = sorted(set(int(b) for b in touched_hint))
+            # guard the superset contract (ADVICE r7 medium): a hint
+            # that misses a delta bucket would silently drop its rows
+            # forever. One limit-1 job over the already-cached delta
+            # detects the miss; the fallback is the probe path.
+            stray = (
+                delta.filter(~F.col("bucket").isin(touched)).limit(1).count()
+            )
+            if stray:
+                print(
+                    f"bucketstore: touched_hint for {store} missed "
+                    "delta buckets; falling back to the distinct probe"
+                )
+                touched = sorted(
+                    set(touched)
+                    | {
+                        r["bucket"]
+                        for r in delta.select("bucket").distinct().collect()
+                    }
+                )
         else:
             touched = sorted(
                 r["bucket"]
@@ -214,81 +284,103 @@ def merge_into(
         legacy = _legacy_flat_files(store)
         legacy_applied: set[int] = _applied(store) if legacy else set()
         legacy_df = None
+        lbuckets: set[int] = set()
         if legacy:
             legacy_df = bucketize(spark.read.parquet(*legacy))
-            # a migration must place EVERY flat row into its bucket,
-            # including buckets this batch doesn't touch
-            touched = sorted(
-                set(touched)
-                | {
-                    r["bucket"]
-                    for r in legacy_df.select("bucket").distinct().collect()
-                }
-            )
-        if not touched:
-            return  # empty micro-batch
+            lbuckets = {
+                r["bucket"]
+                for r in legacy_df.select("bucket").distinct().collect()
+            }
+        # fold = legacy buckets whose migration has not yet committed;
+        # a replayed migration skips already-marked buckets instead of
+        # re-unioning their flat rows (ADVICE r7 high)
+        fold = sorted(b for b in lbuckets if not _migrated(store, b))
+        all_pend = sorted(set(touched) | set(fold))
+        if not all_pend:
+            _clear_legacy_if_done(store, legacy, lbuckets)
+            return  # empty micro-batch, no pending migration
         journals: dict[int, set[int]] = {
             b: _applied(os.path.join(store, f"bucket={b}")) | legacy_applied
-            for b in touched
+            for b in all_pend
         }
         if batch_id is not None:
-            pending = [b for b in touched if batch_id not in journals[b]]
-            # legacy buckets must still migrate even when the batch
-            # itself was already applied to them
-            if legacy_df is not None:
-                lbuckets = {
-                    r["bucket"]
-                    for r in legacy_df.select("bucket").distinct().collect()
-                }
-                pending = sorted(set(pending) | lbuckets)
+            # the delta applies ONLY to journal-pending buckets — a
+            # bucket pending purely for migration must not re-apply a
+            # batch its journal already contains
+            journal_pending = [
+                b for b in touched if batch_id not in journals[b]
+            ]
         else:
-            pending = touched
+            journal_pending = list(touched)
+        pending = sorted(set(journal_pending) | set(fold))
         if not pending:
+            _clear_legacy_if_done(store, legacy, lbuckets)
             return  # full replay: every touched bucket already applied
-        in_pending = F.col("bucket").isin([int(b) for b in pending])
-        delta_p = delta.filter(in_pending)
-        if legacy_df is not None:
-            # fold flat history in as pre-existing store rows
-            old = read_store(spark, store, pending)
-            old = (
-                legacy_df.filter(in_pending)
-                if old is None
-                else old.unionByName(legacy_df.filter(in_pending))
+        delta_p = delta.filter(
+            F.col("bucket").isin([int(b) for b in journal_pending])
+        )
+        old = read_store(spark, store, pending)
+        if legacy_df is not None and fold:
+            # fold UNMIGRATED flat history in as pre-existing store rows
+            lpart = legacy_df.filter(
+                F.col("bucket").isin([int(b) for b in fold])
             )
-        else:
-            old = read_store(spark, store, pending)
+            old = lpart if old is None else old.unionByName(lpart)
         merged = merge_fn(old, delta_p)
         tmp = f"{store}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
         os.makedirs(store, exist_ok=True)
+        jset = set(journal_pending)
         for b in pending:
             src = os.path.join(tmp, f"bucket={b}")
             if not os.path.isdir(src):
-                continue  # merge_fn emitted nothing for it (safety)
+                if legacy and b in lbuckets:
+                    # merge_fn emitted nothing, but the migration marker
+                    # must still commit or this bucket's flat rows fold
+                    # again forever (readers skip data-less dirs)
+                    os.makedirs(src)
+                else:
+                    continue  # merge_fn emitted nothing for it (safety)
             if batch_id is not None:
+                new_journal = journals[b] | (
+                    {batch_id} if b in jset else set()
+                )
                 with open(
                     os.path.join(src, "_applied_batches.json"), "w"
                 ) as fh:
-                    json.dump(sorted(journals[b] | {batch_id}), fh)
-            dst = os.path.join(store, f"bucket={b}")
-            back = f"{store}.old-{uuid.uuid4().hex[:8]}-b{b}"
-            had_old = os.path.isdir(dst)
-            if had_old:
-                os.rename(dst, back)
-            os.rename(src, dst)
-            if had_old:
-                shutil.rmtree(back, ignore_errors=True)
+                    json.dump(sorted(new_journal), fh)
+            if legacy and b in lbuckets:
+                # committed by the same rename as the folded data; also
+                # re-written for already-marked buckets so a rewrite
+                # while flat files still exist can't lose the marker
+                with open(os.path.join(src, "_legacy_migrated"), "w"):
+                    pass
+            _swap_bucket(store, b, src)
         shutil.rmtree(tmp, ignore_errors=True)
-        for f in legacy:  # history is bucketed after a successful swap
-            try:
-                os.remove(f)
-            except OSError:
-                pass
-        legacy_journal = os.path.join(store, "_applied_batches.json")
-        if legacy and os.path.isfile(legacy_journal):
-            try:
-                os.remove(legacy_journal)
-            except OSError:
-                pass
+        _clear_legacy_if_done(store, legacy, lbuckets)
     finally:
         delta.unpersist()
+
+
+def _clear_legacy_if_done(
+    store: str, legacy: list[str], lbuckets: set[int]
+) -> None:
+    """Remove the flat part files + root journal only once EVERY legacy
+    bucket's migration marker is committed — a crash mid-migration
+    leaves the files for the replay to finish folding (idempotently,
+    thanks to the per-bucket markers)."""
+    if not legacy:
+        return
+    if not all(_migrated(store, b) for b in lbuckets):
+        return
+    for f in legacy:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    legacy_journal = os.path.join(store, "_applied_batches.json")
+    if os.path.isfile(legacy_journal):
+        try:
+            os.remove(legacy_journal)
+        except OSError:
+            pass
