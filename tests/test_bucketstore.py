@@ -444,3 +444,59 @@ def test_writer_swap_survives_concurrent_restore_only_heal(
 
     r = ohlc.serve_candles(spark, store).collect()[0]
     assert (r["low"], r["n_events"]) == (4.0, 2)  # batch 2 landed once
+
+
+def test_serve_is_exact_during_interrupted_migration(
+    spark, tmp_path, monkeypatch
+):
+    """Between a crash in the migration swap loop and the healing
+    merge, some buckets hold their folded legacy rows while the flat
+    files still exist. The day-bucketed fact-store serve recomputes
+    legacy rows' buckets and drops the marked ones, so read_table is
+    exact in the window (not just after the replay)."""
+    import os as _os
+
+    from twitch_chat_analyser_spark.streaming import bucketstore
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+    from twitch_chat_analyser_spark.streaming.storeswap import swap_in
+
+    day = sp.DAY_MS
+    store = str(tmp_path / "channel_stats")
+    hist = spark.createDataFrame(
+        [("a", day + 1000, 3), ("a", 2 * day + 1000, 4), ("a", 0, 7)],
+        "channel string, timestamp long, messages long",
+    )
+    swap_in(hist, store, journal_ids={0})
+    want = sorted(map(tuple, sp.read_table(spark, store).collect()))
+
+    # migration-only merge (empty delta), crashing after the FIRST
+    # bucket committed its fold (2 renames: dst->back is skipped for a
+    # fresh bucket, so each commit is one rename)
+    empty = spark.createDataFrame(
+        [], "channel string, timestamp long, messages long"
+    )
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        if calls["n"] >= 1:
+            raise OSError("injected crash")
+        calls["n"] += 1
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(bucketstore.os, "rename", flaky_rename)
+    try:
+        sp.additive_merge(
+            spark, store, empty,
+            ["channel", "timestamp"], "messages", 1, flat_max_bytes=0,
+        )
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr(bucketstore.os, "rename", real_rename)
+
+    # the window: >=1 marked bucket AND flat files still present
+    assert bucketstore._marked_buckets(store)
+    assert bucketstore._legacy_flat_files(store)
+    got = sorted(map(tuple, sp.read_table(spark, store).collect()))
+    assert got == want  # no double-counted rows mid-migration

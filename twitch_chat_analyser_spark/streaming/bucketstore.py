@@ -186,26 +186,59 @@ def _swap_bucket(store: str, b: int, src: str) -> None:
         shutil.rmtree(back, ignore_errors=True)
 
 
+def _marked_buckets(store: str) -> list[int]:
+    """Buckets whose legacy migration marker is committed."""
+    if not os.path.isdir(store):
+        return []
+    out = []
+    for e in os.listdir(store):
+        if e.startswith("bucket=") and os.path.isfile(
+            os.path.join(store, e, "_legacy_migrated")
+        ):
+            b = e.split("=", 1)[1]
+            if b.lstrip("-").isdigit():
+                out.append(int(b))
+    return out
+
+
 def read_store(
-    spark: SparkSession, store: str, buckets: list[int] | None = None
+    spark: SparkSession,
+    store: str,
+    buckets: list[int] | None = None,
+    bucketize: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame | None:
     """Rows of the given buckets (all when None), bucket column
     retained; legacy flat rows included only in the all-buckets read
     (a bucket-filtered read during migration would misattribute them —
-    merge folds them in first). None when the store holds nothing."""
+    merge folds them in first). None when the store holds nothing.
+
+    ``bucketize`` (the same row→bucket assignment the writer uses)
+    closes the mid-migration serve window: between a crash in the
+    migration swap loop and the next merge, some buckets already hold
+    their folded legacy rows while the flat files still exist — a
+    reader that can recompute the legacy rows' buckets drops exactly
+    the rows of ``_legacy_migrated``-marked buckets instead of
+    double-counting them. Without it (a serve path that cannot
+    reconstruct the writer's bucket function, e.g. hash layouts with a
+    non-default bucket count) the read transiently over-counts those
+    buckets until the next merge completes the migration."""
     dirs = _bucket_dirs(store, buckets)
     legacy = _legacy_flat_files(store) if buckets is None else []
     parts = []
     if dirs:
         parts.append(spark.read.option("basePath", store).parquet(*dirs))
     if legacy:
-        # not-yet-migrated flat rows; sentinel bucket keeps the schema
-        # aligned (serving callers drop the column)
-        parts.append(
-            spark.read.parquet(*legacy).withColumn(
-                "bucket", F.lit(-1).cast("int")
-            )
-        )
+        ldf = spark.read.parquet(*legacy)
+        if bucketize is not None:
+            ldf = bucketize(ldf)
+            mig = _marked_buckets(store)
+            if mig:
+                ldf = ldf.filter(~F.col("bucket").isin(mig))
+        else:
+            # not-yet-migrated flat rows; sentinel bucket keeps the
+            # schema aligned (serving callers drop the column)
+            ldf = ldf.withColumn("bucket", F.lit(-1).cast("int"))
+        parts.append(ldf)
     if not parts:
         return None
     out = parts[0]

@@ -445,11 +445,23 @@ def additive_merge(
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Serving read of a fact store: heal any torn per-bucket (or
     legacy flat) swap restore-only, read bucketed + not-yet-migrated
-    flat rows, and drop the physical ``bucket`` column."""
+    flat rows, and drop the physical ``bucket`` column.
+
+    The fact stores bucket by day-of-window, which a reader can
+    recompute from the rows themselves — so legacy rows of buckets
+    whose migration marker is already committed are excluded, making
+    the serve read exact even between a mid-migration crash and the
+    healing merge (rows without a timestamp column get the sentinel
+    bucket, which never matches a marker)."""
     from . import bucketstore
 
+    def _legacy_bucketize(df: DataFrame) -> DataFrame:
+        if "timestamp" in df.columns:
+            return _day_bucketize(df)
+        return df.withColumn("bucket", F.lit(-1).cast("int"))
+
     bucketstore.recover(path, restore_only=True)
-    df = bucketstore.read_store(spark, path)
+    df = bucketstore.read_store(spark, path, bucketize=_legacy_bucketize)
     if df is None:
         # not a bucketed store: a flat SET-merge table or a
         # batch=<id>-partitioned side output — plain parquet read
