@@ -994,13 +994,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(5).cast(DEC) * _dec("l_quantity") * F.col("cnt")
             < F.col("sq")
         )
-        .agg(
-            (
-                F.sum(_i4("l_extendedprice")).cast("double")
-                / F.lit(10000.0)
-                / F.lit(7.0)
-            ).alias("avg_yearly")
-        )
+        .agg((_sum_d4("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -1097,9 +1091,7 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            (F.sum(_i4("c_acctbal")).cast("double") / F.lit(10000.0)).alias(
-                "totacctbal"
-            ),
+            _sum_d4("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -1379,8 +1371,7 @@ WITH pa AS (
            count(*) AS cnt
     FROM lineitem GROUP BY 1
 )
-SELECT CAST(CAST(sum({_i4_sql('l_extendedprice')}) AS BIGINT) AS DOUBLE)
-           / 10000.0 / 7.0 AS avg_yearly
+SELECT {SUM_D4_SQL('l_extendedprice')} / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_brand = '{Q17_BRAND}'
 JOIN pa ON l_partkey = pk
@@ -1417,8 +1408,7 @@ WITH pos AS (
     FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS numcust,
-       CAST(CAST(sum({_i4_sql('c_acctbal')}) AS BIGINT) AS DOUBLE)
-           / 10000.0 AS totacctbal
+       {SUM_D4_SQL('c_acctbal')} AS totacctbal
 FROM customer, pos
 WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -1435,8 +1425,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) AS INT) AS g_flag,
        CAST(grouping(l_linestatus) AS INT) AS g_status,
-       CAST(CAST(sum({_i4_sql('l_quantity')}) AS BIGINT) AS DOUBLE)
-           / 10000.0 AS sum_qty
+       {SUM_D4_SQL('l_quantity')} AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
         "topk_orders_per_priority": """
