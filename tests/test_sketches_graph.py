@@ -40,17 +40,18 @@ def test_sketch_reaggregation_beats_resummed_daily_counts(spark):
     ] == 1
 
 
-def test_approx_percentile_exact_at_test_scale(spark, sf_dir):
+def test_approx_percentile_bounded_at_test_scale(spark, sf_dir):
     from twitch_chat_analyser_spark import ingest
-    from twitch_chat_analyser_spark.plans import tpch
 
-    approx = {
-        r["o_orderpriority"]: (r["approx_median"], r["approx_p90"])
+    rows = {
+        r["o_orderpriority"]: r
         for r in sketches.order_value_digests(spark, sf_dir).collect()
     }
-    # approx_percentile returns an actual sample value; the exact
-    # percentile interpolates — they agree within one value's distance.
-    # Sanity: approx within the group's [min, max] and ordered.
+    # the emitted stats are the exact rank-ceil order statistics; the
+    # in-plan booleans assert the approx_percentile estimate landed
+    # within its documented rank guarantee (round 8 — the raw
+    # estimates were only exact while a group fit the summary, so the
+    # sf0.1 gate was deterministically red)
     orders = ingest.load(spark, sf_dir, "orders")
     bounds = {
         r["o_orderpriority"]: (r["lo"], r["hi"])
@@ -58,9 +59,10 @@ def test_approx_percentile_exact_at_test_scale(spark, sf_dir):
         .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
         .collect()
     }
-    for k, (med, p90) in approx.items():
+    for k, r in rows.items():
         lo, hi = bounds[k]
-        assert lo <= med <= p90 <= hi
+        assert lo <= r["median"] <= r["p90"] <= hi
+        assert r["within_bound_50"] and r["within_bound_90"]
 
 
 def _edges(spark, pairs):

@@ -123,27 +123,86 @@ def channel_chatters_sketch_checked(messages: DataFrame) -> DataFrame:
     )
 
 
+PCTL_ACCURACY = 10000
+
+
 def order_value_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile per group — the one-pass partial-mergeable
-    quantile path promised in tpch.percentile_order_values' scale note.
-    accuracy=10000 makes the GATE-scale (sf0.01, ~3k rows/group) result
-    exact — the summary holds every value and returns the
-    rank-ceil(p*n) order statistic. Beyond that the per-partition
-    summary MERGES compound the error bound, so larger scales are the
-    usual bounded-error estimate (verified: sf0.1 deviates by ~1e-4
-    relative — the sketch behaving as designed).
+    quantile path promised in tpch.percentile_order_values' scale note
+    — made driver-checkable AT ANY SCALE FACTOR. The old variant
+    emitted the raw estimates, which are only exact while a group fits
+    the accuracy=10000 summary (~10k rows); at sf0.1 they deviated by
+    the documented ~1e-4 and the gate was deterministically red — the
+    sketch behaving as designed, the gate mis-specified (the round-8
+    sweep at sf0.1 caught it; same class as VERDICT r7 #8).
 
-    -> o_orderpriority, approx_median, approx_p90
+    Now the output is the EXACT rank-ceil(p·n) order statistics (raw
+    column values — no arithmetic, so bit-identical across engines)
+    plus in-plan booleans asserting the estimate lands within its
+    documented rank guarantee: approx_percentile with accuracy a keeps
+    rank error ≤ n/a, so the estimate must lie between the order
+    statistics at ranks target ± (2·n/a + 1) — factor-2 margin for
+    summary-merge compounding, scale-free by construction. The oracle
+    side is the same exact statistics + literal TRUEs.
+
+    -> o_orderpriority, median, p90, within_bound_50, within_bound_90
     """
     orders = ingest.load(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.expr(
-            "approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)"
-        ).alias("q")
-    ).select(
-        "o_orderpriority",
-        F.col("q")[0].alias("approx_median"),
-        F.col("q")[1].alias("approx_p90"),
+    digests = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5D, 0.9D),"
+                f" {PCTL_ACCURACY})"
+            ).alias("q")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("a50"),
+            F.col("q")[1].alias("a90"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = (
+        orders.select("o_orderpriority", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "k", (F.lit(2) * F.col("n")) / PCTL_ACCURACY + F.lit(1)
+        )
+    )
+
+    def _at(rank_expr):
+        return F.max(
+            F.when(F.col("rn") == rank_expr, F.col("o_totalprice"))
+        )
+
+    def _stats(p: float, name: str):
+        m = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        lo = F.greatest(F.lit(1), (m - F.col("k")).cast("long"))
+        hi = F.least(F.col("n"), F.ceil(m + F.col("k")).cast("long"))
+        return [
+            _at(m).alias(name),
+            _at(lo).alias(f"_lo{name}"),
+            _at(hi).alias(f"_hi{name}"),
+        ]
+
+    exact = ranked.groupBy("o_orderpriority").agg(
+        *_stats(0.5, "median"), *_stats(0.9, "p90")
+    )
+    return (
+        exact.join(F.broadcast(digests), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "median",
+            "p90",
+            F.col("a50").between(F.col("_lomedian"), F.col("_himedian"))
+            .alias("within_bound_50"),
+            F.col("a90").between(F.col("_lop90"), F.col("_hip90"))
+            .alias("within_bound_90"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
@@ -616,9 +675,11 @@ FROM pairs p JOIN pu USING (channel_a, channel_b)""",
         "approx_percentile_order_values": """
 SELECT o_orderpriority,
        max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
-                THEN o_totalprice END) AS approx_median,
+                THEN o_totalprice END) AS median,
        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
-                THEN o_totalprice END) AS approx_p90
+                THEN o_totalprice END) AS p90,
+       TRUE AS within_bound_50,
+       TRUE AS within_bound_90
 FROM (
     SELECT o_orderpriority, o_totalprice,
            row_number() OVER (PARTITION BY o_orderpriority
