@@ -2939,7 +2939,16 @@ def _q_eval_minhash_exact_recall(spark, sf_dir):
 def _eval_minhash_exact_recall_oracle_sql() -> str:
     """Truth = brute-force all-pairs Jaccard at the same threshold;
     found = the committed minhash band-join + exact-verify pipeline at
-    the same threshold. Counts + one rounded division."""
+    the same threshold. Counts + one rounded division.
+
+    ORACLE COST SHAPE (known, deliberate): the truth CTE's
+    token-inverted join materializes Σ_token df(token)² rows — the
+    very blow-up the Spark side's prefix filter exists to avoid — so
+    beyond the sf0.01 gate scale DuckDB spills past the box's temp
+    disk (observed at sf0.1, round 8). That is the point: the oracle
+    must be the filter-free ground truth, and the gate runs it where
+    brute force is affordable. The SPARK side stays prefix-bounded at
+    every scale factor."""
     from . import dedup
 
     t = dedup.PPJOIN_THRESHOLD
