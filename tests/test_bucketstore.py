@@ -500,3 +500,74 @@ def test_serve_is_exact_during_interrupted_migration(
     assert bucketstore._legacy_flat_files(store)
     got = sorted(map(tuple, sp.read_table(spark, store).collect()))
     assert got == want  # no double-counted rows mid-migration
+
+
+def test_swap_bucket_double_rename_failure_fails_the_batch(
+    tmp_path, monkeypatch
+):
+    """ADVICE r9 (medium): when the publish rename fails twice (lost
+    the heal race again, or a persistent rename error), _swap_bucket
+    must RAISE — returning success would let Structured Streaming
+    commit the batch and lose the bucket's delta forever. The raise
+    fails the micro-batch so the checkpoint replays it."""
+    import os as _os
+
+    import pytest as _pytest
+
+    store = str(tmp_path / "s")
+    dst = os.path.join(store, "bucket=0")
+    os.makedirs(dst)
+    src = str(tmp_path / "tmp-src")
+    os.makedirs(src)
+
+    real_rename = _os.rename
+
+    def flaky_rename(a, b):
+        if b == dst:
+            raise OSError("injected persistent publish failure")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(bucketstore.os, "rename", flaky_rename)
+    with _pytest.raises(bucketstore.BucketSwapError):
+        bucketstore._swap_bucket(store, 0, src)
+    # and the error is an OSError so existing crash-injection replay
+    # machinery (and foreachBatch) treats it as a batch failure
+    assert issubclass(bucketstore.BucketSwapError, OSError)
+
+
+def test_read_store_keeps_unbucketizable_legacy_rows(spark, tmp_path):
+    """ADVICE r9 (low): the mid-migration legacy-row drop filter must
+    retain rows whose recomputed bucket is NULL — `~isin` alone
+    filters NULL predicates out, silently dropping them from serve
+    reads."""
+    import shutil as _shutil
+
+    store = str(tmp_path / "s")
+    # committed bucket 1 carrying its migration marker
+    spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1).write.parquet(
+        os.path.join(store, "bucket=1")
+    )
+    open(os.path.join(store, "bucket=1", "_legacy_migrated"), "w").close()
+    # legacy flat rows at the store root: one already folded into the
+    # marked bucket 1, one with a NULL key (bucketize -> NULL bucket)
+    flat_tmp = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, 10), (None, 99)], "k long, v long"
+    ).coalesce(1).write.parquet(flat_tmp)
+    for f in os.listdir(flat_tmp):
+        if f.endswith(".parquet"):
+            _shutil.copy(os.path.join(flat_tmp, f), os.path.join(store, f))
+    assert bucketstore._legacy_flat_files(store)
+
+    bucketize = lambda df: df.withColumn(  # noqa: E731
+        "bucket", (F.col("k") % 4).cast("int")
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in bucketstore.read_store(spark, store, bucketize=bucketize)
+        .select("k", "v")
+        .collect()
+    }
+    # the folded (1, 10) legacy twin is dropped (marked bucket); the
+    # NULL-key row survives
+    assert got == {(None, 99), (1, 10)}

@@ -40,9 +40,11 @@ PAYLOADS = {
 
 class _Handler(http.server.BaseHTTPRequestHandler):
     seen_headers: list[dict] = []
+    seen_paths: list[str] = []
 
     def do_GET(self):  # noqa: N802 — http.server API
         type(self).seen_headers.append(dict(self.headers))
+        type(self).seen_paths.append(self.path)
         if self.path == "/boom":
             self.send_error(500, "kaboom")
             return
@@ -151,3 +153,31 @@ def test_reload_emotes_end_to_end_survives_provider_outage(spark, base_url):
         [pv.BTTVProvider(base_url)], merged, {"click": None}, log=logs.append
     )
     assert again.count() == merged.count()
+
+
+def test_reserved_channel_names_are_percent_encoded(base_url):
+    """ADVICE r9 (low): channel names / broadcaster ids with reserved
+    or non-ASCII characters must be percent-encoded before URL
+    interpolation — an unencoded space is a malformed request line, an
+    unencoded `/` injects an extra path segment."""
+    # a name that would otherwise inject a path segment AND a space
+    weird = "we ird/name"
+    quoted = "we%20ird%2Fname"
+    PAYLOADS[f"/channels/{quoted}"] = {"emotes": [{"code": "bttvWeird"}]}
+    PAYLOADS[f"/room/{quoted}"] = {"sets": {"1": {"emoticons": [{"name": "ffzWeird"}]}}}
+    PAYLOADS[f"/users/{quoted}/emotes"] = [{"name": "sevenWeird"}]
+    PAYLOADS[f"/chat/emotes?broadcaster_id=4%202"] = {"data": [{"name": "twWeird"}]}
+
+    assert pv.BTTVProvider(base_url).fetch_channel(weird).emotes == {"bttvWeird"}
+    assert pv.FFZProvider(base_url).fetch_channel(weird).emotes == {"ffzWeird"}
+    assert pv.SevenTVProvider(base_url).fetch_channel(weird).emotes == {"sevenWeird"}
+    tw = pv.TwitchProvider("cid", "tok", base_url=base_url)
+    assert tw.fetch_channel(weird, broadcaster_id="4 2").emotes == {"twWeird"}
+    # the encoded forms are what actually crossed the wire
+    for p in (
+        f"/channels/{quoted}",
+        f"/room/{quoted}",
+        f"/users/{quoted}/emotes",
+        "/chat/emotes?broadcaster_id=4%202",
+    ):
+        assert p in _Handler.seen_paths

@@ -112,3 +112,36 @@ def test_single_pass_late_data_accumulates_and_replay_is_idempotent(spark, dirs)
     # the side output unchanged (exactly-once across every sink)
     sp.run_all_single_pass(spark, src, out, ckpt)
     assert _actual_tables(spark, out) == expected
+
+
+def test_single_pass_empty_batch_is_a_cheap_no_op(spark, dirs):
+    """ADVICE r9 (low): in the all-flat phase an empty micro-batch must
+    not drive five full flat-store rewrites — on a brand-new out_dir it
+    must publish nothing, and on an existing store it must leave every
+    file physically untouched."""
+    import os
+
+    src, out, ckpt = dirs
+
+    def _tree(d):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    # 1) brand-new out_dir, 0-row first batch -> no stores published
+    _mk_messages(spark, []).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    assert not os.path.isdir(out) or not os.listdir(out)
+
+    # 2) a real batch lands, then another empty one: store files keep
+    # their identity (no whole-store rewrite for zero rows)
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    before = _tree(out)
+    assert before
+    _mk_messages(spark, []).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    assert _tree(out) == before
+    assert _actual_tables(spark, out) == _expected_tables(spark, BATCH_1)

@@ -31,9 +31,20 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 from . import dim_maintenance as dm
+
+
+def _q(component: str) -> str:
+    """Percent-encode one path/query component before URL
+    interpolation: a channel name or broadcaster id containing
+    reserved or non-ASCII characters must not produce a malformed
+    request that reload_emotes then re-logs every cycle (ADVICE r8
+    low). ``safe=""`` also encodes ``/`` so a component can never
+    inject extra path segments."""
+    return urllib.parse.quote(str(component), safe="")
 
 DEFAULT_TIMEOUT_S = 5.0
 
@@ -105,7 +116,7 @@ class TwitchProvider:
         if broadcaster_id is None:
             return None
         payload = get_json_http(
-            f"{self.base_url}/chat/emotes?broadcaster_id={broadcaster_id}",
+            f"{self.base_url}/chat/emotes?broadcaster_id={_q(broadcaster_id)}",
             self.timeout_s,
             self.headers,
         )
@@ -128,7 +139,9 @@ class BTTVProvider:
 
     def fetch_channel(self, channel: str, broadcaster_id: str | None = None):
         return dm.parse_bttv(
-            get_json_http(f"{self.base_url}/channels/{channel}", self.timeout_s),
+            get_json_http(
+                f"{self.base_url}/channels/{_q(channel)}", self.timeout_s
+            ),
             channel,
         )
 
@@ -149,7 +162,9 @@ class FFZProvider:
 
     def fetch_channel(self, channel: str, broadcaster_id: str | None = None):
         return dm.parse_ffz(
-            get_json_http(f"{self.base_url}/room/{channel}", self.timeout_s),
+            get_json_http(
+                f"{self.base_url}/room/{_q(channel)}", self.timeout_s
+            ),
             channel,
         )
 
@@ -176,7 +191,7 @@ class SevenTVProvider:
     def fetch_channel(self, channel: str, broadcaster_id: str | None = None):
         try:
             payload = get_json_http(
-                f"{self.base_url}/users/{channel}/emotes",
+                f"{self.base_url}/users/{_q(channel)}/emotes",
                 self.timeout_s,
                 self.HEADERS,
             )

@@ -61,6 +61,14 @@ from pyspark.sql import functions as F
 STORE_BUCKETS = 16
 
 
+class BucketSwapError(OSError):
+    """A bucket's publish rename failed even after the heal-race
+    retake. Raised (never swallowed) so the micro-batch fails and
+    Structured Streaming replays it from the checkpoint — the bucket's
+    journal was not committed, so the replay re-merges exactly the
+    lost delta (exactly-once preserved)."""
+
+
 def with_bucket(df: DataFrame, keys: list[str], num_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.hash(*keys), F.lit(num_buckets)).cast("int")
@@ -165,8 +173,13 @@ def _swap_bucket(store: str, b: int, src: str) -> None:
     our rename(dst→back) and rename(src→dst) the reader may restore
     the backup, making the second rename fail — retake the swap
     instead of crashing the streaming query (ADVICE r7 low). If the
-    retake loses ANOTHER race, fail the bucket softly: the journal
-    wasn't committed, so checkpoint replay re-merges it."""
+    retake loses ANOTHER race (or hits a persistent rename error) the
+    bucket MUST NOT report success: returning here would let the sink
+    complete, Structured Streaming would commit the batch in its
+    checkpoint, and the bucket's delta rows would be lost forever
+    (ADVICE r8 medium). Raise so the micro-batch fails and the
+    checkpoint replays it — the journal for this bucket was never
+    committed, so the replayed merge re-applies the delta."""
     dst = os.path.join(store, f"bucket={b}")
     back = f"{store}.old-{uuid.uuid4().hex[:8]}-b{b}"
     had_old = os.path.isdir(dst)
@@ -179,8 +192,11 @@ def _swap_bucket(store: str, b: int, src: str) -> None:
         try:
             os.rename(dst, back2)
             os.rename(src, dst)
-        except OSError:
-            return  # lost twice; recover()/replay converge the bucket
+        except OSError as exc:
+            raise BucketSwapError(
+                f"bucket={b} of {store}: publish rename failed twice; "
+                "failing the micro-batch so the checkpoint replays it"
+            ) from exc
         shutil.rmtree(back2, ignore_errors=True)
     if had_old:
         shutil.rmtree(back, ignore_errors=True)
@@ -233,7 +249,12 @@ def read_store(
             ldf = bucketize(ldf)
             mig = _marked_buckets(store)
             if mig:
-                ldf = ldf.filter(~F.col("bucket").isin(mig))
+                # keep NULL-bucket rows: `~isin` alone filters NULL
+                # predicates out, silently dropping legacy rows whose
+                # bucketize result is NULL (ADVICE r8 low)
+                ldf = ldf.filter(
+                    F.col("bucket").isNull() | ~F.col("bucket").isin(mig)
+                )
         else:
             # not-yet-migrated flat rows; sentinel bucket keeps the
             # schema aligned (serving callers drop the column)

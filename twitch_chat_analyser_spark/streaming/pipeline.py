@@ -609,6 +609,15 @@ def run_all_single_pass(
                 int(span["min_ms"] // DAY_MS),
                 int(span["max_ms"] // DAY_MS) + 2,
             ))
+        elif batch_df.isEmpty():
+            # all-flat phase: without this guard an empty micro-batch
+            # still drives all five flat merges, each rewriting its
+            # whole store and re-journaling the batch for zero rows —
+            # and on a brand-new out_dir even publishes empty stores
+            # (ADVICE r8 low). take(1) on the cached batch is one
+            # cheap limit-1 job, far below a flat-store rewrite.
+            batch_df.unpersist()
+            return
 
         def merge_one(p: Pipeline) -> None:
             # cache the (small, post-aggregation) stats: with_total_rows
