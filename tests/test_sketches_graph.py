@@ -47,21 +47,27 @@ def test_approx_percentile_bounded_at_test_scale(spark, sf_dir):
         r["o_orderpriority"]: r
         for r in sketches.order_value_digests(spark, sf_dir).collect()
     }
-    # the emitted stats are the exact rank-ceil order statistics; the
-    # in-plan booleans assert the approx_percentile estimate landed
-    # within its documented rank guarantee (round 8 — the raw
-    # estimates were only exact while a group fit the summary, so the
-    # sf0.1 gate was deterministically red)
+    # the emitted stats are exact single-pass group aggregates; the
+    # in-plan booleans assert the approx_percentile estimate's EXACT
+    # rank (two conditional sums) lands within its documented
+    # guarantee p·n ± (2n/a + 1) — round 9: the prior rank-ceil truth
+    # was five near-global sorts, the registry's one scale-killer
     orders = ingest.load(spark, sf_dir, "orders")
-    bounds = {
-        r["o_orderpriority"]: (r["lo"], r["hi"])
+    truth = {
+        r["o_orderpriority"]: r
         for r in orders.groupBy("o_orderpriority")
-        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
         .collect()
     }
     for k, r in rows.items():
-        lo, hi = bounds[k]
-        assert lo <= r["median"] <= r["p90"] <= hi
+        t = truth[k]
+        assert (r["n_orders"], r["price_min"], r["price_max"]) == (
+            t["n"], t["lo"], t["hi"]
+        )
         assert r["within_bound_50"] and r["within_bound_90"]
 
 

@@ -206,6 +206,9 @@ def _write_partition(
     batch_size: int,
     ledger_key: tuple[str, int] | None = None,
     paramstyle: str = "pyformat",
+    rows_acc=None,
+    txn_acc=None,
+    skip_acc=None,
 ) -> None:
     """Executor-side partition writer: one connection per partition,
     executemany in ``batch_size`` chunks (reference batch size 100,
@@ -240,16 +243,28 @@ def _write_partition(
             )
             if getattr(cur, "rowcount", 1) == 0:
                 conn.rollback()  # a completed prior attempt owns this partition
+                if skip_acc is not None:
+                    skip_acc.add(1)
                 return
         buf: list[tuple] = []
+        written = 0
         for r in rows:
             buf.append(tuple(r[n] for n in names))
             if len(buf) >= batch_size:
                 cur.executemany(sql, buf)
+                written += len(buf)
                 buf.clear()
         if buf:
             cur.executemany(sql, buf)
+            written += len(buf)
         conn.commit()
+        # observability accumulators (bench/diagnostics): rows upserted
+        # and transactions committed per partition. Task retries can
+        # over-count accumulator updates — metrics only, never control.
+        if rows_acc is not None:
+            rows_acc.add(written)
+        if txn_acc is not None:
+            txn_acc.add(1)
     finally:
         conn.close()
 
@@ -280,6 +295,11 @@ class JdbcSink:
     connection_factory: Callable | None = None
     num_partitions: int = 32
     paramstyle: str = "pyformat"  # psycopg2; "qmark" for sqlite3
+    # optional Spark accumulators (rows upserted / txns committed /
+    # replay-skipped partitions) — metrics only, retry-over-countable
+    rows_acc: object = None
+    txn_acc: object = None
+    skip_acc: object = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         factory = self.connection_factory
@@ -311,5 +331,8 @@ class JdbcSink:
             batch_size=self.batch_size,
             ledger_key=ledger_key,
             paramstyle=self.paramstyle,
+            rows_acc=self.rows_acc,
+            txn_acc=self.txn_acc,
+            skip_acc=self.skip_acc,
         )
         out.foreachPartition(writer)
