@@ -72,6 +72,30 @@ def check() -> list[str]:
         if missing_headline:
             problems.append(f"headline queries missing: {missing_headline}")
 
+    # every round bench artifact must be valid JSON with a parsed bench
+    # line (VERDICT r8 nit: BENCH_r01 has parsed=null — its tail is
+    # truncated mid-line, so the line is unrecoverable; grandfathered
+    # by name, any FUTURE null fails the check)
+    _parsed_null_legacy = {"BENCH_r01.json"}
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    for fname in sorted(os.listdir(root)):
+        if not (fname.startswith("BENCH_r") and fname.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(root, fname)) as fh:
+                art = json.load(fh)
+        except (OSError, json.JSONDecodeError) as e:
+            problems.append(f"{fname} is not valid JSON: {e}")
+            continue
+        if fname in _parsed_null_legacy:
+            continue
+        parsed = art.get("parsed")
+        if not isinstance(parsed, dict) or "metric" not in parsed:
+            problems.append(
+                f"{fname} has no parsed bench line (parsed={parsed!r}) — "
+                "the bench run's JSON line was lost or malformed"
+            )
+
     corr_full = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "CORRECTNESS_FULL.json",
