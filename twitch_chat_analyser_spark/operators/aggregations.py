@@ -137,18 +137,45 @@ def emote_occurrences(msgs: DataFrame, emotes: DataFrame) -> DataFrame:
     return tokens.join(F.broadcast(emotes.select("emote").distinct()), "emote")
 
 
+def emote_stats_from_occurrences(occ: DataFrame) -> DataFrame:
+    """Per-(channel, emote) counts from an already-extracted emote
+    stream. The reference derives BOTH emote aggregations from ONE
+    extracted stream (EmoteAnalyser.java:98-129); the single-pass
+    topology persists :func:`emote_occurrences` once per micro-batch
+    and feeds this and :func:`user_emote_stats_from_occurrences`, so
+    the explode + dim join run once per trigger, not twice.
+
+    -> channel, emote, timestamp, occurrences
+    """
+    return _windowed_count(
+        occ,
+        ["channel", "emote"],
+        F.count("*").alias("occurrences"),
+        ["occurrences"],
+    )
+
+
+def user_emote_stats_from_occurrences(occ: DataFrame) -> DataFrame:
+    """Per-(channel, emote, username) counts from an already-extracted
+    emote stream (see :func:`emote_stats_from_occurrences`).
+
+    -> channel, emote, username, timestamp, occurrences
+    """
+    return _windowed_count(
+        occ,
+        ["channel", "emote", "username"],
+        F.count("*").alias("occurrences"),
+        ["occurrences"],
+    )
+
+
 def emote_stats(msgs: DataFrame, emotes: DataFrame) -> DataFrame:
     """Per-(channel, emote) occurrence counts per window
     (EmoteStatsAggregation.java:28-32).
 
     -> channel, emote, timestamp, occurrences
     """
-    return _windowed_count(
-        emote_occurrences(msgs, emotes),
-        ["channel", "emote"],
-        F.count("*").alias("occurrences"),
-        ["occurrences"],
-    )
+    return emote_stats_from_occurrences(emote_occurrences(msgs, emotes))
 
 
 def user_emote_stats(msgs: DataFrame, emotes: DataFrame) -> DataFrame:
@@ -157,12 +184,7 @@ def user_emote_stats(msgs: DataFrame, emotes: DataFrame) -> DataFrame:
 
     -> channel, emote, username, timestamp, occurrences
     """
-    return _windowed_count(
-        emote_occurrences(msgs, emotes),
-        ["channel", "emote", "username"],
-        F.count("*").alias("occurrences"),
-        ["occurrences"],
-    )
+    return user_emote_stats_from_occurrences(emote_occurrences(msgs, emotes))
 
 
 def phrase_matches(msgs: DataFrame, phrases: DataFrame) -> DataFrame:

@@ -562,6 +562,7 @@ def run_all_single_pass(
     """
     pipelines = default_pipelines(spark)
     phrases = dims.phrases_df(spark)
+    emotes = dims.emotes_df(spark)
 
     def _any_bucketed() -> bool:
         for p in default_pipelines(spark):
@@ -619,6 +620,22 @@ def run_all_single_pass(
             batch_df.unpersist()
             return
 
+        # ONE emote extraction per trigger, shared by both emote tables
+        # (EmoteAnalyser.java:98-129 likewise derives emote_stats AND
+        # user_emote_stats from a single extracted stream): persisted so
+        # the concurrent merges below compute the explode + broadcast
+        # dim join once — it was the largest repeated work item and
+        # user_emote_stats the slowest merge (VERDICT r8 #3).
+        occurrences = agg.emote_occurrences(batch_df, emotes).persist()
+        shared = {
+            "emote_stats": lambda: agg.emote_stats_from_occurrences(
+                occurrences
+            ),
+            "user_emote_stats": (
+                lambda: agg.user_emote_stats_from_occurrences(occurrences)
+            ),
+        }
+
         def merge_one(p: Pipeline) -> None:
             # cache the (small, post-aggregation) stats: with_total_rows
             # references it in both union branches, and un-cached that
@@ -628,7 +645,8 @@ def run_all_single_pass(
             # computes and reuses the aggregation (round 8, trigger-
             # budget headroom).
             t0 = time.time()
-            stats = p.transform(batch_df).persist()
+            build = shared.get(p.name, lambda: p.transform(batch_df))
+            stats = build().persist()
             try:
                 value_col = [c for c in stats.columns if c not in p.keys][0]
                 deltas = with_total_rows(stats, p.keys, value_col)
@@ -683,6 +701,7 @@ def run_all_single_pass(
                 for f in [pool.submit(j) for j in jobs]:
                     f.result()
         finally:
+            occurrences.unpersist()
             batch_df.unpersist()
 
     stream = read_message_stream(spark, source_dir, max_files_per_trigger)
