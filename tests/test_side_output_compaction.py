@@ -1,0 +1,102 @@
+"""Side-output compaction (pipeline.compact_matched_messages): the
+exactly-once ``batch=<id>`` append log folds into one consolidated
+directory without losing rows, double-counting, or breaking replay —
+the unbounded-directory-growth fix for long-running jobs (~17k
+dirs/day at a 5 s trigger)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+from test_streaming import BATCH_1, BATCH_2, _mk_messages, _sorted_rows
+from test_streaming_single_pass import _expected_tables
+
+
+def _dirs(tmp_path):
+    return (str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+
+def _matched_rows(spark, out):
+    return _sorted_rows(sp.read_matched_messages(spark, out))
+
+
+def _batch_dirs(out):
+    root = os.path.join(out, sp.MATCHED_DIRNAME)
+    return sorted(e for e in os.listdir(root) if e.startswith("batch="))
+
+
+def test_compaction_preserves_rows_and_bounds_directories(spark, tmp_path):
+    src, out, ckpt = _dirs(tmp_path)
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    want = _expected_tables(spark, BATCH_1 + BATCH_2)[
+        "messages_matching_phrase"
+    ]
+    assert _matched_rows(spark, out) == want
+    assert _batch_dirs(out) == ["batch=0", "batch=1"]
+
+    folded = sp.compact_matched_messages(spark, out, keep_last=1)
+    assert folded == 1  # batch 0 folded; newest kept for replay
+    assert _batch_dirs(out) == ["batch=-1", "batch=1"]
+    assert _matched_rows(spark, out) == want
+
+    # idempotent: nothing newly eligible
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
+    assert _matched_rows(spark, out) == want
+
+    # a post-compaction trigger appends normally and folds next cycle
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    want2 = _expected_tables(spark, BATCH_1 + BATCH_2 + BATCH_1)[
+        "messages_matching_phrase"
+    ]
+    assert _matched_rows(spark, out) == want2
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
+    assert _batch_dirs(out) == ["batch=-1", "batch=2"]
+    assert _matched_rows(spark, out) == want2
+
+
+def test_crash_between_swap_and_removal_stays_exact(spark, tmp_path):
+    """The crash window: consolidated dir committed (marker includes
+    the folded id) but the original batch dir still on disk — the read
+    must exclude it (no double count) and the next compaction must
+    garbage-collect it."""
+    src, out, ckpt = _dirs(tmp_path)
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    want = _matched_rows(spark, out)
+
+    root = os.path.join(out, sp.MATCHED_DIRNAME)
+    b0 = os.path.join(root, "batch=0")
+    saved = str(tmp_path / "saved-b0")
+    shutil.copytree(b0, saved)
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
+    # resurrect the original: exactly the state a crash between the
+    # consolidated swap and the removal loop leaves behind
+    shutil.copytree(saved, b0)
+    assert "batch=0" in _batch_dirs(out)
+    assert _matched_rows(spark, out) == want  # marker excludes it
+    # next compaction gc's the stale dir without re-folding it
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
+    assert "batch=0" not in _batch_dirs(out)
+    assert _matched_rows(spark, out) == want
+
+
+def test_empty_and_missing_states(spark, tmp_path):
+    out = str(tmp_path / "out")
+    # nothing written at all
+    assert sp.compact_matched_messages(spark, out) == 0
+    assert sp.read_matched_messages(spark, out).count() == 0
+    # an all-empty batch dir (zero part files) folds without error
+    root = os.path.join(out, sp.MATCHED_DIRNAME)
+    for i in range(3):
+        os.makedirs(os.path.join(root, f"batch={i}"))
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 2
+    assert sp.read_matched_messages(spark, out).count() == 0

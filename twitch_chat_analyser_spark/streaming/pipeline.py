@@ -42,6 +42,7 @@ property a Delta MERGE on a date-partitioned table gives at 100 TB.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -471,6 +472,164 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         # batch=<id>-partitioned side output — plain parquet read
         return spark.read.parquet(path)
     return df.drop("bucket")
+
+
+MATCHED_DIRNAME = "messages_matching_phrase"
+# the consolidated directory keeps key=value form so a plain
+# partition-discovery read of the root still works after compaction
+COMPACTED_BATCH = -1
+
+
+def _matched_root(out_dir: str) -> str:
+    return os.path.join(out_dir, MATCHED_DIRNAME)
+
+
+def _matched_live_ids(root: str) -> list[int]:
+    ids = []
+    for e in os.listdir(root):
+        if e.startswith("batch="):
+            b = e.split("=", 1)[1]
+            if b.lstrip("-").isdigit() and int(b) != COMPACTED_BATCH:
+                ids.append(int(b))
+    return sorted(ids)
+
+
+def _has_parquet(d: str) -> bool:
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    )
+
+
+def _matched_folded_ids(root: str) -> set[int]:
+    j = os.path.join(
+        root, f"batch={COMPACTED_BATCH}", "_folded_ids.json"
+    )
+    if os.path.isfile(j):
+        with open(j) as fh:
+            return set(json.load(fh))
+    return set()
+
+
+def compact_matched_messages(
+    spark: SparkSession, out_dir: str, keep_last: int = 2
+) -> int:
+    """Fold old ``batch=<id>`` side-output directories into one
+    consolidated ``batch=-1`` directory. Returns the number of batch
+    directories folded.
+
+    Why: the exactly-once side output writes one directory per trigger
+    (a replayed batch overwrites ITS OWN directory —
+    MessagesMatchingPhraseExporter.java:16-50 gets the same guarantee
+    from the XA wrapper). On a long-running job that is unbounded
+    directory growth: at one trigger per 5 s, ~17k directories/day of
+    tiny files — a listing and small-file problem at 100 TB scale.
+    Periodic compaction (the reference would run VACUUM-style
+    maintenance on Postgres; this is the parquet-store analog) folds
+    committed batches into one directory of right-sized files.
+
+    Replay safety: with a sequential-commit source, the only batch
+    that can replay after a crash is the highest written id, so every
+    id except the newest ``keep_last`` (enforced ≥ 1) is immutable and
+    safe to fold. Crash safety: the set of folded ids is written to
+    ``_folded_ids.json`` INSIDE the consolidated directory and
+    committed by the SAME atomic rename that publishes the folded
+    rows; the originals are removed only afterwards, and a crash
+    between swap and removal leaves stale-but-excluded directories
+    (:func:`read_matched_messages` filters them by the marker) that
+    the next compaction garbage-collects.
+    """
+    keep_last = max(1, keep_last)
+    root = _matched_root(out_dir)
+    if not os.path.isdir(root):
+        return 0
+    # gc: stale tmp dirs and already-folded originals from a prior
+    # crash between swap and removal
+    for e in os.listdir(root):
+        if e.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+    folded = _matched_folded_ids(root)
+    ids = _matched_live_ids(root)
+    for i in [i for i in ids if i in folded]:
+        shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
+    live = [i for i in ids if i not in folded]
+    eligible = live[:-keep_last]
+    if not eligible:
+        return 0
+
+    comp = os.path.join(root, f"batch={COMPACTED_BATCH}")
+    # an all-empty-batch dir holds no part files and can't be read —
+    # it still gets folded (marked + removed), it just contributes none
+    parts = [
+        spark.read.parquet(os.path.join(root, f"batch={i}"))
+        for i in eligible
+        if _has_parquet(os.path.join(root, f"batch={i}"))
+    ]
+    if _has_parquet(comp):
+        parts.append(spark.read.parquet(comp))
+    if not parts:
+        parts = [
+            spark.createDataFrame(
+                [],
+                "message_time long, message_channel string, "
+                "message_user string, message_text string, "
+                "matched_phrase string",
+            )
+        ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
+    # right-size the consolidated files: the folded batches are tiny
+    merged.coalesce(max(1, len(eligible) // 64)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    with open(os.path.join(tmp, "_folded_ids.json"), "w") as fh:
+        json.dump(sorted(folded | set(eligible)), fh)
+    back = f"{comp}.old-{uuid.uuid4().hex[:8]}"
+    had_old = os.path.isdir(comp)
+    if had_old:
+        os.rename(comp, back)
+    os.rename(tmp, comp)
+    if had_old:
+        shutil.rmtree(back, ignore_errors=True)
+    for i in eligible:
+        shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
+    return len(eligible)
+
+
+def read_matched_messages(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Exact serving read of the matched-message append log across
+    compaction states: consolidated rows + live (un-folded) batch
+    directories; directories whose id is in the folded marker are
+    excluded, so the read is exact even between a compaction crash and
+    the next gc. Logical schema only (no ``batch`` column)."""
+    root = _matched_root(out_dir)
+    paths: list[str] = []
+    folded: set[int] = set()
+    comp = os.path.join(root, f"batch={COMPACTED_BATCH}")
+    if os.path.isdir(root):
+        folded = _matched_folded_ids(root)
+        if os.path.isdir(comp):
+            paths.append(comp)
+    if os.path.isdir(root):
+        paths += [
+            os.path.join(root, f"batch={i}")
+            for i in _matched_live_ids(root)
+            if i not in folded
+            and _has_parquet(os.path.join(root, f"batch={i}"))
+        ]
+    if not paths:
+        return spark.createDataFrame(
+            [],
+            "message_time long, message_channel string, "
+            "message_user string, message_text string, "
+            "matched_phrase string",
+        )
+    parts = [spark.read.parquet(p) for p in paths]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def with_total_rows(stats: DataFrame, keys: list[str], value_col: str) -> DataFrame:
