@@ -71,6 +71,20 @@ def check() -> list[str]:
         missing_headline = [n for n in bench.HEADLINE if n not in timings]
         if missing_headline:
             problems.append(f"headline queries missing: {missing_headline}")
+        # the streaming instrumentation is load-bearing (it is how a
+        # throughput regression names its cause); its absence means the
+        # bench silently lost its breakdown
+        for section, fields in (
+            ("streaming", ["merge_breakdown"]),
+            ("streaming_jdbc", ["jdbc_upsert_breakdown", "jdbc_tables"]),
+        ):
+            sec = b.get(section, {})
+            for f in fields:
+                if not sec.get(f):
+                    problems.append(
+                        f"BENCH_FULL.{section} missing instrumentation "
+                        f"field '{f}'"
+                    )
 
     # every round bench artifact must be valid JSON with a parsed bench
     # line (VERDICT r8 nit: BENCH_r01 has parsed=null — its tail is
