@@ -57,7 +57,9 @@ def test_compaction_preserves_rows_and_bounds_directories(spark, tmp_path):
     ]
     assert _matched_rows(spark, out) == want2
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
-    assert _batch_dirs(out) == ["batch=-1", "batch=2"]
+    # segments are immutable: the second fold writes a NEW segment
+    # (batch=-2) instead of rewriting batch=-1
+    assert _batch_dirs(out) == ["batch=-1", "batch=-2", "batch=2"]
     assert _matched_rows(spark, out) == want2
 
 
@@ -100,3 +102,56 @@ def test_empty_and_missing_states(spark, tmp_path):
         os.makedirs(os.path.join(root, f"batch={i}"))
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 2
     assert sp.read_matched_messages(spark, out).count() == 0
+
+
+def test_segment_merge_is_amortized_and_crash_safe(
+    spark, tmp_path, monkeypatch
+):
+    """When too many immutable segments accumulate, a cycle folds the
+    segments themselves into one — published like any segment by a
+    single atomic rename, with the superseded segments excluded by
+    marker (never rewritten in place, so there is no window where
+    previously-folded history can be lost)."""
+    monkeypatch.setattr(sp, "MATCHED_MAX_SEGMENTS", 2)
+    src, out, ckpt = _dirs(tmp_path)
+
+    def feed(rows):
+        _mk_messages(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        sp.run_all_single_pass(spark, src, out, ckpt)
+
+    feed(BATCH_1)
+    feed(BATCH_2)
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1  # seg -1
+    feed(BATCH_1)
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1  # seg -2
+    want = _matched_rows(spark, out)
+    feed(BATCH_2)
+    # two segments live >= max: this cycle folds batches AND segments
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
+    assert _batch_dirs(out) == ["batch=-3", "batch=3"]
+    want = _expected_tables(spark, BATCH_1 + BATCH_2 + BATCH_1 + BATCH_2)[
+        "messages_matching_phrase"
+    ]
+    assert _matched_rows(spark, out) == want
+
+    # crash window of the merge: a superseded segment resurfaces ->
+    # excluded by the superseding segment's marker, gc'd next cycle
+    root = os.path.join(out, sp.MATCHED_DIRNAME)
+    seg3 = os.path.join(root, "batch=-3")
+    saved = str(tmp_path / "saved-seg1")
+    # rebuild a fake stale seg -1 (content irrelevant; marker decides)
+    shutil.copytree(seg3, saved)
+    shutil.copytree(saved, os.path.join(root, "batch=-9"))
+    # a segment not referenced by any marker and not superseded is
+    # treated as live — so instead resurrect one that IS superseded
+    shutil.rmtree(os.path.join(root, "batch=-9"))
+    shutil.copytree(saved, os.path.join(root, "batch=-1"))
+    # overwrite its marker with what seg -1 really folded
+    import json as _json
+
+    with open(os.path.join(root, "batch=-1", "_folded.json"), "w") as fh:
+        _json.dump({"batches": [0], "segments": []}, fh)
+    assert _matched_rows(spark, out) == want  # still exact
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
+    assert "batch=-1" not in _batch_dirs(out)  # gc'd
+    assert _matched_rows(spark, out) == want

@@ -103,6 +103,13 @@ def check() -> list[str]:
             continue
         if fname in _parsed_null_legacy:
             continue
+        if not isinstance(art, dict):
+            # valid JSON but not an object (e.g. a bare null or list
+            # from a corrupted write) — report, don't crash the gate
+            problems.append(
+                f"{fname} is not a JSON object: {type(art).__name__}"
+            )
+            continue
         parsed = art.get("parsed")
         if not isinstance(parsed, dict) or "metric" not in parsed:
             problems.append(

@@ -475,21 +475,27 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 MATCHED_DIRNAME = "messages_matching_phrase"
-# the consolidated directory keeps key=value form so a plain
-# partition-discovery read of the root still works after compaction
-COMPACTED_BATCH = -1
+MATCHED_SCHEMA = (
+    "message_time long, message_channel string, message_user string, "
+    "message_text string, matched_phrase string"
+)
+# once this many consolidated segments are live, a compaction cycle
+# also folds the segments themselves into one (rare, amortized)
+MATCHED_MAX_SEGMENTS = 8
 
 
 def _matched_root(out_dir: str) -> str:
     return os.path.join(out_dir, MATCHED_DIRNAME)
 
 
-def _matched_live_ids(root: str) -> list[int]:
+def _matched_ids(root: str) -> list[int]:
+    """All batch=<id> ids present: positive = trigger batches,
+    negative = immutable consolidated segments."""
     ids = []
     for e in os.listdir(root):
         if e.startswith("batch="):
             b = e.split("=", 1)[1]
-            if b.lstrip("-").isdigit() and int(b) != COMPACTED_BATCH:
+            if b.lstrip("-").isdigit():
                 ids.append(int(b))
     return sorted(ids)
 
@@ -500,22 +506,41 @@ def _has_parquet(d: str) -> bool:
     )
 
 
-def _matched_folded_ids(root: str) -> set[int]:
-    j = os.path.join(
-        root, f"batch={COMPACTED_BATCH}", "_folded_ids.json"
-    )
+def _segment_marker(root: str, sid: int) -> dict:
+    j = os.path.join(root, f"batch={sid}", "_folded.json")
     if os.path.isfile(j):
         with open(j) as fh:
-            return set(json.load(fh))
-    return set()
+            return json.load(fh)
+    return {"batches": [], "segments": []}
+
+
+def _matched_state(root: str):
+    """(live batch ids, live segment ids, folded batch ids,
+    superseded segment ids) from the on-disk markers. A segment's
+    marker lists the batch ids AND segment ids it folded; a segment
+    listed by another segment is superseded. Live segments' markers
+    are complete (merges carry constituent batch lists forward), so
+    folded-batch membership needs only the live markers."""
+    ids = _matched_ids(root)
+    seg_ids = [i for i in ids if i < 0]
+    markers = {s: _segment_marker(root, s) for s in seg_ids}
+    superseded = set()
+    for m in markers.values():
+        superseded |= set(m["segments"])
+    live_segs = [s for s in seg_ids if s not in superseded]
+    folded = set()
+    for s in live_segs:
+        folded |= set(markers[s]["batches"])
+    live_batches = [i for i in ids if i >= 0 and i not in folded]
+    return live_batches, live_segs, folded, superseded
 
 
 def compact_matched_messages(
     spark: SparkSession, out_dir: str, keep_last: int = 2
 ) -> int:
-    """Fold old ``batch=<id>`` side-output directories into one
-    consolidated ``batch=-1`` directory. Returns the number of batch
-    directories folded.
+    """Fold old ``batch=<id>`` side-output directories into an
+    immutable consolidated SEGMENT (``batch=-1``, ``batch=-2``, …).
+    Returns the number of batch directories folded.
 
     Why: the exactly-once side output writes one directory per trigger
     (a replayed batch overwrites ITS OWN directory —
@@ -525,111 +550,99 @@ def compact_matched_messages(
     tiny files — a listing and small-file problem at 100 TB scale.
     Periodic compaction (the reference would run VACUUM-style
     maintenance on Postgres; this is the parquet-store analog) folds
-    committed batches into one directory of right-sized files.
+    committed batches into right-sized immutable segments.
 
     Replay safety: with a sequential-commit source, the only batch
     that can replay after a crash is the highest written id, so every
     id except the newest ``keep_last`` (enforced ≥ 1) is immutable and
-    safe to fold. Crash safety: the set of folded ids is written to
-    ``_folded_ids.json`` INSIDE the consolidated directory and
-    committed by the SAME atomic rename that publishes the folded
-    rows; the originals are removed only afterwards, and a crash
-    between swap and removal leaves stale-but-excluded directories
-    (:func:`read_matched_messages` filters them by the marker) that
-    the next compaction garbage-collects.
+    safe to fold.
+
+    Crash safety — no rewrite of existing data, ever: each cycle
+    writes a NEW segment containing only the newly folded batches and
+    publishes it with ONE atomic rename; the segment's ``_folded.json``
+    (committed by that same rename) lists what it folded, and reads
+    exclude folded batch dirs / superseded segments by marker. A crash
+    before the rename leaves a tmp dir (gc'd next cycle); a crash
+    after it leaves stale-but-excluded originals (gc'd next cycle).
+    Cost per cycle is O(newly folded data), not O(history); when more
+    than ``MATCHED_MAX_SEGMENTS`` segments are live, the cycle folds
+    the segments too (amortized — segment count grows per compaction
+    run, not per trigger). Single-writer assumption as for the
+    bucketed stores: one maintenance process at a time.
     """
     keep_last = max(1, keep_last)
     root = _matched_root(out_dir)
     if not os.path.isdir(root):
         return 0
-    # gc: stale tmp dirs and already-folded originals from a prior
-    # crash between swap and removal
+    # gc from any prior crash: tmp dirs, folded batch dirs that were
+    # never removed, superseded segment dirs
     for e in os.listdir(root):
         if e.startswith(".tmp-"):
             shutil.rmtree(os.path.join(root, e), ignore_errors=True)
-    folded = _matched_folded_ids(root)
-    ids = _matched_live_ids(root)
-    for i in [i for i in ids if i in folded]:
-        shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
-    live = [i for i in ids if i not in folded]
-    eligible = live[:-keep_last]
+    live_batches, live_segs, folded, superseded = _matched_state(root)
+    for i in sorted(folded | superseded):
+        d = os.path.join(root, f"batch={i}")
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+
+    eligible = live_batches[:-keep_last]
     if not eligible:
         return 0
+    merge_segments = len(live_segs) >= MATCHED_MAX_SEGMENTS
+    fold_segs = live_segs if merge_segments else []
 
-    comp = os.path.join(root, f"batch={COMPACTED_BATCH}")
-    # an all-empty-batch dir holds no part files and can't be read —
-    # it still gets folded (marked + removed), it just contributes none
-    parts = [
-        spark.read.parquet(os.path.join(root, f"batch={i}"))
-        for i in eligible
-        if _has_parquet(os.path.join(root, f"batch={i}"))
-    ]
-    if _has_parquet(comp):
-        parts.append(spark.read.parquet(comp))
-    if not parts:
-        parts = [
-            spark.createDataFrame(
-                [],
-                "message_time long, message_channel string, "
-                "message_user string, message_text string, "
-                "matched_phrase string",
-            )
-        ]
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
+    src_dirs = [os.path.join(root, f"batch={i}") for i in eligible]
+    src_dirs += [os.path.join(root, f"batch={s}") for s in fold_segs]
+    # all-empty dirs hold no part files and can't be read — they still
+    # get folded (marked + removed), they just contribute no rows
+    readable = [d for d in src_dirs if _has_parquet(d)]
+    merged = (
+        spark.read.parquet(*readable)
+        if readable
+        else spark.createDataFrame([], MATCHED_SCHEMA)
+    )
+    marker = {
+        "batches": sorted(
+            set(eligible)
+            | {b for s in fold_segs
+               for b in _segment_marker(root, s)["batches"]}
+        ),
+        "segments": sorted(fold_segs),
+    }
     tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
-    # right-size the consolidated files: the folded batches are tiny
-    merged.coalesce(max(1, len(eligible) // 64)).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    with open(os.path.join(tmp, "_folded_ids.json"), "w") as fh:
-        json.dump(sorted(folded | set(eligible)), fh)
-    back = f"{comp}.old-{uuid.uuid4().hex[:8]}"
-    had_old = os.path.isdir(comp)
-    if had_old:
-        os.rename(comp, back)
-    os.rename(tmp, comp)
-    if had_old:
-        shutil.rmtree(back, ignore_errors=True)
-    for i in eligible:
-        shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
+    # right-size the consolidated files: the folded inputs are tiny
+    merged.coalesce(
+        max(1, len(readable) // 64)
+    ).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_folded.json"), "w") as fh:
+        json.dump(marker, fh)
+    new_sid = min(live_segs + [0]) - 1
+    os.rename(tmp, os.path.join(root, f"batch={new_sid}"))  # atomic publish
+    for d in src_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     return len(eligible)
 
 
 def read_matched_messages(spark: SparkSession, out_dir: str) -> DataFrame:
     """Exact serving read of the matched-message append log across
-    compaction states: consolidated rows + live (un-folded) batch
-    directories; directories whose id is in the folded marker are
-    excluded, so the read is exact even between a compaction crash and
-    the next gc. Logical schema only (no ``batch`` column)."""
+    compaction states: live consolidated segments + un-folded batch
+    directories, read as ONE multi-path parquet relation (one listing
+    pass, flat plan). Batch dirs folded into a segment and segments
+    superseded by a merge are excluded by marker, so the read is exact
+    even between a compaction crash and the next gc. Logical schema
+    only (no ``batch`` column)."""
     root = _matched_root(out_dir)
     paths: list[str] = []
-    folded: set[int] = set()
-    comp = os.path.join(root, f"batch={COMPACTED_BATCH}")
     if os.path.isdir(root):
-        folded = _matched_folded_ids(root)
-        if os.path.isdir(comp):
-            paths.append(comp)
-    if os.path.isdir(root):
-        paths += [
+        live_batches, live_segs, _folded, _sup = _matched_state(root)
+        paths = [
             os.path.join(root, f"batch={i}")
-            for i in _matched_live_ids(root)
-            if i not in folded
-            and _has_parquet(os.path.join(root, f"batch={i}"))
+            for i in live_segs + live_batches
+            if _has_parquet(os.path.join(root, f"batch={i}"))
         ]
     if not paths:
-        return spark.createDataFrame(
-            [],
-            "message_time long, message_channel string, "
-            "message_user string, message_text string, "
-            "matched_phrase string",
-        )
-    parts = [spark.read.parquet(p) for p in paths]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        return spark.createDataFrame([], MATCHED_SCHEMA)
+    return spark.read.parquet(*paths)
 
 
 def with_total_rows(stats: DataFrame, keys: list[str], value_col: str) -> DataFrame:
