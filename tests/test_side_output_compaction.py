@@ -150,7 +150,7 @@ def test_segment_merge_is_amortized_and_crash_safe(
     import json as _json
 
     with open(os.path.join(root, "batch=-1", "_folded.json"), "w") as fh:
-        _json.dump({"batches": [0], "segments": []}, fh)
+        _json.dump({"max_batch": 0, "segments": []}, fh)
     assert _matched_rows(spark, out) == want  # still exact
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
     assert "batch=-1" not in _batch_dirs(out)  # gc'd

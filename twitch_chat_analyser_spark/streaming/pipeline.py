@@ -511,16 +511,19 @@ def _segment_marker(root: str, sid: int) -> dict:
     if os.path.isfile(j):
         with open(j) as fh:
             return json.load(fh)
-    return {"batches": [], "segments": []}
+    return {"max_batch": -1, "segments": []}
 
 
 def _matched_state(root: str):
-    """(live batch ids, live segment ids, folded batch ids,
+    """(live batch ids, live segment ids, folded-batch watermark,
     superseded segment ids) from the on-disk markers. A segment's
-    marker lists the batch ids AND segment ids it folded; a segment
-    listed by another segment is superseded. Live segments' markers
-    are complete (merges carry constituent batch lists forward), so
-    folded-batch membership needs only the live markers."""
+    marker records the highest batch id it folded (``max_batch``) and
+    the segment ids it merged; a segment listed by another segment is
+    superseded. Batch ids are strictly increasing and compaction
+    always folds a PREFIX of the live ids, so "folded" is exactly
+    "id ≤ watermark" — the marker stays O(1) no matter how many
+    batches a long-running job ever folds. Live segments' markers are
+    complete (merges carry the max forward)."""
     ids = _matched_ids(root)
     seg_ids = [i for i in ids if i < 0]
     markers = {s: _segment_marker(root, s) for s in seg_ids}
@@ -528,11 +531,11 @@ def _matched_state(root: str):
     for m in markers.values():
         superseded |= set(m["segments"])
     live_segs = [s for s in seg_ids if s not in superseded]
-    folded = set()
-    for s in live_segs:
-        folded |= set(markers[s]["batches"])
-    live_batches = [i for i in ids if i >= 0 and i not in folded]
-    return live_batches, live_segs, folded, superseded
+    watermark = max(
+        [markers[s]["max_batch"] for s in live_segs], default=-1
+    )
+    live_batches = [i for i in ids if i >= 0 and i > watermark]
+    return live_batches, live_segs, watermark, superseded
 
 
 def compact_matched_messages(
@@ -560,8 +563,11 @@ def compact_matched_messages(
     Crash safety — no rewrite of existing data, ever: each cycle
     writes a NEW segment containing only the newly folded batches and
     publishes it with ONE atomic rename; the segment's ``_folded.json``
-    (committed by that same rename) lists what it folded, and reads
-    exclude folded batch dirs / superseded segments by marker. A crash
+    (committed by that same rename) records the folded-batch watermark
+    (compaction always folds a prefix of the strictly-increasing batch
+    ids, so the marker is O(1) forever) plus any merged segment ids,
+    and reads exclude folded batch dirs / superseded segments by
+    marker. A crash
     before the rename leaves a tmp dir (gc'd next cycle); a crash
     after it leaves stale-but-excluded originals (gc'd next cycle).
     Cost per cycle is O(newly folded data), not O(history); when more
@@ -579,11 +585,13 @@ def compact_matched_messages(
     for e in os.listdir(root):
         if e.startswith(".tmp-"):
             shutil.rmtree(os.path.join(root, e), ignore_errors=True)
-    live_batches, live_segs, folded, superseded = _matched_state(root)
-    for i in sorted(folded | superseded):
-        d = os.path.join(root, f"batch={i}")
-        if os.path.isdir(d):
-            shutil.rmtree(d, ignore_errors=True)
+    live_batches, live_segs, watermark, superseded = _matched_state(root)
+    stale = [
+        i for i in _matched_ids(root)
+        if (0 <= i <= watermark) or i in superseded
+    ]
+    for i in stale:
+        shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
 
     eligible = live_batches[:-keep_last]
     if not eligible:
@@ -602,18 +610,21 @@ def compact_matched_messages(
         else spark.createDataFrame([], MATCHED_SCHEMA)
     )
     marker = {
-        "batches": sorted(
-            set(eligible)
-            | {b for s in fold_segs
-               for b in _segment_marker(root, s)["batches"]}
-        ),
+        "max_batch": max(eligible),
         "segments": sorted(fold_segs),
     }
     tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
-    # right-size the consolidated files: the folded inputs are tiny
-    merged.coalesce(
-        max(1, len(readable) // 64)
-    ).write.mode("overwrite").parquet(tmp)
+    # right-size the consolidated files by INPUT BYTES (~128 MB per
+    # output file), not input count — a segment merge can carry the
+    # whole folded history and must not collapse into one giant file
+    in_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in readable
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-in_bytes // (128 << 20)))
+    merged.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_folded.json"), "w") as fh:
         json.dump(marker, fh)
     new_sid = min(live_segs + [0]) - 1
