@@ -169,3 +169,30 @@ def test_single_pass_builds_emote_occurrences_once_per_trigger(
     sp.run_all_single_pass(spark, src, out, ckpt)
     assert calls["n"] == 1  # one batch -> one extraction, shared by both
     assert _actual_tables(spark, out) == _expected_tables(spark, BATCH_1)
+
+
+def test_single_pass_bucketed_phase_end_to_end(spark, dirs, monkeypatch):
+    """The sink's bucketed phase — span aggregation pricing the
+    day-bucket hint, five concurrent bucketed merges, late-data
+    accumulation, replay idempotence — exercised END-TO-END through
+    run_all_single_pass (the unit tests cover additive_merge alone;
+    this pins the sink wiring)."""
+    monkeypatch.setattr(sp, "FLAT_STORE_MAX_BYTES", 0)
+    src, out, ckpt = dirs
+    metrics: list = []
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt, merge_metrics=metrics)
+    # threshold 0: every store goes bucketed from the first merge
+    assert {m["layout"] for m in metrics if m.get("step") == "merge"} == {
+        "bucketed"
+    }
+    # second trigger (with a LATE event) sees bucketed stores -> the
+    # span job prices the shared day-bucket hint
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt, merge_metrics=metrics)
+    assert any(m.get("step") == "span_agg" for m in metrics)
+    expected = _expected_tables(spark, BATCH_1 + BATCH_2)
+    assert _actual_tables(spark, out) == expected
+    # replay from the same checkpoint: per-bucket journals suppress
+    sp.run_all_single_pass(spark, src, out, ckpt, merge_metrics=metrics)
+    assert _actual_tables(spark, out) == expected
