@@ -124,7 +124,6 @@ def test_segment_merge_is_amortized_and_crash_safe(
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1  # seg -1
     feed(BATCH_1)
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1  # seg -2
-    want = _matched_rows(spark, out)
     feed(BATCH_2)
     # two segments live >= max: this cycle folds batches AND segments
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
@@ -136,22 +135,72 @@ def test_segment_merge_is_amortized_and_crash_safe(
 
     # crash window of the merge: a superseded segment resurfaces ->
     # excluded by the superseding segment's marker, gc'd next cycle
-    root = os.path.join(out, sp.MATCHED_DIRNAME)
-    seg3 = os.path.join(root, "batch=-3")
-    saved = str(tmp_path / "saved-seg1")
-    # rebuild a fake stale seg -1 (content irrelevant; marker decides)
-    shutil.copytree(seg3, saved)
-    shutil.copytree(saved, os.path.join(root, "batch=-9"))
-    # a segment not referenced by any marker and not superseded is
-    # treated as live — so instead resurrect one that IS superseded
-    shutil.rmtree(os.path.join(root, "batch=-9"))
-    shutil.copytree(saved, os.path.join(root, "batch=-1"))
-    # overwrite its marker with what seg -1 really folded
     import json as _json
 
+    root = os.path.join(out, sp.MATCHED_DIRNAME)
+    seg3 = os.path.join(root, "batch=-3")
+    shutil.copytree(seg3, os.path.join(root, "batch=-1"))
+    # overwrite its marker with what seg -1 really folded
     with open(os.path.join(root, "batch=-1", "_folded.json"), "w") as fh:
         _json.dump({"max_batch": 0, "segments": []}, fh)
     assert _matched_rows(spark, out) == want  # still exact
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
     assert "batch=-1" not in _batch_dirs(out)  # gc'd
     assert _matched_rows(spark, out) == want
+
+
+def test_legacy_marker_and_undead_supersession(spark, tmp_path, monkeypatch):
+    """Two durability edges from review: (a) a segment written by the
+    pre-watermark code (cumulative ``_folded_ids.json`` list) is still
+    honored, and (b) a superseded segment whose gc deletion silently
+    failed is re-recorded in the next published segment, so its
+    exclusion survives its superseder's removal."""
+    src, out, ckpt = _dirs(tmp_path)
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    want = _matched_rows(spark, out)
+
+    # (a) hand-build a LEGACY-format segment: fold batch 0's rows into
+    # batch=-1 carrying only the old _folded_ids.json marker
+    import json as _json
+
+    root = os.path.join(out, sp.MATCHED_DIRNAME)
+    b0, seg1 = os.path.join(root, "batch=0"), os.path.join(root, "batch=-1")
+    shutil.copytree(b0, seg1)
+    with open(os.path.join(seg1, "_folded_ids.json"), "w") as fh:
+        _json.dump([0], fh)
+    assert _matched_rows(spark, out) == want  # batch=0 excluded, once
+
+    # (b) two segment merges while batch=-1's deletion silently fails:
+    # merge 1 supersedes -1 (marker on -2 excludes it); merge 2 then
+    # REMOVES -2 — without the undead carry-forward, nothing on disk
+    # would list -1 any more and batch 0's rows would double-count
+    monkeypatch.setattr(sp, "MATCHED_MAX_SEGMENTS", 1)
+    real_rmtree = shutil.rmtree
+
+    def stubborn_rmtree(path, *a, **k):
+        if path.endswith("batch=-1"):
+            return None  # silently fails, like ignore_errors swallowing
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(sp.shutil, "rmtree", stubborn_rmtree)
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1  # -2
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1  # -3
+    monkeypatch.setattr(sp.shutil, "rmtree", real_rmtree)
+    dirs_now = _batch_dirs(out)
+    assert "batch=-1" in dirs_now  # both deletions really failed
+    assert "batch=-2" not in dirs_now  # its superseder was removed
+    want2 = _expected_tables(
+        spark, BATCH_1 + BATCH_2 + BATCH_1 + BATCH_2
+    )["messages_matching_phrase"]
+    assert _matched_rows(spark, out) == want2  # -1 still excluded
+    # next cycle (rmtree healthy again) finally collects it
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
+    assert "batch=-1" not in _batch_dirs(out)
+    assert _matched_rows(spark, out) == want2

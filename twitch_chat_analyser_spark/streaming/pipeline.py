@@ -507,11 +507,30 @@ def _has_parquet(d: str) -> bool:
 
 
 def _segment_marker(root: str, sid: int) -> dict:
-    j = os.path.join(root, f"batch={sid}", "_folded.json")
+    d = os.path.join(root, f"batch={sid}")
+    j = os.path.join(d, "_folded.json")
     if os.path.isfile(j):
-        with open(j) as fh:
-            return json.load(fh)
-    return {"max_batch": -1, "segments": []}
+        try:
+            with open(j) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, OSError) as exc:
+            # defaulting here would silently UN-fold history (the
+            # still-present source dirs would double-count) — refuse
+            raise RuntimeError(
+                f"unreadable compaction marker {j}: the segment is "
+                "published but its fold record is corrupt; repair the "
+                "marker before serving"
+            ) from exc
+    legacy = os.path.join(d, "_folded_ids.json")
+    if os.path.isfile(legacy):
+        # pre-watermark format: a cumulative list of folded batch ids
+        with open(legacy) as fh:
+            ids = json.load(fh)
+        return {"max_batch": max(ids, default=-1), "segments": []}
+    raise RuntimeError(
+        f"segment {d} has no fold marker — a published segment always "
+        "carries one (it is fsynced before the publishing rename)"
+    )
 
 
 def _matched_state(root: str):
@@ -592,6 +611,14 @@ def compact_matched_messages(
     ]
     for i in stale:
         shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
+    # supersession exclusion must survive the superseder's removal: any
+    # superseded segment dir that a silently-failed rmtree left behind
+    # gets re-recorded in the segment published THIS cycle, so its
+    # exclusion never depends on a marker that a later merge deletes
+    undead = [
+        s for s in superseded
+        if os.path.isdir(os.path.join(root, f"batch={s}"))
+    ]
 
     eligible = live_batches[:-keep_last]
     if not eligible:
@@ -611,7 +638,7 @@ def compact_matched_messages(
     )
     marker = {
         "max_batch": max(eligible),
-        "segments": sorted(fold_segs),
+        "segments": sorted(set(fold_segs) | set(undead)),
     }
     tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
     # right-size the consolidated files by INPUT BYTES (~128 MB per
@@ -625,10 +652,22 @@ def compact_matched_messages(
     )
     n_files = max(1, -(-in_bytes // (128 << 20)))
     merged.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    # the marker must be ON DISK before the rename publishes the
+    # segment, or a power loss could surface a marker-less segment
+    # whose source dirs then double-count
     with open(os.path.join(tmp, "_folded.json"), "w") as fh:
         json.dump(marker, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     new_sid = min(live_segs + [0]) - 1
     os.rename(tmp, os.path.join(root, f"batch={new_sid}"))  # atomic publish
+    # make the publish itself durable (dir entry fsync)
+    try:
+        dfd = os.open(root, os.O_RDONLY)
+        os.fsync(dfd)
+        os.close(dfd)
+    except OSError:
+        pass  # platform without dir fsync — rename atomicity still holds
     for d in src_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return len(eligible)
