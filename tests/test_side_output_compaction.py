@@ -204,3 +204,39 @@ def test_legacy_marker_and_undead_supersession(spark, tmp_path, monkeypatch):
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
     assert "batch=-1" not in _batch_dirs(out)
     assert _matched_rows(spark, out) == want2
+
+
+def test_crash_at_publish_rename_replays_clean(spark, tmp_path, monkeypatch):
+    """Crash DURING the publish rename (before it happens): the tmp dir
+    is orphaned, nothing was folded, reads stay exact, and the next
+    cycle gc's the tmp and completes the fold."""
+    import os as _os
+
+    src, out, ckpt = _dirs(tmp_path)
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    want = _matched_rows(spark, out)
+
+    real_rename = _os.rename
+
+    def crashing_rename(a, b):
+        if "batch=-" in str(b):
+            raise OSError("injected crash at publish")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(sp.os, "rename", crashing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        sp.compact_matched_messages(spark, out, keep_last=1)
+    monkeypatch.setattr(sp.os, "rename", real_rename)
+
+    root = os.path.join(out, sp.MATCHED_DIRNAME)
+    assert any(e.startswith(".tmp-") for e in os.listdir(root))
+    assert _matched_rows(spark, out) == want  # nothing half-published
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
+    assert not any(e.startswith(".tmp-") for e in os.listdir(root))
+    assert _batch_dirs(out) == ["batch=-1", "batch=1"]
+    assert _matched_rows(spark, out) == want
