@@ -468,8 +468,15 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     bucketstore.recover(path, restore_only=True)
     df = bucketstore.read_store(spark, path, bucketize=_legacy_bucketize)
     if df is None:
-        # not a bucketed store: a flat SET-merge table or a
-        # batch=<id>-partitioned side output — plain parquet read
+        # not a bucketed store. A batch=<id>-partitioned side output
+        # goes through the marker-aware reader — after a compaction a
+        # plain partition-discovery read would double-count any
+        # stale-but-excluded directory a crashed gc left behind
+        if os.path.isdir(path) and any(
+            e.startswith("batch=") for e in os.listdir(path)
+        ):
+            return _read_matched_root(spark, path)
+        # flat SET-merge table: plain parquet read
         return spark.read.parquet(path)
     return df.drop("bucket")
 
@@ -681,7 +688,10 @@ def read_matched_messages(spark: SparkSession, out_dir: str) -> DataFrame:
     superseded by a merge are excluded by marker, so the read is exact
     even between a compaction crash and the next gc. Logical schema
     only (no ``batch`` column)."""
-    root = _matched_root(out_dir)
+    return _read_matched_root(spark, _matched_root(out_dir))
+
+
+def _read_matched_root(spark: SparkSession, root: str) -> DataFrame:
     paths: list[str] = []
     if os.path.isdir(root):
         live_batches, live_segs, _folded, _sup = _matched_state(root)
