@@ -571,3 +571,109 @@ def test_read_store_keeps_unbucketizable_legacy_rows(spark, tmp_path):
     # the folded (1, 10) legacy twin is dropped (marked bucket); the
     # NULL-key row survives
     assert got == {(None, 99), (1, 10)}
+
+
+def test_merge_routes_null_buckets_to_sentinel(spark, tmp_path):
+    """Review r9: a delta row whose custom bucketize yields NULL must
+    not be silently dropped by the hint stray guard (~isin is
+    NULL-blind) nor crash the no-hint distinct probe — it lands in the
+    reserved NULL_BUCKET, journaled and serveable."""
+    store = str(tmp_path / "s")
+    delta = spark.createDataFrame(
+        [(1, 10), (None, 99)], "k long, v long"
+    )
+
+    def merge_fn(old, d):
+        if old is None:
+            return d
+        return (
+            old.unionByName(d)
+            .groupBy("k", "bucket")
+            .agg(F.sum("v").alias("v"))
+            .select("k", "v", "bucket")
+        )
+
+    bucketize = lambda df: df.withColumn(  # noqa: E731
+        "bucket", (F.col("k") % 4).cast("int")
+    )
+    # hint path: the hint covers only bucket 1; the NULL row must
+    # trigger the fallback and land in NULL_BUCKET
+    bucketstore.merge_into(
+        spark, store, delta, ["k"], merge_fn,
+        num_buckets=4, batch_id=0, bucketize=bucketize, touched_hint=[1],
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in bucketstore.read_store(spark, store).collect()
+    }
+    assert got == {(1, 10), (None, 99)}
+    assert os.path.isdir(
+        os.path.join(store, f"bucket={bucketstore.NULL_BUCKET}")
+    )
+    # replay suppression covers the sentinel bucket too
+    bucketstore.merge_into(
+        spark, store, delta, ["k"], merge_fn,
+        num_buckets=4, batch_id=0, bucketize=bucketize,
+    )
+    got2 = {
+        (r["k"], r["v"])
+        for r in bucketstore.read_store(spark, store).collect()
+    }
+    assert got2 == got
+    # no-hint probe path with a NULL row in a FRESH store (the sort
+    # that used to raise TypeError on None)
+    store2 = str(tmp_path / "s2")
+    bucketstore.merge_into(
+        spark, store2, delta, ["k"], merge_fn,
+        num_buckets=4, batch_id=0, bucketize=bucketize,
+    )
+    assert bucketstore.read_store(spark, store2).count() == 2
+
+
+def test_recover_restores_negative_bucket_backup(spark, tmp_path):
+    """Review r9: a stranded backup of a NEGATIVE bucket id (pre-1970
+    day bucket, NULL_BUCKET sentinel) must be restored, not
+    misclassified as a legacy whole-store backup and deleted."""
+    store = str(tmp_path / "s")
+    bdir = os.path.join(store, "bucket=-5")
+    spark.createDataFrame([(1, 10)], "k long, v long").coalesce(
+        1
+    ).write.parquet(bdir)
+    # strand it: live missing, backup present (crash between renames)
+    os.rename(bdir, f"{store}.old-deadbeef-b-5")
+    bucketstore.recover(store)  # FULL mode — the destructive one
+    assert os.path.isdir(bdir)
+    assert bucketstore.read_store(spark, store).count() == 1
+
+
+def test_flat_swap_survives_concurrent_restore_only_heal(
+    spark, tmp_path, monkeypatch
+):
+    """Review r9: storeswap.swap_in gets the same heal-race retake as
+    _swap_bucket — a reader restoring the backup between the writer's
+    two renames must not kill the query, and the new data wins."""
+    import os as _os
+
+    from twitch_chat_analyser_spark.streaming import storeswap
+
+    path = str(tmp_path / "flat")
+    storeswap.swap_in(
+        spark.createDataFrame([(1, 1)], "k long, v long"), path
+    )
+    real_rename = _os.rename
+    state = {"armed": True}
+
+    def racing_rename(src, dst):
+        real_rename(src, dst)
+        if state["armed"] and ".old-" in str(dst):
+            state["armed"] = False
+            storeswap.recover(path, restore_only=True)
+
+    monkeypatch.setattr(storeswap.os, "rename", racing_rename)
+    storeswap.swap_in(
+        spark.createDataFrame([(1, 2)], "k long, v long"), path
+    )
+    monkeypatch.setattr(storeswap.os, "rename", real_rename)
+    assert [(r["k"], r["v"]) for r in spark.read.parquet(path).collect()] == [
+        (1, 2)
+    ]

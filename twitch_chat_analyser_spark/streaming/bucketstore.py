@@ -60,6 +60,19 @@ from pyspark.sql import functions as F
 # multi-key buckets and partial-touch merges
 STORE_BUCKETS = 16
 
+# reserved bucket for rows a custom bucketize cannot place (NULL
+# result, e.g. a day bucket from a NULL timestamp): routing them here
+# keeps them journaled and serveable instead of silently lost to
+# NULL-blind isin filters (the default hash layout never yields NULL)
+NULL_BUCKET = -(2**31)
+
+
+def _null_safe_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "bucket",
+        F.coalesce(F.col("bucket"), F.lit(NULL_BUCKET).cast("int")),
+    )
+
 
 class BucketSwapError(OSError):
     """A bucket's publish rename failed even after the heal-race
@@ -81,16 +94,27 @@ def recover(store: str, restore_only: bool = False) -> None:
     (``<store>.old-*`` from the flat layout) alike. Rename races with
     concurrent readers are tolerated: losing the race means the other
     party already restored it."""
+    from .storeswap import _mtime
+
     parent = os.path.dirname(os.path.abspath(store)) or "."
     base = os.path.basename(store)
     if not os.path.isdir(parent):
         return
-    for entry in sorted(os.listdir(parent)):
+    # newest-first for the same reason as storeswap.recover: a stale
+    # leftover backup must not outrank a freshly stranded one
+    entries = sorted(
+        os.listdir(parent), key=lambda e: _mtime(parent, e), reverse=True
+    )
+    for entry in entries:
         full = os.path.join(parent, entry)
         if entry.startswith(f"{base}.old-"):
             stem = entry[len(base) + 5 :]
             bucket = stem.rsplit("-b", 1)[1] if "-b" in stem else ""
-            if bucket.isdigit():
+            # lstrip: bucket ids can be negative (day buckets of
+            # pre-1970 timestamps, the NULL_BUCKET sentinel) — plain
+            # isdigit() would misclassify their backups as legacy
+            # whole-store backups and DELETE them in full mode
+            if bucket.lstrip("-").isdigit():
                 live = os.path.join(store, f"bucket={bucket}")
                 if not os.path.isdir(live):
                     os.makedirs(store, exist_ok=True)
@@ -156,8 +180,18 @@ def _bucket_dirs(store: str, buckets: list[int] | None = None) -> list[str]:
 def _applied(dirpath: str) -> set[int]:
     j = os.path.join(dirpath, "_applied_batches.json")
     if os.path.isfile(j):
-        with open(j) as fh:
-            return set(json.load(fh))
+        try:
+            with open(j) as fh:
+                return set(json.load(fh))
+        except (json.JSONDecodeError, OSError) as exc:
+            # defaulting to "nothing applied" would double-apply the
+            # additive delta on replay — refuse with an actionable
+            # message instead of an anonymous crash loop
+            raise RuntimeError(
+                f"corrupt replay journal {j}: refusing to merge; "
+                "verify the bucket's contents and repair or remove "
+                "the journal"
+            ) from exc
     return set()
 
 
@@ -246,15 +280,16 @@ def read_store(
     if legacy:
         ldf = spark.read.parquet(*legacy)
         if bucketize is not None:
-            ldf = bucketize(ldf)
+            # NULL-safe routing mirrors the writer (merge_into): a
+            # legacy row bucketize cannot place recomputes to the same
+            # NULL_BUCKET the writer folds it into, so the marked-
+            # bucket exclusion is exact for those rows too (the r8
+            # NULL-isin fix retained them unconditionally, which would
+            # double-count once their fold committed)
+            ldf = _null_safe_bucket(bucketize(ldf))
             mig = _marked_buckets(store)
             if mig:
-                # keep NULL-bucket rows: `~isin` alone filters NULL
-                # predicates out, silently dropping legacy rows whose
-                # bucketize result is NULL (ADVICE r8 low)
-                ldf = ldf.filter(
-                    F.col("bucket").isNull() | ~F.col("bucket").isin(mig)
-                )
+                ldf = ldf.filter(~F.col("bucket").isin(mig))
         else:
             # not-yet-migrated flat rows; sentinel bucket keeps the
             # schema aligned (serving callers drop the column)
@@ -302,12 +337,16 @@ def merge_into(
     probe — a topology merging five tables per trigger pays ONE
     span-agg for all five instead of five probe jobs, which at
     micro-batch cadence is the difference between meeting and missing
-    a seconds-scale trigger budget. Superset buckets that turn out
-    empty just rewrite identical content (and are journaled), so the
-    hint only needs to cover, not to be exact."""
+    a seconds-scale trigger budget. The hint only needs to cover, not
+    to be exact: hint buckets holding data are rewritten identically
+    and journaled; hint buckets with neither data nor delta rows are
+    skipped (nothing to journal — a replay skips them identically)."""
     recover(store)
     bucketize = bucketize or (lambda df: with_bucket(df, keys, num_buckets))
-    delta = bucketize(delta).cache()
+    # NULL-safe: a custom bucketize may emit NULL buckets; unrouted,
+    # the hint stray guard's ~isin would silently DROP those rows and
+    # the probe path would crash sorting None (review r9)
+    delta = _null_safe_bucket(bucketize(delta)).cache()
     try:
         if touched_hint is not None:
             touched = sorted(set(int(b) for b in touched_hint))
@@ -340,7 +379,9 @@ def merge_into(
         legacy_df = None
         lbuckets: set[int] = set()
         if legacy:
-            legacy_df = bucketize(spark.read.parquet(*legacy))
+            legacy_df = _null_safe_bucket(
+                bucketize(spark.read.parquet(*legacy))
+            )
             lbuckets = {
                 r["bucket"]
                 for r in legacy_df.select("bucket").distinct().collect()
@@ -399,16 +440,21 @@ def merge_into(
                 new_journal = journals[b] | (
                     {batch_id} if b in jset else set()
                 )
+                # fsynced before the publishing rename: a power loss
+                # must not surface a bucket whose journal is truncated
+                # (a replay would double-apply the additive delta)
                 with open(
                     os.path.join(src, "_applied_batches.json"), "w"
                 ) as fh:
                     json.dump(sorted(new_journal), fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
             if legacy and b in lbuckets:
                 # committed by the same rename as the folded data; also
                 # re-written for already-marked buckets so a rewrite
                 # while flat files still exist can't lose the marker
-                with open(os.path.join(src, "_legacy_migrated"), "w"):
-                    pass
+                with open(os.path.join(src, "_legacy_migrated"), "w") as fh:
+                    os.fsync(fh.fileno())
             _swap_bucket(store, b, src)
         shutil.rmtree(tmp, ignore_errors=True)
         _clear_legacy_if_done(store, legacy, lbuckets)

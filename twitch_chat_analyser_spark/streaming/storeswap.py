@@ -21,6 +21,25 @@ import uuid
 from pyspark.sql import DataFrame
 
 
+class StoreSwapError(OSError):
+    """The publish rename failed even after the heal-race retake.
+    Raised (never swallowed) so the micro-batch fails and Structured
+    Streaming replays it — the journal travels inside the unpublished
+    tmp dir, so the replay re-applies exactly the lost batch."""
+
+
+def _fsync_file(fh) -> None:
+    fh.flush()
+    os.fsync(fh.fileno())
+
+
+def _mtime(parent: str, entry: str) -> float:
+    try:
+        return os.path.getmtime(os.path.join(parent, entry))
+    except OSError:
+        return 0.0
+
+
 def recover(path: str, restore_only: bool = False) -> None:
     """Make a torn swap whole.
 
@@ -36,7 +55,14 @@ def recover(path: str, restore_only: bool = False) -> None:
     base = os.path.basename(path)
     if not os.path.isdir(parent):
         return
-    for entry in sorted(os.listdir(parent)):
+    # newest backup first: if a silently-failed deletion left a STALE
+    # backup alongside a freshly stranded one, random-hex name order
+    # could restore the stale one and delete the fresh one as
+    # superseded — mtime order makes the choice deterministic
+    entries = sorted(
+        os.listdir(parent), key=lambda e: _mtime(parent, e), reverse=True
+    )
+    for entry in entries:
         full = os.path.join(parent, entry)
         if entry.startswith(f"{base}.old-"):
             if not os.path.isdir(path):
@@ -65,12 +91,32 @@ def swap_in(merged: DataFrame, path: str, journal_ids=None) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     if journal_ids is not None:
+        # journal data must be on disk before the publishing rename —
+        # a power loss could otherwise publish a store whose journal is
+        # truncated, and a replay would double-apply the batch
         with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
             json.dump(sorted(journal_ids), fh)
+            _fsync_file(fh)
     back = f"{path}.old-{uuid.uuid4().hex[:8]}"
     had_old = os.path.isdir(path)
     if had_old:
         os.rename(path, back)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent recover(restore_only=True) reader may have
+        # healed the backup back into place between our two renames —
+        # retake once (same contract as bucketstore._swap_bucket); a
+        # second loss must FAIL the batch, not report success
+        back2 = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, back2)
+            os.rename(tmp, path)
+        except OSError as exc:
+            raise StoreSwapError(
+                f"{path}: publish rename failed twice; failing the "
+                "micro-batch so the checkpoint replays it"
+            ) from exc
+        shutil.rmtree(back2, ignore_errors=True)
     if had_old:
         shutil.rmtree(back, ignore_errors=True)
