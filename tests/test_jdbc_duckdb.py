@@ -72,13 +72,13 @@ GOLDEN_UPSERTS = {
 GOLDEN_LEDGER = {
     "pyformat": (
         "INSERT INTO _stream_applied_partitions"
-        "(table_name, batch_id, partition_id) "
-        "VALUES (%s, %s, %s) ON CONFLICT DO NOTHING"
+        "(table_name, batch_id, partition_id, n_parts) "
+        "VALUES (%s, %s, %s, %s) ON CONFLICT DO NOTHING"
     ),
     "qmark": (
         "INSERT INTO _stream_applied_partitions"
-        "(table_name, batch_id, partition_id) "
-        "VALUES (?, ?, ?) ON CONFLICT DO NOTHING"
+        "(table_name, batch_id, partition_id, n_parts) "
+        "VALUES (?, ?, ?, ?) ON CONFLICT DO NOTHING"
     ),
 }
 
@@ -121,8 +121,8 @@ def test_every_statement_executes_on_duckdb():
         assert len(got) == 1 and got[0][-1] == 3, table
 
     claim = sj.ledger_claim_sql("qmark")
-    cur.execute(claim, ("channel_stats", 7, 0))
-    cur.execute(claim, ("channel_stats", 7, 0))  # conflict -> no error
+    cur.execute(claim, ("channel_stats", 7, 0, 4))
+    cur.execute(claim, ("channel_stats", 7, 0, 4))  # conflict -> no error
     n = cur.execute(
         f"SELECT count(*) FROM {sj.LEDGER_TABLE}"
     ).fetchone()[0]

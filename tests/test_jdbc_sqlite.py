@@ -107,9 +107,9 @@ def test_additive_sink_applies_replays_skip(spark, tmp_path):
 def test_task_retry_skips_committed_partition(tmp_path):
     """The task-retry branch: a retried task whose prior attempt already
     committed finds the ledger marker present, rolls back, and writes
-    nothing — `_write_partition` driven directly (driver-side
-    TaskContext.get() is None -> partition id 0), same code the
-    executors run."""
+    nothing — `_write_partition` driven directly with an explicit
+    partition id (outside a Spark task the writer refuses to guess
+    one), same code the executors run."""
     db = str(tmp_path / "retry.db")
     _setup_db(db)
     rows = [{"channel": "a", "timestamp": 0, "messages": 5}]
@@ -121,11 +121,89 @@ def test_task_retry_skips_committed_partition(tmp_path):
         batch_size=100,
         ledger_key=("channel_stats", 9),
         paramstyle="qmark",
+        partition_id=0,
     )
     write(iter(rows))
     assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 5)]
     write(iter(rows))  # retry of the same (batch, partition): skipped
     assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 5)]
+    # outside a Spark task, a ledger-guarded write with no explicit
+    # partition id must refuse (guessing 0 would collapse partitions)
+    with pytest.raises(RuntimeError, match="partition_id"):
+        jdbc._write_partition(
+            iter(rows),
+            connection_factory=_factory(db),
+            sql=jdbc.upsert_sql("channel_stats", "additive", "qmark"),
+            names=["channel", "timestamp", "messages"],
+            batch_size=100,
+            ledger_key=("channel_stats", 10),
+            paramstyle="qmark",
+        )
+
+
+def test_partition_count_change_mid_batch_fails_loudly(tmp_path):
+    """Review r9: a replayed (batch, partition) committed under a
+    DIFFERENT pinned partition count must raise — the rows re-hash
+    elsewhere, so a silent skip would lose or double-apply them."""
+    db = str(tmp_path / "nparts.db")
+    _setup_db(db)
+    rows = [{"channel": "a", "timestamp": 0, "messages": 5}]
+
+    def write(n_parts):
+        jdbc._write_partition(
+            iter(rows),
+            connection_factory=_factory(db),
+            sql=jdbc.upsert_sql("channel_stats", "additive", "qmark"),
+            names=["channel", "timestamp", "messages"],
+            batch_size=100,
+            ledger_key=("channel_stats", 3),
+            paramstyle="qmark",
+            n_parts=n_parts,
+            partition_id=0,
+        )
+
+    write(4)
+    write(4)  # same count: normal replay skip
+    assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 5)]
+    with pytest.raises(RuntimeError, match="num_partitions=4"):
+        write(2)
+
+
+def test_fresh_checkpoint_against_stale_ledger_fails_loudly(
+    spark, tmp_path
+):
+    """Review r9: batch ids restarting at 0 against a ledger that has
+    already seen higher batches means a fresh/relocated checkpoint is
+    replaying into an existing store — every claim would silently skip.
+    The driver-side preflight refuses instead."""
+    db = str(tmp_path / "stale.db")
+    _setup_db(db)
+    sink = _sink(db, "additive")
+    df = spark.createDataFrame([("a", 0, 5)], SCHEMA)
+    sink(df, batch_id=0)
+    sink(df, batch_id=1)
+    with pytest.raises(RuntimeError, match="fresh"):
+        sink(df, batch_id=0)
+
+
+def test_ledger_is_pruned_to_recent_batches(spark, tmp_path):
+    """Review r9: only the current batch can ever replay, so markers
+    older than the previous batch are dead weight (~tables x partitions
+    rows per trigger forever) — the preflight drops them."""
+    db = str(tmp_path / "prune.db")
+    _setup_db(db)
+    sink = _sink(db, "additive")
+    df = spark.createDataFrame([("a", 0, 1)], SCHEMA)
+    for b in range(4):
+        sink(df, batch_id=b)
+    batches = {
+        r[0]
+        for r in _read(
+            db, f"SELECT DISTINCT batch_id FROM {jdbc.LEDGER_TABLE}"
+        )
+    }
+    assert batches == {2, 3}
+    assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 4)]
 
 
 def test_set_mode_sink_is_naturally_idempotent(spark, tmp_path):
@@ -155,9 +233,13 @@ def test_claim_rowcount_contract_on_sqlite(tmp_path):
     conn = sqlite3.connect(db)
     try:
         cur = conn.cursor()
-        cur.execute(jdbc.ledger_claim_sql("qmark"), ("channel_stats", 1, 0))
+        cur.execute(
+            jdbc.ledger_claim_sql("qmark"), ("channel_stats", 1, 0, 4)
+        )
         assert cur.rowcount == 1
-        cur.execute(jdbc.ledger_claim_sql("qmark"), ("channel_stats", 1, 0))
+        cur.execute(
+            jdbc.ledger_claim_sql("qmark"), ("channel_stats", 1, 0, 4)
+        )
         assert cur.rowcount == 0
         conn.commit()
     finally:
@@ -277,6 +359,7 @@ def test_pyformat_write_partition_with_ledger_and_replay(tmp_path):
         batch_size=1,  # exercise multiple executemany flushes
         ledger_key=("channel_stats", 4),
         paramstyle="pyformat",
+        partition_id=0,
     )
     write(iter(rows))
     assert _read(db, "SELECT * FROM channel_stats") == [
@@ -289,7 +372,7 @@ def test_pyformat_write_partition_with_ledger_and_replay(tmp_path):
         ("b", 0, 2),
     ]
     assert _read(db, f"SELECT * FROM {jdbc.LEDGER_TABLE}") == [
-        ("channel_stats", 4, 0)
+        ("channel_stats", 4, 0, 0)
     ]
 
 

@@ -101,6 +101,8 @@ def create_table_sql(table: str) -> str:
 # (tests/test_jdbc_sqlite.py) since no Postgres driver ships here.
 PARAM_PLACEHOLDERS = {"pyformat": "%s", "qmark": "?"}
 
+_EMPTY = object()  # empty-partition peek sentinel
+
 
 def upsert_sql(table: str, mode: str = "additive", paramstyle: str = "pyformat") -> str:
     """One-row upsert statement (the reference batches two value tuples
@@ -128,22 +130,27 @@ LEDGER_TABLE = "_stream_applied_partitions"
 def ledger_table_sql() -> str:
     """DDL for the replay ledger — run at job setup alongside the fact
     DDL (:func:`create_table_sql`). One row per successfully committed
-    (table, batch, partition)."""
+    (table, batch, partition); ``n_parts`` records the pinned partition
+    count the batch was written with, so a mid-batch restart under a
+    changed ``num_partitions`` fails loudly instead of silently losing
+    or double-applying the re-hashed rows."""
     return (
         f"CREATE TABLE IF NOT EXISTS {LEDGER_TABLE}("
         "table_name VARCHAR(64) NOT NULL, batch_id BIGINT NOT NULL, "
-        "partition_id INT NOT NULL, "
+        "partition_id INT NOT NULL, n_parts INT NOT NULL, "
         "PRIMARY KEY(table_name, batch_id, partition_id))"
     )
 
 
 def ledger_claim_sql(paramstyle: str = "pyformat") -> str:
-    """Claim statement: inserts the (table, batch, partition) marker, or
-    affects 0 rows if a prior attempt already committed it."""
+    """Claim statement: inserts the (table, batch, partition, n_parts)
+    marker, or affects 0 rows if a prior attempt already committed
+    it."""
     ph = PARAM_PLACEHOLDERS[paramstyle]
     return (
-        f"INSERT INTO {LEDGER_TABLE}(table_name, batch_id, partition_id) "
-        f"VALUES ({ph}, {ph}, {ph}) ON CONFLICT DO NOTHING"
+        f"INSERT INTO {LEDGER_TABLE}"
+        "(table_name, batch_id, partition_id, n_parts) "
+        f"VALUES ({ph}, {ph}, {ph}, {ph}) ON CONFLICT DO NOTHING"
     )
 
 
@@ -171,6 +178,12 @@ class _PyformatOverQmarkCursor:
 
     def executemany(self, sql, seq):
         return self._cur.executemany(sql.replace("%s", "?"), seq)
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def fetchall(self):
+        return self._cur.fetchall()
 
 
 class PyformatOverQmarkConnection:
@@ -206,6 +219,9 @@ def _write_partition(
     batch_size: int,
     ledger_key: tuple[str, int] | None = None,
     paramstyle: str = "pyformat",
+    n_parts: int = 0,
+    partition_id: int | None = None,
+    claim_sql: str | None = None,
     rows_acc=None,
     txn_acc=None,
     skip_acc=None,
@@ -230,22 +246,76 @@ def _write_partition(
     batch on the table's key with a PINNED partition count (JdbcSink
     does this; session shuffle settings and AQE coalescing must never
     decide these partition ids)."""
+    if ledger_key is None:
+        # SET-merge partitions follow the upstream shuffle (often many
+        # and mostly empty on small triggers): peek before paying a
+        # connection + commit for an empty partition. The ledger path
+        # must NOT skip — empty pinned partitions still claim their
+        # marker so a committed batch always shows num_partitions rows.
+        import itertools
+
+        rows = iter(rows)
+        first = next(rows, _EMPTY)
+        if first is _EMPTY:
+            return
+        rows = itertools.chain([first], rows)
     conn = connection_factory()
     try:
         cur = conn.cursor()
         if ledger_key is not None:
-            from pyspark import TaskContext
+            if partition_id is not None:
+                pid = partition_id
+            else:
+                from pyspark import TaskContext
 
-            ctx = TaskContext.get()
-            pid = ctx.partitionId() if ctx is not None else 0
+                ctx = TaskContext.get()
+                if ctx is None:
+                    raise RuntimeError(
+                        "ledger-guarded write outside a Spark task needs "
+                        "an explicit partition_id — defaulting would "
+                        "collapse every partition onto one ledger key "
+                        "and silently discard the rest as replays"
+                    )
+                pid = ctx.partitionId()
             cur.execute(
-                ledger_claim_sql(paramstyle), (ledger_key[0], ledger_key[1], pid)
+                claim_sql or ledger_claim_sql(paramstyle),
+                (ledger_key[0], ledger_key[1], pid, n_parts),
             )
-            if getattr(cur, "rowcount", 1) == 0:
-                conn.rollback()  # a completed prior attempt owns this partition
+            rc = getattr(cur, "rowcount", None)
+            if rc == 0:
+                # a completed prior attempt owns this partition — but
+                # verify it was written under the SAME pinned partition
+                # count, or the replayed rows hash elsewhere and the
+                # skip silently loses / double-applies them
+                if hasattr(cur, "fetchone") and n_parts:
+                    ph = PARAM_PLACEHOLDERS[paramstyle]
+                    cur.execute(
+                        f"SELECT n_parts FROM {LEDGER_TABLE} WHERE "
+                        f"table_name = {ph} AND batch_id = {ph} AND "
+                        f"partition_id = {ph}",
+                        (ledger_key[0], ledger_key[1], pid),
+                    )
+                    prior = cur.fetchone()
+                    if prior is not None and prior[0] not in (0, n_parts):
+                        raise RuntimeError(
+                            f"{ledger_key[0]} batch {ledger_key[1]}: a "
+                            f"prior attempt committed partitions under "
+                            f"num_partitions={prior[0]}, this run uses "
+                            f"{n_parts} — row->partition assignment "
+                            "changed mid-batch; restore the original "
+                            "setting to finish the batch"
+                        )
+                conn.rollback()
                 if skip_acc is not None:
                     skip_acc.add(1)
                 return
+            if rc != 1:
+                raise RuntimeError(
+                    f"ledger claim reported rowcount {rc!r}; the replay "
+                    "guard needs the DB-API rowcount contract (0 = "
+                    "already claimed, 1 = claimed now) — a fail-open "
+                    "driver here would double-apply additive deltas"
+                )
         buf: list[tuple] = []
         written = 0
         for r in rows:
@@ -323,6 +393,7 @@ class JdbcSink:
             # _write_partition); SET-merge replays are no-ops as-is
             ledger_key = (self.table, batch_id)
             out = out.repartition(self.num_partitions, *pk)
+            self._preflight(factory, batch_id)
         writer = functools.partial(
             _write_partition,
             connection_factory=factory,
@@ -331,8 +402,57 @@ class JdbcSink:
             batch_size=self.batch_size,
             ledger_key=ledger_key,
             paramstyle=self.paramstyle,
+            n_parts=self.num_partitions,
+            claim_sql=ledger_claim_sql(self.paramstyle),
             rows_acc=self.rows_acc,
             txn_acc=self.txn_acc,
             skip_acc=self.skip_acc,
         )
         out.foreachPartition(writer)
+
+    def _preflight(self, factory: Callable, batch_id: int) -> None:
+        """Driver-side ledger sanity pass before an additive batch:
+
+        - STALE-LEDGER GUARD: a batch_id of 0 against a ledger that has
+          already seen higher batches means a fresh/relocated checkpoint
+          is replaying history into an existing store — every claim
+          would find the OLD run's marker and silently discard the new
+          run's data. Fail loudly; the operator clears the table's
+          ledger rows (or the store) and restarts.
+        - PRUNING: only the current batch can ever replay, so markers
+          older than the previous batch are dead weight (~tables x
+          partitions rows per trigger, forever); drop them.
+
+        Skipped for connection test-doubles without a query surface
+        (no ``fetchone``); every real engine has one.
+        """
+        ph = PARAM_PLACEHOLDERS[self.paramstyle]
+        conn = factory()
+        try:
+            cur = conn.cursor()
+            if not hasattr(cur, "fetchone"):
+                return
+            cur.execute(
+                f"SELECT max(batch_id) FROM {LEDGER_TABLE} "
+                f"WHERE table_name = {ph}",
+                (self.table,),
+            )
+            row = cur.fetchone()
+            max_b = row[0] if row else None
+            if batch_id == 0 and max_b is not None and max_b >= 1:
+                raise RuntimeError(
+                    f"{self.table}: ledger already holds batches up to "
+                    f"{max_b} but this run starts at batch 0 — a fresh "
+                    "checkpoint against an existing store would silently "
+                    "skip every batch as a replay; clear the table's "
+                    f"rows from {LEDGER_TABLE} (and decide what to do "
+                    "with the accumulated fact rows) before restarting"
+                )
+            cur.execute(
+                f"DELETE FROM {LEDGER_TABLE} WHERE table_name = {ph} "
+                f"AND batch_id < {ph}",
+                (self.table, batch_id - 1),
+            )
+            conn.commit()
+        finally:
+            conn.close()
