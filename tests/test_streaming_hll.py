@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from twitch_chat_analyser_spark.operators import sketches
 from twitch_chat_analyser_spark.streaming import hll as shll
+from twitch_chat_analyser_spark.streaming import bucketstore
 from twitch_chat_analyser_spark.streaming.pipeline import read_message_stream
 
 SCHEMA = "ts string, channel string, username string, message string"
@@ -176,14 +177,14 @@ def test_legacy_flat_store_is_migrated_not_ignored(spark, tmp_path):
     sketches.hll_registers(first, ["channel"]).write.mode(
         "overwrite"
     ).parquet(store)
-    assert shll._legacy_flat_files(store)
+    assert bucketstore._legacy_flat_files(store)
 
     second = _messages(spark, 70, channels=("a", "b"))
     shll.merge_registers(
         spark, store, sketches.hll_registers(second), ["channel"]
     )
     # flat files gone, only bucket= partitions remain
-    assert not shll._legacy_flat_files(store)
+    assert not bucketstore._legacy_flat_files(store)
     assert all(
         e.startswith("bucket=")
         for e in os.listdir(store)
@@ -262,6 +263,6 @@ def test_torn_bucket_swap_is_recovered(spark, tmp_path):
 
     # a stale backup whose live dir EXISTS is discarded, not restored
     os.makedirs(f"{store}.old-cafebabe-b{b}")
-    shll._recover(store)
+    bucketstore.recover(store)
     assert not os.path.isdir(f"{store}.old-cafebabe-b{b}")
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == whole

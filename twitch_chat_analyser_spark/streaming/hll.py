@@ -43,69 +43,18 @@ migrated into buckets on the first merge that sees them.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketches
+from . import bucketstore
 
 # Default bucket fan-out for the register store. At 100 TB-scale key
 # cardinality this is sized so one bucket's registers fit an executor
 # core comfortably (keys/N * 256 rows); tests use small N to exercise
 # multi-key buckets.
 STORE_BUCKETS = 16
-
-
-def _with_bucket(regs: DataFrame, dims: list[str], num_buckets: int) -> DataFrame:
-    return regs.withColumn(
-        "bucket", F.pmod(F.hash(*dims), F.lit(num_buckets)).cast("int")
-    )
-
-
-def _recover(store: str) -> None:
-    """Make an interrupted bucket swap whole before reading or merging.
-
-    The swap sequence is rename(live -> backup), rename(tmp -> live),
-    delete(backup); a crash can strand a backup whose live dir is
-    missing (restore it — that bucket's history would otherwise be
-    lost) or whose live dir exists (the new dir already superseded it —
-    drop the stale backup). Leftover ``.tmp-*`` write dirs are always
-    stale (the merge that made them never swapped them all in) and are
-    removed; checkpoint replay re-merges that batch, and the max
-    algebra makes the re-merge a no-op for buckets that DID swap."""
-    parent = os.path.dirname(os.path.abspath(store)) or "."
-    base = os.path.basename(store)
-    if not os.path.isdir(parent):
-        return
-    for entry in os.listdir(parent):
-        full = os.path.join(parent, entry)
-        if entry.startswith(f"{base}.old-") and "-b" in entry:
-            bucket = entry.rsplit("-b", 1)[1]
-            live = os.path.join(store, f"bucket={bucket}")
-            if bucket.isdigit() and not os.path.isdir(live):
-                os.makedirs(store, exist_ok=True)
-                os.rename(full, live)
-            else:
-                shutil.rmtree(full, ignore_errors=True)
-        elif entry.startswith(f"{base}.tmp-"):
-            shutil.rmtree(full, ignore_errors=True)
-
-
-def _legacy_flat_files(store: str) -> list[str]:
-    """Parquet part files written by the pre-bucketing flat layout,
-    sitting directly under the store root. They must be folded into the
-    bucketed layout (not silently ignored next to ``bucket=`` dirs —
-    mixed depths also break partition discovery on read)."""
-    if not os.path.isdir(store):
-        return []
-    return [
-        os.path.join(store, e)
-        for e in os.listdir(store)
-        if os.path.isfile(os.path.join(store, e))
-        and not e.startswith((".", "_"))
-    ]
 
 
 def merge_registers(
@@ -116,82 +65,30 @@ def merge_registers(
     num_buckets: int = STORE_BUCKETS,
 ) -> None:
     """Key-max upsert of a batch's partial registers into the bucketed
-    parquet register store. Only the ``bucket=`` partitions the batch
-    touches are read and rewritten (atomic per-bucket directory swap,
-    same rename discipline as pipeline.merge_upsert); untouched buckets'
-    files are never opened. Idempotent under replay by the max algebra —
-    re-merging identical partials changes nothing."""
-    _recover(store)
-    batch_regs = _with_bucket(batch_regs, dims, num_buckets).cache()
-    try:
-        touched = sorted(
-            r["bucket"] for r in batch_regs.select("bucket").distinct().collect()
-        )
-        if not touched:  # empty micro-batch
-            return
-        parts = [batch_regs]
-        legacy = _legacy_flat_files(store)
-        if legacy:
-            # one-time migration from the pre-bucketing flat layout:
-            # fold EVERY flat row into the bucketed merge (whatever
-            # buckets they hash to), then drop the flat files after the
-            # swap — ignoring them would silently lose history AND
-            # leave mixed directory depths that break partition
-            # discovery on the next read
-            parts.append(
-                _with_bucket(spark.read.parquet(*legacy), dims, num_buckets)
-            )
-        # partition pruning: only the touched bucket directories are
-        # listed/read — per-trigger IO is O(touched), not O(store).
-        # Bucket dirs are enumerated explicitly (with basePath so the
-        # partition column survives) because during a legacy migration
-        # the root still holds flat files at a different depth.
-        if legacy:
-            touched = sorted(
-                {
-                    r["bucket"]
-                    for p in parts
-                    for r in p.select("bucket").distinct().collect()
-                }
-            )
-        bucket_dirs = [
-            os.path.join(store, f"bucket={b}")
-            for b in touched
-            if os.path.isdir(os.path.join(store, f"bucket={b}"))
-        ]
-        if bucket_dirs:
-            parts.append(
-                spark.read.option("basePath", store).parquet(*bucket_dirs)
-            )
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        merged = merged.groupBy(*dims, "reg", "bucket").agg(
+    parquet register store, on the SHARED bucketed-store machinery
+    (bucketstore.merge_into — which this module's round-5 code was
+    generalized FROM, and which has since gained the heal-race retake,
+    mtime-ordered recovery, legacy whole-store restore, marker-committed
+    migration, and fsynced journals the local copy lacked; review r9
+    ported the original back onto it). ``batch_id=None`` because the
+    max algebra is idempotent — replay is a value no-op, no journal
+    needed. Only touched buckets are read and rewritten."""
+
+    def merge_fn(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+        parts = delta if old is None else old.unionByName(delta)
+        return parts.groupBy(*dims, "reg", "bucket").agg(
             F.max("mrho").alias("mrho")
         )
-        tmp = f"{store}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-        os.makedirs(store, exist_ok=True)
-        for b in touched:
-            src = os.path.join(tmp, f"bucket={b}")
-            dst = os.path.join(store, f"bucket={b}")
-            if not os.path.isdir(src):
-                continue  # bucket produced no rows (can't happen; safety)
-            back = f"{store}.old-{uuid.uuid4().hex[:8]}-b{b}"
-            had_old = os.path.isdir(dst)
-            if had_old:
-                os.rename(dst, back)  # backup lives OUTSIDE the store dir
-            os.rename(src, dst)
-            if had_old:
-                shutil.rmtree(back, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        for f in legacy:  # after a successful swap the history is bucketed
-            try:
-                os.remove(f)
-            except OSError:
-                pass
-    finally:
-        batch_regs.unpersist()
+
+    bucketstore.merge_into(
+        spark,
+        store,
+        batch_regs,
+        dims,
+        merge_fn,
+        num_buckets=num_buckets,
+        batch_id=None,
+    )
 
 
 def start_hll_maintenance(
@@ -226,23 +123,20 @@ def serve_estimates(
     spark: SparkSession, store_dir: str, dims: list[str] | None = None
 ) -> DataFrame:
     """Serving read: estimate straight off the stored registers — never
-    touches raw events. Restores any interrupted bucket swap first and
-    reads flat legacy files alongside bucket partitions if a migration
-    hasn't folded them in yet. -> *dims, hll_est"""
-    _recover(store_dir)
+    touches raw events. Heals torn swaps restore-only (never deletes a
+    concurrent writer's tmp dir) and reads legacy flat files alongside
+    bucket partitions mid-migration. The per-key register re-max before
+    estimating makes the read EXACT in every crash window: duplicated
+    register rows (flat + folded copies between a migration crash and
+    the healing merge) collapse by the max algebra instead of
+    double-counting n_regs (review r9). -> *dims, hll_est"""
     dims = dims or ["channel"]
-    legacy = _legacy_flat_files(store_dir)
-    buckets = [
-        os.path.join(store_dir, e)
-        for e in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
-        if e.startswith("bucket=")
-    ]
-    if legacy and buckets:
-        regs = spark.read.parquet(*legacy).unionByName(
-            spark.read.option("basePath", store_dir)
-            .parquet(*buckets)
-            .drop("bucket")
-        )
-    else:
+    bucketstore.recover(store_dir, restore_only=True)
+    regs = bucketstore.read_store(spark, store_dir)
+    if regs is None:
+        # empty/missing store: keep the old plain-read failure mode
         regs = spark.read.parquet(store_dir)
+    else:
+        regs = regs.drop("bucket")
+    regs = regs.groupBy(*dims, "reg").agg(F.max("mrho").alias("mrho"))
     return sketches.hll_estimate(regs, dims)

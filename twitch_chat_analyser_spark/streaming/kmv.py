@@ -11,21 +11,26 @@ MICRO-BATCH IS A NO-OP BY ALGEBRA — no applied-batch journal is needed
 (tmp + rename) so a crash mid-write never mixes states.
 
 State: <= k BIGINT rows per channel, forever — bounded by the channel
-dimension, never by the stream. Per-trigger cost: the batch's own
-distinct + bottom-k window, plus one union/re-window against only the
-channels PRESENT in the batch (the store side is filtered by a
-left-semi join first, so untouched channels' rows are carried over
-without re-sorting).
+dimension, never by the stream. STORE LAYOUT (review r9 — the same
+round-4/6 finding the sibling OHLC/Markov stores were bucketed to fix):
+the store lives on the shared bucketed layout, ``bucket =
+hash(channel) % N``, so a trigger reads and rewrites ONLY the buckets
+its batch's channels hash to — the old flat swap rewrote the whole
+store every trigger (its left-semi split avoided re-SORTING cold
+channels but still scanned and rewrote every row). The bottom-k-
+distinct algebra is idempotent, so replay needs no journal
+(bucketstore.merge_into, batch_id=None) and legacy flat stores are
+folded in by the shared migration machinery.
 
 Serving: sketches.kmv_overlap_from_sketch over the store gives the
 live pairwise audience-overlap estimates; per-channel distinct
 estimates come from the same CASE/divide expressions as the batch
-operator (bit-identical math).
+operator (bit-identical math). Serve reads dedupe (channel, hv) first:
+duplicated rows in a migration crash window collapse by set semantics,
+so the estimates stay exact in every store state.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -36,36 +41,55 @@ from ..operators.sketches import (
     kmv_kmin,
     kmv_overlap_from_sketch,
 )
-from .storeswap import recover, swap_in
+from . import bucketstore
+
+STORE_BUCKETS = bucketstore.STORE_BUCKETS
 
 
 def merge_kmv(
-    spark: SparkSession, path: str, batch: DataFrame, k: int = KMV_K
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    k: int = KMV_K,
+    num_buckets: int = STORE_BUCKETS,
 ) -> None:
-    """Merge one micro-batch of messages into the k-min store
-    (``recover`` first makes any torn swap whole)."""
-    recover(path)
-    delta = kmv_kmin(batch, k).cache()
-    try:
-        if os.path.isdir(path):
-            store = spark.read.parquet(path)
-            touched = delta.select("channel").distinct()
-            hot = store.join(F.broadcast(touched), "channel", "left_semi")
-            cold = store.join(F.broadcast(touched), "channel", "left_anti")
-            w = Window.partitionBy("channel").orderBy("hv")
-            merged_hot = (
-                hot.unionByName(delta)
-                .distinct()
-                .withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") <= k)
-                .select("channel", "hv")
-            )
-            merged = merged_hot.unionByName(cold)
-        else:
-            merged = delta
-        swap_in(merged, path)
-    finally:
-        delta.unpersist()
+    """Merge one micro-batch of messages into the bucketed k-min store:
+    ``bottom-k(distinct(store ∪ batch))`` per channel, applied to the
+    touched buckets only."""
+
+    def merge_fn(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+        parts = delta if old is None else old.unionByName(delta)
+        w = Window.partitionBy("channel").orderBy("hv")
+        return (
+            parts.distinct()
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("channel", "hv", "bucket")
+        )
+
+    bucketstore.merge_into(
+        spark,
+        path,
+        kmv_kmin(batch, k),
+        ["channel"],
+        merge_fn,
+        num_buckets=num_buckets,
+        batch_id=None,
+    )
+
+
+def _read_sketch(spark: SparkSession, path: str) -> DataFrame:
+    """Serve-side sketch rows: restore-only heal, bucketed + legacy
+    flat rows, deduped on (channel, hv) so a migration crash window
+    (both copies on disk) cannot inflate the estimates."""
+    bucketstore.recover(path, restore_only=True)
+    sk = bucketstore.read_store(spark, path)
+    if sk is None:
+        # empty/missing store: keep the old plain-read failure mode
+        sk = spark.read.parquet(path)
+    else:
+        sk = sk.drop("bucket")
+    return sk.select("channel", "hv").distinct()
 
 
 def serve_estimates(
@@ -78,8 +102,7 @@ def serve_estimates(
 
     -> channel, est_milli
     """
-    recover(path, restore_only=True)
-    sk = spark.read.parquet(path)
+    sk = _read_sketch(spark, path)
     return (
         sk.groupBy("channel")
         .agg(F.count("*").alias("n"), F.max("hv").alias("hk"))
@@ -96,8 +119,7 @@ def serve_overlap(spark: SparkSession, path: str, k: int = KMV_K) -> DataFrame:
     """Store -> live pairwise audience-overlap estimates (the batch
     operator's pair stage over the maintained sketches). Restore-only:
     readers never delete a concurrent writer's tmp dir."""
-    recover(path, restore_only=True)
-    return kmv_overlap_from_sketch(spark.read.parquet(path), k)
+    return kmv_overlap_from_sketch(_read_sketch(spark, path), k)
 
 
 def start_kmv_pipeline(

@@ -102,7 +102,17 @@ def process_batch(
         # layout) sit outside any bucket, so until the merge below
         # folds them in, the boundary read must see the whole store.
         if bucketstore._legacy_flat_files(last_dir):
-            store_rows = bucketstore.read_store(spark, last_dir)
+            # mid-migration reads pass the writer's bucketize so legacy
+            # rows whose fold already committed are excluded instead of
+            # double-read (review r9); the struct-max below makes the
+            # boundary exact even in that window regardless
+            store_rows = bucketstore.read_store(
+                spark,
+                last_dir,
+                bucketize=lambda df: bucketstore.with_bucket(
+                    df, LAST_KEYS, num_buckets
+                ),
+            )
         else:
             touched = sorted(
                 r["bucket"]
@@ -117,8 +127,16 @@ def process_batch(
             )
             store_rows = bucketstore.read_store(spark, last_dir, touched)
         if store_rows is not None:
-            prev = store_rows.select(
-                "user_id", F.col("last.event_type").alias("src_type")
+            # re-max per user: if a stale flat copy AND its folded twin
+            # both surface (crash window), max picks the newer struct —
+            # one boundary pair per user, exact by the same algebra the
+            # store merges with
+            prev = (
+                store_rows.groupBy("user_id")
+                .agg(F.max("last").alias("last"))
+                .select(
+                    "user_id", F.col("last.event_type").alias("src_type")
+                )
             )
             boundary = first.join(prev, "user_id").select(
                 "src_type", "dst_type"
@@ -162,9 +180,16 @@ def serve_transitions(spark: SparkSession, transitions_dir: str) -> DataFrame:
     """Store -> the public schema of behavior.markov_transitions.
 
     Restore-only recovery first (never deletes an in-flight writer's
-    tmp dir — bucketstore.recover(restore_only=True))."""
+    tmp dir — bucketstore.recover(restore_only=True)). The writer's
+    bucket assignment is the constant 0, trivially reconstructible, so
+    mid-migration reads exclude already-folded legacy rows exactly
+    (review r9)."""
     bucketstore.recover(transitions_dir, restore_only=True)
-    t = bucketstore.read_store(spark, transitions_dir)
+    t = bucketstore.read_store(
+        spark,
+        transitions_dir,
+        bucketize=lambda df: df.withColumn("bucket", F.lit(0).cast("int")),
+    )
     if t is None:
         raise FileNotFoundError(transitions_dir)
     wsrc = Window.partitionBy("src_type")

@@ -66,7 +66,15 @@ def _merge_candles(old: DataFrame | None, delta: DataFrame) -> DataFrame:
     if old is None:
         return delta
     join_keys = _KEYS + ["bucket"]
-    j = old.alias("o").join(delta.alias("d"), join_keys, "full_outer")
+    # NULL-SAFE equality: a NULL-ts event yields a NULL bucket_ms
+    # candle; a plain equi-join never matches NULL=NULL, so each batch
+    # would append ANOTHER (event_type, NULL) row instead of merging —
+    # stream != batch (the batch twin groups them into one candle)
+    cond = None
+    for k in join_keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    j = old.alias("o").join(delta.alias("d"), cond, "full_outer")
 
     def both(fn, col):
         return fn(F.col(f"o.{col}"), F.col(f"d.{col}"))
@@ -107,12 +115,21 @@ def ohlc_merge(
     )
 
 
-def serve_candles(spark: SparkSession, path: str) -> DataFrame:
+def serve_candles(
+    spark: SparkSession, path: str, num_buckets: int = STORE_BUCKETS
+) -> DataFrame:
     """Store -> the public candle schema (same columns as
     temporal.ohlc_downsample). Restore-only recovery: a reader must
-    never delete an in-flight writer's tmp dir."""
+    never delete an in-flight writer's tmp dir. ``num_buckets`` must
+    match the writer's so the reconstructed bucket assignment excludes
+    already-folded legacy rows exactly during a migration window
+    (review r9)."""
     bucketstore.recover(path, restore_only=True)
-    s = bucketstore.read_store(spark, path)
+    s = bucketstore.read_store(
+        spark,
+        path,
+        bucketize=lambda df: bucketstore.with_bucket(df, _KEYS, num_buckets),
+    )
     if s is None:
         raise FileNotFoundError(path)
     return s.select(
