@@ -146,3 +146,47 @@ def test_tws_gate_raises_clear_importerror_without_protobuf(spark):
         pass
     with pytest.raises(ImportError, match="protobuf"):
         stateful.sessionize_stream_tws(_mk(spark, FILE_1))
+
+
+def test_cross_batch_late_event_does_not_rewind_open_session(
+    spark, tmp_path
+):
+    """Review r9: a late event landing INSIDE an open session's gap
+    used to rewind `last` to the smaller timestamp, spuriously closing
+    the session with a NEGATIVE duration. It must extend the session's
+    span (min start / max last) like the batch dual."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: user 3 at minute 20; batch 2: a LATE minute-0 event
+    # (within the 30-min gap of the open session) plus minute 100 —
+    # far enough past minute 20 to close session 1 and open session 2
+    _mk(spark, [(20, 3, 30)]).coalesce(1).write.mode("append").parquet(src)
+    _mk(spark, [(0, 3, 31), (100, 3, 32)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.sessionize_stream(stream, gap_ms=GAP)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out).collect()
+    # exactly one CLOSED session: minutes 0-20 (the late event extended
+    # its span), 2 events, non-negative 20-minute duration
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 2
+    assert r.session_start_ms == 0 * 60_000 + int(EPOCH.timestamp()) * 1000
+    assert r.duration_ms == 20 * 60_000

@@ -1475,7 +1475,10 @@ PHASH_SCHEMA = "media_id long, width int, height int, phash long"
 
 
 def image_phash(
-    media: DataFrame, fake: bool = True, kinds: tuple = ("image",)
+    media: DataFrame,
+    fake: bool = True,
+    kinds: tuple = ("image",),
+    skip_undecodable: bool = False,
 ) -> DataFrame:
     """Arrow-batched perceptual-hash stage: decode pixels, hash, drop the
     bytes — only the 8-byte fingerprint (plus dims) leaves the stage, so
@@ -1484,6 +1487,12 @@ def image_phash(
     real decoders don't cover (plumbing stays exercised). Pass
     ``kinds=("image", "video")`` to fingerprint GIFs too —
     ``decode_image_pixels`` renders their first frame.
+
+    ``skip_undecodable=True`` drops items whose format the real
+    decoders don't cover instead of raising — the STREAMING posture
+    (one mp4 in the media directory must not kill the dedup query; the
+    item simply goes unfingerprinted, i.e. conservatively kept).
+    Batch callers keep the default raise — the honest codec-lib gate.
 
     -> PHASH_SCHEMA rows
     """
@@ -1500,7 +1509,12 @@ def image_phash(
                     h = 16 + dig[1] % 64
                     ph = int.from_bytes(dig[2:10], "big", signed=True)
                 else:
-                    px = decode_image_pixels(payload)
+                    try:
+                        px = decode_image_pixels(payload)
+                    except (NotImplementedError, ValueError):
+                        if skip_undecodable:
+                            continue
+                        raise
                     h, w = px.shape[0], px.shape[1]
                     ph = phash64(px)
                 rows.append(
@@ -1806,11 +1820,15 @@ def audio_phash64(samples, rate: int) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def audio_phash(media: DataFrame, fake: bool = True) -> DataFrame:
+def audio_phash(
+    media: DataFrame, fake: bool = True, skip_undecodable: bool = False
+) -> DataFrame:
     """Arrow-batched audio fingerprint stage -> (media_id, phash long);
     near-dup audio pairs come from :func:`phash_pairs` on the output.
     Real for 16-bit PCM WAV; deterministic byte-derived pseudo-hash
-    under ``fake=True`` for codec-gated formats."""
+    under ``fake=True`` for codec-gated formats.
+    ``skip_undecodable`` as in :func:`image_phash` (streaming posture:
+    drop instead of raise)."""
     import pandas as pd
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1824,7 +1842,12 @@ def audio_phash(media: DataFrame, fake: bool = True) -> DataFrame:
                         signed=True,
                     )
                 else:
-                    rate, mono = decode_audio_samples(payload)
+                    try:
+                        rate, mono = decode_audio_samples(payload)
+                    except (NotImplementedError, ValueError):
+                        if skip_undecodable:
+                            continue
+                        raise
                     ph = audio_phash64(mono, rate)
                 rows.append({"media_id": r["media_id"], "phash": ph})
             yield pd.DataFrame(rows)

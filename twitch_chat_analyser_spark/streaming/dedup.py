@@ -22,10 +22,29 @@ backfill over a dumped topic and the live stream agree.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.dedup import tokens as dtokens
 from .pipeline import read_message_stream
+
+
+def _has_history(path: str) -> bool:
+    """True only when the history store holds COMMITTED parquet data.
+    A crash during the very first batch's write can leave the directory
+    with only ``_temporary`` staging debris; ``os.path.isdir`` would
+    then route into an unconditional read that fails schema inference
+    on EVERY checkpoint replay — the stream wedges until someone
+    deletes the directory by hand (review r9)."""
+    if not _os.path.isdir(path):
+        return False
+    for root, dirs, files in _os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 # Wire-identity of a message (Message.java:11-14): no synthetic id
 # exists, the full record is the key.
@@ -103,7 +122,7 @@ def _dedup_against_history(
     hashed = batch_df.withColumn("fp", F.md5(norm_text()))
     keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     batch_unique = hashed.join(keeper, ["fp", "doc_id"], "left_semi")
-    if os.path.isdir(fp_path):
+    if _has_history(fp_path):
         seen = (
             spark.read.parquet(fp_path)
             .filter(F.col("batch") != batch_id)
@@ -269,7 +288,7 @@ def start_corpus_prep_stream(
         )
         # history dedup as a flag (same replay-safe own-batch exclusion
         # as _dedup_against_history)
-        if os.path.isdir(fp_path):
+        if _has_history(fp_path):
             seen = (
                 spark.read.parquet(fp_path)
                 .filter(F.col("batch") != batch_id)
@@ -283,7 +302,7 @@ def start_corpus_prep_stream(
         marked = marked.withColumn(
             "is_fresh",
             F.col("is_keeper") & ~F.coalesce("in_history", F.lit(False)),
-        ).withColumn("ws", F.size(F.split("text", r"\s+")).cast("long"))
+        ).withColumn("ws", F.size(dtokens("text")).cast("long"))
         obs = Observation(f"corpus_prep_{batch_id}")
         observed = marked.observe(
             obs,
@@ -376,7 +395,7 @@ def start_bloom_corpus_dedup(
         hashed = batch_df.withColumn("fp", F.md5(norm_text()))
         keeper = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_unique = hashed.join(keeper, ["fp", "doc_id"], "left_semi")
-        if os.path.isdir(bits_path):
+        if _has_history(bits_path):
             bits = (
                 spark.read.parquet(bits_path)
                 .filter(F.col("batch") != batch_id)
@@ -525,7 +544,7 @@ def start_minhash_corpus_dedup(
             .distinct()
         )
         drops = in_batch
-        if os.path.isdir(sig_path):
+        if _has_history(sig_path):
             hist = (
                 spark.read.parquet(sig_path)
                 .filter(F.col("batch") != batch_id)
@@ -607,12 +626,20 @@ def start_phash_media_dedup(
         # visual items (images + GIF first frames) and audio items are
         # fingerprinted by their own extractors; `modality` rides along
         # as a join key so the two 64-bit spaces can never cross-match
+        # skip_undecodable: the stream must survive formats the real
+        # decoders don't cover (an mp4 in the media dir previously
+        # killed the query via image_phash's codec gate — review r9);
+        # undecodable items go unfingerprinted, i.e. conservatively
+        # kept, and fake mode still exercises every format's plumbing
         visual = image_phash(
-            batch_df, fake=fake, kinds=("image", "video")
+            batch_df,
+            fake=fake,
+            kinds=("image", "video"),
+            skip_undecodable=not fake,
         ).select("media_id", "phash", F.lit("visual").alias("modality"))
-        audio = audio_phash(batch_df, fake=fake).select(
-            "media_id", "phash", F.lit("audio").alias("modality")
-        )
+        audio = audio_phash(
+            batch_df, fake=fake, skip_undecodable=not fake
+        ).select("media_id", "phash", F.lit("audio").alias("modality"))
         hashes = visual.unionByName(audio).localCheckpoint(eager=True)
         in_batch = (
             phash_probe_candidates(
@@ -628,7 +655,7 @@ def start_phash_media_dedup(
             .distinct()
         )
         drops = in_batch
-        if os.path.isdir(hash_path):
+        if _has_history(hash_path):
             hist = (
                 spark.read.parquet(hash_path)
                 .filter(F.col("batch") != batch_id)

@@ -47,8 +47,14 @@ def attribution_join(
 ) -> DataFrame:
     """The join itself, usable on batch or streaming inputs. ``clicks``
     needs (user_id, click_event_id, click_ts); ``purchases`` needs
-    (purchase_event_id, user_id, purchase_ts)."""
+    (purchase_event_id, user_id, purchase_ts). Aliases are applied
+    HERE, so callers may pass any DataFrames with those columns — the
+    join condition's qualified references previously only resolved for
+    frames the internal ``_sides`` helper had pre-aliased (review
+    r9)."""
     horizon_expr = f"INTERVAL {horizon_ms} MILLISECONDS"
+    clicks = clicks.alias("clicks")
+    purchases = purchases.alias("purchases")
     return (
         purchases.join(
             clicks,

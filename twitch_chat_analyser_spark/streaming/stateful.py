@@ -90,7 +90,12 @@ def _session_fn(gap_ms: int, idle_timeout_ms: int | None):
                 closed.append((user_id, sid, n, start, last - start))
                 sid, start, last, n = sid + 1, ms, ms, 1
             else:
-                last, n = ms, n + 1
+                # min/max, not assignment: a CROSS-BATCH late event
+                # sorts first within its batch and would otherwise
+                # REWIND `last`, spuriously closing the open session
+                # with a negative duration (review r9); the batch dual
+                # (textops.sessionize) takes min/max over the session
+                start, last, n = min(start, ms), max(last, ms), n + 1
 
         state.update((sid, start, last, n))
         if idle_timeout_ms is not None:
@@ -198,7 +203,11 @@ def sessionize_stream_tws(
                     closed.append((user_id, sid, n, start, last - start))
                     sid, start, last, n = sid + 1, ms, ms, 1
                 else:
-                    last, n = ms, n + 1
+                    # same cross-batch late-event rewind guard as
+                    # _session_fn above (review r9)
+                    start, last, n = (
+                        min(start, ms), max(last, ms), n + 1
+                    )
             self._open.update((sid, start, last, n))
             yield pd.DataFrame(
                 closed,
