@@ -262,12 +262,16 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             merge_metrics=merge_metrics,
         )
         wall = time.time() - t0
-        p = _percentiles(_trigger_durations(prog))
+        durs = _trigger_durations(prog)
+        p = _percentiles(durs)
+        # first-trigger JIT/codegen warm-up excluded (see the JDBC twin)
+        steady = _percentiles(durs[1:])
         return {
             "streaming_messages": n,
             "streaming_wall_sec": round(wall, 3),
             "streaming_msgs_per_sec": round(n / wall, 1),
             "streaming_trigger_p50_ms": p.get("p50_ms"),
+            "streaming_trigger_p50_steady_ms": steady.get("p50_ms"),
             "streaming_trigger_p95_ms": p.get("p95_ms"),
             "streaming_trigger_batches_ms": p,
             # self-diagnosis: per-table layout decisions, merge wall
@@ -455,12 +459,20 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
         )
         q.awaitTermination()
         wall = time.time() - t0
-        pcts = _percentiles(_trigger_durations([q.recentProgress]))
+        durs = _trigger_durations([q.recentProgress])
+        pcts = _percentiles(durs)
+        # steady-state latency: batch 0 pays one-time JVM JIT/codegen +
+        # SQLite page-cache warm-up; the budget the reference's 5 s
+        # flush interval implies is about the RECURRING trigger, so
+        # report the p50 with the warm-up batch excluded alongside the
+        # all-batches number (round-9 queue item)
+        steady = _percentiles(durs[1:])
         return {
             "jdbc_messages": n,
             "jdbc_wall_sec": round(wall, 3),
             "jdbc_msgs_per_sec": round(n / wall, 1),
             "jdbc_trigger_p50_ms": pcts.get("p50_ms"),
+            "jdbc_trigger_p50_steady_ms": steady.get("p50_ms"),
             "jdbc_upsert_breakdown": breakdown,
             "jdbc_tables": {
                 name: {

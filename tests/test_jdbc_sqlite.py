@@ -169,21 +169,72 @@ def test_partition_count_change_mid_batch_fails_loudly(tmp_path):
         write(2)
 
 
-def test_fresh_checkpoint_against_stale_ledger_fails_loudly(
+def test_rolled_back_checkpoint_against_stale_ledger_fails_loudly(
     spark, tmp_path
 ):
-    """Review r9: batch ids restarting at 0 against a ledger that has
-    already seen higher batches means a fresh/relocated checkpoint is
-    replaying into an existing store — every claim would silently skip.
-    The driver-side preflight refuses instead."""
+    """Review r9 + ADVICE r9 (generalized): any batch id BELOW the
+    ledger's max means a fresh/relocated/rolled-back checkpoint is
+    replaying into an existing store — every claim up to the max would
+    silently skip. The driver-side preflight refuses; a replay AT the
+    max (the normal crash-replay of the in-flight batch) passes."""
     db = str(tmp_path / "stale.db")
     _setup_db(db)
     sink = _sink(db, "additive")
     df = spark.createDataFrame([("a", 0, 5)], SCHEMA)
     sink(df, batch_id=0)
     sink(df, batch_id=1)
-    with pytest.raises(RuntimeError, match="fresh"):
+    with pytest.raises(RuntimeError, match="rolled-back"):
         sink(df, batch_id=0)
+    # replay of the in-flight batch (== ledger max): allowed, no-op
+    sink(df, batch_id=1)
+    assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 10)]
+    # a NON-ZERO batch id below the max fails too (the batch-0-only
+    # guard missed this: a relocated checkpoint restarting mid-history)
+    sink(df, batch_id=3)
+    with pytest.raises(RuntimeError, match="rolled-back"):
+        sink(df, batch_id=2)
+
+
+def test_legacy_ledger_schema_detected_and_migrated(spark, tmp_path):
+    """ADVICE r9: CREATE TABLE IF NOT EXISTS never migrates an existing
+    ledger — a deployment whose ledger predates ``n_parts`` would fail
+    every claim INSERT. The preflight detects the missing column and
+    fails with the migration to run; ``apply_ledger_migrations`` brings
+    the table up to date (idempotently) and the sink then works."""
+    db = str(tmp_path / "legacy_ledger.db")
+    conn = sqlite3.connect(db)
+    try:
+        cur = conn.cursor()
+        for table in jdbc.FACT_TABLES:
+            cur.execute(jdbc.create_table_sql(table))
+        # the PRE-n_parts ledger schema
+        cur.execute(
+            f"CREATE TABLE {jdbc.LEDGER_TABLE}("
+            "table_name VARCHAR(64) NOT NULL, batch_id BIGINT NOT NULL, "
+            "partition_id INT NOT NULL, "
+            "PRIMARY KEY(table_name, batch_id, partition_id))"
+        )
+        conn.commit()
+    finally:
+        conn.close()
+
+    sink = _sink(db, "additive")
+    df = spark.createDataFrame([("a", 0, 5)], SCHEMA)
+    with pytest.raises(RuntimeError, match="n_parts"):
+        sink(df, batch_id=0)
+
+    conn = sqlite3.connect(db)
+    try:
+        jdbc.apply_ledger_migrations(conn)
+        jdbc.apply_ledger_migrations(conn)  # idempotent re-run
+    finally:
+        conn.close()
+    sink(df, batch_id=0)
+    assert _read(db, "SELECT * FROM channel_stats") == [("a", 0, 5)]
+    # legacy-created ledger now carries the defaulted n_parts column
+    assert _read(
+        db, f"SELECT DISTINCT n_parts FROM {jdbc.LEDGER_TABLE}"
+    ) == [(4,)]
 
 
 def test_ledger_is_pruned_to_recent_batches(spark, tmp_path):

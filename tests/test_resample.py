@@ -111,6 +111,14 @@ def test_zero_span_window(spark):
     assert [t for t, _ in out] == [2000, 62_000]
 
 
+def test_grid_degenerate_spans_follow_php_loop():
+    """Review r10: the PHP ``while (t <= endTime)`` loop yields [] for
+    a negative span and a single point for a zero span — ``range``
+    would descend / raise on stride <= 0 instead."""
+    assert resample_grid(100, 50, 10) == []
+    assert resample_grid(100, 100, 10) == [100]
+
+
 def test_grid_matches_php_stepping():
     # ceil(t + step) == t + ceil(step) for integral t
     for start, end, np_ in [(0, 1_000_000, 100), (7, 999, 13), (0, 10, 7)]:

@@ -27,6 +27,21 @@ def test_split_is_deterministic_and_total(spark):
     assert 0.7 * 400 < train < 0.9 * 400
 
 
+def test_keep_all_and_keep_none_fractions(spark):
+    """Review r10: fraction >= 1 used to format as the 5-char '10000',
+    which string-compares below most 4-char hex prefixes and silently
+    kept ~6 % of rows instead of all of them."""
+    assert sampling.hash_threshold(1.0) == "g"
+    assert sampling.hash_threshold(-0.5) == "0000"
+    docs = _docs(spark, 100)
+    assert sampling.deterministic_sample(docs, 1.0).count() == 100
+    assert sampling.deterministic_sample(docs, 0.0).count() == 0
+    splits = {
+        r["split"] for r in sampling.train_test_split(docs, 1.0).collect()
+    }
+    assert splits == {"train"}
+
+
 def test_sample_is_subset_and_stable_under_corpus_growth(spark):
     small = sampling.deterministic_sample(_docs(spark, 200), 0.25)
     big = sampling.deterministic_sample(_docs(spark, 400), 0.25)

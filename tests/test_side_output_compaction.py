@@ -42,11 +42,15 @@ def test_compaction_preserves_rows_and_bounds_directories(spark, tmp_path):
 
     folded = sp.compact_matched_messages(spark, out, keep_last=1)
     assert folded == 1  # batch 0 folded; newest kept for replay
-    assert _batch_dirs(out) == ["batch=-1", "batch=1"]
+    # deferred gc (ADVICE r9): the folded original stays on disk until
+    # the NEXT cycle — excluded by marker, so reads are already exact
+    assert _batch_dirs(out) == ["batch=-1", "batch=0", "batch=1"]
     assert _matched_rows(spark, out) == want
 
-    # idempotent: nothing newly eligible
+    # idempotent: nothing newly eligible; this cycle's gc collects the
+    # deferred dir
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
+    assert _batch_dirs(out) == ["batch=-1", "batch=1"]
     assert _matched_rows(spark, out) == want
 
     # a post-compaction trigger appends normally and folds next cycle
@@ -58,16 +62,19 @@ def test_compaction_preserves_rows_and_bounds_directories(spark, tmp_path):
     assert _matched_rows(spark, out) == want2
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
     # segments are immutable: the second fold writes a NEW segment
-    # (batch=-2) instead of rewriting batch=-1
+    # (batch=-2) instead of rewriting batch=-1; batch=1 is deferred
+    assert _batch_dirs(out) == ["batch=-1", "batch=-2", "batch=1", "batch=2"]
+    assert _matched_rows(spark, out) == want2
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
     assert _batch_dirs(out) == ["batch=-1", "batch=-2", "batch=2"]
     assert _matched_rows(spark, out) == want2
 
 
-def test_crash_between_swap_and_removal_stays_exact(spark, tmp_path):
-    """The crash window: consolidated dir committed (marker includes
-    the folded id) but the original batch dir still on disk — the read
-    must exclude it (no double count) and the next compaction must
-    garbage-collect it."""
+def test_folded_originals_deferred_and_reader_grace(spark, tmp_path):
+    """Deferred gc (ADVICE r9): a fold leaves the original batch dir on
+    disk — excluded by marker, gc'd next cycle — so a serving read that
+    LISTED the store just before the fold can still execute its lazy
+    plan afterwards instead of failing mid-action with FileNotFound."""
     src, out, ckpt = _dirs(tmp_path)
     _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
     sp.run_all_single_pass(spark, src, out, ckpt)
@@ -75,17 +82,15 @@ def test_crash_between_swap_and_removal_stays_exact(spark, tmp_path):
     sp.run_all_single_pass(spark, src, out, ckpt)
     want = _matched_rows(spark, out)
 
-    root = os.path.join(out, sp.MATCHED_DIRNAME)
-    b0 = os.path.join(root, "batch=0")
-    saved = str(tmp_path / "saved-b0")
-    shutil.copytree(b0, saved)
+    # a concurrent reader: plan built (paths listed) BEFORE compaction
+    pre_listed = sp.read_matched_messages(spark, out)
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
-    # resurrect the original: exactly the state a crash between the
-    # consolidated swap and the removal loop leaves behind
-    shutil.copytree(saved, b0)
+    # the folded original is still on disk (deferred), excluded by
+    # marker from fresh reads, and the pre-listed plan still executes
     assert "batch=0" in _batch_dirs(out)
     assert _matched_rows(spark, out) == want  # marker excludes it
-    # next compaction gc's the stale dir without re-folding it
+    assert _sorted_rows(pre_listed) == want  # no FileNotFound mid-action
+    # next compaction gc's the deferred dir without re-folding it
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
     assert "batch=0" not in _batch_dirs(out)
     assert _matched_rows(spark, out) == want
@@ -127,10 +132,13 @@ def test_segment_merge_is_amortized_and_crash_safe(
     feed(BATCH_2)
     # two segments live >= max: this cycle folds batches AND segments
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
-    assert _batch_dirs(out) == ["batch=-3", "batch=3"]
     want = _expected_tables(spark, BATCH_1 + BATCH_2 + BATCH_1 + BATCH_2)[
         "messages_matching_phrase"
     ]
+    assert _matched_rows(spark, out) == want
+    # one more cycle collects the deferred originals (ADVICE r9)
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
+    assert _batch_dirs(out) == ["batch=-3", "batch=3"]
     assert _matched_rows(spark, out) == want
 
     # crash window of the merge: a superseded segment resurfaces ->
@@ -192,6 +200,9 @@ def test_legacy_marker_and_undead_supersession(spark, tmp_path, monkeypatch):
     _mk_messages(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
     sp.run_all_single_pass(spark, src, out, ckpt)
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1  # -3
+    # one more cycle's gc (deferred deletion, ADVICE r9): removes -2
+    # while -1's deletion keeps silently failing
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
     monkeypatch.setattr(sp.shutil, "rmtree", real_rmtree)
     dirs_now = _batch_dirs(out)
     assert "batch=-1" in dirs_now  # both deletions really failed
@@ -238,5 +249,9 @@ def test_crash_at_publish_rename_replays_clean(spark, tmp_path, monkeypatch):
     assert _matched_rows(spark, out) == want  # nothing half-published
     assert sp.compact_matched_messages(spark, out, keep_last=1) == 1
     assert not any(e.startswith(".tmp-") for e in os.listdir(root))
+    # folded original deferred one cycle (ADVICE r9), then collected
+    assert _batch_dirs(out) == ["batch=-1", "batch=0", "batch=1"]
+    assert _matched_rows(spark, out) == want
+    assert sp.compact_matched_messages(spark, out, keep_last=1) == 0
     assert _batch_dirs(out) == ["batch=-1", "batch=1"]
     assert _matched_rows(spark, out) == want

@@ -190,3 +190,57 @@ def test_cross_batch_late_event_does_not_rewind_open_session(
     assert r.n_events == 2
     assert r.session_start_ms == 0 * 60_000 + int(EPOCH.timestamp()) * 1000
     assert r.duration_ms == 20 * 60_000
+
+
+def test_very_late_cross_batch_event_forks_own_session(spark, tmp_path):
+    """ADVICE r9: a cross-batch event more than gap_ms OLDER than the
+    open session's start cannot belong to it by the gap rule — it must
+    fork into its own closed singleton session (the batch dual would
+    put it in its own earlier session) instead of being absorbed via
+    the min-start rewind. The fork takes the LOWER session id (batch
+    numbers sessions in start order); the not-yet-emitted open session
+    is renumbered."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: user 4 opens a session at minute 100; batch 2: a VERY
+    # late minute-10 event (90 min before the open start, > 30-min
+    # gap), an in-gap minute-105 event, and a minute-200 event that
+    # closes the (renumbered) open session
+    _mk(spark, [(100, 4, 40)]).coalesce(1).write.mode("append").parquet(src)
+    _mk(spark, [(10, 4, 41), (105, 4, 42), (200, 4, 43)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.sessionize_stream(stream, gap_ms=GAP)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    epoch_ms = int(EPOCH.timestamp()) * 1000
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            r.session_start_ms,
+            r.duration_ms,
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        # the fork: singleton at minute 10, LOWER id, zero duration
+        (4, 1): (1, epoch_ms + 10 * 60_000, 0),
+        # the original open session (renumbered to 2): minutes 100-105,
+        # untouched by the very-late event, closed by the minute-200 gap
+        (4, 2): (2, epoch_ms + 100 * 60_000, 5 * 60_000),
+    }

@@ -45,9 +45,21 @@ from pyspark.sql import types as T
 
 
 def resample_grid(start: int, end: int, num_points: int) -> list[int]:
-    """The PHP loop's grid (integral, stride = ceil(step), end clamped)."""
+    """The PHP loop's grid (integral, stride = ceil(step), end clamped).
+
+    Degenerate spans follow the PHP ``while (t <= endTime)`` loop
+    (review r10): a NEGATIVE span never enters the loop (empty grid,
+    where ``range`` with a negative stride would descend), and a ZERO
+    span runs exactly once then breaks (one point, where ``range``
+    would raise on stride 0). ``resample_time_series`` pre-adjusts
+    zero spans (MainController.php:621-624) so these only matter for
+    direct callers."""
     if num_points < 2:
         num_points = 2
+    if end < start:
+        return []
+    if end == start:
+        return [start]
     stride = math.ceil((end - start) / (num_points - 1))
     return list(range(start, end, stride)) + [end]
 

@@ -33,8 +33,17 @@ def _hash_prefix(col: str = "doc_id"):
 
 
 def hash_threshold(fraction: float) -> str:
-    """Hex prefix threshold selecting ~``fraction`` of the id space."""
-    return format(int(HASH_CELLS * fraction), "04x")
+    """Hex prefix threshold selecting ~``fraction`` of the id space.
+
+    The keep-all edge (review r10): ``fraction >= 1`` used to format as
+    the 5-char ``"10000"``, which string-compares BELOW most 4-char hex
+    prefixes (``"abcd" > "10000"``) and silently kept only ~6 % of
+    rows. ``"g"`` sorts above every hex prefix, so ``hp < "g"`` keeps
+    everything; negative fractions clamp to keep-nothing."""
+    cells = int(HASH_CELLS * fraction)
+    if cells >= HASH_CELLS:
+        return "g"
+    return format(max(cells, 0), "04x")
 
 
 def deterministic_sample(docs: DataFrame, fraction: float) -> DataFrame:

@@ -66,6 +66,14 @@ def read_messages_json(
 def read_messages_csv(
     spark: SparkSession, path: str, streaming: bool = False
 ) -> DataFrame:
+    """CSV caveat (review r10): a message containing an embedded
+    NEWLINE is written quoted, but the default (splittable,
+    line-oriented) reader splits it mid-record and the halves drop as
+    malformed — pass ``.option("multiLine", "true")`` to recover them
+    at the cost of whole-file (non-splittable) reads, or use the
+    JSON-lines format, which escapes newlines and round-trips exactly.
+    IRC chat messages cannot contain newlines, so the default is safe
+    for the reference's domain."""
     reader = spark.readStream if streaming else spark.read
     return _normalize(
         reader.schema(WIRE_SCHEMA).option("header", "true").csv(path)

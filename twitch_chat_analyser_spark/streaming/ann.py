@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.similarity import DOT_EXPR, as_double_vec
+from ..operators.similarity import (
+    _assign_to_centroids,
+    as_double_vec,
+    cosine,
+)
 
 EMB_SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
 
@@ -39,24 +43,15 @@ def assign_to_codebook(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     via broadcast + max_by hash aggregate. ``vecs`` needs (vec_id, v,
     v_nrm); ``centroids`` needs (centroid_id, c, c_nrm).
 
+    Delegates to the batch IVF family's kernel
+    (``similarity._assign_to_centroids``) — ONE assignment
+    implementation, so the streaming index and the batch ``ivf_topk``
+    can never drift out of lockstep on scoring or tie-breaks
+    (round-10 dedup; they were previously twin copies).
+
     -> vec_id, v, v_nrm, centroid_id
     """
-    cos_c = (
-        F.expr(DOT_EXPR.format(a="v", b="c"))
-        / (F.col("v_nrm") * F.col("c_nrm"))
-    ).alias("cos_c")
-    return (
-        vecs.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "v", "v_nrm", "centroid_id", cos_c)
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(struct(v, v_nrm, centroid_id),"
-                " struct(cos_c, -centroid_id)) AS best"
-            )
-        )
-        .select("vec_id", "best.v", "best.v_nrm", "best.centroid_id")
-    )
+    return _assign_to_centroids(vecs, centroids)
 
 
 def write_codebook(
@@ -128,10 +123,7 @@ def probe_index(
         F.col("v_nrm").alias("q_nrm"),
         "centroid_id",
     )
-    cos_sim = (
-        F.expr(DOT_EXPR.format(a="q", b="v"))
-        / (F.col("q_nrm") * F.col("v_nrm"))
-    ).alias("cos_sim")
+    cos_sim = cosine("q", "v").alias("cos_sim")
     scored = (
         index.select(
             F.col("vec_id").alias("neighbor_id"), "v", "v_nrm", "centroid_id"

@@ -142,6 +142,39 @@ def ledger_table_sql() -> str:
     )
 
 
+def ledger_migrations() -> list[str]:
+    """Schema-migration DDL for ledger tables created before a column
+    was added — ``CREATE TABLE IF NOT EXISTS`` never alters an existing
+    table, so a deployment whose ledger predates ``n_parts`` would fail
+    every claim INSERT with a column-count error (ADVICE r9). Run these
+    at job setup right after :func:`ledger_table_sql`; each statement is
+    idempotent-by-guard on engines without ``IF NOT EXISTS`` column
+    support (sqlite raises "duplicate column name" — callers may ignore
+    that one error, as :func:`apply_ledger_migrations` does)."""
+    return [
+        f"ALTER TABLE {LEDGER_TABLE} "
+        "ADD COLUMN n_parts INT NOT NULL DEFAULT 0",
+    ]
+
+
+def apply_ledger_migrations(conn) -> None:
+    """Bring an existing ledger table up to the current schema on a
+    DB-API connection; tolerates already-applied migrations (duplicate-
+    column errors) so it can run unconditionally at job setup."""
+    for stmt in ledger_migrations():
+        cur = conn.cursor()
+        try:
+            cur.execute(stmt)
+        except Exception as e:  # noqa: BLE001 - engine-specific error types
+            conn.rollback()
+            msg = str(e).lower()
+            if "duplicate" in msg or "already exists" in msg:
+                continue  # migration previously applied
+            raise
+        else:
+            conn.commit()
+
+
 def ledger_claim_sql(paramstyle: str = "pyformat") -> str:
     """Claim statement: inserts the (table, batch, partition, n_parts)
     marker, or affects 0 rows if a prior attempt already committed
@@ -413,12 +446,18 @@ class JdbcSink:
     def _preflight(self, factory: Callable, batch_id: int) -> None:
         """Driver-side ledger sanity pass before an additive batch:
 
-        - STALE-LEDGER GUARD: a batch_id of 0 against a ledger that has
-          already seen higher batches means a fresh/relocated checkpoint
-          is replaying history into an existing store — every claim
+        - SCHEMA PROBE: a ledger table created before ``n_parts`` was
+          added makes every claim INSERT fail with a column-count
+          error; detect the missing column up front and fail with the
+          migration to run (ADVICE r9, :func:`ledger_migrations`).
+        - STALE-LEDGER GUARD: a batch_id BELOW the ledger's max for this
+          table means a relocated/rolled-back checkpoint is replaying
+          history into an existing store — every claim up to that max
           would find the OLD run's marker and silently discard the new
           run's data. Fail loudly; the operator clears the table's
-          ledger rows (or the store) and restarts.
+          ledger rows (or the store) and restarts. (``batch_id ==
+          max``, the normal crash-replay of the in-flight batch, passes;
+          ADVICE r9 generalized this from the batch-0-only check.)
         - PRUNING: only the current batch can ever replay, so markers
           older than the previous batch are dead weight (~tables x
           partitions rows per trigger, forever); drop them.
@@ -432,6 +471,21 @@ class JdbcSink:
             cur = conn.cursor()
             if not hasattr(cur, "fetchone"):
                 return
+            try:
+                cur.execute(
+                    f"SELECT n_parts FROM {LEDGER_TABLE} WHERE 1 = 0"
+                )
+                cur.fetchall()
+            except Exception as e:  # noqa: BLE001 - engine-specific types
+                conn.rollback()
+                raise RuntimeError(
+                    f"{LEDGER_TABLE} is missing or lacks the n_parts "
+                    "column (a ledger created by an older version, or "
+                    "setup DDL not run) — run ledger_table_sql() then "
+                    "jdbc.apply_ledger_migrations(conn) before "
+                    "restarting the job"
+                ) from e
+            cur = conn.cursor()
             cur.execute(
                 f"SELECT max(batch_id) FROM {LEDGER_TABLE} "
                 f"WHERE table_name = {ph}",
@@ -439,14 +493,15 @@ class JdbcSink:
             )
             row = cur.fetchone()
             max_b = row[0] if row else None
-            if batch_id == 0 and max_b is not None and max_b >= 1:
+            if max_b is not None and batch_id < max_b:
                 raise RuntimeError(
                     f"{self.table}: ledger already holds batches up to "
-                    f"{max_b} but this run starts at batch 0 — a fresh "
-                    "checkpoint against an existing store would silently "
-                    "skip every batch as a replay; clear the table's "
-                    f"rows from {LEDGER_TABLE} (and decide what to do "
-                    "with the accumulated fact rows) before restarting"
+                    f"{max_b} but this run is at batch {batch_id} — a "
+                    "relocated/rolled-back checkpoint against an "
+                    "existing store would silently skip batches up to "
+                    f"{max_b} as replays; clear the table's rows from "
+                    f"{LEDGER_TABLE} (and decide what to do with the "
+                    "accumulated fact rows) before restarting"
                 )
             cur.execute(
                 f"DELETE FROM {LEDGER_TABLE} WHERE table_name = {ph} "

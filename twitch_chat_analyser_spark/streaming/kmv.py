@@ -25,9 +25,11 @@ folded in by the shared migration machinery.
 Serving: sketches.kmv_overlap_from_sketch over the store gives the
 live pairwise audience-overlap estimates; per-channel distinct
 estimates come from the same CASE/divide expressions as the batch
-operator (bit-identical math). Serve reads dedupe (channel, hv) first:
-duplicated rows in a migration crash window collapse by set semantics,
-so the estimates stay exact in every store state.
+operator (bit-identical math). Serve reads reconstruct the writer's
+bucket assignment (dropping already-folded legacy rows exactly during
+a migration crash window), dedupe (channel, hv), and re-apply the
+per-channel bottom-k — so the estimates stay exact in every store
+state (ADVICE r9).
 """
 
 from __future__ import annotations
@@ -78,22 +80,51 @@ def merge_kmv(
     )
 
 
-def _read_sketch(spark: SparkSession, path: str) -> DataFrame:
+def _read_sketch(
+    spark: SparkSession,
+    path: str,
+    k: int = KMV_K,
+    num_buckets: int = STORE_BUCKETS,
+) -> DataFrame:
     """Serve-side sketch rows: restore-only heal, bucketed + legacy
-    flat rows, deduped on (channel, hv) so a migration crash window
-    (both copies on disk) cannot inflate the estimates."""
+    flat rows. ``num_buckets`` must match the writer's so the
+    reconstructed bucket assignment drops already-folded legacy rows
+    exactly during a migration crash window (ADVICE r9: without it,
+    evicted legacy hv values coexist with the new bottom-k and
+    ``distinct()`` alone cannot collapse them — n/hk would be computed
+    over a >k mixture). Belt: the per-channel bottom-k is re-applied
+    after the dedup — ``bottom-k(old ∪ bottom-k(old ∪ new)) =
+    bottom-k(old ∪ new)`` (every old row outside the folded set is
+    larger than all of it), so it is a no-op in every healthy state and
+    heals any residual mixture."""
     bucketstore.recover(path, restore_only=True)
-    sk = bucketstore.read_store(spark, path)
+    sk = bucketstore.read_store(
+        spark,
+        path,
+        bucketize=lambda df: bucketstore.with_bucket(
+            df, ["channel"], num_buckets
+        ),
+    )
     if sk is None:
         # empty/missing store: keep the old plain-read failure mode
         sk = spark.read.parquet(path)
     else:
         sk = sk.drop("bucket")
-    return sk.select("channel", "hv").distinct()
+    w = Window.partitionBy("channel").orderBy("hv")
+    return (
+        sk.select("channel", "hv")
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .drop("r")
+    )
 
 
 def serve_estimates(
-    spark: SparkSession, path: str, k: int = KMV_K
+    spark: SparkSession,
+    path: str,
+    k: int = KMV_K,
+    num_buckets: int = STORE_BUCKETS,
 ) -> DataFrame:
     """Store -> per-channel distinct estimate (same expression tree as
     the batch operator, so stream==batch is bit-for-bit). Quantized to
@@ -102,7 +133,7 @@ def serve_estimates(
 
     -> channel, est_milli
     """
-    sk = _read_sketch(spark, path)
+    sk = _read_sketch(spark, path, k, num_buckets)
     return (
         sk.groupBy("channel")
         .agg(F.count("*").alias("n"), F.max("hv").alias("hk"))
@@ -115,11 +146,16 @@ def serve_estimates(
     )
 
 
-def serve_overlap(spark: SparkSession, path: str, k: int = KMV_K) -> DataFrame:
+def serve_overlap(
+    spark: SparkSession,
+    path: str,
+    k: int = KMV_K,
+    num_buckets: int = STORE_BUCKETS,
+) -> DataFrame:
     """Store -> live pairwise audience-overlap estimates (the batch
     operator's pair stage over the maintained sketches). Restore-only:
     readers never delete a concurrent writer's tmp dir."""
-    return kmv_overlap_from_sketch(_read_sketch(spark, path), k)
+    return kmv_overlap_from_sketch(_read_sketch(spark, path, k, num_buckets), k)
 
 
 def start_kmv_pipeline(

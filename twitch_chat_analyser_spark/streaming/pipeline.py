@@ -593,9 +593,11 @@ def compact_matched_messages(
     (compaction always folds a prefix of the strictly-increasing batch
     ids, so the marker is O(1) forever) plus any merged segment ids,
     and reads exclude folded batch dirs / superseded segments by
-    marker. A crash
-    before the rename leaves a tmp dir (gc'd next cycle); a crash
-    after it leaves stale-but-excluded originals (gc'd next cycle).
+    marker. A crash before the rename leaves a tmp dir (gc'd next
+    cycle); the folded originals are ALWAYS left on disk until the
+    next cycle's gc — deferred deletion gives a concurrent lazy
+    serving read a full compaction period to finish instead of racing
+    a same-cycle rmtree (ADVICE r9).
     Cost per cycle is O(newly folded data), not O(history); when more
     than ``MATCHED_MAX_SEGMENTS`` segments are live, the cycle folds
     the segments too (amortized — segment count grows per compaction
@@ -675,8 +677,15 @@ def compact_matched_messages(
         os.close(dfd)
     except OSError:
         pass  # platform without dir fsync — rename atomicity still holds
-    for d in src_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+    # DEFERRED GC (ADVICE r9): the dirs folded THIS cycle are NOT
+    # removed here — they are already excluded by the just-published
+    # marker, and a concurrent serving read may have listed them
+    # moments ago (Spark's read is lazy; deleting now could fail that
+    # read mid-action with FileNotFound). The NEXT cycle's gc pass
+    # removes them, so a reader gets a full compaction period to
+    # finish instead of a millisecond race. Only a reader whose
+    # listing predates this publish AND whose action outlives the next
+    # whole cycle can still race — document-level retry covers that.
     return len(eligible)
 
 

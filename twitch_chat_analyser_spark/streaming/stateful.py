@@ -21,9 +21,12 @@ order — identical numbering to the batch operator.
 Scale notes: state per key is four longs — millions of concurrent users
 fit comfortably in the state store; the shuffle is the single groupBy on
 user_id. Timeouts bound state for churned users; late events beyond a
-closed session open a NEW session rather than mutating history (the
-streaming-vs-batch divergence documented here — the batch op would have
-merged them; run batch backfills for exact reconciliation, duality D4).
+closed session open a NEW session rather than mutating history, and an
+event more than gap_ms OLDER than the open session's start forks into
+its own singleton session (two such events within gap_ms of each other
+fork separately where batch would merge them) — the streaming-vs-batch
+divergences documented here; run batch backfills for exact
+reconciliation, duality D4.
 
 Idle-timeout flushing (``idle_timeout_ms``) is OFF by default: a query
 with registered processing-time timers never terminates under
@@ -89,11 +92,24 @@ def _session_fn(gap_ms: int, idle_timeout_ms: int | None):
             elif ms - last > gap_ms:
                 closed.append((user_id, sid, n, start, last - start))
                 sid, start, last, n = sid + 1, ms, ms, 1
+            elif start - ms > gap_ms:
+                # a cross-batch event MORE than gap_ms older than the
+                # open session's start cannot belong to it by the gap
+                # rule (the batch dual puts it in its own earlier
+                # session — ADVICE r9); emit it as a closed singleton
+                # taking the LOWER id (batch numbers sessions in start
+                # order) and renumber the not-yet-emitted open session.
+                # Residual divergence: two such events within gap_ms of
+                # EACH OTHER each fork separately where batch would
+                # merge them — reconcile via batch backfill (D4).
+                closed.append((user_id, sid, 1, ms, 0))
+                sid += 1
             else:
                 # min/max, not assignment: a CROSS-BATCH late event
-                # sorts first within its batch and would otherwise
-                # REWIND `last`, spuriously closing the open session
-                # with a negative duration (review r9); the batch dual
+                # (within gap_ms of the open session) sorts first
+                # within its batch and would otherwise REWIND `last`,
+                # spuriously closing the open session with a negative
+                # duration (review r9); the batch dual
                 # (textops.sessionize) takes min/max over the session
                 start, last, n = min(start, ms), max(last, ms), n + 1
 
@@ -202,6 +218,12 @@ def sessionize_stream_tws(
                 elif ms - last > gap_ms:
                     closed.append((user_id, sid, n, start, last - start))
                     sid, start, last, n = sid + 1, ms, ms, 1
+                elif start - ms > gap_ms:
+                    # same very-late fork as _session_fn above
+                    # (ADVICE r9): singleton session, lower id,
+                    # open session renumbered
+                    closed.append((user_id, sid, 1, ms, 0))
+                    sid += 1
                 else:
                     # same cross-batch late-event rewind guard as
                     # _session_fn above (review r9)
