@@ -79,3 +79,45 @@ def test_replicated_salt_left_join_keeps_unmatched(spark, skewed):
     out = skew.replicated_salt_join(skewed, dim, ["k"], num_salts=4, how="left")
     assert out.count() == skewed.count()
     assert out.filter(F.col("w").isNull()).count() == 1000  # the tail
+
+
+def test_deterministic_salt_matches_plain_and_spreads(spark, skewed):
+    """Review r10: rand() salts are nondeterministic under stage
+    retries (a recomputed map task re-salts differently); salt_on
+    derives the salt from row identity, reproducing byte-identical
+    output on recompute while matching the plain aggregation."""
+    plain = skewed.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    salted = skew.salted_aggregate(
+        skewed,
+        ["k"],
+        [("v", "sum", "s"), ("v", "count", "n")],
+        num_salts=8,
+        salt_on=["k", "v"],
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the salt expression is a pure row function in [0, N) (pmod folds
+    # hash()'s negatives) and identical across evaluations
+    salts = skewed.select(
+        skew.salt_column(8, ["k", "v"]).alias("s1"),
+        skew.salt_column(8, ["k", "v"]).alias("s2"),
+    )
+    rows = salts.collect()
+    assert all(0 <= r["s1"] < 8 and r["s1"] == r["s2"] for r in rows)
+
+
+def test_deterministic_salt_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", 1.5)] + [(f"t{i}", float(i)) for i in range(50)],
+        "k string, w double",
+    )
+    plain = skewed.join(dim, "k").select("k", "v", "w")
+    salted = skew.replicated_salt_join(
+        skewed, dim, ["k"], num_salts=4, salt_on=["k", "v"]
+    ).select("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -32,22 +32,27 @@ def salted_aggregate(
     keys: list[str],
     aggs: list[tuple[str, str, str]],
     num_salts: int = 16,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation over ``aggs = [(col, fn, alias)]`` with
     ``fn`` in {sum, count, min, max}. Result equals the plain
     ``groupBy(keys).agg(...)`` for these mergeable functions; the hot
     key's phase-1 work is spread across ``num_salts`` reducers.
 
-    The salt is random-per-row (spread is what matters, not
-    reproducibility — phase 2 merges partials regardless of how rows
-    were salted).
+    Salt choice (review r10): the default random-per-row salt spreads
+    perfectly but is NON-DETERMINISTIC — if a shuffle map task is lost
+    and recomputed after reducers already fetched part of its output
+    (the SPARK-23207 class of failures), the recomputed rows salt
+    differently and partials can double-count or drop. Pass
+    ``salt_on`` (any high-cardinality row-identity columns, e.g. an
+    event id) to derive the salt as ``pmod(hash(*salt_on), N)``
+    instead: same spread for non-degenerate ids, and a recomputed task
+    reproduces byte-identical output.
     """
     for _, fn, _ in aggs:
         if fn not in PHASE1_FNS:
             raise ValueError(f"non-mergeable aggregate: {fn}")
-    salted = df.withColumn(
-        "_salt", (F.rand() * num_salts).cast("int")
-    )
+    salted = df.withColumn("_salt", salt_column(num_salts, salt_on))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
             PHASE1_FNS[fn](col).alias(alias)
@@ -70,20 +75,27 @@ def replicated_salt_join(
     on: list[str],
     num_salts: int = 16,
     how: str = "inner",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
-    """Join ``skewed`` (salted randomly) with ``other`` (replicated once
-    per salt value) on ``on`` + the salt. Equal to the plain join; the
-    hot join key fans out over ``num_salts`` co-partitions.
+    """Join ``skewed`` (salted) with ``other`` (replicated once per
+    salt value) on ``on`` + the salt. Equal to the plain join; the hot
+    join key fans out over ``num_salts`` co-partitions. ``salt_on``:
+    same retry-determinism trade-off as :func:`salted_aggregate`.
     """
     salts = (
         skewed.sparkSession.range(num_salts)
         .select(F.col("id").cast("int").alias("_salt"))
     )
-    left = skewed.withColumn("_salt", (F.rand() * num_salts).cast("int"))
+    left = skewed.withColumn("_salt", salt_column(num_salts, salt_on))
     right = other.crossJoin(F.broadcast(salts))
     return left.join(right, [*on, "_salt"], how).drop("_salt")
 
 
-def salt_column(num_salts: int) -> Column:
-    """Expose the salt expression for custom compositions."""
+def salt_column(num_salts: int, salt_on: list[str] | None = None) -> Column:
+    """The salt expression for custom compositions: random by default,
+    deterministic ``pmod(hash(*salt_on), N)`` when row-identity columns
+    are given (recompute-safe under task retries — see
+    :func:`salted_aggregate`)."""
+    if salt_on:
+        return F.pmod(F.hash(*salt_on), F.lit(num_salts)).cast("int")
     return (F.rand() * num_salts).cast("int")
