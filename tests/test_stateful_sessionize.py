@@ -244,3 +244,115 @@ def test_very_late_cross_batch_event_forks_own_session(spark, tmp_path):
         # untouched by the very-late event, closed by the minute-200 gap
         (4, 2): (2, epoch_ms + 100 * 60_000, 5 * 60_000),
     }
+
+
+# ---------------------------------------------------------------------------
+# Property sweep of the pure state machine (_session_fn driven directly
+# with a fake GroupState — no Spark, so hypothesis can afford hundreds
+# of cases): for IN-ORDER streams split at arbitrary micro-batch
+# boundaries, the closed sessions must equal the batch gaps-and-islands
+# result minus each user's final (still-open) session, at every split.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):  # pragma: no cover - not used
+        pass
+
+
+def _drive(batches, gap_ms):
+    """Run _session_fn over one user's event-ms batches; return the
+    closed-session rows [(sid, n, start, dur), ...]."""
+    import pandas as pd
+
+    fn = stateful._session_fn(gap_ms, None)
+    state = _FakeState()
+    out = []
+    for ms_list in batches:
+        pdf = pd.DataFrame(
+            {"ms": ms_list, "event_id": list(range(len(ms_list)))}
+        )
+        for res in fn((7,), iter([pdf]), state):
+            out.extend(
+                (int(r.session_id), int(r.n_events),
+                 int(r.session_start_ms), int(r.duration_ms))
+                for r in res.itertuples()
+            )
+    return out
+
+
+def _batch_truth(ms_sorted, gap_ms):
+    """Python gaps-and-islands over the full sorted event list ->
+    [(sid, n, start, dur), ...] including the final open session."""
+    sessions = []
+    for ms in ms_sorted:
+        if sessions and ms - sessions[-1][2] <= gap_ms:
+            sid, start, _last, n = sessions[-1]
+            sessions[-1] = (sid, start, ms, n + 1)
+        else:
+            sessions.append((len(sessions) + 1, ms, ms, 1))
+    return [(sid, n, start, last - start) for sid, start, last, n in sessions]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ms=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30
+    ),
+    split=st.data(),
+    gap=st.sampled_from([10, 100, 1000]),
+)
+def test_in_order_stream_equals_batch_at_every_split(ms, split, gap):
+    ordered = sorted(ms)
+    cut = split.draw(st.integers(min_value=0, max_value=len(ordered)))
+    batches = [b for b in (ordered[:cut], ordered[cut:]) if b]
+    got = _drive(batches, gap)
+    want = _batch_truth(ordered, gap)[:-1]  # last session stays open
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ms=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=2, max_size=30
+    ),
+    perm=st.randoms(use_true_random=False),
+    gap=st.sampled_from([10, 100, 1000]),
+)
+def test_arbitrary_batching_invariants(ms, perm, gap):
+    """With ARBITRARY cross-batch lateness (documented stream!=batch
+    divergences apply), the machine must still uphold its invariants:
+    every emitted duration is >= 0, n_events >= 1, session ids are
+    unique, total emitted events never exceed the input count, and the
+    union of emitted events plus the open session's count equals the
+    input count."""
+    events = list(ms)
+    perm.shuffle(events)
+    cut = perm.randrange(len(events))
+    batches = [b for b in (events[:cut], events[cut:]) if b]
+    got = _drive(batches, gap)
+    assert all(dur >= 0 and n >= 1 for _, n, _, dur in got)
+    sids = [sid for sid, *_ in got]
+    assert len(sids) == len(set(sids))
+    assert sum(n for _, n, _, _ in got) <= len(events)
