@@ -149,3 +149,33 @@ def test_pyformat_sql_runs_on_duckdb_through_the_adapter():
     )
     assert got == {0: 7, 100: 2}
     conn.close()
+
+
+def test_ledger_migration_runs_on_duckdb():
+    """The n_parts schema migration (ADVICE r9) live on a second
+    engine: applies to a pre-n_parts ledger table, is idempotent on
+    re-run (duplicate-column error swallowed), and the claim statement
+    works afterwards with the column defaulted on legacy rows."""
+    conn = duckdb.connect()
+    cur = conn.cursor()
+    cur.execute(
+        f"CREATE TABLE {sj.LEDGER_TABLE}("
+        "table_name VARCHAR(64) NOT NULL, batch_id BIGINT NOT NULL, "
+        "partition_id INT NOT NULL, "
+        "PRIMARY KEY(table_name, batch_id, partition_id))"
+    )
+    cur.execute(
+        f"INSERT INTO {sj.LEDGER_TABLE} VALUES ('channel_stats', 1, 0)"
+    )
+    sj.apply_ledger_migrations(conn)
+    sj.apply_ledger_migrations(conn)  # idempotent
+    claim = sj.ledger_claim_sql("qmark")
+    cur = conn.cursor()
+    cur.execute(claim, ("channel_stats", 2, 0, 4))
+    rows = sorted(
+        cur.execute(
+            f"SELECT batch_id, n_parts FROM {sj.LEDGER_TABLE}"
+        ).fetchall()
+    )
+    assert rows == [(1, 0), (2, 4)]  # legacy row defaulted to 0
+    conn.close()

@@ -150,10 +150,14 @@ def ledger_migrations() -> list[str]:
     at job setup right after :func:`ledger_table_sql`; each statement is
     idempotent-by-guard on engines without ``IF NOT EXISTS`` column
     support (sqlite raises "duplicate column name" — callers may ignore
-    that one error, as :func:`apply_ledger_migrations` does)."""
+    that one error, as :func:`apply_ledger_migrations` does).
+
+    Deliberately no ``NOT NULL`` on the added column: DuckDB rejects
+    ADD COLUMN with constraints, and the claim INSERT always supplies
+    ``n_parts`` anyway — the NOT NULL on freshly-created ledgers
+    (:func:`ledger_table_sql`) is belt, not load-bearing."""
     return [
-        f"ALTER TABLE {LEDGER_TABLE} "
-        "ADD COLUMN n_parts INT NOT NULL DEFAULT 0",
+        f"ALTER TABLE {LEDGER_TABLE} ADD COLUMN n_parts INT DEFAULT 0",
     ]
 
 
@@ -166,7 +170,10 @@ def apply_ledger_migrations(conn) -> None:
         try:
             cur.execute(stmt)
         except Exception as e:  # noqa: BLE001 - engine-specific error types
-            conn.rollback()
+            try:
+                conn.rollback()
+            except Exception:  # noqa: BLE001 - autocommit engines
+                pass  # (DuckDB raises on rollback with no open txn)
             msg = str(e).lower()
             if "duplicate" in msg or "already exists" in msg:
                 continue  # migration previously applied
