@@ -1384,3 +1384,59 @@ def test_flac_feeds_mel_and_fingerprint_paths(spark, tmp_path):
     hashes = multimodal.audio_phash(media, fake=False)
     pairs = multimodal.phash_pairs(hashes, max_hamming=7).collect()
     assert [(r["media_a"], r["media_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_on_error_skip_quarantines_bad_payloads(spark):
+    """Review r10: at 100 TB one corrupt file must not kill the stage.
+    on_error='skip' drops the failing row (real-decode mode), the
+    default still raises, and an all-skipped batch yields a schema-
+    correct empty frame."""
+    rows = [
+        (1, "image", BMP_BYTES, ("image/bmp", None, None, None)),
+        (2, "image", b"not an image at all", ("image/bmp", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    out = multimodal.decode_features(media, fake=False, on_error="skip").collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert (out[0]["width"], out[0]["height"]) == (4, 2)
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        multimodal.decode_features(media, fake=False).collect()
+
+    # every row bad -> empty result with the full schema intact
+    bad = spark.createDataFrame([rows[1]], multimodal.MEDIA_SCHEMA)
+    empty = multimodal.decode_features(bad, fake=False, on_error="skip")
+    assert empty.count() == 0
+    assert empty.columns == [
+        "media_id", "kind", "n_bytes", "sha256",
+        "width", "height", "mean_r", "mean_g", "mean_b",
+    ]
+
+    resized = multimodal.resize_images(
+        media, 2, 1, fake=False, on_error="skip"
+    ).collect()
+    assert [r["media_id"] for r in resized] == [1]
+
+    audio_rows = [
+        (10, "audio", WAV_BYTES, ("audio/wav", None, None, None)),
+        (11, "audio", b"\xff\x00garbage", ("audio/wav", None, None, None)),
+    ]
+    audio = spark.createDataFrame(audio_rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.audio_features(audio, fake=False, on_error="skip").collect()
+    assert [r["media_id"] for r in got] == [10]
+
+    video_rows = [
+        (20, "video", b"GIF89a-not-really", ("video/gif", None, None, None)),
+    ]
+    video = spark.createDataFrame(video_rows, multimodal.MEDIA_SCHEMA)
+    assert (
+        multimodal.video_features(video, fake=False, on_error="skip").count()
+        == 0
+    )
+
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.decode_features(media, on_error="drop")

@@ -309,22 +309,52 @@ def decode_image_stub(payload: bytes, fake: bool = False):
     return width, height, means
 
 
-def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def _check_on_error(on_error: str) -> None:
+    """Per-row failure policy shared by the media stages (review r10):
+    ``"raise"`` keeps the historical fail-the-job behavior (right for
+    curated corpora where a bad payload means a pipeline bug);
+    ``"skip"`` drops the failing row and continues — at 100 TB one
+    corrupt file out of billions must not kill the stage (callers
+    anti-join the output against the input ids to quarantine skips).
+    Skip mode catches ANY per-row decoder exception, not just the
+    disciplined ValueError/NotImplementedError chain — adversarial
+    bytes finding an unexpected IndexError is exactly what it is
+    for."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'skip', got {on_error!r}"
+        )
+
+
+def decode_features(
+    media: DataFrame, fake: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched decode/feature-extract stage: ``mapInPandas`` so each
     Python worker sees columnar batches of (id, payload) — the real-decode
     integration point. Deterministic fake decode by default (see module
-    docstring).
+    docstring); ``on_error`` per :func:`_check_on_error`.
 
     -> DECODED_SCHEMA rows, payloads dropped (features only leave the stage)
     """
     import pandas as pd
+
+    _check_on_error(on_error)
+    cols = [
+        "media_id", "kind", "n_bytes", "sha256",
+        "width", "height", "mean_r", "mean_g", "mean_b",
+    ]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                w, h, (mr, mg, mb) = decode_image_stub(payload, fake=fake)
+                try:
+                    w, h, (mr, mg, mb) = decode_image_stub(payload, fake=fake)
+                except Exception:  # noqa: BLE001 - skip-mode quarantine
+                    if on_error == "skip":
+                        continue
+                    raise
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -338,7 +368,9 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
                         "mean_b": mb,
                     }
                 )
-            yield pd.DataFrame(rows)
+            # explicit columns: an all-skipped batch must still yield a
+            # schema-correct empty frame, not a column-less DataFrame
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         extract, schema=DECODED_SCHEMA
@@ -511,20 +543,33 @@ def audio_features_stub(payload: bytes, fake: bool = False):
     return rate, duration_ms, rms
 
 
-def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def audio_features(
+    media: DataFrame, fake: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched audio feature extraction (same plumbing pattern as
-    :func:`decode_features`): features only leave the stage.
+    :func:`decode_features`, incl. the ``on_error`` policy): features
+    only leave the stage.
 
     -> AUDIO_SCHEMA rows
     """
     import pandas as pd
+
+    _check_on_error(on_error)
+    cols = [
+        "media_id", "n_bytes", "est_sample_rate", "est_duration_ms", "rms",
+    ]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                rate, dur, rms = audio_features_stub(payload, fake=fake)
+                try:
+                    rate, dur, rms = audio_features_stub(payload, fake=fake)
+                except Exception:  # noqa: BLE001 - skip-mode quarantine
+                    if on_error == "skip":
+                        continue
+                    raise
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -534,7 +579,7 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                         "rms": rms,
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "audio").select(
         "media_id", "payload"
@@ -1106,21 +1151,33 @@ def video_features_stub(payload: bytes, fake: bool = False):
     return width, height, n_frames, n_frames * 40  # 25 fps pseudo-clock
 
 
-def video_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def video_features(
+    media: DataFrame, fake: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched video-container inspection (same plumbing pattern
-    as :func:`decode_features` / :func:`audio_features`): features only
-    leave the stage.
+    as :func:`decode_features` / :func:`audio_features`, incl. the
+    ``on_error`` policy): features only leave the stage.
 
     -> VIDEO_SCHEMA rows
     """
     import pandas as pd
+
+    _check_on_error(on_error)
+    cols = [
+        "media_id", "n_bytes", "width", "height", "n_frames", "duration_ms",
+    ]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                w, h, n, dur = video_features_stub(payload, fake=fake)
+                try:
+                    w, h, n, dur = video_features_stub(payload, fake=fake)
+                except Exception:  # noqa: BLE001 - skip-mode quarantine
+                    if on_error == "skip":
+                        continue
+                    raise
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -1131,7 +1188,7 @@ def video_features(media: DataFrame, fake: bool = True) -> DataFrame:
                         "duration_ms": dur,
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "video").select(
         "media_id", "payload"
@@ -1351,22 +1408,39 @@ def resize_stub(payload: bytes, target_w: int, target_h: int, fake: bool = False
 
 
 def resize_images(
-    media: DataFrame, target_w: int = 32, target_h: int = 32, fake: bool = True
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    fake: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched resize stage (binary in -> binary out). Unlike
     ``decode_features`` this RETURNS payload-sized data, so at scale the
     stage must run map-side and write straight to the sink — never feed
-    resized bytes into a shuffle (module docstring).
+    resized bytes into a shuffle (module docstring). ``on_error`` per
+    :func:`_check_on_error`.
 
     -> RESIZED_SCHEMA rows
     """
     import pandas as pd
 
+    _check_on_error(on_error)
+    cols = [
+        "media_id", "kind", "target_w", "target_h", "out_bytes", "out_sha256",
+    ]
+
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                out = resize_stub(bytes(r["payload"]), target_w, target_h, fake=fake)
+                try:
+                    out = resize_stub(
+                        bytes(r["payload"]), target_w, target_h, fake=fake
+                    )
+                except Exception:  # noqa: BLE001 - skip-mode quarantine
+                    if on_error == "skip":
+                        continue
+                    raise
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -1377,7 +1451,7 @@ def resize_images(
                         "out_sha256": hashlib.sha256(out).hexdigest(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "kind", "payload"
