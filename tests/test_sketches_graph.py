@@ -155,6 +155,27 @@ def test_connected_components_both_paths_agree(spark):
     assert fast[20] == 0 and fast[109] == 100 and fast[302] == 300
 
 
+def test_connected_components_warns_when_not_converged(spark):
+    """Review r10: exhausting max_iter used to return silently with
+    possibly-fragmented components; it must warn."""
+    import warnings
+
+    pairs = [(i, i + 1) for i in range(0, 12)]  # chain needs >1 round
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        graph.connected_components(
+            _edges(spark, pairs), max_iter=1, small_graph_edges=0
+        ).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    # a converged run stays silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        graph.connected_components(
+            _edges(spark, pairs), small_graph_edges=0
+        ).collect()
+    assert not any("did not converge" in str(x.message) for x in w)
+
+
 def test_pagerank_matches_power_iteration(spark):
     """DataFrame PageRank equals a dense power-iteration reference on a
     hand-built graph (same simplified dangling handling)."""

@@ -116,6 +116,7 @@ def connected_components(
         .repartition(n_parts, "node")
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # propagate: each node takes min(own label, neighbors' labels)
         neighbor_labels = (
@@ -153,7 +154,22 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # with pointer jumping, max_iter=20 covers ~2^20 diameter — a
+        # non-converged exit means labels are still moving and clusters
+        # would be silently FRAGMENTED (dedup would keep extra copies);
+        # surface it instead of returning quietly (review r10)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} "
+            "iterations; returned labels may split components — raise "
+            "max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
