@@ -1440,3 +1440,86 @@ def test_on_error_skip_quarantines_bad_payloads(spark):
 
     with pytest.raises(ValueError, match="on_error"):
         multimodal.decode_features(media, on_error="drop")
+
+
+def test_decoders_are_valueerror_disciplined_on_corrupt_bytes():
+    """Round-10 fuzz regression: the dispatchers catch ValueError ONLY,
+    so every decode entry point must convert low-level parse errors
+    (IndexError/KeyError/zlib.error/struct.error/ZeroDivisionError —
+    all five classes escaped before disciplined_decoder) on truncated,
+    bit-flipped, and random-after-magic payloads, and a corrupt LZW
+    minimum code size must fail fast instead of sizing a 2^157-entry
+    table."""
+    import random
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from twitch_chat_analyser_spark.operators import flaccodec as fc
+    from twitch_chat_analyser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def make_png():
+        w, h = 5, 3
+        raw = b"".join(
+            b"\x00" + bytes((x * 3 + c) % 256 for x in range(w) for c in range(3))
+            for _ in range(h)
+        )
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+        def chunk(t, d):
+            return (
+                _struct.pack(">I", len(d))
+                + t + d
+                + _struct.pack(">I", _zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    valids = [
+        BMP_BYTES,
+        WAV_BYTES,
+        make_png(),
+        encode_jpeg(np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)),
+        fc.encode_flac([((i * 37) % 2000) - 1000 for i in range(400)], 8000),
+        multimodal.encode_gif(
+            np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3) // 4
+        ),
+    ]
+    decoders = [
+        multimodal.decode_bmp, multimodal.decode_bmp_pixels,
+        multimodal.decode_png, multimodal.decode_png_pixels,
+        multimodal.decode_wav, multimodal.parse_mp3,
+        multimodal.decode_gif, multimodal.decode_gif_pixels,
+        multimodal.parse_mp4, multimodal.parse_webm,
+        decode_jpeg, fc.decode_flac,
+    ]
+    rng = random.Random(7)
+    cases = []
+    for v in valids:
+        for _ in range(25):
+            cases.append(v[: rng.randrange(0, len(v) + 1)])
+            b = bytearray(v)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            cases.append(bytes(b))
+    # the exact mutation that used to hang (LZW min code size 0x9d)
+    cases.append(bytes.fromhex(
+        "474946383961040004008300000000000001010101020202020303030304"
+        "040404050505050606060607070707080808"
+    ))
+    for payload in cases:
+        for dec in decoders:
+            try:
+                dec(payload)
+            except (ValueError, NotImplementedError):
+                pass  # the disciplined contract
+    # reaching here means no other exception type escaped

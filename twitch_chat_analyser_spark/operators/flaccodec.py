@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from .multimodal import disciplined_decoder
+
 # ---------------------------------------------------------------------------
 # bit I/O (MSB-first, no byte stuffing — unlike JPEG's reader)
 # ---------------------------------------------------------------------------
@@ -315,6 +317,7 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int):
     return samples
 
 
+@disciplined_decoder
 def decode_flac_samples(payload: bytes):
     """Full sample decode -> (sample_rate, mono float64 ndarray in
     [-1, 1)) — channels averaged, matching
@@ -416,6 +419,7 @@ def decode_flac_samples(payload: bytes):
     return rate, mono
 
 
+@disciplined_decoder
 def decode_flac(payload: bytes):
     """Full-decode audio facts: (sample_rate, duration_ms, rms) with a
     REAL waveform RMS (16-bit-scaled to match ``decode_wav``'s units —

@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from .multimodal import disciplined_decoder
+
 # scan position -> (row, col) in the 8x8 block, T.81 Figure 5
 ZIGZAG = [
     (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
@@ -249,6 +251,7 @@ def _decode_block(
     return _DCT.T @ coeffs @ _DCT, dc
 
 
+@disciplined_decoder
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to an
     (h, w, 3) uint8 RGB array (grayscale promoted to RGB). Raises
@@ -659,6 +662,7 @@ def _assemble_progressive(frame, coefs, quant) -> np.ndarray:
     return _assemble_image(planes, comps, h, w)
 
 
+@disciplined_decoder
 def decode_jpeg(payload: bytes):
     """Feature contract shared with decode_bmp/decode_png:
     -> (width, height, (mean_r, mean_g, mean_b))."""

@@ -63,6 +63,44 @@ DECODED_SCHEMA = (
 )
 
 
+def disciplined_decoder(fn):
+    """Decode entry points promise ``ValueError`` on ANY malformed
+    payload — the format dispatchers (``decode_image_stub`` et al.)
+    catch exactly that to fall through to the next format. A corrupt
+    byte stream can surface as IndexError / KeyError / zlib.error /
+    struct.error / ZeroDivisionError deep inside a parser (a round-10
+    fuzz sweep over truncated + bit-flipped valid payloads found all
+    five classes escaping); convert them at the boundary so the
+    contract holds for adversarial bytes, not just disciplined
+    failure paths. ValueError/NotImplementedError pass through
+    untouched."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    @functools.wraps(fn)
+    def wrap(payload, *a, **k):
+        try:
+            return fn(payload, *a, **k)
+        except (ValueError, NotImplementedError):
+            raise
+        except (
+            KeyError,
+            IndexError,
+            ZeroDivisionError,
+            OverflowError,
+            EOFError,
+            _struct.error,
+            _zlib.error,
+        ) as e:
+            raise ValueError(
+                f"malformed payload for {fn.__name__}: "
+                f"{type(e).__name__}: {e}"
+            ) from e
+
+    return wrap
+
+
 def binary_metadata(docs: DataFrame) -> DataFrame:
     """Typed-metadata extraction over a binary column, built-ins only
     (no Python in the plan): byte length + content hash. Uses the
@@ -106,6 +144,7 @@ def _bmp_header(payload: bytes):
     return data_off, width, height, bottom_up, row_stride
 
 
+@disciplined_decoder
 def decode_bmp(payload: bytes):
     """REAL stdlib image decode: uncompressed 24-bpp BMP -> dimensions +
     per-channel means. BMP stores pixels as BGR triples in 4-byte-padded
@@ -125,6 +164,7 @@ def decode_bmp(payload: bytes):
     return width, height, (sum_r / n, sum_g / n, sum_b / n)
 
 
+@disciplined_decoder
 def decode_bmp_pixels(payload: bytes):
     """Full-pixel BMP decode (uncompressed 24-bpp) -> HxWx3 uint8 RGB
     ndarray in top-down row order — the pixel-level entry the
@@ -193,6 +233,7 @@ def _png_unfilter(raw: bytes, at: int, n_rows: int, stride: int, ch: int):
     return lines, at
 
 
+@disciplined_decoder
 def decode_png_pixels(payload: bytes):
     """Full-pixel PNG decode (8-bit greyscale/RGB/RGBA, linear AND
     Adam7-interlaced) -> HxWx3 uint8 RGB ndarray. Pure ``zlib`` +
@@ -257,6 +298,7 @@ def decode_png_pixels(payload: bytes):
     return np.ascontiguousarray(px)
 
 
+@disciplined_decoder
 def decode_png(payload: bytes):
     """REAL stdlib image decode: 8-bit greyscale / RGB / RGBA PNG
     (linear or Adam7-interlaced) -> dimensions + per-channel means (the
@@ -383,6 +425,7 @@ AUDIO_SCHEMA = (
 )
 
 
+@disciplined_decoder
 def decode_wav(payload: bytes):
     """REAL stdlib audio decode: RIFF/WAVE 16-bit PCM -> sample rate,
     duration, signal RMS. Chunk-walks the RIFF container (``fmt `` +
@@ -442,6 +485,7 @@ _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
               0: [11025, 12000, 8000]}  # header version bits -> rates
 
 
+@disciplined_decoder
 def parse_mp3(payload: bytes):
     """REAL stdlib MPEG-audio frame walk (no codec decode): skips an
     ID3v2 tag, then steps frame headers — sync, version, layer, bitrate
@@ -598,6 +642,7 @@ VIDEO_SCHEMA = (
 )
 
 
+@disciplined_decoder
 def decode_gif(payload: bytes):
     """REAL stdlib video-container parse: GIF87a/89a block walk with
     ``struct`` — logical screen dims, frame count, and total animation
@@ -663,6 +708,12 @@ def decode_gif(payload: bytes):
 def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int):
     """GIF-variant LZW decompression (LSB-first variable-width codes,
     clear/end codes, 12-bit cap) -> list of palette indices."""
+    # the code width is capped at 12 bits, so a minimum code size above
+    # 11 is malformed — and unvalidated it sizes the initial table at
+    # 2^min_code entries (a mutated byte of 157 would hang building
+    # 2^157 tuples; round-10 fuzz sweep)
+    if not 1 <= min_code <= 11:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
     clear = 1 << min_code
     end = clear + 1
     code_size = min_code + 1
@@ -703,6 +754,7 @@ def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int):
     return out
 
 
+@disciplined_decoder
 def decode_gif_pixels(payload: bytes):
     """REAL GIF pixel decode of the FIRST frame — full LZW
     decompression (variable-width LSB-first codes, clear/end, 12-bit
@@ -792,6 +844,7 @@ def decode_gif_pixels(payload: bytes):
     raise ValueError("GIF with no image frames")
 
 
+@disciplined_decoder
 def parse_mp4(payload: bytes):
     """REAL stdlib ISO-BMFF (MP4/MOV) box walk — container metadata
     without any codec: presentation duration from ``moov/mvhd``
@@ -953,6 +1006,7 @@ _MKV_BLOCK_GROUP = 0xA0
 _MKV_BLOCK = 0xA1
 
 
+@disciplined_decoder
 def parse_webm(payload: bytes):
     """REAL stdlib Matroska/WebM parse: EBML element walk (vint IDs and
     sizes, unknown-size Segments) through Info (TimestampScale +
