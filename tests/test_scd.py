@@ -84,3 +84,58 @@ def test_apply_is_stable_under_reapplication(spark):
     assert {tuple(r) for r in once.collect()} == {
         tuple(r) for r in twice.collect()
     }
+
+
+def test_apply_invariants_under_random_update_sequences(spark):
+    """Round-10 property sweep (driver-side data, Spark only at the
+    merge): replaying random per-key update sequences through
+    scd2_apply must keep the SCD2 invariants at every step — exactly
+    one OPEN row per live key, the open row carrying the latest value,
+    closed rows immutable once written, and per-key interval
+    boundaries chaining (each new version starts where the previous
+    closed)."""
+    import random
+
+    rng = random.Random(5)
+    hist_schema = (
+        "k long, attr string, valid_from_ms long, valid_to_ms long"
+    )
+    history = spark.createDataFrame([], hist_schema)
+    latest: dict[int, str] = {}
+    closed_so_far: set[tuple] = set()
+    t = 0
+    for _step in range(6):
+        t += 100
+        batch = {
+            k: rng.choice("ABC")
+            for k in rng.sample(range(5), rng.randrange(1, 5))
+        }
+        updates = spark.createDataFrame(
+            [(k, v, t) for k, v in batch.items()],
+            "k long, attr string, ts_ms long",
+        )
+        history = scd.scd2_apply(history, updates, "k", "attr").cache()
+        rows = history.collect()
+        open_rows = {
+            r["k"]: r for r in rows if r["valid_to_ms"] is None
+        }
+        for k, v in batch.items():
+            latest[k] = v
+        # exactly one open row per live key, holding the latest value
+        assert set(open_rows) == set(latest)
+        assert {k: r["attr"] for k, r in open_rows.items()} == latest
+        # closed rows are append-only (never mutated or dropped)
+        closed_now = {
+            tuple(r) for r in rows if r["valid_to_ms"] is not None
+        }
+        assert closed_so_far <= closed_now
+        closed_so_far = closed_now
+        # per-key chain: sorted intervals abut (close == next open)
+        by_key: dict[int, list] = {}
+        for r in rows:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, rs in by_key.items():
+            rs.sort(key=lambda r: r["valid_from_ms"])
+            for a, b in zip(rs, rs[1:]):
+                assert a["valid_to_ms"] == b["valid_from_ms"]
+            assert rs[-1]["valid_to_ms"] is None
