@@ -110,6 +110,7 @@ HEADLINE = [
     "eval_minhash_exact_recall",
     "curation_scoreboard",
     "purchase_latency_percentiles",
+    "irc_wire_roundtrip",
 ]
 
 

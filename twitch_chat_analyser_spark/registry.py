@@ -228,9 +228,11 @@ def _query_groups() -> list[dict[str, QueryFn]]:
         zorder,
     )
     from .plans import api, sqlviews, subqueries, tpch
+    from .sources import irc
 
     return [
         dict(WRITE_PATH_QUERIES),
+        dict(irc.IRC_QUERIES),
         dict(api.READ_PATH_QUERIES),
         dict(llmops.LLM_QUERIES),
         dict(tpch.TPCH_QUERIES),
@@ -293,4 +295,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(behavior.behavior_oracles())
     out.update(scd.scd_oracles())
     out.update(profiling.profiling_oracles())
+    from .sources import irc
+
+    out["irc_wire_roundtrip"] = irc.irc_oracle_sql()
     return out
