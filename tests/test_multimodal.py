@@ -1484,12 +1484,27 @@ def test_decoders_are_valueerror_disciplined_on_corrupt_bytes():
             + chunk(b"IEND", b"")
         )
 
+    from twitch_chat_analyser_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    px16 = ((np.arange(16 * 16 * 3).reshape(16, 16, 3) * 3) % 256).astype(
+        np.uint8
+    )
+    stereo = list(
+        zip(
+            [((i * 53) % 3000) - 1500 for i in range(300)],
+            [((i * 31) % 3000) - 1500 for i in range(300)],
+        )
+    )
     valids = [
         BMP_BYTES,
         WAV_BYTES,
         make_png(),
         encode_jpeg(np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)),
+        encode_jpeg_progressive(px16),
         fc.encode_flac([((i * 37) % 2000) - 1000 for i in range(400)], 8000),
+        fc.encode_flac(stereo, 8000),
         multimodal.encode_gif(
             np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3) // 4
         ),
