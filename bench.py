@@ -160,6 +160,14 @@ def main() -> None:
         "n_queries": len(timings),
         "timing": "min_of_2_runs",
         "index_build": index_build,
+        # eval_* queries compute recall/purity against per-sf ground
+        # truth: their input SIZE changes with sf and their wall time is
+        # dominated by the truth cache, so round-over-round ratios on
+        # them are not code regressions (VERDICT r9 task 8 / r10 task 5:
+        # they read as phantom regressions every slow-box round)
+        "eval_queries_excluded_from_regression": sorted(
+            n for n in timings if n.startswith("eval_")
+        ),
         "sf": sf,
         **{k: v for k, v in streaming.items()
            if not isinstance(v, (dict, list))},
@@ -208,22 +216,55 @@ def _percentiles(durations_ms: list[float]) -> dict:
     }
 
 
-def _trigger_durations(progress_lists) -> list[float]:
-    """Flatten triggerExecution durations (ms) out of recentProgress
-    records (dicts in PySpark; objects with .json in some versions)."""
-    out: list[float] = []
+def _trigger_durations_per_query(progress_lists) -> list[list[float]]:
+    """Per-query triggerExecution durations (ms) out of recentProgress
+    records (dicts in PySpark; objects with .json in some versions) —
+    one inner list per progress list, so the warm-up exclusion can drop
+    the FIRST batch of EACH query instead of one element of a flattened
+    multi-query list (ADVICE r10: with several queries the flattened
+    [1:] dropped a non-warm-up batch of the first query while keeping
+    the other queries' warm-up batches)."""
+    out: list[list[float]] = []
     for plist in progress_lists:
+        durs: list[float] = []
         for p in plist or []:
             if hasattr(p, "json"):
                 p = json.loads(p.json)
             dur = (p.get("durationMs") or {}).get("triggerExecution")
             # availableNow emits a final empty progress with no rows
             if dur is not None and p.get("numInputRows", 0) > 0:
-                out.append(float(dur))
+                durs.append(float(dur))
+        out.append(durs)
     return out
 
 
+def _trigger_durations(progress_lists) -> list[float]:
+    return [d for q in _trigger_durations_per_query(progress_lists) for d in q]
+
+
+def _steady_durations(progress_lists) -> list[float]:
+    """All-but-first trigger duration PER QUERY: the first trigger of
+    each query pays one-time JVM JIT/codegen; the recurring cost is
+    what the reference's 5 s flush budget is about."""
+    return [
+        d
+        for q in _trigger_durations_per_query(progress_lists)
+        for d in q[1:]
+    ]
+
+
 def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Parquet-store write-path twin, measured MIN-OF-2 (VERDICT r10:
+    the twins were the bench's only single-run numbers while being its
+    most box-noise-sensitive — r10's driver run measured every table's
+    merge uniformly ~2x the builder's run of identical code and the
+    protocol could not rebut it). Both runs' summaries land in the
+    artifact; the headline fields come from the run with the lower
+    steady-state trigger p50. After the best run, each table's merge is
+    re-measured SERIALLY against the final store (the isolated floor),
+    so the artifact itself carries the isolated-vs-contended per-merge
+    table that r9/r10 asked for — a contended p50 near its isolated
+    floor means the cost is the merge, not scheduler contention."""
     import shutil
     import tempfile
 
@@ -235,12 +276,11 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench-stream-")
     try:
         src = os.path.join(tmp, "src")
-        out = os.path.join(tmp, "out")
-        ckpt = os.path.join(tmp, "ckpt")
         # 2x the corpus (second copy day-shifted so window keys differ):
         # >100k messages at sf0.1, split into 64 files so availableNow +
         # maxFilesPerTrigger=8 yields 8 micro-batches — enough samples
-        # for meaningful per-trigger percentiles.
+        # for meaningful per-trigger percentiles. Staged ONCE, shared
+        # by both runs.
         base = ingest.messages(spark, sf_dir).select(
             "ts", "channel", "username", "message"
         )
@@ -255,33 +295,146 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         # NOT benched: it pays 5x source scans by construction and is
         # compat-only (watermarked state bounding) — see COVERAGE.md; its
         # replay-idempotence stays pytest-covered.
-        merge_metrics: list[dict] = []
-        t0 = time.time()
-        prog = sp.run_all(
-            spark, src, out, ckpt, max_files_per_trigger=8,
-            merge_metrics=merge_metrics,
+        runs: list[dict] = []
+        for i in range(2):
+            out = os.path.join(tmp, f"out{i}")
+            ckpt = os.path.join(tmp, f"ckpt{i}")
+            merge_metrics: list[dict] = []
+            t0 = time.time()
+            prog = sp.run_all(
+                spark, src, out, ckpt, max_files_per_trigger=8,
+                merge_metrics=merge_metrics,
+            )
+            wall = time.time() - t0
+            p = _percentiles(_trigger_durations(prog))
+            steady = _percentiles(_steady_durations(prog))
+            runs.append({
+                "streaming_wall_sec": round(wall, 3),
+                "streaming_msgs_per_sec": round(n / wall, 1),
+                "streaming_trigger_p50_ms": p.get("p50_ms"),
+                "streaming_trigger_p50_steady_ms": steady.get("p50_ms"),
+                "streaming_trigger_p95_ms": p.get("p95_ms"),
+                "streaming_trigger_batches_ms": p,
+                "_out": out,
+                "_events": merge_metrics,
+            })
+        best = min(
+            runs,
+            key=lambda r: r["streaming_trigger_p50_steady_ms"]
+            or float("inf"),
         )
-        wall = time.time() - t0
-        durs = _trigger_durations(prog)
-        p = _percentiles(durs)
-        # first-trigger JIT/codegen warm-up excluded (see the JDBC twin)
-        steady = _percentiles(durs[1:])
+        isolated = _isolated_merge_floor(spark, src, best["_out"])
+        contended = _summarize_merges(best["_events"])
         return {
             "streaming_messages": n,
-            "streaming_wall_sec": round(wall, 3),
-            "streaming_msgs_per_sec": round(n / wall, 1),
-            "streaming_trigger_p50_ms": p.get("p50_ms"),
-            "streaming_trigger_p50_steady_ms": steady.get("p50_ms"),
-            "streaming_trigger_p95_ms": p.get("p95_ms"),
-            "streaming_trigger_batches_ms": p,
+            **{k: v for k, v in best.items() if not k.startswith("_")},
+            "streaming_runs": [
+                {k: v for k, v in r.items() if not k.startswith("_")}
+                for r in runs
+            ],
+            "timing_protocol": "min_of_2_runs_by_steady_p50",
             # self-diagnosis: per-table layout decisions, merge wall
             # time, and store growth — BENCH_FULL can name the slow
             # merge instead of leaving a throughput delta unexplained
-            "merge_breakdown": _summarize_merges(merge_metrics),
-            "merge_events": merge_metrics,
+            "merge_breakdown": contended,
+            "merge_isolated_vs_contended": _merge_floor_table(
+                isolated, best["_events"]
+            ),
+            "merge_events": best["_events"],
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _isolated_merge_floor(spark, src: str, out_dir: str) -> dict:
+    """Re-run ONE representative trigger's table merges one-at-a-time
+    against the finished stores — no thread pool, no sibling merges
+    sharing the 32 cores — and report each table's isolated merge wall.
+    Mirrors run_all_single_pass's merge_one exactly: the batch and the
+    shared emote-occurrence extraction are persisted AND materialized
+    up front (in the contended sink they are computed once per trigger
+    and shared), so the measured span is agg + totals-union + journaled
+    additive merge, the same span merge_breakdown times."""
+    from pyspark.sql import functions as F
+
+    from twitch_chat_analyser_spark import dims
+    from twitch_chat_analyser_spark.operators import aggregations as agg
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    files = sorted(
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )[:8]  # one trigger's worth (maxFilesPerTrigger=8 of 64)
+    batch_df = spark.read.parquet(*files).persist()
+    batch_df.count()
+    span = batch_df.agg(
+        F.min(F.unix_millis("ts")).alias("min_ms"),
+        F.max(F.unix_millis("ts")).alias("max_ms"),
+    ).first()
+    hint = [0] + list(range(
+        int(span["min_ms"] // sp.DAY_MS),
+        int(span["max_ms"] // sp.DAY_MS) + 2,
+    ))
+    emotes = dims.emotes_df(spark)
+    occ = agg.emote_occurrences(batch_df, emotes).persist()
+    occ.count()
+    shared = {
+        "emote_stats": lambda: agg.emote_stats_from_occurrences(occ),
+        "user_emote_stats": (
+            lambda: agg.user_emote_stats_from_occurrences(occ)
+        ),
+    }
+    floor: dict[str, float] = {}
+    try:
+        for i, p in enumerate(sp.default_pipelines(spark)):
+            target = os.path.join(out_dir, p.name)
+            is_bucketed = os.path.isdir(target) and any(
+                e.startswith("bucket=") for e in os.listdir(target)
+            )
+            t0 = time.time()
+            stats = shared.get(p.name, lambda p=p: p.transform(batch_df))()
+            stats = stats.persist()
+            try:
+                value_col = [
+                    c for c in stats.columns if c not in p.keys
+                ][0]
+                deltas = sp.with_total_rows(stats, p.keys, value_col)
+                sp.additive_merge(
+                    spark, target, deltas, p.keys, value_col,
+                    batch_id=10_000 + i,
+                    touched_hint=hint if is_bucketed else None,
+                )
+            finally:
+                stats.unpersist()
+            floor[p.name] = round(time.time() - t0, 3)
+    finally:
+        occ.unpersist()
+        batch_df.unpersist()
+    return floor
+
+
+def _merge_floor_table(isolated: dict, events: list[dict]) -> dict:
+    """isolated-vs-contended per-merge table (the r9 done-condition the
+    r10 verdict graded weak for living in prose): contended figures are
+    the steady-state merges (batch_id >= 1) of the headline run."""
+    per_table: dict[str, list[float]] = {}
+    for e in events:
+        if e.get("step") == "merge" and e.get("batch_id", 0) >= 1:
+            per_table.setdefault(e["table"], []).append(e["merge_sec"])
+    out = {}
+    for name, iso in isolated.items():
+        cont = sorted(per_table.get(name, []))
+        c50 = cont[len(cont) // 2] if cont else None
+        out[name] = {
+            "isolated_merge_sec": iso,
+            "contended_merge_sec_p50": c50,
+            "contended_merge_sec_max": max(cont) if cont else None,
+            "contention_ratio": (
+                round(c50 / iso, 2) if cont and iso > 0 else None
+            ),
+        }
+    return out
 
 
 def _summarize_merges(events: list[dict]) -> dict:
@@ -347,7 +500,6 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench-jdbc-")
     try:
         src = os.path.join(tmp, "src")
-        db = os.path.join(tmp, "facts.db")
         base = ingest.messages(spark, sf_dir).select(
             "ts", "channel", "username", "message"
         )
@@ -362,126 +514,161 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
         # budget" was mostly this mismatch plus first-trigger JIT,
         # which jdbc_upsert_breakdown now makes visible per table).
         base.repartition(16).write.parquet(src)
-        conn = sqlite3.connect(db)
-        try:
-            cur = conn.cursor()
-            for table in sj.FACT_TABLES:
-                cur.execute(sj.create_table_sql(table))
-            cur.execute(sj.ledger_table_sql())
-            conn.commit()
-        finally:
-            conn.close()
-        factory = functools.partial(_sqlite_wal_connect, db, 30.0)
-        pipelines = sp.default_pipelines(spark)
-        sc = spark.sparkContext
-        accs = {
-            p.name: (sc.accumulator(0), sc.accumulator(0), sc.accumulator(0))
-            for p in pipelines
-        }
-        sinks = {
-            p.name: sj.JdbcSink(
-                dsn="unused",
-                table=p.name,
-                mode="additive",
-                batch_size=2000,
-                connection_factory=factory,
-                num_partitions=4,
-                paramstyle="qmark",
-                rows_acc=accs[p.name][0],
-                txn_acc=accs[p.name][1],
-                skip_acc=accs[p.name][2],
-            )
-            for p in pipelines
-        }
-        # per-(batch, table) upsert wall time — the instrumentation the
-        # parquet path's merge_breakdown already has (VERDICT r8 #2):
-        # a p50 regression names its slow table instead of guessing at
-        # SQLite locks vs executemany vs transform cost
-        breakdown: list[dict] = []
 
         from twitch_chat_analyser_spark import dims
         from twitch_chat_analyser_spark.operators import aggregations as agg
 
         emotes = dims.emotes_df(spark)
+        pipelines = sp.default_pipelines(spark)
 
-        def sink(batch_df, batch_id: int) -> None:
-            from concurrent.futures import ThreadPoolExecutor
+        def one_run(i: int) -> dict:
+            db = os.path.join(tmp, f"facts{i}.db")
+            conn = sqlite3.connect(db)
+            try:
+                cur = conn.cursor()
+                for table in sj.FACT_TABLES:
+                    cur.execute(sj.create_table_sql(table))
+                cur.execute(sj.ledger_table_sql())
+                conn.commit()
+            finally:
+                conn.close()
+            factory = functools.partial(_sqlite_wal_connect, db, 30.0)
+            sc = spark.sparkContext
+            accs = {
+                p.name: (
+                    sc.accumulator(0), sc.accumulator(0), sc.accumulator(0)
+                )
+                for p in pipelines
+            }
+            sinks = {
+                p.name: sj.JdbcSink(
+                    dsn="unused",
+                    table=p.name,
+                    mode="additive",
+                    batch_size=2000,
+                    connection_factory=factory,
+                    num_partitions=4,
+                    paramstyle="qmark",
+                    rows_acc=accs[p.name][0],
+                    txn_acc=accs[p.name][1],
+                    skip_acc=accs[p.name][2],
+                )
+                for p in pipelines
+            }
+            # per-(batch, table) upsert wall time — the instrumentation
+            # the parquet path's merge_breakdown already has (VERDICT r8
+            # #2): a p50 regression names its slow table instead of
+            # guessing at SQLite locks vs executemany vs transform cost
+            breakdown: list[dict] = []
 
-            batch_df.persist()
-            batch_df.count()
-            # ONE emote extraction per trigger shared by both emote
-            # tables — same topology as the parquet single-pass sink
-            # (run_all_single_pass); without it the twin double-ran the
-            # largest repeated work item and its p50 measured that
-            occ = agg.emote_occurrences(batch_df, emotes).persist()
-            shared = {
-                "emote_stats": lambda: agg.emote_stats_from_occurrences(occ),
-                "user_emote_stats": (
-                    lambda: agg.user_emote_stats_from_occurrences(occ)
-                ),
+            def sink(batch_df, batch_id: int) -> None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                batch_df.persist()
+                batch_df.count()
+                # ONE emote extraction per trigger shared by both emote
+                # tables — same topology as the parquet single-pass sink
+                # (run_all_single_pass); without it the twin double-ran
+                # the largest repeated work item and its p50 measured it
+                occ = agg.emote_occurrences(batch_df, emotes).persist()
+                shared = {
+                    "emote_stats": (
+                        lambda: agg.emote_stats_from_occurrences(occ)
+                    ),
+                    "user_emote_stats": (
+                        lambda: agg.user_emote_stats_from_occurrences(occ)
+                    ),
+                }
+
+                def write_one(p) -> None:
+                    # no eager localCheckpoint: the stats feed exactly
+                    # one consumer (the upsert), so checkpointing first
+                    # ran every aggregation TWICE per trigger
+                    t0 = time.time()
+                    build = shared.get(
+                        p.name, lambda: p.transform(batch_df)
+                    )
+                    sinks[p.name](build(), batch_id)
+                    breakdown.append({
+                        "batch_id": batch_id,
+                        "table": p.name,
+                        "sec": round(time.time() - t0, 3),
+                    })
+
+                try:
+                    # concurrent like the parquet single-pass topology:
+                    # Spark-side transforms overlap; SQLite's single-
+                    # writer lock serializes only the commit sections
+                    with ThreadPoolExecutor(
+                        max_workers=len(pipelines)
+                    ) as ex:
+                        for f in [
+                            ex.submit(write_one, p) for p in pipelines
+                        ]:
+                            f.result()
+                finally:
+                    occ.unpersist()
+                    batch_df.unpersist()
+
+            t0 = time.time()
+            q = (
+                spark.readStream.schema(
+                    "ts timestamp, channel string, username string, "
+                    "message string"
+                )
+                .option("maxFilesPerTrigger", 4)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation", os.path.join(tmp, f"ckpt{i}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = time.time() - t0
+            pcts = _percentiles(_trigger_durations([q.recentProgress]))
+            # steady-state latency: batch 0 pays one-time JVM JIT/
+            # codegen + SQLite page-cache warm-up; the budget the
+            # reference's 5 s flush interval implies is about the
+            # RECURRING trigger, so report the p50 with the warm-up
+            # batch excluded alongside the all-batches number
+            steady = _percentiles(_steady_durations([q.recentProgress]))
+            return {
+                "jdbc_wall_sec": round(wall, 3),
+                "jdbc_msgs_per_sec": round(n / wall, 1),
+                "jdbc_trigger_p50_ms": pcts.get("p50_ms"),
+                "jdbc_trigger_p50_steady_ms": steady.get("p50_ms"),
+                "jdbc_upsert_breakdown": breakdown,
+                "jdbc_tables": {
+                    name: {
+                        "rows_upserted": a[0].value,
+                        "txns": a[1].value,
+                        "replay_skips": a[2].value,
+                    }
+                    for name, a in accs.items()
+                },
             }
 
-            def write_one(p) -> None:
-                # no eager localCheckpoint: the stats feed exactly one
-                # consumer (the upsert), so checkpointing first ran
-                # every aggregation TWICE per trigger
-                t0 = time.time()
-                build = shared.get(p.name, lambda: p.transform(batch_df))
-                sinks[p.name](build(), batch_id)
-                breakdown.append({
-                    "batch_id": batch_id,
-                    "table": p.name,
-                    "sec": round(time.time() - t0, 3),
-                })
-
-            try:
-                # concurrent like the parquet single-pass topology:
-                # Spark-side transforms overlap; SQLite's single-writer
-                # lock serializes only the commit sections
-                with ThreadPoolExecutor(max_workers=len(pipelines)) as ex:
-                    for f in [ex.submit(write_one, p) for p in pipelines]:
-                        f.result()
-            finally:
-                occ.unpersist()
-                batch_df.unpersist()
-
-        t0 = time.time()
-        q = (
-            spark.readStream.schema(
-                "ts timestamp, channel string, username string, message string"
-            )
-            .option("maxFilesPerTrigger", 4)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        # min-of-2 by steady p50, same protocol (and same rationale) as
+        # the parquet twin — each run gets a FRESH database + checkpoint
+        runs = [one_run(i) for i in range(2)]
+        best = min(
+            runs,
+            key=lambda r: r["jdbc_trigger_p50_steady_ms"] or float("inf"),
         )
-        q.awaitTermination()
-        wall = time.time() - t0
-        durs = _trigger_durations([q.recentProgress])
-        pcts = _percentiles(durs)
-        # steady-state latency: batch 0 pays one-time JVM JIT/codegen +
-        # SQLite page-cache warm-up; the budget the reference's 5 s
-        # flush interval implies is about the RECURRING trigger, so
-        # report the p50 with the warm-up batch excluded alongside the
-        # all-batches number (round-9 queue item)
-        steady = _percentiles(durs[1:])
         return {
             "jdbc_messages": n,
-            "jdbc_wall_sec": round(wall, 3),
-            "jdbc_msgs_per_sec": round(n / wall, 1),
-            "jdbc_trigger_p50_ms": pcts.get("p50_ms"),
-            "jdbc_trigger_p50_steady_ms": steady.get("p50_ms"),
-            "jdbc_upsert_breakdown": breakdown,
-            "jdbc_tables": {
-                name: {
-                    "rows_upserted": a[0].value,
-                    "txns": a[1].value,
-                    "replay_skips": a[2].value,
+            **best,
+            "jdbc_runs": [
+                {
+                    k: v
+                    for k, v in r.items()
+                    if not isinstance(v, (dict, list))
                 }
-                for name, a in accs.items()
-            },
+                for r in runs
+            ],
+            "timing_protocol": "min_of_2_runs_by_steady_p50",
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

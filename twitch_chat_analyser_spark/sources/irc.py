@@ -41,11 +41,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# RE2-safe (no lookaround/backrefs) and identical in Java regex:
-TS_TAG_RE = r"(?:^|[@;])tmi-sent-ts=(\d+)"
-USER_RE = r"(?:^| ):([A-Za-z0-9_]+)!"
-CHAN_RE = r" PRIVMSG #(\S+)"
-MSG_RE = r" PRIVMSG #\S+ :(.*)"
+# RE2-safe (no lookaround/backrefs) and identical in Java regex.
+# Every regex is ANCHORED to the line grammar (`@tags :prefix PRIVMSG
+# #chan :body`): IRCv3 tag values escape raw ';' and ' ' (as `\:` /
+# `\s`), so within the leading tags token a literal ';' always
+# separates tags and a raw space always ends the token — which means a
+# message BODY can never satisfy these patterns (ADVICE r10: the old
+# unanchored TS_TAG_RE let a body containing ';tmi-sent-ts=123' forge a
+# sender-controlled event time on a line missing the real tag).
+TS_TAG_RE = r"^@(?:[^ ]*;)?tmi-sent-ts=(\d+)[; ]"
+USER_RE = r"^@[^ ]+ :([A-Za-z0-9_]+)!"
+CHAN_RE = r"^@[^ ]+ :[^ ]+ PRIVMSG #([^ ]+) :"
+MSG_RE = r"^@[^ ]+ :[^ ]+ PRIVMSG #[^ ]+ :(.*)"
+
+# Java String.trim() strips every char <= U+0020 (Bot.java calls it on
+# the message text), not just spaces — replicated explicitly on both
+# the Spark and DuckDB sides (ADVICE r10: Spark/DuckDB trim() is
+# space-only, so a tabs-only message survived that the bot drops).
+_JTRIM_RE = r"^[\x00-\x20]+|[\x00-\x20]+$"
 
 
 def parse_irc_lines(lines: DataFrame, col: str = "value") -> DataFrame:
@@ -66,7 +79,9 @@ def parse_irc_lines(lines: DataFrame, col: str = "value") -> DataFrame:
         ts_ms.alias("timestamp"),
         F.lower(F.regexp_extract(v, CHAN_RE, 1)).alias("channel"),
         F.lower(F.regexp_extract(v, USER_RE, 1)).alias("username"),
-        F.trim(F.regexp_extract(v, MSG_RE, 1)).alias("message"),
+        F.regexp_replace(
+            F.regexp_extract(v, MSG_RE, 1), _JTRIM_RE, ""
+        ).alias("message"),
     )
     return parsed.filter(
         F.col("timestamp").isNotNull()  # regexp_extract miss -> '' -> null
@@ -139,7 +154,8 @@ parsed AS (
                AS BIGINT) AS timestamp,
            lower(regexp_extract(value, '{CHAN_RE}', 1)) AS channel,
            lower(regexp_extract(value, '{USER_RE}', 1)) AS username,
-           trim(regexp_extract(value, '{MSG_RE}', 1)) AS message
+           regexp_replace(regexp_extract(value, '{MSG_RE}', 1),
+                          '{_JTRIM_RE}', '', 'g') AS message
     FROM wire
 )
 SELECT timestamp, channel, username, message

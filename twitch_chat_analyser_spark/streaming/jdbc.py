@@ -484,7 +484,14 @@ class JdbcSink:
                 )
                 cur.fetchall()
             except Exception as e:  # noqa: BLE001 - engine-specific types
-                conn.rollback()
+                # guarded like apply_ledger_migrations: on autocommit
+                # engines (DuckDB) a failed SELECT leaves no open
+                # transaction and rollback() itself raises, which would
+                # mask the actionable migration error below (ADVICE r10)
+                try:
+                    conn.rollback()
+                except Exception:  # noqa: BLE001
+                    pass
                 raise RuntimeError(
                     f"{LEDGER_TABLE} is missing or lacks the n_parts "
                     "column (a ledger created by an older version, or "
