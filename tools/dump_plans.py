@@ -114,6 +114,17 @@ HEADLINE = [
 ]
 
 
+def stabilize(plan: str) -> str:
+    """Strip session-volatile identifiers so a regen at an UNCHANGED
+    registry produces an empty diff (VERDICT r10 task 6: r10 had to
+    hand-revert a pure id-churn regen). Expression ids (`col#123L`) and
+    `plan_id=` counters are global per-JVM-session counters — they
+    encode nothing about the plan's structure."""
+    plan = re.sub(r"#\d+", "#x", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+    return plan
+
+
 def audit(plan: str) -> list[str]:
     # count only the "(n) NodeName" detail headers — each physical node
     # appears twice in formatted output (tree sketch + detail section)
@@ -170,9 +181,10 @@ def main() -> None:
     sections = []
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
+        plan = stabilize(
+            df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
             )
         )
         notes = "\n".join(f"- {n}" for n in audit(plan))
