@@ -386,6 +386,20 @@ def _isolated_merge_floor(spark, src: str, out_dir: str) -> dict:
         ),
     }
     floor: dict[str, float] = {}
+    # same trigger-sized shuffle parallelism as the contended sink, so
+    # the isolated/contended comparison isolates CONTENTION only
+    store_b = max(
+        (
+            sp._store_bytes(os.path.join(out_dir, p.name))
+            for p in sp.default_pipelines(spark)
+        ),
+        default=0,
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sp.trigger_shuffle_partitions(spark, batch_df.count(), store_b)),
+    )
     try:
         for i, p in enumerate(sp.default_pipelines(spark)):
             target = os.path.join(out_dir, p.name)
@@ -409,6 +423,7 @@ def _isolated_merge_floor(spark, src: str, out_dir: str) -> dict:
                 stats.unpersist()
             floor[p.name] = round(time.time() - t0, 3)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         occ.unpersist()
         batch_df.unpersist()
     return floor
@@ -565,7 +580,7 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
                 from concurrent.futures import ThreadPoolExecutor
 
                 batch_df.persist()
-                batch_df.count()
+                n_rows = batch_df.count()
                 # ONE emote extraction per trigger shared by both emote
                 # tables — same topology as the parquet single-pass sink
                 # (run_all_single_pass); without it the twin double-ran
@@ -595,7 +610,13 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
                         "sec": round(time.time() - t0, 3),
                     })
 
+                old_parts = spark.conf.get("spark.sql.shuffle.partitions")
                 try:
+                    # trigger-sized shuffles, like run_all_single_pass
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions",
+                        str(sp.trigger_shuffle_partitions(spark, n_rows)),
+                    )
                     # concurrent like the parquet single-pass topology:
                     # Spark-side transforms overlap; SQLite's single-
                     # writer lock serializes only the commit sections
@@ -607,6 +628,9 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
                         ]:
                             f.result()
                 finally:
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions", old_parts
+                    )
                     occ.unpersist()
                     batch_df.unpersist()
 

@@ -1442,6 +1442,43 @@ def test_on_error_skip_quarantines_bad_payloads(spark):
         multimodal.decode_features(media, on_error="drop")
 
 
+def test_on_error_skip_mid_batch_keeps_both_neighbors(spark):
+    """r10 verdict task 8: a corrupt payload in the MIDDLE of one Arrow
+    batch must quarantine only itself — the rows before AND after it in
+    the same batch keep their real decoded values (coalesce(1) pins all
+    rows into a single mapInPandas batch)."""
+    good = multimodal.build_webm(32, 24, 6, 1000)
+    rows = [
+        (30, "video", good, ("video/webm", None, None, None)),
+        (31, "video", good[:20], ("video/webm", None, None, None)),
+        (32, "video", good, ("video/webm", None, None, None)),
+    ]
+    video = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).coalesce(1)
+    got = sorted(
+        multimodal.video_features(video, fake=False, on_error="skip")
+        .collect(),
+        key=lambda r: r["media_id"],
+    )
+    assert [r["media_id"] for r in got] == [30, 32]
+    for r in got:  # real parse values, not defaults
+        assert (r["width"], r["height"], r["n_frames"]) == (32, 24, 6)
+
+    # same mid-batch shape through the image stage
+    irows = [
+        (40, "image", BMP_BYTES, ("image/bmp", None, None, None)),
+        (41, "image", BMP_BYTES[:9], ("image/bmp", None, None, None)),
+        (42, "image", BMP_BYTES, ("image/bmp", None, None, None)),
+    ]
+    imgs = spark.createDataFrame(irows, multimodal.MEDIA_SCHEMA).coalesce(1)
+    got_i = sorted(
+        multimodal.decode_features(imgs, fake=False, on_error="skip")
+        .collect(),
+        key=lambda r: r["media_id"],
+    )
+    assert [r["media_id"] for r in got_i] == [40, 42]
+    assert all((r["width"], r["height"]) == (4, 2) for r in got_i)
+
+
 def test_decoders_are_valueerror_disciplined_on_corrupt_bytes():
     """Round-10 fuzz regression: the dispatchers catch ValueError ONLY,
     so every decode entry point must convert low-level parse errors
@@ -1508,6 +1545,13 @@ def test_decoders_are_valueerror_disciplined_on_corrupt_bytes():
         multimodal.encode_gif(
             np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3) // 4
         ),
+        # r10 verdict task 8: the container/parse formats were only ever
+        # fuzzed with OTHER formats' corrupted payloads (magic-mismatch
+        # fast path) — mutate THEIR OWN valid payloads too
+        make_mp3(6),
+        make_mp3(3, with_id3=False),
+        make_mp4(64, 48, 24, 1000, 2000),
+        multimodal.build_webm(64, 48, 12, 1500, audio_blocks=4),
     ]
     decoders = [
         multimodal.decode_bmp, multimodal.decode_bmp_pixels,
@@ -1531,10 +1575,25 @@ def test_decoders_are_valueerror_disciplined_on_corrupt_bytes():
         "474946383961040004008300000000000001010101020202020303030304"
         "040404050505050606060607070707080808"
     ))
-    for payload in cases:
-        for dec in decoders:
-            try:
-                dec(payload)
-            except (ValueError, NotImplementedError):
-                pass  # the disciplined contract
+    # a hang is as much a contract escape as a wrong exception type
+    # (the round-10 sweep's LZW 2^157-entry table was a HANG, not a
+    # raise): alarm-guard every decode call like the sweep harness did
+    import signal
+
+    def _on_alarm(signum, frame):
+        raise AssertionError("decoder hang: fuzz case exceeded alarm")
+
+    old_handler = signal.signal(signal.SIGALRM, _on_alarm)
+    try:
+        for payload in cases:
+            for dec in decoders:
+                signal.alarm(5)
+                try:
+                    dec(payload)
+                except (ValueError, NotImplementedError):
+                    pass  # the disciplined contract
+                finally:
+                    signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old_handler)
     # reaching here means no other exception type escaped

@@ -386,6 +386,76 @@ def _q_pii_redaction(spark, sf_dir):
     return textops.redact_pii(enriched)
 
 
+# URL / domain extraction (round 11): the curation step before domain
+# blocklists and per-domain mixture weighting (every crawl pipeline —
+# C4, RefinedWeb, Dolma — filters and reweights by registrable domain).
+# Regexes are deliberately BACKSLASH-FREE (character classes only) so
+# the identical string parses the same in Java regex (Spark) and RE2
+# (DuckDB) with no escaping skew; both are first-match/greedy here.
+URL_RE = "https?://[A-Za-z0-9.-]+(:[0-9]+)?[/A-Za-z0-9._~%?#=&+-]*"
+HOST_RE = "^https?://([A-Za-z0-9.-]+)"
+DOMAIN_RE = "([A-Za-z0-9-]+[.][A-Za-z0-9-]+)$"
+
+# Deterministic URL enrichment (same trick as the PII oracle): the
+# synthetic documents carry no URLs, so both engines append the same
+# doc_id-derived URLs — subdomain + port + query string all exercised;
+# every 10th document stays URL-free to keep the zero-match path hot.
+_URL_SUFFIX_SPARK = (
+    "CASE WHEN doc_id % 10 = 0 THEN text ELSE concat(text,"
+    " ' see https://www.ex', CAST(doc_id % 50 AS STRING),"
+    " '.org/p?id=', CAST(doc_id AS STRING),"
+    " ' and http://cdn', CAST(doc_id % 7 AS STRING),"
+    " '.assets-cdn.net:8080/img.png') END"
+)
+_URL_SUFFIX_DUCK = (
+    "CASE WHEN doc_id % 10 = 0 THEN text ELSE text"
+    " || ' see https://www.ex' || CAST(doc_id % 50 AS VARCHAR)"
+    " || '.org/p?id=' || CAST(doc_id AS VARCHAR)"
+    " || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.assets-cdn.net:8080/img.png' END"
+)
+
+
+def url_domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-registrable-domain rollup of every URL in the corpus:
+    extract URLs (map-only regexp over the text), reduce to the host's
+    last two labels, count documents and occurrences. One shuffle (the
+    domain groupBy); the extraction is whole-stage-codegen JVM work, so
+    the stage scales with input bytes like any scan-heavy pass.
+
+    -> domain, n_docs, n_urls
+    """
+    from pyspark.sql import functions as F
+
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{URL_RE}', 0)")
+        ).alias("url"),
+    )
+    host = F.regexp_extract(F.col("url"), HOST_RE, 1)
+    domain = F.regexp_extract(host, DOMAIN_RE, 1)
+    return (
+        urls.select("doc_id", domain.alias("domain"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+    )
+
+
+def _q_url_domains(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_SUFFIX_SPARK).alias("text")
+    )
+    return url_domain_stats(enriched)
+
+
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET_TOKENS):
     """Concat-and-chunk sequence packing (pretraining data layout): the
     corpus is laid out as one token stream per ``source`` (docs in
@@ -1037,6 +1107,7 @@ LLM_QUERIES = {
     "events_session_windows": _q_session_windows,
     "text_repetition_signals": _q_repetition,
     "salted_channel_counts": _q_salted_channel_counts,
+    "curate_url_domains": _q_url_domains,
 }
 
 
@@ -2320,6 +2391,24 @@ SELECT doc_id,
     md5(text) AS content_hash, lang, source
 FROM documents""",
         "text_pii_redaction": _pii_oracle_sql(),
+        "curate_url_domains": f"""
+WITH enriched AS (SELECT doc_id, {_URL_SUFFIX_DUCK} AS text
+                  FROM documents),
+urls AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '{URL_RE}', 0)) AS url
+    FROM enriched
+),
+domains AS (
+    SELECT doc_id,
+           regexp_extract(regexp_extract(url, '{HOST_RE}', 1),
+                          '{DOMAIN_RE}', 1) AS domain
+    FROM urls
+)
+SELECT domain, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_urls
+FROM domains WHERE domain <> ''
+GROUP BY domain ORDER BY n_urls DESC, domain""",
         "decontaminate_ngram_overlap": f"""
 WITH {_DOC_CTES.strip()},
 dsh AS (SELECT DISTINCT doc_id, sh FROM doc_shingles),

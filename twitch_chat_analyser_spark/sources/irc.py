@@ -15,11 +15,13 @@ every regex is RE2-compatible, so the DuckDB oracle reproduces the
 parse bit-for-bit.
 
 Bot parity (Bot.java:113-129): rows with a missing user, missing
-channel, or empty-after-trim message are DROPPED, message text is
-trimmed, and the event time is the ``tmi-sent-ts`` tag (the TMI server
-send time twitch4j surfaces as ``getFiredAtInstant``); lines without
-the tag (or non-PRIVMSG traffic: PING, JOIN, USERNOTICE, ...) are
-dropped too. Channel and login names are lowercased — IRC channel
+channel, or empty-after-trim message are DROPPED, message text gets
+Java ``String.trim()`` semantics (strips every char <= U+0020, not just
+spaces — so a tabs-only message drops exactly like the bot), and the
+event time is the ``tmi-sent-ts`` tag (the TMI server send time
+twitch4j surfaces as ``getFiredAtInstant``); lines without the tag (or
+non-PRIVMSG traffic: PING, JOIN, USERNOTICE, ...) are dropped too.
+Duplicated tags follow IRCv3's last-wins rule. Channel and login names are lowercased — IRC channel
 names are case-insensitive and twitch4j's ``getName()`` returns the
 lowercase login.
 

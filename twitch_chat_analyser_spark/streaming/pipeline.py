@@ -320,6 +320,26 @@ def _store_bytes(path: str) -> int:
     return total
 
 
+def trigger_shuffle_partitions(
+    spark: SparkSession, rows: int, store_bytes: int = 0
+) -> int:
+    """Reduce-side parallelism for ONE micro-batch trigger's merges.
+
+    The session's ``spark.sql.shuffle.partitions`` is sized for the
+    CLUSTER's batch workloads; a trigger carrying a few thousand
+    messages (the reference's 5 s flush at live-chat rate) does not
+    need it — at bench scale, 6 concurrent merge jobs x ~3 shuffle
+    stages x 32 near-empty reduce tasks measured ~2x the merge wall in
+    pure scheduling. Sized up by batch rows (~50k rows/task) and store
+    bytes (~128 MB/task, so a grown day partition keeps parallelism),
+    capped at the session value — a 100 TB replay batch is unaffected.
+    """
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(
+        sess, max(8, rows // 50_000, store_bytes // (128 << 20))
+    )
+
+
 def additive_merge(
     spark: SparkSession,
     path: str,
@@ -819,47 +839,42 @@ def run_all_single_pass(
         from concurrent.futures import ThreadPoolExecutor
 
         batch_df.persist()
-        # the span prices one day-bucket hint shared by all five merges
-        # below, replacing the per-merge distinct-collect probe (five
-        # probe jobs per trigger was the difference between meeting and
-        # missing the 5 s trigger budget at bench scale). While EVERY
-        # store is still in the flat layout the hint has no consumer,
-        # so the job is skipped entirely (round 8: one fewer serial job
-        # per trigger; the concurrent merges then populate the cache —
-        # block locks make exactly one task compute each partition). A
-        # store crossing the threshold mid-trigger just pays the probe
-        # once; the next trigger sees buckets and prices the span.
+        # ONE up-front span job per trigger: it materializes the cache
+        # (one parallel pass instead of six cold jobs racing block
+        # locks), prices the day-bucket hint shared by all five merges
+        # (replacing the per-merge distinct-collect probe — five probe
+        # jobs per trigger was the difference between meeting and
+        # missing the 5 s budget at bench scale), guards the empty
+        # micro-batch (ADVICE r8: an empty batch must not rewrite and
+        # re-journal five stores), and sizes the trigger's reduce-side
+        # parallelism below.
+        t_span = time.time()
+        span = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_millis("ts")).alias("min_ms"),
+            F.max(F.unix_millis("ts")).alias("max_ms"),
+        ).first()
+        if merge_metrics is not None:
+            merge_metrics.append({
+                "batch_id": batch_id, "step": "span_agg",
+                "sec": round(time.time() - t_span, 3), "rows": span["n"],
+            })
+        if span["n"] == 0:
+            batch_df.unpersist()
+            return
         hint = None
         if _any_bucketed():
-            t_span = time.time()
-            span = batch_df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(F.unix_millis("ts")).alias("min_ms"),
-                F.max(F.unix_millis("ts")).alias("max_ms"),
-            ).first()
-            if merge_metrics is not None:
-                merge_metrics.append({
-                    "batch_id": batch_id, "step": "span_agg",
-                    "sec": round(time.time() - t_span, 3), "rows": span["n"],
-                })
-            if span["n"] == 0:
-                batch_df.unpersist()
-                return
             # window-end timestamps can cross into the next day; +1 day
             # of slack keeps the hint a superset (extras are no-ops)
             hint = [0] + list(range(
                 int(span["min_ms"] // DAY_MS),
                 int(span["max_ms"] // DAY_MS) + 2,
             ))
-        elif batch_df.isEmpty():
-            # all-flat phase: without this guard an empty micro-batch
-            # still drives all five flat merges, each rewriting its
-            # whole store and re-journaling the batch for zero rows —
-            # and on a brand-new out_dir even publishes empty stores
-            # (ADVICE r8 low). take(1) on the cached batch is one
-            # cheap limit-1 job, far below a flat-store rewrite.
-            batch_df.unpersist()
-            return
+        store_b = max(
+            (_store_bytes(os.path.join(out_dir, p.name)) for p in pipelines),
+            default=0,
+        )
+        nparts = trigger_shuffle_partitions(spark, span["n"], store_b)
 
         # ONE emote extraction per trigger, shared by both emote tables
         # (EmoteAnalyser.java:98-129 likewise derives emote_stats AND
@@ -929,7 +944,18 @@ def run_all_single_pass(
                     "sec": round(time.time() - t0, 3),
                 })
 
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
+            # size this trigger's shuffles to its data (measured at
+            # bench scale: halves the small merges' wall — 6 concurrent
+            # jobs x ~3 shuffle stages x 32 tiny reduce tasks was
+            # scheduler overhead, not work). The session value is the
+            # operator's cluster sizing and stays the CAP, so a 100 TB
+            # replay batch or a grown store keeps full parallelism; the
+            # set/restore is sink-scoped (a streaming write-path job
+            # owns its session — document-level assumption, same as the
+            # stores' single-writer rule).
+            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
             # Spark driver actions are thread-safe; each table's jobs run
             # concurrently on the shared executor pool (the FIFO
             # scheduler interleaves stages), recovering the parallelism
@@ -942,6 +968,7 @@ def run_all_single_pass(
                 for f in [pool.submit(j) for j in jobs]:
                     f.result()
         finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
             occurrences.unpersist()
             batch_df.unpersist()
 
