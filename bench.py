@@ -350,11 +350,21 @@ def _isolated_merge_floor(spark, src: str, out_dir: str) -> dict:
     """Re-run ONE representative trigger's table merges one-at-a-time
     against the finished stores — no thread pool, no sibling merges
     sharing the 32 cores — and report each table's isolated merge wall.
-    Mirrors run_all_single_pass's merge_one exactly: the batch and the
-    shared emote-occurrence extraction are persisted AND materialized
-    up front (in the contended sink they are computed once per trigger
-    and shared), so the measured span is agg + totals-union + journaled
-    additive merge, the same span merge_breakdown times."""
+    Runs pipeline.merge_once, the SAME unit the contended sink runs per
+    table, with the batch and the shared emote-occurrence extraction
+    persisted AND materialized up front (in the contended sink they are
+    computed once per trigger and shared), so the measured span is
+    agg + totals-union + journaled additive merge — the identical code
+    path merge_breakdown times.
+
+    Caveat (by construction): the floor merges into the FINISHED
+    stores, while the contended p50 averages mid-run merges against
+    growing stores. At bench scale every store plateaus within the
+    first batch (all flat, tens of KB — see store_bytes_final in
+    merge_breakdown), so the comparison isolates contention; if a
+    future table's store grows materially across the run, read the
+    ratio against store_bytes_final before attributing it to the
+    scheduler."""
     from pyspark.sql import functions as F
 
     from twitch_chat_analyser_spark import dims
@@ -388,12 +398,21 @@ def _isolated_merge_floor(spark, src: str, out_dir: str) -> dict:
     floor: dict[str, float] = {}
     # same trigger-sized shuffle parallelism as the contended sink, so
     # the isolated/contended comparison isolates CONTENTION only
+    pipelines = sp.default_pipelines(spark)
     store_b = max(
         (
             sp._store_bytes(os.path.join(out_dir, p.name))
-            for p in sp.default_pipelines(spark)
+            for p in pipelines
         ),
         default=0,
+    )
+    any_bucketed = any(
+        os.path.isdir(os.path.join(out_dir, p.name))
+        and any(
+            e.startswith("bucket=")
+            for e in os.listdir(os.path.join(out_dir, p.name))
+        )
+        for p in pipelines
     )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -401,26 +420,12 @@ def _isolated_merge_floor(spark, src: str, out_dir: str) -> dict:
         str(sp.trigger_shuffle_partitions(spark, batch_df.count(), store_b)),
     )
     try:
-        for i, p in enumerate(sp.default_pipelines(spark)):
-            target = os.path.join(out_dir, p.name)
-            is_bucketed = os.path.isdir(target) and any(
-                e.startswith("bucket=") for e in os.listdir(target)
-            )
+        for i, p in enumerate(pipelines):
             t0 = time.time()
-            stats = shared.get(p.name, lambda p=p: p.transform(batch_df))()
-            stats = stats.persist()
-            try:
-                value_col = [
-                    c for c in stats.columns if c not in p.keys
-                ][0]
-                deltas = sp.with_total_rows(stats, p.keys, value_col)
-                sp.additive_merge(
-                    spark, target, deltas, p.keys, value_col,
-                    batch_id=10_000 + i,
-                    touched_hint=hint if is_bucketed else None,
-                )
-            finally:
-                stats.unpersist()
+            sp.merge_once(
+                spark, out_dir, p, batch_df, shared,
+                hint if any_bucketed else None, 10_000 + i,
+            )
             floor[p.name] = round(time.time() - t0, 3)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -596,6 +601,11 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
                 }
 
                 def write_one(p) -> None:
+                    # one FAIR pool per table (like the parquet sink's
+                    # merge_one — the default pool is internally FIFO)
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", f"jdbc-{p.name}"
+                    )
                     # no eager localCheckpoint: the stats feed exactly
                     # one consumer (the upsert), so checkpointing first
                     # ran every aggregation TWICE per trigger

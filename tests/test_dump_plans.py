@@ -1,0 +1,53 @@
+"""dump_plans.stabilize: regen-stability normalization must be
+session-stable (same structure, different JVM counters -> identical
+bytes), literal-preserving, and instance-distinct (a self-join's two
+column instances must NOT collapse to one token — review r11). No
+Spark needed."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools"),
+)
+
+from dump_plans import stabilize
+
+PLAN_A = """Output [2]: [a#101L, b#102]
+Condition: (a#101L = c#205L) AND rlike(b#102, 'thing #1')
+Arguments: [plan_id=37]
+Join: a#101L vs a#309L [plan_id=50]"""
+
+# same structure, different session counters
+PLAN_B = """Output [2]: [a#9001L, b#9002]
+Condition: (a#9001L = c#9105L) AND rlike(b#9002, 'thing #1')
+Arguments: [plan_id=88]
+Join: a#9001L vs a#9309L [plan_id=91]"""
+
+
+def test_same_structure_different_counters_normalize_identically():
+    assert stabilize(PLAN_A) == stabilize(PLAN_B)
+
+
+def test_string_literals_with_hash_digits_survive():
+    assert "'thing #1'" in stabilize(PLAN_A)
+
+
+def test_self_join_instances_stay_distinct():
+    s = stabilize(PLAN_A)
+    # a#101L appears three times -> one token; a#309L is a DIFFERENT
+    # instance and must get a different token
+    assert s.count("a#x1L") == 3
+    assert "a#x4L" in s
+    assert "plan_id=x1" in s and "plan_id=x2" in s
+
+
+def test_moved_predicate_changes_output():
+    """A regression that only moves a predicate between join instances
+    must NOT normalize to identical bytes (the blanket '#x' erase the
+    r11 review flagged would have)."""
+    moved = PLAN_A.replace("(a#101L = c#205L)", "(a#309L = c#205L)")
+    assert stabilize(moved) != stabilize(PLAN_A)

@@ -115,14 +115,32 @@ HEADLINE = [
 
 
 def stabilize(plan: str) -> str:
-    """Strip session-volatile identifiers so a regen at an UNCHANGED
-    registry produces an empty diff (VERDICT r10 task 6: r10 had to
-    hand-revert a pure id-churn regen). Expression ids (`col#123L`) and
-    `plan_id=` counters are global per-JVM-session counters — they
-    encode nothing about the plan's structure."""
-    plan = re.sub(r"#\d+", "#x", plan)
-    plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
-    return plan
+    """NORMALIZE session-volatile identifiers so a regen at an
+    UNCHANGED registry produces an empty diff (VERDICT r10 task 6: r10
+    had to hand-revert a pure id-churn regen). Expression ids
+    (`col#123L`) and `plan_id=` counters are global per-JVM-session
+    counters — their absolute values encode nothing — but which
+    REFERENCES share an id is plan structure (self-join instance
+    binding), so ids are renumbered by first appearance instead of
+    erased (review r11: a blanket `#x` collapse could hide a regression
+    that only moves a predicate between join instances). The word-char
+    lookbehind keeps `#digits` inside string literals (e.g. a pushed
+    filter on `'thing #1'`) untouched."""
+    ids: dict[str, str] = {}
+
+    def expr_repl(m):
+        return (
+            "#" + ids.setdefault(m.group(1), f"x{len(ids) + 1}")
+            + m.group(2)
+        )
+
+    plan = re.sub(r"(?<=\w)#(\d+)(L?)", expr_repl, plan)
+    pids: dict[str, str] = {}
+
+    def plan_repl(m):
+        return "plan_id=" + pids.setdefault(m.group(1), f"x{len(pids) + 1}")
+
+    return re.sub(r"plan_id=(\d+)", plan_repl, plan)
 
 
 def audit(plan: str) -> list[str]:

@@ -456,6 +456,87 @@ def _q_url_domains(spark, sf_dir):
     return url_domain_stats(enriched)
 
 
+# Paragraph-level exact dedup (round 11): Dolma/RefinedWeb curation
+# step — boilerplate (nav text, footers, subscribe prompts) repeats
+# across documents at the PARAGRAPH grain where document-level dedup
+# sees unique docs. First occurrence wins, ordered by (doc_id, idx):
+# a paragraph is a duplicate iff the same trimmed text appeared in an
+# earlier document or earlier in the same document.
+#
+# The synthetic documents are single-line, so the oracle enriches them
+# deterministically (same trick as the PII/URL oracles): one global
+# boilerplate paragraph on every doc, one group-shared footer
+# (doc_id % 20), and every 7th doc repeats its own footer to exercise
+# the within-doc first-occurrence rule. chr(10) keeps the separator
+# identical in Spark SQL and DuckDB (no string-escape skew).
+_PARA_SUFFIX_SPARK = (
+    "concat(text, chr(10), 'subscribe to the newsletter', chr(10),"
+    " 'copyright site-', CAST(doc_id % 20 AS STRING),"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),"
+    " 'copyright site-', CAST(doc_id % 20 AS STRING)) ELSE '' END)"
+)
+_PARA_SUFFIX_DUCK = (
+    "text || chr(10) || 'subscribe to the newsletter' || chr(10)"
+    " || 'copyright site-' || CAST(doc_id % 20 AS VARCHAR)"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10)"
+    " || 'copyright site-' || CAST(doc_id % 20 AS VARCHAR)"
+    " ELSE '' END"
+)
+
+
+def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-document paragraph dedup accounting: split on newlines, trim,
+    drop empties, and mark every paragraph whose trimmed text already
+    occurred at a smaller (doc_id, idx) anywhere in the corpus.
+
+    Scale shape: paragraphs group on md5(para) (32-byte shuffle key
+    regardless of paragraph length, like exact_dedup); the winner per
+    hash is one min(struct) agg, flags come back via the hash
+    equi-join, and the per-doc rollup is the second and last shuffle.
+    No windows over the full corpus, no driver state.
+
+    -> doc_id, n_paras, n_dup_paras
+    """
+    from pyspark.sql import functions as F
+
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias(
+                "idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+    )
+    keyed = paras.select("doc_id", "idx", F.md5("para").alias("h"))
+    winners = keyed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    flagged = keyed.join(winners, "h").select(
+        "doc_id",
+        (
+            (F.col("w.doc_id") != F.col("doc_id"))
+            | (F.col("w.idx") != F.col("idx"))
+        )
+        .cast("long")
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("is_dup").alias("n_dup_paras"),
+    )
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PARA_SUFFIX_SPARK).alias("text")
+    )
+    return paragraph_dedup_stats(enriched)
+
+
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET_TOKENS):
     """Concat-and-chunk sequence packing (pretraining data layout): the
     corpus is laid out as one token stream per ``source`` (docs in
@@ -1108,6 +1189,7 @@ LLM_QUERIES = {
     "text_repetition_signals": _q_repetition,
     "salted_channel_counts": _q_salted_channel_counts,
     "curate_url_domains": _q_url_domains,
+    "dedup_paragraphs": _q_paragraph_dedup,
 }
 
 
@@ -2409,6 +2491,26 @@ SELECT domain, COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(*) AS n_urls
 FROM domains WHERE domain <> ''
 GROUP BY domain ORDER BY n_urls DESC, domain""",
+        "dedup_paragraphs": f"""
+WITH enriched AS (SELECT doc_id, {_PARA_SUFFIX_DUCK} AS text
+                  FROM documents),
+paras0 AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx,
+           trim(unnest(string_split(text, chr(10)))) AS para
+    FROM enriched
+),
+paras AS (SELECT * FROM paras0 WHERE para <> ''),
+flagged AS (
+    SELECT doc_id,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY para ORDER BY doc_id, idx) = 1
+                THEN 0 ELSE 1 END AS is_dup
+    FROM paras
+)
+SELECT doc_id, COUNT(*) AS n_paras,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_paras
+FROM flagged GROUP BY doc_id""",
         "decontaminate_ngram_overlap": f"""
 WITH {_DOC_CTES.strip()},
 dsh AS (SELECT DISTINCT doc_id, sh FROM doc_shingles),

@@ -788,6 +788,52 @@ def start_delta_pipeline(
     )
 
 
+def merge_once(
+    spark: SparkSession,
+    out_dir: str,
+    pipeline: Pipeline,
+    batch_df: DataFrame,
+    shared: dict,
+    hint,
+    batch_id: int,
+) -> str:
+    """ONE table's per-trigger work: build the delta (the pipeline's
+    transform, or a shared pre-computed builder for the two emote
+    tables), append the sentinel totals, and run the journaled additive
+    merge. Returns the layout used.
+
+    This is the unit the streaming sink runs CONCURRENTLY per table
+    and the bench's isolated-floor probe runs SERIALLY — one
+    implementation, so the artifact's isolated-vs-contended comparison
+    measures the same code path on both sides (review r11).
+
+    The stats persist() is deliberate: with_total_rows references the
+    aggregation in both union branches, and un-cached that evaluates it
+    twice; lazy persist (not an eager localCheckpoint) keeps the whole
+    merge ONE Spark job (round 8, trigger-budget headroom).
+    """
+    build = shared.get(
+        pipeline.name, lambda: pipeline.transform(batch_df)
+    )
+    stats = build().persist()
+    try:
+        value_col = [
+            c for c in stats.columns if c not in pipeline.keys
+        ][0]
+        deltas = with_total_rows(stats, pipeline.keys, value_col)
+        return additive_merge(
+            spark,
+            os.path.join(out_dir, pipeline.name),
+            deltas,
+            pipeline.keys,
+            value_col,
+            batch_id,
+            touched_hint=hint,
+        )
+    finally:
+        stats.unpersist()
+
+
 def run_all_single_pass(
     spark: SparkSession,
     source_dir: str,
@@ -893,31 +939,19 @@ def run_all_single_pass(
         }
 
         def merge_one(p: Pipeline) -> None:
-            # cache the (small, post-aggregation) stats: with_total_rows
-            # references it in both union branches, and un-cached that
-            # evaluates the full aggregation twice. persist() (lazy)
-            # instead of an eager localCheckpoint saves one Spark job
-            # per table per trigger — the single merge-write job both
-            # computes and reuses the aggregation (round 8, trigger-
-            # budget headroom).
+            # per-thread scheduler pool: the session runs FAIR mode
+            # (session.py), but jobs without a pool all land in the
+            # DEFAULT pool, whose internal ordering is FIFO — one pool
+            # per table makes the root actually fair-share the 6
+            # concurrent jobs (on-demand pools get equal weight)
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"trigger-{p.name}"
+            )
             t0 = time.time()
-            build = shared.get(p.name, lambda: p.transform(batch_df))
-            stats = build().persist()
-            try:
-                value_col = [c for c in stats.columns if c not in p.keys][0]
-                deltas = with_total_rows(stats, p.keys, value_col)
-                target = os.path.join(out_dir, p.name)
-                layout = additive_merge(
-                    spark,
-                    target,
-                    deltas,
-                    p.keys,
-                    value_col,
-                    batch_id,
-                    touched_hint=hint,
-                )
-            finally:
-                stats.unpersist()
+            target = os.path.join(out_dir, p.name)
+            layout = merge_once(
+                spark, out_dir, p, batch_df, shared, hint, batch_id
+            )
             if merge_metrics is not None:
                 # the layout decision + its input (store bytes) land in
                 # the artifact, so a throughput regression names its
@@ -931,6 +965,9 @@ def run_all_single_pass(
                 })
 
         def side_output() -> None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "trigger-side-output"
+            )
             t0 = time.time()
             matched = agg.messages_matching_phrase(batch_df, phrases)
             matched.write.mode("overwrite").parquet(
@@ -956,11 +993,11 @@ def run_all_single_pass(
             # owns its session — document-level assumption, same as the
             # stores' single-writer rule).
             spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
-            # Spark driver actions are thread-safe; each table's jobs run
-            # concurrently on the shared executor pool (the FIFO
-            # scheduler interleaves stages), recovering the parallelism
-            # of run_all's five independent queries while scanning the
-            # source exactly once.
+            # Spark driver actions are thread-safe; each table's jobs
+            # run concurrently on the shared executor pool in their own
+            # FAIR scheduler pools (see merge_one), recovering the
+            # parallelism of run_all's five independent queries while
+            # scanning the source exactly once.
             jobs = [lambda p=p: merge_one(p) for p in pipelines]
             if include_matched_messages:
                 jobs.append(side_output)
