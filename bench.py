@@ -560,14 +560,26 @@ def _bench_streaming_jdbc(spark, sf_dir: str) -> dict:
                 )
                 for p in pipelines
             }
+            # executemany batch + writer partitions per table: tunable
+            # like the reference's DB batch size (README.md:99-101 —
+            # "throughput improves up to an optimal batch size").
+            # Defaults are the r11 same-session sweep optimum on the
+            # SQLite stand-in: steady p50 — 2000x4: 4,840 ms, 8000x4:
+            # 4,383 ms, 8000x2: 3,871 ms (best; fewer single-writer
+            # lock handoffs AND fewer executemany round-trips),
+            # 20000x1: 4,346 ms (no Spark-side overlap left). A real
+            # Postgres has row-level locks, so MORE partitions win
+            # there — deployment knobs, not constants.
+            batch_rows = int(os.environ.get("SPARK_GRAFT_JDBC_BATCH", "8000"))
+            n_parts = int(os.environ.get("SPARK_GRAFT_JDBC_PARTS", "2"))
             sinks = {
                 p.name: sj.JdbcSink(
                     dsn="unused",
                     table=p.name,
                     mode="additive",
-                    batch_size=2000,
+                    batch_size=batch_rows,
                     connection_factory=factory,
-                    num_partitions=4,
+                    num_partitions=n_parts,
                     paramstyle="qmark",
                     rows_acc=accs[p.name][0],
                     txn_acc=accs[p.name][1],

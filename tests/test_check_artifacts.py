@@ -74,3 +74,13 @@ def test_missing_isolated_table_is_red():
     del bad["streaming"]["merge_isolated_vs_contended"]
     probs = check_bench_budgets(bad)
     assert any("merge_isolated_vs_contended" in p for p in probs)
+
+
+def test_unmarked_eval_query_is_red():
+    bad = copy.deepcopy(GOOD)
+    bad["queries"] = {"eval_lsh_recall": 1.0, "channel_stats": 0.5}
+    bad["eval_queries_excluded_from_regression"] = []
+    probs = check_bench_budgets(bad)
+    assert any("eval_lsh_recall" in p for p in probs)
+    bad["eval_queries_excluded_from_regression"] = ["eval_lsh_recall"]
+    assert check_bench_budgets(bad) == []

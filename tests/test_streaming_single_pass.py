@@ -196,3 +196,18 @@ def test_single_pass_bucketed_phase_end_to_end(spark, dirs, monkeypatch):
     # replay from the same checkpoint: per-bucket journals suppress
     sp.run_all_single_pass(spark, src, out, ckpt, merge_metrics=metrics)
     assert _actual_tables(spark, out) == expected
+
+
+def test_trigger_shuffle_partitions_sizing(spark):
+    """Per-trigger reduce parallelism: floor of 8 for tiny triggers,
+    ramps with rows (~50k/task) and store bytes (~128MB/task), and the
+    session setting is a hard CAP (a 100 TB replay batch must keep the
+    operator's cluster sizing, never exceed it)."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    f = sp.trigger_shuffle_partitions
+    assert f(spark, 0) == 8
+    assert f(spark, 25_000) == 8
+    assert f(spark, 50_000 * 12) == min(sess, 12)
+    assert f(spark, 10 ** 9) == sess  # capped at the session value
+    assert f(spark, 0, store_bytes=20 * (128 << 20)) == min(sess, 20)
+    assert f(spark, 10 ** 9, store_bytes=10 ** 15) == sess

@@ -63,6 +63,16 @@ def check_bench_budgets(b: dict) -> list[str]:
             "done-condition: contention evidence lives in the artifact, "
             "not prose)"
         )
+    # eval_* queries are evaluation-truth workloads whose wall time is
+    # input-size-driven; the marker keeps them out of round-over-round
+    # regression reads (r9 task 8 / r10 task 5)
+    marked = set(b.get("eval_queries_excluded_from_regression", []))
+    evals = {n for n in b.get("queries", {}) if n.startswith("eval_")}
+    if evals - marked:
+        problems.append(
+            "BENCH_FULL eval queries missing from "
+            f"eval_queries_excluded_from_regression: {sorted(evals - marked)}"
+        )
     return problems
 
 
