@@ -677,3 +677,62 @@ def test_flat_swap_survives_concurrent_restore_only_heal(
     assert [(r["k"], r["v"]) for r in spark.read.parquet(path).collect()] == [
         (1, 2)
     ]
+
+
+def test_replay_journal_is_pruned_to_a_watermark(spark, tmp_path):
+    """Review r11: unpruned journals accrue every batch id ever applied
+    — O(stream lifetime) json work per trigger on always-touched
+    buckets (the sentinel day-0 bucket). The journal now keeps the top
+    two ids (watermark semantics: ids are monotone, only id <= max can
+    replay), a pre-existing full-history journal shrinks on its next
+    write, and old-id replays stay silent no-ops."""
+    import json as _json
+    import os
+
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    store = str(tmp_path / "channel_stats")
+    day = sp.DAY_MS
+
+    def deltas(ts, n):
+        return spark.createDataFrame(
+            [("a", ts, n), ("a", 0, n)],
+            "channel string, timestamp long, messages long",
+        )
+
+    # bucketed store: sentinel bucket=0 is touched by every batch
+    for b in range(5):
+        sp.additive_merge(
+            spark, store, deltas(day + 1000, 1),
+            ["channel", "timestamp"], "messages", b, flat_max_bytes=0,
+        )
+    j = os.path.join(store, "bucket=0", "_applied_batches.json")
+    with open(j) as fh:
+        ids = _json.load(fh)
+    assert ids == [3, 4]  # top-2 watermark, not [0..4]
+    # an old id (relocated-checkpoint shape) is a silent no-op
+    before = sorted(map(tuple, sp.read_table(spark, store).collect()))
+    sp.additive_merge(
+        spark, store, deltas(day + 1000, 99),
+        ["channel", "timestamp"], "messages", 1, flat_max_bytes=0,
+    )
+    assert sorted(map(tuple, sp.read_table(spark, store).collect())) == before
+    # a legacy full-history journal shrinks on its next write
+    with open(j, "w") as fh:
+        _json.dump(list(range(5)), fh)
+    sp.additive_merge(
+        spark, store, deltas(day + 1000, 1),
+        ["channel", "timestamp"], "messages", 5, flat_max_bytes=0,
+    )
+    with open(j) as fh:
+        assert _json.load(fh) == [4, 5]
+
+    # flat store: same pruning through the root journal
+    flat = str(tmp_path / "flat_store")
+    for b in range(4):
+        sp.additive_merge(
+            spark, flat, deltas(day + 1000, 1),
+            ["channel", "timestamp"], "messages", b,
+        )
+    with open(os.path.join(flat, "_applied_batches.json")) as fh:
+        assert _json.load(fh) == [2, 3]

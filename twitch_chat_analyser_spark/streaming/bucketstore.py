@@ -55,6 +55,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import storeswap
+
 # sized so one bucket's rows fit an executor core comfortably at
 # 100 TB-scale key cardinality; tests pass small N to exercise
 # multi-key buckets and partial-touch merges
@@ -193,6 +195,38 @@ def _applied(dirpath: str) -> set[int]:
                 "the journal"
             ) from exc
     return set()
+
+
+def _is_applied(journal: set[int], batch_id: int) -> bool:
+    """Replay-suppression test with WATERMARK semantics: applied iff
+    ``batch_id <= max(journal)``.
+
+    Why not membership: Structured Streaming batch ids are strictly
+    monotone per checkpoint, so from a single source the only id that
+    can legitimately arrive twice is the in-flight maximum — every id
+    below a bucket's max is either already applied (it is in the
+    journal) or comes from a relocated/rolled-back checkpoint replaying
+    history into an existing store. Membership got the second case
+    WRONG for sparse per-bucket journals (an old id that never touched
+    this bucket would re-apply and double-count, review r11); the
+    watermark skips it, matching the flat root journal's behavior
+    (contiguous ids make membership == watermark there). The watermark
+    is also what lets the journal PRUNE to a constant size instead of
+    accruing every id for the stream's lifetime."""
+    return bool(journal) and batch_id <= max(journal)
+
+
+def _pruned(journal: set[int]) -> list[int]:
+    """Journal retention: the watermark test only ever needs the max,
+    so keep the top two ids (max + one predecessor for debuggability).
+    Unpruned, an always-touched bucket (the sentinel day-0 bucket is
+    touched EVERY trigger) re-reads, re-unions, re-dumps and fsyncs an
+    ever-growing id list each micro-batch — O(stream lifetime) work
+    inside a seconds-scale trigger budget (review r11: ~10M ids/year at
+    a 3 s cadence). Format-compatible: the file stays a sorted JSON
+    list, old full-history journals read fine and shrink on their next
+    write."""
+    return sorted(journal)[-2:]
 
 
 def _migrated(store: str, b: int) -> bool:
@@ -340,7 +374,23 @@ def merge_into(
     a seconds-scale trigger budget. The hint only needs to cover, not
     to be exact: hint buckets holding data are rewritten identically
     and journaled; hint buckets with neither data nor delta rows are
-    skipped (nothing to journal — a replay skips them identically)."""
+    skipped (nothing to journal — a replay skips them identically).
+
+    ``merge_fn`` contract (review r11): it must not implement
+    retention — a zero-row result for a non-legacy bucket is treated
+    as "nothing to write" (the old dir is KEPT and the batch is not
+    journaled for it), which is correct for the additive/idempotent
+    algebras here (union + re-aggregate of a nonempty bucket is never
+    empty) but would silently un-delete a TTL purge. Deletion
+    semantics need an explicit tombstone design, not an empty frame.
+
+    Read concurrency: the store is single-writer, and serving reads
+    are EVENTUAL with respect to an in-flight merge — a read that
+    resolved a bucket's part files just before its swap can fail with
+    FileNotFound when its tasks run (the swap renames the directory,
+    so deferred backup deletion would not preserve the resolved
+    paths). Callers retry the read; the restore_only heal covers torn
+    swaps, not this benign race."""
     recover(store)
     bucketize = bucketize or (lambda df: with_bucket(df, keys, num_buckets))
     # NULL-safe: a custom bucketize may emit NULL buckets; unrouted,
@@ -401,9 +451,10 @@ def merge_into(
         if batch_id is not None:
             # the delta applies ONLY to journal-pending buckets — a
             # bucket pending purely for migration must not re-apply a
-            # batch its journal already contains
+            # batch its journal already covers (watermark semantics,
+            # see _is_applied)
             journal_pending = [
-                b for b in touched if batch_id not in journals[b]
+                b for b in touched if not _is_applied(journals[b], batch_id)
             ]
         else:
             journal_pending = list(touched)
@@ -446,7 +497,7 @@ def merge_into(
                 with open(
                     os.path.join(src, "_applied_batches.json"), "w"
                 ) as fh:
-                    json.dump(sorted(new_journal), fh)
+                    json.dump(_pruned(new_journal), fh)
                     fh.flush()
                     os.fsync(fh.fileno())
             if legacy and b in lbuckets:
@@ -455,6 +506,12 @@ def merge_into(
                 # while flat files still exist can't lose the marker
                 with open(os.path.join(src, "_legacy_migrated"), "w") as fh:
                     os.fsync(fh.fileno())
+            # journal/marker DIRECTORY ENTRIES must be durable before
+            # the publishing rename (review r11: fsync(file) does not
+            # persist the name in its dir; a power loss could publish
+            # the bucket without its journal and a replay would
+            # double-apply)
+            storeswap._fsync_dir(src)
             _swap_bucket(store, b, src)
         shutil.rmtree(tmp, ignore_errors=True)
         _clear_legacy_if_done(store, legacy, lbuckets)

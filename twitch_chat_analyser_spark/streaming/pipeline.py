@@ -417,7 +417,11 @@ def additive_merge(
         storeswap.recover(path)
         if _flat_bytes(path) < limit:
             applied = _applied_batches(path)
-            if batch_id in applied:
+            # watermark semantics (bucketstore._is_applied): ids are
+            # monotone per checkpoint, so any id <= the journal max is
+            # a replay — and the journal can prune to the top two ids
+            # instead of accruing every id for the stream's lifetime
+            if bucketstore._is_applied(applied, batch_id):
                 return "flat"
             # no cache: the whole flat merge is ONE action (the swap-in
             # write), so caching deltas would cost a memory write with
@@ -439,7 +443,9 @@ def additive_merge(
                 )
             else:
                 merged = deltas
-            storeswap.swap_in(merged, path, applied | {batch_id})
+            storeswap.swap_in(
+                merged, path, bucketstore._pruned(applied | {batch_id})
+            )
             return "flat"
 
     def merge_fn(old: DataFrame | None, delta: DataFrame) -> DataFrame:

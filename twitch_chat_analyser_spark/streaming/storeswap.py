@@ -33,6 +33,24 @@ def _fsync_file(fh) -> None:
     os.fsync(fh.fileno())
 
 
+def _fsync_dir(path: str) -> None:
+    """Directory-entry durability: ``fsync(file)`` persists the bytes,
+    NOT the file's name in its directory — POSIX permits a power loss
+    to surface a published dir whose journal file is absent unless the
+    dir itself is fsynced before the publishing rename (review r11;
+    ext4's ordered journaling saves you incidentally, other filesystems
+    do not). Best-effort: platforms without dir fsync keep rename
+    atomicity, which is the stronger half of the guarantee."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 def _mtime(parent: str, entry: str) -> float:
     try:
         return os.path.getmtime(os.path.join(parent, entry))
@@ -97,6 +115,9 @@ def swap_in(merged: DataFrame, path: str, journal_ids=None) -> None:
         with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
             json.dump(sorted(journal_ids), fh)
             _fsync_file(fh)
+        # the journal's DIRECTORY ENTRY must be durable too, or a power
+        # loss can publish the data without its journal (review r11)
+        _fsync_dir(tmp)
     back = f"{path}.old-{uuid.uuid4().hex[:8]}"
     had_old = os.path.isdir(path)
     if had_old:
@@ -118,5 +139,7 @@ def swap_in(merged: DataFrame, path: str, journal_ids=None) -> None:
                 "micro-batch so the checkpoint replays it"
             ) from exc
         shutil.rmtree(back2, ignore_errors=True)
+    # make the publish rename itself durable (parent dir entry)
+    _fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
     if had_old:
         shutil.rmtree(back, ignore_errors=True)
