@@ -736,3 +736,185 @@ def test_replay_journal_is_pruned_to_a_watermark(spark, tmp_path):
         )
     with open(os.path.join(flat, "_applied_batches.json")) as fh:
         assert _json.load(fh) == [2, 3]
+
+
+def test_journal_records_stream_identity_and_rejects_a_foreign_one(
+    spark, tmp_path
+):
+    """ADVICE r11: the watermark replay test is only sound within ONE
+    checkpoint's monotone batch-id sequence. A fresh checkpoint
+    restarts ids at 0, so pointing it at an existing store would
+    silently drop every new batch until the id passed the old max —
+    the journal now records the checkpoint identity and a mismatch
+    fails LOUDLY with a remediation hint."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    day = sp.DAY_MS
+
+    def deltas(n):
+        return spark.createDataFrame(
+            [("a", day + 1000, n), ("a", 0, n)],
+            "channel string, timestamp long, messages long",
+        )
+
+    # --- bucketed layout ---
+    store = str(tmp_path / "bucketed")
+    for b in range(3):
+        sp.additive_merge(
+            spark, store, deltas(1),
+            ["channel", "timestamp"], "messages", b,
+            flat_max_bytes=0, stream_id="ckpt-A",
+        )
+    j = os.path.join(store, "bucket=0", "_applied_batches.json")
+    with open(j) as fh:
+        rec = _json.load(fh)
+    assert rec == {"stream": "ckpt-A", "ids": [1, 2]}
+    # same checkpoint: watermark replay stays a silent no-op
+    before = sorted(map(tuple, sp.read_table(spark, store).collect()))
+    sp.additive_merge(
+        spark, store, deltas(99),
+        ["channel", "timestamp"], "messages", 0,
+        flat_max_bytes=0, stream_id="ckpt-A",
+    )
+    assert (
+        sorted(map(tuple, sp.read_table(spark, store).collect())) == before
+    )
+    # a DIFFERENT checkpoint (fresh ids restarting at 0) fails loudly
+    with pytest.raises(RuntimeError, match="ckpt-A"):
+        sp.additive_merge(
+            spark, store, deltas(1),
+            ["channel", "timestamp"], "messages", 0,
+            flat_max_bytes=0, stream_id="ckpt-B",
+        )
+    # the remediation from the message: delete the journals, then the
+    # new stream's batches apply from scratch under the new identity
+    for d in os.listdir(store):
+        f = os.path.join(store, d, "_applied_batches.json")
+        if os.path.isfile(f):
+            os.remove(f)
+    sp.additive_merge(
+        spark, store, deltas(5),
+        ["channel", "timestamp"], "messages", 0,
+        flat_max_bytes=0, stream_id="ckpt-B",
+    )
+    with open(j) as fh:
+        assert _json.load(fh)["stream"] == "ckpt-B"
+
+    # --- flat layout: same contract through the root journal ---
+    flat = str(tmp_path / "flat")
+    sp.additive_merge(
+        spark, flat, deltas(1),
+        ["channel", "timestamp"], "messages", 7, stream_id="ckpt-A",
+    )
+    with open(os.path.join(flat, "_applied_batches.json")) as fh:
+        assert _json.load(fh) == {"stream": "ckpt-A", "ids": [7]}
+    with pytest.raises(RuntimeError, match="ckpt-A"):
+        sp.additive_merge(
+            spark, flat, deltas(1),
+            ["channel", "timestamp"], "messages", 0, stream_id="ckpt-B",
+        )
+
+
+def test_legacy_journal_adopts_the_current_stream_identity(spark, tmp_path):
+    """A v1 list journal carries no identity: the first identity-
+    carrying merge must keep the watermark behavior (no spurious
+    error) and UPGRADE the journal to the v2 dict format."""
+    import json as _json
+    import os
+
+    from twitch_chat_analyser_spark.streaming import pipeline as sp
+
+    day = sp.DAY_MS
+
+    def deltas(n):
+        return spark.createDataFrame(
+            [("a", day + 1000, n)],
+            "channel string, timestamp long, messages long",
+        )
+
+    store = str(tmp_path / "s")
+    # identity-less writer (legacy callers) produces the v1 list
+    sp.additive_merge(
+        spark, store, deltas(1),
+        ["channel", "timestamp"], "messages", 0, flat_max_bytes=0,
+    )
+    j = os.path.join(store, f"bucket={day // sp.DAY_MS}")
+    j = os.path.join(j, "_applied_batches.json")
+    with open(j) as fh:
+        assert isinstance(_json.load(fh), list)
+    # identity-carrying merge: no error, format upgraded
+    sp.additive_merge(
+        spark, store, deltas(1),
+        ["channel", "timestamp"], "messages", 1,
+        flat_max_bytes=0, stream_id="ckpt-X",
+    )
+    with open(j) as fh:
+        rec = _json.load(fh)
+    assert rec == {"stream": "ckpt-X", "ids": [0, 1]}
+    # ...and the replay suppression still reads both formats
+    before = sorted(
+        map(tuple, sp.read_table(spark, store).collect())
+    )
+    sp.additive_merge(
+        spark, store, deltas(50),
+        ["channel", "timestamp"], "messages", 1,
+        flat_max_bytes=0, stream_id="ckpt-X",
+    )
+    assert (
+        sorted(map(tuple, sp.read_table(spark, store).collect())) == before
+    )
+
+
+def test_stream_identity_reads_checkpoint_metadata(tmp_path):
+    import json as _json
+    import os
+
+    from twitch_chat_analyser_spark.streaming import bucketstore
+
+    ck = str(tmp_path / "ck")
+    assert bucketstore.stream_identity(ck) is None  # not started yet
+    os.makedirs(ck)
+    with open(os.path.join(ck, "metadata"), "w") as fh:
+        _json.dump({"id": "3fa9c1d2"}, fh)
+    assert bucketstore.stream_identity(ck) == "3fa9c1d2"
+
+
+def test_fsync_dir_reraises_real_io_errors(tmp_path, monkeypatch):
+    """ADVICE r11: _fsync_dir existed to close a power-loss window; a
+    swallowed EIO/ENOSPC re-opened it silently on a failing disk. Real
+    I/O errors now propagate (the micro-batch fails and replays);
+    not-supported errnos stay suppressed (platforms without dir
+    fsync)."""
+    import errno
+    import os
+
+    import pytest
+
+    from twitch_chat_analyser_spark.streaming import storeswap
+
+    real_fsync = os.fsync
+
+    def failing(errnum):
+        def _f(fd):
+            raise OSError(errnum, os.strerror(errnum))
+        return _f
+
+    # not-supported: silent no-op
+    monkeypatch.setattr(os, "fsync", failing(errno.EINVAL))
+    storeswap._fsync_dir(str(tmp_path))
+    monkeypatch.setattr(os, "fsync", failing(errno.ENOTSUP))
+    storeswap._fsync_dir(str(tmp_path))
+    # genuine disk failure: must raise
+    monkeypatch.setattr(os, "fsync", failing(errno.EIO))
+    with pytest.raises(OSError):
+        storeswap._fsync_dir(str(tmp_path))
+    monkeypatch.setattr(os, "fsync", failing(errno.ENOSPC))
+    with pytest.raises(OSError):
+        storeswap._fsync_dir(str(tmp_path))
+    monkeypatch.setattr(os, "fsync", real_fsync)
+    storeswap._fsync_dir(str(tmp_path))  # healthy path still works

@@ -51,3 +51,18 @@ def test_moved_predicate_changes_output():
     r11 review flagged would have)."""
     moved = PLAN_A.replace("(a#101L = c#205L)", "(a#309L = c#205L)")
     assert stabilize(moved) != stabilize(PLAN_A)
+
+
+def test_aggregate_result_ids_after_paren_or_bracket_are_renumbered():
+    """ADVICE r11: ids following ')' or ']' (aggregate/lambda results
+    like 'count(1)#25L') were skipped by the plain word-char
+    lookbehind, so a session-counter shift still churned those lines."""
+    a = "Aggregate [count(1)#25L, sum(v#3L)#26L, transform(x)[0]#27]"
+    b = "Aggregate [count(1)#925L, sum(v#93L)#926L, transform(x)[0]#927]"
+    sa = stabilize(a)
+    assert sa == stabilize(b)
+    assert "#25" not in sa and "#26" not in sa and "#27" not in sa
+
+
+def test_hash_digits_after_space_or_quote_still_survive():
+    assert "like '#42'" in stabilize("Filter: like '#42' AND v#7 = 1")

@@ -211,3 +211,63 @@ def test_trigger_shuffle_partitions_sizing(spark):
     assert f(spark, 10 ** 9) == sess  # capped at the session value
     assert f(spark, 0, store_bytes=20 * (128 << 20)) == min(sess, 20)
     assert f(spark, 10 ** 9, store_bytes=10 ** 15) == sess
+
+
+def test_sink_conf_changes_cannot_leak_into_the_user_session(spark, dirs):
+    """ADVICE r11: the sink sizes spark.sql.shuffle.partitions to the
+    trigger (as low as 8); set on the user's session that silently
+    throttled any concurrent batch query. The sink now runs on the
+    micro-batch's CLONED session (MicroBatchExecution clones the
+    session with an isolated SQLConf — batch_df.sparkSession), so the
+    per-trigger value is invisible outside the stream. Also pins the
+    mechanism itself: foreachBatch really does hand a distinct JVM
+    session sharing the context."""
+    src, out, ckpt = dirs
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    seen = {}
+
+    orig_sink_probe = sp.trigger_shuffle_partitions
+
+    def probe(sess, rows, store_bytes=0):
+        # called from inside the sink with the session the sink uses
+        seen["distinct_session"] = sess is not spark and (
+            str(sess._jsparkSession) != str(spark._jsparkSession)
+        )
+        seen["shared_context"] = sess.sparkContext is spark.sparkContext
+        return orig_sink_probe(sess, rows, store_bytes)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sp.trigger_shuffle_partitions, saved = probe, sp.trigger_shuffle_partitions
+    try:
+        sp.run_all_single_pass(spark, src, out, ckpt)
+    finally:
+        sp.trigger_shuffle_partitions = saved
+    assert seen["distinct_session"], (
+        "sink must run on the micro-batch's cloned session, not the "
+        "user session"
+    )
+    assert seen["shared_context"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # results are unaffected by the session change
+    assert _actual_tables(spark, out) == _expected_tables(spark, BATCH_1)
+
+
+def test_store_journals_record_the_checkpoint_identity(spark, dirs):
+    """The replay journals must carry the checkpoint's stable query id
+    (bucketstore.stream_identity) so a FRESH checkpoint pointed at
+    this store fails loudly instead of watermark-dropping new batches
+    (ADVICE r11). End-to-end through the real streaming query."""
+    import json as _json
+    import os
+
+    src, out, ckpt = dirs
+    _mk_messages(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    sp.run_all_single_pass(spark, src, out, ckpt)
+    with open(os.path.join(ckpt, "single_pass", "metadata")) as fh:
+        qid = _json.load(fh)["id"]
+    j = os.path.join(out, "channel_stats", "_applied_batches.json")
+    assert os.path.isfile(j), "flat store should carry a root journal"
+    with open(j) as fh:
+        rec = _json.load(fh)
+    assert rec["stream"] == qid
+    assert rec["ids"] == [0]

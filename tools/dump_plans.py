@@ -123,9 +123,14 @@ def stabilize(plan: str) -> str:
     REFERENCES share an id is plan structure (self-join instance
     binding), so ids are renumbered by first appearance instead of
     erased (review r11: a blanket `#x` collapse could hide a regression
-    that only moves a predicate between join instances). The word-char
-    lookbehind keeps `#digits` inside string literals (e.g. a pushed
-    filter on `'thing #1'`) untouched."""
+    that only moves a predicate between join instances). The
+    lookbehind accepts a word char, `)` or `]` — an expression id
+    always follows the expression text it names, which for aggregate
+    and lambda results ends in a paren/bracket (`count(1)#25L`; the
+    plain `\w` version left those raw, so a registry change shifting
+    the session counter still churned them — ADVICE r11) — while
+    `#digits` after a space or quote (a pushed filter on `'thing #1'`)
+    stays untouched."""
     ids: dict[str, str] = {}
 
     def expr_repl(m):
@@ -134,7 +139,7 @@ def stabilize(plan: str) -> str:
             + m.group(2)
         )
 
-    plan = re.sub(r"(?<=\w)#(\d+)(L?)", expr_repl, plan)
+    plan = re.sub(r"(?<=[\w)\]])#(\d+)(L?)", expr_repl, plan)
     pids: dict[str, str] = {}
 
     def plan_repl(m):

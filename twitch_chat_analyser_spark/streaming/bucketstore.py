@@ -179,12 +179,18 @@ def _bucket_dirs(store: str, buckets: list[int] | None = None) -> list[str]:
     ]
 
 
-def _applied(dirpath: str) -> set[int]:
+def _applied(dirpath: str) -> tuple[set[int], str | None]:
+    """Load a replay journal: ``(applied ids, recorded stream id)``.
+
+    Two formats coexist: the legacy v1 sorted JSON list (no stream
+    identity) and the v2 ``{"stream": <checkpoint id>, "ids": [...]}``
+    dict (ADVICE r11 — the watermark test is only sound for ids from
+    the SAME checkpoint, so the journal records whose ids these are)."""
     j = os.path.join(dirpath, "_applied_batches.json")
     if os.path.isfile(j):
         try:
             with open(j) as fh:
-                return set(json.load(fh))
+                raw = json.load(fh)
         except (json.JSONDecodeError, OSError) as exc:
             # defaulting to "nothing applied" would double-apply the
             # additive delta on replay — refuse with an actionable
@@ -194,7 +200,69 @@ def _applied(dirpath: str) -> set[int]:
                 "verify the bucket's contents and repair or remove "
                 "the journal"
             ) from exc
-    return set()
+        if isinstance(raw, dict):
+            return set(raw.get("ids", [])), raw.get("stream")
+        return set(raw), None
+    return set(), None
+
+
+def stream_identity(checkpoint_dir: str) -> str | None:
+    """The checkpoint's STABLE query id: Structured Streaming writes
+    ``{"id": "<uuid>"}`` to ``<checkpoint>/metadata`` on first start
+    and reuses it on every resume; wiping the checkpoint regenerates
+    it. That makes it exactly the identity the replay journals need —
+    same-id restarts (including relocated copies) keep monotone batch
+    ids, a new id means the ids restarted at 0. ``None`` when the
+    query hasn't started yet (callers should read it lazily from the
+    sink, which only runs after start)."""
+    f = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(f) as fh:
+            meta = json.load(fh)
+        return meta.get("id") if isinstance(meta, dict) else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _check_stream(
+    recorded: str | None, current: str | None, where: str
+) -> None:
+    """Fail LOUDLY when a journal written under one streaming
+    checkpoint is probed by a different one (ADVICE r11): batch ids
+    restart at 0 in a fresh checkpoint, so the watermark test would
+    silently classify every new batch as a replay and drop all new
+    data until the id passed the old stream's max. Unknown identities
+    (legacy journals, callers that don't thread one) keep the
+    watermark-only behavior — the check only fires when both sides
+    positively disagree."""
+    if recorded and current and recorded != current:
+        raise RuntimeError(
+            f"replay journal at {where} was written by streaming "
+            f"checkpoint {recorded!r} but this merge runs under "
+            f"checkpoint {current!r}; refusing the watermark replay "
+            "test (a fresh checkpoint restarts batch ids at 0 and "
+            "every new batch would be silently dropped as a replay). "
+            "If you are intentionally re-basing this store onto a new "
+            "checkpoint, delete the store's _applied_batches.json "
+            "journals first — the new stream's batches then apply "
+            "from scratch."
+        )
+
+
+def _dump_journal(
+    path: str, ids: list[int], stream: str | None
+) -> None:
+    """Write a journal durably (fsynced BEFORE the publishing rename —
+    a power loss must not surface a bucket whose journal is
+    truncated). v2 dict format when a stream identity is known, else
+    the legacy list so identity-less callers stay byte-compatible."""
+    payload: object = (
+        {"stream": stream, "ids": ids} if stream else ids
+    )
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def _is_applied(journal: set[int], batch_id: int) -> bool:
@@ -347,6 +415,7 @@ def merge_into(
     batch_id: int | None = None,
     bucketize: Callable[[DataFrame], DataFrame] | None = None,
     touched_hint: list[int] | None = None,
+    stream_id: str | None = None,
 ) -> None:
     """Merge one batch's keyed deltas into the bucketed store.
 
@@ -356,6 +425,14 @@ def merge_into(
     the merged rows. ``batch_id=None`` declares the algebra idempotent
     (no journal); otherwise applied ids are journaled per bucket and
     already-applied buckets are skipped on replay.
+
+    ``stream_id`` names the streaming checkpoint the batch ids belong
+    to (Structured Streaming's stable query id — the ``metadata`` file
+    in the checkpoint dir). The watermark replay test is only sound
+    within ONE checkpoint's monotone id sequence, so when a journal
+    records a different identity the merge fails loudly instead of
+    silently dropping the new stream's batches (ADVICE r11). ``None``
+    keeps the identity-less legacy behavior.
 
     ``bucketize`` overrides the default hash(keys)%N layout with any
     row -> int bucket assignment (must add an int ``bucket`` column).
@@ -425,7 +502,10 @@ def merge_into(
                 for r in delta.select("bucket").distinct().collect()
             )
         legacy = _legacy_flat_files(store)
-        legacy_applied: set[int] = _applied(store) if legacy else set()
+        legacy_applied: set[int] = set()
+        legacy_stream: str | None = None
+        if legacy:
+            legacy_applied, legacy_stream = _applied(store)
         legacy_df = None
         lbuckets: set[int] = set()
         if legacy:
@@ -444,11 +524,17 @@ def merge_into(
         if not all_pend:
             _clear_legacy_if_done(store, legacy, lbuckets)
             return  # empty micro-batch, no pending migration
-        journals: dict[int, set[int]] = {
-            b: _applied(os.path.join(store, f"bucket={b}")) | legacy_applied
-            for b in all_pend
-        }
+        journals: dict[int, set[int]] = {}
+        recorded: dict[int, str | None] = {}
+        for b in all_pend:
+            ids, rec = _applied(os.path.join(store, f"bucket={b}"))
+            journals[b] = ids | legacy_applied
+            recorded[b] = rec or legacy_stream
         if batch_id is not None:
+            for b in touched:
+                _check_stream(
+                    recorded.get(b), stream_id, f"{store}/bucket={b}"
+                )
             # the delta applies ONLY to journal-pending buckets — a
             # bucket pending purely for migration must not re-apply a
             # batch its journal already covers (watermark semantics,
@@ -491,15 +577,14 @@ def merge_into(
                 new_journal = journals[b] | (
                     {batch_id} if b in jset else set()
                 )
-                # fsynced before the publishing rename: a power loss
-                # must not surface a bucket whose journal is truncated
-                # (a replay would double-apply the additive delta)
-                with open(
-                    os.path.join(src, "_applied_batches.json"), "w"
-                ) as fh:
-                    json.dump(_pruned(new_journal), fh)
-                    fh.flush()
-                    os.fsync(fh.fileno())
+                # stream identity is preserved when the caller doesn't
+                # thread one, so an upgraded journal never loses the
+                # checkpoint it was recorded under
+                _dump_journal(
+                    os.path.join(src, "_applied_batches.json"),
+                    _pruned(new_journal),
+                    stream_id or recorded.get(b),
+                )
             if legacy and b in lbuckets:
                 # committed by the same rename as the folded data; also
                 # re-written for already-marked buckets so a rewrite

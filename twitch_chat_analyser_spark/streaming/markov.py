@@ -70,6 +70,7 @@ def process_batch(
     last_dir: str,
     batch_id: int,
     num_buckets: int = STORE_BUCKETS,
+    stream_id: str | None = None,
 ) -> None:
     """One micro-batch: in-batch pairs + store-boundary pairs into the
     additive transition store; then bucketed struct-max merge of the
@@ -160,6 +161,7 @@ def process_batch(
             bucketize=lambda df: df.withColumn(
                 "bucket", F.lit(0).cast("int")
             ),
+            stream_id=stream_id,
         )
 
         # idempotent max algebra: no journal needed; a replayed batch
@@ -217,7 +219,10 @@ def start_markov_pipeline(
     trigger: dict | None = None,
 ):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        process_batch(spark, batch_df, transitions_dir, last_dir, batch_id)
+        process_batch(
+            spark, batch_df, transitions_dir, last_dir, batch_id,
+            stream_id=bucketstore.stream_identity(checkpoint_dir),
+        )
 
     return (
         events_stream.writeStream.foreachBatch(sink)

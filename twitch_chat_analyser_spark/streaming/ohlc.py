@@ -106,12 +106,15 @@ def ohlc_merge(
     deltas: DataFrame,
     batch_id: int,
     num_buckets: int = STORE_BUCKETS,
+    stream_id: str | None = None,
 ) -> None:
     """Merge one batch's candle deltas into the bucketed store; only
     the buckets the batch touches are read/rewritten (per-bucket
-    journaled exactly-once under replay — bucketstore.merge_into)."""
+    journaled exactly-once under replay — bucketstore.merge_into;
+    ``stream_id`` pins the journal to its checkpoint, ADVICE r11)."""
     bucketstore.merge_into(
-        spark, path, deltas, _KEYS, _merge_candles, num_buckets, batch_id
+        spark, path, deltas, _KEYS, _merge_candles, num_buckets, batch_id,
+        stream_id=stream_id,
     )
 
 
@@ -156,7 +159,8 @@ def start_ohlc_pipeline(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ohlc_merge(
-            spark, out_dir, ohlc_delta(batch_df, bucket_ms), batch_id
+            spark, out_dir, ohlc_delta(batch_df, bucket_ms), batch_id,
+            stream_id=bucketstore.stream_identity(checkpoint_dir),
         )
 
     q = (

@@ -253,7 +253,7 @@ def _applied_batches(path: str) -> set[int]:
     root journal of the legacy flat layout plus every per-bucket
     journal of the bucketed layout (introspection/tests; the merge
     itself checks per bucket)."""
-    import json
+    from . import bucketstore
 
     out: set[int] = set()
     candidates = [path]
@@ -264,10 +264,9 @@ def _applied_batches(path: str) -> set[int]:
             if e.startswith("bucket=")
         ]
     for d in candidates:
-        f = os.path.join(d, "_applied_batches.json")
-        if os.path.isfile(f):
-            with open(f) as fh:
-                out |= set(json.load(fh))
+        if os.path.isfile(os.path.join(d, "_applied_batches.json")):
+            ids, _ = bucketstore._applied(d)
+            out |= ids
     return out
 
 
@@ -350,6 +349,7 @@ def additive_merge(
     bucketize=None,
     touched_hint=None,
     flat_max_bytes: int | None = None,
+    stream_id: str | None = None,
 ) -> str:
     """The reference's additive upsert (`ON CONFLICT ... SET v = v +
     EXCLUDED.v`, ChannelStatsAggregation.java:44-63) with exactly-once
@@ -416,11 +416,15 @@ def additive_merge(
         # the two renames would otherwise silently lose the store)
         storeswap.recover(path)
         if _flat_bytes(path) < limit:
-            applied = _applied_batches(path)
+            applied, recorded = bucketstore._applied(path)
             # watermark semantics (bucketstore._is_applied): ids are
             # monotone per checkpoint, so any id <= the journal max is
             # a replay — and the journal can prune to the top two ids
-            # instead of accruing every id for the stream's lifetime
+            # instead of accruing every id for the stream's lifetime.
+            # The watermark is only sound for ids of the SAME
+            # checkpoint: a journal recorded under a different one
+            # fails loudly (ADVICE r11)
+            bucketstore._check_stream(recorded, stream_id, path)
             if bucketstore._is_applied(applied, batch_id):
                 return "flat"
             # no cache: the whole flat merge is ONE action (the swap-in
@@ -444,7 +448,8 @@ def additive_merge(
             else:
                 merged = deltas
             storeswap.swap_in(
-                merged, path, bucketstore._pruned(applied | {batch_id})
+                merged, path, bucketstore._pruned(applied | {batch_id}),
+                journal_stream=stream_id or recorded,
             )
             return "flat"
 
@@ -468,7 +473,7 @@ def additive_merge(
     bucketstore.merge_into(
         spark, path, deltas, keys, merge_fn,
         batch_id=batch_id, bucketize=bucketize,
-        touched_hint=touched_hint,
+        touched_hint=touched_hint, stream_id=stream_id,
     )
     return "bucketed"
 
@@ -802,6 +807,7 @@ def merge_once(
     shared: dict,
     hint,
     batch_id: int,
+    stream_id: str | None = None,
 ) -> str:
     """ONE table's per-trigger work: build the delta (the pipeline's
     transform, or a shared pre-computed builder for the two emote
@@ -835,6 +841,7 @@ def merge_once(
             value_col,
             batch_id,
             touched_hint=hint,
+            stream_id=stream_id,
         )
     finally:
         stats.unpersist()
@@ -877,6 +884,24 @@ def run_all_single_pass(
     phrases = dims.phrases_df(spark)
     emotes = dims.emotes_df(spark)
 
+    # the checkpoint's STABLE query id (written to <checkpoint>/
+    # metadata on first start, reused on every resume, regenerated
+    # only when the checkpoint is wiped) — recorded in the stores'
+    # replay journals so a fresh checkpoint pointed at an existing
+    # store fails loudly instead of watermark-dropping every new
+    # batch (ADVICE r11). Read lazily: the file exists once the query
+    # has started, which is before the first sink invocation.
+    ident: dict[str, str | None] = {}
+
+    def _stream_identity() -> str | None:
+        from . import bucketstore
+
+        if "id" not in ident:
+            ident["id"] = bucketstore.stream_identity(
+                os.path.join(checkpoint_dir, "single_pass")
+            )
+        return ident["id"]
+
     def _any_bucketed() -> bool:
         for p in default_pipelines(spark):
             d = os.path.join(out_dir, p.name)
@@ -890,6 +915,14 @@ def run_all_single_pass(
         import time
         from concurrent.futures import ThreadPoolExecutor
 
+        # the micro-batch DataFrame is bound to MicroBatchExecution's
+        # CLONED session (shared SparkContext, isolated SQLConf) — run
+        # every sink job through it so the per-trigger shuffle-
+        # partition sizing below cannot leak into concurrent batch
+        # queries on the user's session (ADVICE r11; verified by test:
+        # the clone's conf set is invisible on the outer session)
+        sess = batch_df.sparkSession
+        sid = _stream_identity()
         batch_df.persist()
         # ONE up-front span job per trigger: it materializes the cache
         # (one parallel pass instead of six cold jobs racing block
@@ -926,7 +959,7 @@ def run_all_single_pass(
             (_store_bytes(os.path.join(out_dir, p.name)) for p in pipelines),
             default=0,
         )
-        nparts = trigger_shuffle_partitions(spark, span["n"], store_b)
+        nparts = trigger_shuffle_partitions(sess, span["n"], store_b)
 
         # ONE emote extraction per trigger, shared by both emote tables
         # (EmoteAnalyser.java:98-129 likewise derives emote_stats AND
@@ -950,13 +983,14 @@ def run_all_single_pass(
             # DEFAULT pool, whose internal ordering is FIFO — one pool
             # per table makes the root actually fair-share the 6
             # concurrent jobs (on-demand pools get equal weight)
-            spark.sparkContext.setLocalProperty(
+            sess.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", f"trigger-{p.name}"
             )
             t0 = time.time()
             target = os.path.join(out_dir, p.name)
             layout = merge_once(
-                spark, out_dir, p, batch_df, shared, hint, batch_id
+                sess, out_dir, p, batch_df, shared, hint, batch_id,
+                stream_id=sid,
             )
             if merge_metrics is not None:
                 # the layout decision + its input (store bytes) land in
@@ -971,7 +1005,7 @@ def run_all_single_pass(
                 })
 
         def side_output() -> None:
-            spark.sparkContext.setLocalProperty(
+            sess.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", "trigger-side-output"
             )
             t0 = time.time()
@@ -987,18 +1021,18 @@ def run_all_single_pass(
                     "sec": round(time.time() - t0, 3),
                 })
 
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        old_parts = sess.conf.get("spark.sql.shuffle.partitions")
         try:
             # size this trigger's shuffles to its data (measured at
             # bench scale: halves the small merges' wall — 6 concurrent
             # jobs x ~3 shuffle stages x 32 tiny reduce tasks was
             # scheduler overhead, not work). The session value is the
             # operator's cluster sizing and stays the CAP, so a 100 TB
-            # replay batch or a grown store keeps full parallelism; the
-            # set/restore is sink-scoped (a streaming write-path job
-            # owns its session — document-level assumption, same as the
-            # stores' single-writer rule).
-            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            # replay batch or a grown store keeps full parallelism; set
+            # on the micro-batch's CLONED session (isolated SQLConf),
+            # so a concurrent batch query on the user's session never
+            # sees trigger-sized parallelism (ADVICE r11).
+            sess.conf.set("spark.sql.shuffle.partitions", str(nparts))
             # Spark driver actions are thread-safe; each table's jobs
             # run concurrently on the shared executor pool in their own
             # FAIR scheduler pools (see merge_one), recovering the
@@ -1011,7 +1045,7 @@ def run_all_single_pass(
                 for f in [pool.submit(j) for j in jobs]:
                     f.result()
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            sess.conf.set("spark.sql.shuffle.partitions", old_parts)
             occurrences.unpersist()
             batch_df.unpersist()
 

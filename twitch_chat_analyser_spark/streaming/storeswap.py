@@ -39,16 +39,33 @@ def _fsync_dir(path: str) -> None:
     to surface a published dir whose journal file is absent unless the
     dir itself is fsynced before the publishing rename (review r11;
     ext4's ordered journaling saves you incidentally, other filesystems
-    do not). Best-effort: platforms without dir fsync keep rename
-    atomicity, which is the stronger half of the guarantee."""
+    do not). Platforms without dir fsync (the open or the fsync
+    reports not-supported) keep rename atomicity, which is the
+    stronger half of the guarantee — but a GENUINE I/O failure
+    (EIO/ENOSPC on a failing disk) must propagate so the micro-batch
+    fails and replays; swallowing it would re-open exactly the
+    power-loss double-apply window this call exists to close
+    (ADVICE r11)."""
+    import errno
+
     try:
         fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        # directories aren't openable O_RDONLY everywhere (e.g.
+        # Windows) — that's "no dir fsync on this platform", not a
+        # disk failure
+        return
+    try:
         try:
             os.fsync(fd)
-        finally:
-            os.close(fd)
-    except OSError:
-        pass
+        except OSError as exc:
+            if exc.errno not in (
+                errno.EINVAL, errno.ENOTSUP, errno.EOPNOTSUPP,
+                errno.EBADF,
+            ):
+                raise
+    finally:
+        os.close(fd)
 
 
 def _mtime(parent: str, entry: str) -> float:
@@ -100,10 +117,15 @@ def recover(path: str, restore_only: bool = False) -> None:
             shutil.rmtree(full, ignore_errors=True)  # never swapped in
 
 
-def swap_in(merged: DataFrame, path: str, journal_ids=None) -> None:
+def swap_in(
+    merged: DataFrame, path: str, journal_ids=None, journal_stream=None
+) -> None:
     """Write ``merged`` as the new live store via the two-rename swap;
     optionally journal applied batch ids INSIDE the new dir (committed
-    by the same rename that publishes the data)."""
+    by the same rename that publishes the data). ``journal_stream``
+    records which streaming checkpoint the ids belong to (v2 journal
+    format — see bucketstore._check_stream for why identity matters
+    to the watermark replay test)."""
     import json
 
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -112,8 +134,12 @@ def swap_in(merged: DataFrame, path: str, journal_ids=None) -> None:
         # journal data must be on disk before the publishing rename —
         # a power loss could otherwise publish a store whose journal is
         # truncated, and a replay would double-apply the batch
+        payload = (
+            {"stream": journal_stream, "ids": sorted(journal_ids)}
+            if journal_stream else sorted(journal_ids)
+        )
         with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-            json.dump(sorted(journal_ids), fh)
+            json.dump(payload, fh)
             _fsync_file(fh)
         # the journal's DIRECTORY ENTRY must be durable too, or a power
         # loss can publish the data without its journal (review r11)
