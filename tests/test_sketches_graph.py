@@ -295,3 +295,162 @@ def test_portable_hll_ignores_null_usernames(spark):
     assert est(with_nulls) == est(base)
     regs = sketches.hll_registers(with_nulls)
     assert regs.filter("reg IS NULL").count() == 0
+
+
+def test_portable_hll_estimate_is_bit_identical_to_duckdb(spark):
+    """Adversarial cross-engine parity sweep (review r12): the portable
+    HLL's whole promise is that DuckDB reproduces the ESTIMATE
+    bit-for-bit from the same SQL fragments. Sweep both regimes
+    (small-range correction and raw harmonic) over adversarial
+    usernames — NULLs (review r12 found the registry oracle's regs CTE
+    missing the NULL filter the Spark side applies), empty strings,
+    unicode, near-collisions — and assert the rounded estimates match
+    exactly."""
+    import duckdb
+
+    rows = []
+    # raw regime: ~1500 distinct users in one channel
+    rows += [("big", f"user_{i}") for i in range(1500)]
+    # small-range regime: 30 distinct
+    rows += [("small", f"u{i}") for i in range(30)]
+    # adversarial: empty string, unicode, whitespace, hash-ish names
+    rows += [
+        ("small", ""), ("small", " "), ("small", "ü🎮"),
+        ("small", "0" * 32), ("small", "user_1\n"),
+    ]
+    # NULLs in both channels (must be invisible to the estimate)
+    nulls = [("big", None)] * 5 + [("small", None)] * 3
+    df = spark.createDataFrame(
+        rows + nulls, "channel string, username string"
+    )
+    got = {
+        r["channel"]: r["hll_est"]
+        for r in sketches.hll_estimate(sketches.hll_registers(df)).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE messages(channel VARCHAR, username VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO messages VALUES (?, ?)", rows + nulls
+    )
+    m, scale = sketches.HLL_M, sketches.HLL_SCALE
+    sql = f"""
+WITH regs AS (
+    SELECT channel, {sketches._HLL_REG} AS reg,
+           max({sketches._HLL_RHO}) AS mrho
+    FROM messages WHERE username IS NOT NULL GROUP BY 1, 2
+),
+per AS (
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_regs,
+           CAST(sum({scale} >> mrho) AS BIGINT) AS s_hit
+    FROM regs GROUP BY channel
+),
+est AS (
+    SELECT channel, n_regs,
+           {sketches.HLL_ALPHA} * {sketches.HLL_NUMER!r}
+             / CAST(s_hit + ({m} - n_regs) * {scale} AS DOUBLE) AS raw
+    FROM per
+)
+SELECT channel,
+       round(CASE WHEN raw <= {2.5 * m!r} AND ({m} - n_regs) > 0
+             THEN {float(m)!r} * list_extract(
+                 [{', '.join(repr(x) for x in sketches.HLL_LN_TABLE)}],
+                 {m} - n_regs)
+             ELSE raw END, 2) AS hll_est
+FROM est"""
+    want = {ch: est for ch, est in con.execute(sql).fetchall()}
+    assert got == want
+    # regime sanity: the sweep really covered both branches
+    assert got["small"] <= 2.5 * m  # small-range corrected
+    assert got["big"] > 2.5 * m  # raw harmonic estimator
+
+
+def test_portable_kmv_estimates_are_bit_identical_to_duckdb(spark):
+    """Same adversarial cross-engine sweep for the KMV set-operation
+    estimates: both capped (>k distinct) and uncapped (<k) channels,
+    controlled overlap, NULLs and unicode."""
+    import duckdb
+
+    rows = []
+    rows += [("x", f"shared_{i}") for i in range(200)]
+    rows += [("y", f"shared_{i}") for i in range(100)]  # half overlap
+    rows += [("y", f"only_y_{i}") for i in range(150)]
+    rows += [("z", f"tiny_{i}") for i in range(9)]  # uncapped side
+    rows += [("z", "ü🎮"), ("x", ""), ("y", "0" * 32)]
+    nulls = [("x", None), ("z", None)]
+    df = spark.createDataFrame(
+        rows + nulls, "channel string, username string"
+    )
+    got = sorted(
+        map(tuple, sketches.kmv_overlap(df).drop("kmin_overlap").collect())
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE messages(channel VARCHAR, username VARCHAR)")
+    con.executemany("INSERT INTO messages VALUES (?, ?)", rows + nulls)
+    k, numer = sketches.KMV_K, sketches.KMV_NUMER
+    sql = f"""
+WITH hv AS (
+    SELECT DISTINCT channel, {sketches._KMV_HASH} AS hv
+    FROM messages WHERE username IS NOT NULL
+),
+sk AS (
+    SELECT channel, hv FROM (
+        SELECT channel, hv,
+               row_number() OVER (PARTITION BY channel ORDER BY hv) AS r
+        FROM hv
+    ) WHERE r <= {k}
+),
+per AS (
+    SELECT channel,
+           CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                ELSE {numer!r} / CAST(max(hv) AS DOUBLE) END AS est
+    FROM sk GROUP BY channel
+),
+pairs AS (
+    SELECT a.channel AS channel_a, b.channel AS channel_b,
+           a.est AS est_a_raw, b.est AS est_b_raw
+    FROM per a, per b WHERE a.channel < b.channel
+),
+u AS (
+    SELECT channel_a, channel_b, hv, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.channel_a, p.channel_b, s.hv, 1 AS ia, 0 AS ib
+        FROM pairs p JOIN sk s ON s.channel = p.channel_a
+        UNION ALL
+        SELECT p.channel_a, p.channel_b, s.hv, 0 AS ia, 1 AS ib
+        FROM pairs p JOIN sk s ON s.channel = p.channel_b
+    ) GROUP BY 1, 2, 3
+),
+uk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY channel_a, channel_b ORDER BY hv) AS r
+        FROM u
+    ) WHERE r <= {k}
+),
+pu AS (
+    SELECT channel_a, channel_b, count(*) AS un, max(hv) AS hku,
+           CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap
+    FROM uk GROUP BY 1, 2
+)
+SELECT p.channel_a, p.channel_b,
+       CAST(round(p.est_a_raw * 1000, 0) AS BIGINT) AS est_a_milli,
+       CAST(round(p.est_b_raw * 1000, 0) AS BIGINT) AS est_b_milli,
+       CAST(round((CASE WHEN pu.un < {k} THEN CAST(pu.un AS DOUBLE)
+                  ELSE {numer!r} / CAST(pu.hku AS DOUBLE) END)
+                  * 1000, 0) AS BIGINT) AS est_union_milli,
+       CAST(round(CAST(pu.overlap AS DOUBLE) / CAST(pu.un AS DOUBLE)
+             * (CASE WHEN pu.un < {k} THEN CAST(pu.un AS DOUBLE)
+                     ELSE {numer!r} / CAST(pu.hku AS DOUBLE) END)
+             * 1000, 0) AS BIGINT) AS est_intersection_milli
+FROM pairs p JOIN pu USING (channel_a, channel_b)
+ORDER BY channel_a, channel_b"""
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+    # the uncapped channel z really exercised the exact branch
+    assert any(
+        a == "x" and b == "z" or a == "z" for a, b, *_ in got
+    )

@@ -599,7 +599,7 @@ FROM messages GROUP BY channel""",
         "sketch_hll_portable": f"""{chat_ctes()},
 regs AS (
     SELECT channel, {_HLL_REG} AS reg, max({_HLL_RHO}) AS mrho
-    FROM messages GROUP BY 1, 2
+    FROM messages WHERE username IS NOT NULL GROUP BY 1, 2
 ),
 per AS (
     SELECT channel, CAST(count(*) AS BIGINT) AS n_regs,

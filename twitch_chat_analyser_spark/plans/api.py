@@ -118,6 +118,55 @@ def top_chatters(
     ).orderBy("rank")
 
 
+def users_leaderboard(
+    user_totals: DataFrame,
+    channel: str,
+    channels: DataFrame,
+    bots: list[str],
+    max_rank: int = 100,
+) -> DataFrame:
+    """B17 users leaderboard, quirk-faithful (MainController.php:433-461,
+    review r12): the reference does NOT drop bots — it renders their
+    rows with an EMPTY rank while only non-bots consume ranks 1..N, and
+    it over-fetches ``max_rank + |EXCLUDED_CHATTERS|`` rows so the bot
+    rows can't push real users off the page (:442). ``top_chatters``
+    models the window leaderboard (:175-191 has no bots at all); this
+    is the all-time one (``timestamp = 0`` sentinel totals).
+
+    Deviation for determinism: the reference's ``ORDER BY messages
+    DESC`` leaves ties database-ordered; a username ASC tiebreak is
+    added on both engines (same policy as every other leaderboard
+    here). Empty rank is NULL (the PHP renders '' into HTML; NULL is
+    the typed equivalent).
+
+    The rank is a running count of non-bot rows over the ALREADY
+    top-k-limited slice (≤ max_rank + |bots| rows), so the
+    partition-less window is driver-bounded at any scale.
+
+    -> username, messages, is_bot, rank
+    """
+    order = [F.desc("messages"), F.asc("username")]
+    topk = (
+        visible_only(user_totals.filter(F.col("channel") == channel), channels)
+        .select("username", "messages")
+        .orderBy(*order)
+        .limit(max_rank + len(bots))
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    is_bot = F.col("username").isin(bots)
+    return (
+        topk.withColumn("is_bot", is_bot)
+        .withColumn(
+            "rank",
+            F.when(
+                ~F.col("is_bot"),
+                F.sum(F.when(is_bot, 0).otherwise(1)).over(w).cast("int"),
+            ),
+        )
+        .orderBy(*order)
+    )
+
+
 def top_emotes_window(
     emote_stats: DataFrame, channel: str, start: int, end: int, limit: int
 ) -> DataFrame:
@@ -154,11 +203,19 @@ def emote_leaderboard(
 
 
 def user_emote_across_channels(
-    channel_stats: DataFrame, user_emote_totals: DataFrame, emote: str, username: str
+    channel_stats: DataFrame,
+    user_emote_totals: DataFrame,
+    emote: str,
+    username: str,
+    channels_dim: DataFrame,
 ) -> DataFrame:
     """B7: DISTINCT channel driver LEFT JOIN user-emote totals, NULL->0
-    (ApiController.php:105-116)."""
-    channels = channel_stats.select("channel").distinct()
+    (ApiController.php:105-116). The driver is filtered by the
+    hidden-channels condition (``WHERE ...('c.channel')`` at :109) —
+    review r12 found the filter missing here."""
+    channels = visible_only(
+        channel_stats.select("channel").distinct(), channels_dim
+    )
     stats = user_emote_totals.filter(
         (F.col("emote") == emote) & (F.col("username") == username)
     ).select("channel", "occurrences")
@@ -169,12 +226,18 @@ def user_emote_across_channels(
     )
 
 
-def last_seen(user_stats: DataFrame, username: str) -> DataFrame:
-    """B11 max-per-group + ms->s floor (ApiController.php:85-94)."""
+def last_seen(
+    user_stats: DataFrame, username: str, channels: DataFrame
+) -> DataFrame:
+    """B11 max-per-group + ms->s floor (ApiController.php:85-94). The
+    reference ANDs the hidden-channels condition into this query
+    (ApiController.php:87) — a hidden channel the user chatted in must
+    not appear in the response (review r12: the filter was missing
+    here while present in B1/B8; 'error' is hidden in the test dim and
+    carries real traffic, so this changes results)."""
     return (
-        user_stats.filter(
-            (F.col("username") == username) & (F.col("timestamp") > 0)
-        )
+        visible_only(user_stats, channels)
+        .filter((F.col("username") == username) & (F.col("timestamp") > 0))
         .groupBy("channel")
         .agg(F.max("timestamp").alias("last_seen_ms"))
         .select("channel", F.floor(F.col("last_seen_ms") / 1000).alias("last_seen"))
@@ -301,11 +364,15 @@ def dynamic_sort(df: DataFrame, sort_by: str, descending: bool) -> DataFrame:
     return df.orderBy(key, F.asc("emote"))
 
 
-def emotes_per_channel_json(emote_totals: DataFrame) -> DataFrame:
+def emotes_per_channel_json(
+    emote_totals: DataFrame, channels: DataFrame
+) -> DataFrame:
     """B20 nested JSON reshaping (ApiController.php:49-64): per-channel
     ``{"emote": occurrences, ...}`` objects. Entries sorted by emote so
-    the rendered JSON is deterministic across partitionings."""
-    return emote_totals.groupBy("channel").agg(
+    the rendered JSON is deterministic across partitionings. The source
+    endpoint filters hidden channels (ApiController.php:31-32) —
+    review r12 found the filter missing here."""
+    return visible_only(emote_totals, channels).groupBy("channel").agg(
         F.to_json(
             F.map_from_entries(
                 F.sort_array(
@@ -346,10 +413,21 @@ def legacy_deviation(user_stats: DataFrame) -> DataFrame:
 
 
 def percentage_of_total(
-    user_emote_totals: DataFrame, channel: str, emote: str
+    user_emote_totals: DataFrame,
+    channel: str,
+    emote: str,
+    bots: list[str] | None = None,
 ) -> DataFrame:
     """B18: each user's share of an emote's total occurrences
-    (MainController.php:360), rank-ordered (B17).
+    (MainController.php:335-360), rank-ordered (B17).
+
+    QUIRK reproduced bit-for-bit (review r12): the reference's
+    denominator query (:335-340) does NOT exclude bots while the
+    leaderboard rows (:348-351) DO (``username NOT IN ...``), so a
+    channel whose emote is spammed by a bot renders percentages that
+    sum to less than 100 — the bot's occurrences count in every
+    divisor but its row never appears. The ranked rows are therefore
+    bot-anti-filtered AFTER the grand total is taken.
 
     The grand total is an aggregate broadcast back onto the rows (one
     number) rather than `sum() OVER ()` — the empty-frame window form
@@ -372,6 +450,9 @@ def percentage_of_total(
         (F.col("channel") == channel) & (F.col("emote") == emote)
     ).localCheckpoint(eager=False)
     total = base.agg(F.sum("occurrences").alias("_total"))
+    if bots:
+        # rows only — the denominator above already summed the bots in
+        base = exclude_bots(base, bots)
     scored = base.crossJoin(F.broadcast(total)).select(
         "username",
         "occurrences",
@@ -498,12 +579,26 @@ def _q_user_emote_across_channels(spark, sf_dir):
         "occurrences",
     )
     return user_emote_across_channels(
-        agg.channel_stats(msgs), ue_totals, EMOTE, USERNAME
+        agg.channel_stats(msgs), ue_totals, EMOTE, USERNAME,
+        dims.channels_df(spark),
     )
 
 
 def _q_last_seen(spark, sf_dir):
-    return last_seen(agg.user_stats(_facts(spark, sf_dir)), USERNAME)
+    return last_seen(
+        agg.user_stats(_facts(spark, sf_dir)), USERNAME,
+        dims.channels_df(spark),
+    )
+
+
+def _q_users_leaderboard(spark, sf_dir):
+    msgs = _facts(spark, sf_dir)
+    user_totals = agg.totals(
+        agg.user_stats(msgs), ["channel", "username"], "messages"
+    )
+    return users_leaderboard(
+        user_totals, CHANNEL, dims.channels_df(spark), dims.EXCLUDED_USERS
+    )
 
 
 def _q_sum_of_per_group_max(spark, sf_dir):
@@ -641,7 +736,7 @@ def _q_emotes_per_channel_json(spark, sf_dir):
         agg.emote_stats(msgs, dims.emotes_df(spark)), ["channel", "emote"], "occurrences"
     )
     return emotes_per_channel_json(
-        emote_totals.filter(F.col("timestamp") == 0)
+        emote_totals.filter(F.col("timestamp") == 0), dims.channels_df(spark)
     )
 
 
@@ -656,7 +751,9 @@ def _q_pct_of_total(spark, sf_dir):
         ["channel", "emote", "username"],
         "occurrences",
     )
-    return percentage_of_total(ue_totals, CHANNEL, EMOTE)
+    return percentage_of_total(
+        ue_totals, CHANNEL, EMOTE, bots=dims.EXCLUDED_USERS
+    )
 
 
 def _q_index_page(spark, sf_dir):
@@ -680,6 +777,7 @@ READ_PATH_QUERIES = {
     "b6_emote_leaderboard": _q_emote_leaderboard,
     "b7_user_emote_across_channels": _q_user_emote_across_channels,
     "b11_last_seen": _q_last_seen,
+    "b17_users_leaderboard": _q_users_leaderboard,
     "b12_sum_of_per_group_max": _q_sum_of_per_group_max,
     "b13_rolling_sums": _q_rolling_sums,
     "b14_cumulative_series": _q_cumulative_series,
@@ -764,11 +862,35 @@ FROM (SELECT DISTINCT channel FROM channel_stats) c
 LEFT JOIN (
     SELECT channel, count(*) AS occurrences FROM emote_occurrences
     WHERE emote = '{EMOTE}' AND username = '{USERNAME}' GROUP BY channel
-) s ON s.channel = c.channel""",
+) s ON s.channel = c.channel
+WHERE c.channel IN (SELECT channel FROM channels_dim WHERE hidden IS false)""",
         "b11_last_seen": f"""{c}
 SELECT channel, max(timestamp) // 1000 AS last_seen
 FROM user_stats WHERE username = '{USERNAME}' AND timestamp > 0
+  AND channel IN (SELECT channel FROM channels_dim WHERE hidden IS false)
 GROUP BY channel""",
+        "b17_users_leaderboard": f"""{c},
+user_totals AS (
+    SELECT username, CAST(sum(messages) AS BIGINT) AS messages
+    FROM user_stats
+    WHERE channel = '{CHANNEL}'
+      AND channel IN (SELECT channel FROM channels_dim WHERE hidden IS false)
+    GROUP BY username
+),
+topk AS (
+    SELECT username, messages FROM user_totals
+    ORDER BY messages DESC, username ASC
+    LIMIT {100 + len(dims.EXCLUDED_USERS)}
+)
+SELECT username, messages,
+       username IN ({bots}) AS is_bot,
+       CASE WHEN username NOT IN ({bots}) THEN
+           CAST(sum(CASE WHEN username IN ({bots}) THEN 0 ELSE 1 END)
+                OVER (ORDER BY messages DESC, username ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INT)
+       END AS rank
+FROM topk""",
         "b12_sum_of_per_group_max": f"""{c}
 SELECT CAST(coalesce(sum(max_occurrences), 0) AS BIGINT) AS total_occurrences
 FROM (
@@ -892,7 +1014,9 @@ SELECT channel,
 FROM (
     SELECT channel, emote, count(*) AS occurrences
     FROM emote_occurrences GROUP BY 1, 2
-) GROUP BY channel""",
+)
+WHERE channel IN (SELECT channel FROM channels_dim WHERE hidden IS false)
+GROUP BY channel""",
         "b22_legacy_deviation": f"""{c}
 SELECT channel, n_users,
        CASE WHEN n_users > 1 THEN sqrt(sum_sq / (n_users - 1)) END AS deviation
@@ -959,12 +1083,19 @@ SELECT series, ts AS timestamp,
               ELSE round(before_v + (ts - before_ts) / (after_ts - before_ts) * (after_v - before_v))
          END AS BIGINT) AS value
 FROM filled WHERE is_grid = 1""",
+        # the denominator window sum runs BEFORE the bot anti-filter —
+        # the reference's :335-340 total includes bots while its
+        # :348-351 rows exclude them (quirk, review r12)
         "b18_pct_of_total": f"""{c}
 SELECT username, occurrences,
-       CAST(100.0 AS DOUBLE) * occurrences / sum(occurrences) OVER () AS pct,
-       CAST(row_number() OVER (ORDER BY occurrences DESC, username ASC) AS INT) AS rank
+       CAST(100.0 AS DOUBLE) * occurrences / total AS pct,
+       CAST(row_number() OVER (
+           ORDER BY occurrences DESC, username ASC) AS INT) AS rank
 FROM (
-    SELECT username, count(*) AS occurrences FROM emote_occurrences
-    WHERE channel = '{CHANNEL}' AND emote = '{EMOTE}' GROUP BY username
-)""",
+    SELECT username, occurrences, sum(occurrences) OVER () AS total
+    FROM (
+        SELECT username, count(*) AS occurrences FROM emote_occurrences
+        WHERE channel = '{CHANNEL}' AND emote = '{EMOTE}' GROUP BY username
+    )
+) WHERE username NOT IN ({bots})""",
     }
