@@ -512,6 +512,42 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df.drop("bucket")
 
 
+def read_table_snapshot(spark: SparkSession, path: str):
+    """Context manager: :func:`read_table` semantics over a hardlink
+    snapshot (bucketstore.read_snapshot), so a long analytical scan
+    survives any number of concurrent merge swaps and backup GCs —
+    VERDICT r11 task 3; the bare read_table keeps the
+    retry-on-FileNotFound contract as the fallback.
+
+    Usage::
+
+        with read_table_snapshot(spark, store) as df:
+            df.agg(...).collect()
+    """
+    import contextlib
+
+    from . import bucketstore
+
+    def _legacy_bucketize(df: DataFrame) -> DataFrame:
+        if "timestamp" in df.columns:
+            return _day_bucketize(df)
+        return df.withColumn("bucket", F.lit(-1).cast("int"))
+
+    @contextlib.contextmanager
+    def _cm():
+        with bucketstore.read_snapshot(
+            spark, path, bucketize=_legacy_bucketize
+        ) as df:
+            if df is None:
+                # same non-bucketed fallbacks as read_table (these
+                # layouts have their own crash-consistency contracts)
+                yield read_table(spark, path)
+            else:
+                yield df.drop("bucket")
+
+    return _cm()
+
+
 MATCHED_DIRNAME = "messages_matching_phrase"
 MATCHED_SCHEMA = (
     "message_time long, message_channel string, message_user string, "
