@@ -84,3 +84,65 @@ def test_unmarked_eval_query_is_red():
     assert any("eval_lsh_recall" in p for p in probs)
     bad["eval_queries_excluded_from_regression"] = ["eval_lsh_recall"]
     assert check_bench_budgets(bad) == []
+
+
+# ---- cross-scale artifact gate (VERDICT r11 task 2) ----
+
+from check_artifacts import check_scale_artifact  # noqa: E402
+
+_EXCL = {"eval_x": "quadratic truth by design"}
+_QNAMES = {"q1", "q2", "eval_x"}
+_GREEN_ENTRY = {
+    "rows_match": True, "schema_match": True, "hash_match": True,
+    "spark_rows": 10, "oracle_rows": 10, "err": None,
+}
+GOOD_SCALE = {
+    "sf_dir": "/root/testdata/sf0.1",
+    "excluded": dict(_EXCL),
+    "queries": {"q1": dict(_GREEN_ENTRY), "q2": dict(_GREEN_ENTRY)},
+}
+
+
+def test_scale_compliant_is_green():
+    assert check_scale_artifact(copy.deepcopy(GOOD_SCALE), _QNAMES, _EXCL) == []
+
+
+def test_scale_missing_query_is_red():
+    bad = copy.deepcopy(GOOD_SCALE)
+    del bad["queries"]["q2"]
+    probs = check_scale_artifact(bad, _QNAMES, _EXCL)
+    assert any("coverage drifted" in p and "q2" in p for p in probs)
+
+
+def test_scale_nongreen_entry_is_red():
+    bad = copy.deepcopy(GOOD_SCALE)
+    bad["queries"]["q1"]["hash_match"] = False
+    probs = check_scale_artifact(bad, _QNAMES, _EXCL)
+    assert any("non-green" in p and "q1" in p for p in probs)
+
+
+def test_scale_produced_at_sf001_is_red():
+    bad = copy.deepcopy(GOOD_SCALE)
+    bad["sf_dir"] = "/root/testdata/sf0.01"
+    probs = check_scale_artifact(bad, _QNAMES, _EXCL)
+    assert any("sf0.01" in p for p in probs)
+
+
+def test_scale_exclusion_drift_is_red():
+    bad = copy.deepcopy(GOOD_SCALE)
+    bad["excluded"]["sneaky_extra"] = "not actually declared"
+    probs = check_scale_artifact(bad, _QNAMES, _EXCL)
+    assert any("exclusion list drifted" in p for p in probs)
+
+
+def test_scale_reasonless_exclusion_is_red():
+    probs = check_scale_artifact(
+        {
+            "sf_dir": "/root/testdata/sf0.1",
+            "excluded": {"eval_x": ""},
+            "queries": {"q1": dict(_GREEN_ENTRY), "q2": dict(_GREEN_ENTRY)},
+        },
+        _QNAMES,
+        {"eval_x": ""},
+    )
+    assert any("without a reason" in p for p in probs)

@@ -507,3 +507,75 @@ def test_phash_media_dedup_stream(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "media")).collect()
     )
     assert again == [1, 3, 4, 11, 13]
+
+
+def test_paragraph_dedup_stream_matches_batch_scrub(spark, tmp_path):
+    """VERDICT r11 task 8: the streaming paragraph scrub over ordered
+    micro-batches equals the batch operator over the union, replay is a
+    no-op, and the fingerprint store holds hashes only."""
+    import os
+
+    from twitch_chat_analyser_spark.operators import llmops
+    from twitch_chat_analyser_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    NL = "\n"
+    rows1 = [
+        # doc 1: all fresh; its footer becomes global boilerplate
+        (1, f"alpha body{NL}subscribe now{NL}copyright site", "en", "s", 1),
+        # doc 2: repeats doc 1's footer lines + a within-doc self-dup
+        (2, f"beta body{NL}beta body{NL}subscribe now", "en", "s", 1),
+    ]
+    rows2 = [
+        # doc 10: historical dups only -> fully scrubbed to ''
+        (10, f"subscribe now{NL}copyright site", "en", "s", 1),
+        # doc 11: fresh para + historical footer + blank line dropped
+        (11, f"gamma body{NL}{NL}copyright site", "en", "s", 1),
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, sd.DOC_SCHEMA)
+
+    mk(rows1).coalesce(1).write.mode("append").parquet(src)
+    sd.start_paragraph_dedup_stream(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+    mk(rows2).coalesce(1).write.mode("append").parquet(src)
+    sd.start_paragraph_dedup_stream(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in llmops.scrub_duplicate_paragraphs(
+            mk(rows1 + rows2).select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want
+    assert got[10] == ("", 2, 0)  # fully-boilerplate doc kept, emptied
+    assert got[11] == ("gamma body", 2, 1)
+
+    # store holds hashes only — no paragraph text, one row per DISTINCT
+    # first-seen paragraph
+    fps = spark.read.parquet(os.path.join(out, "para_fps"))
+    assert set(fps.columns) == {"h", "batch"}
+    n_fp = fps.count()
+    assert n_fp == 5  # alpha/subscribe/copyright/beta/gamma
+
+    # replay with no new files: outputs unchanged
+    sd.start_paragraph_dedup_stream(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+    again = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert again == got
+    assert spark.read.parquet(os.path.join(out, "para_fps")).count() == n_fp

@@ -195,6 +195,89 @@ def check() -> list[str]:
         )
         if bad:
             problems.append(f"CORRECTNESS_FULL non-green entries: {bad}")
+
+    # Cross-scale gate (VERDICT r11 task 2): the sf0.1 oracle sweep is
+    # REQUIRED, must cover the whole registry minus the declared
+    # quadratic-oracle exclusions, and must be green — a scale-dependent
+    # wrong answer (overflow, cardinality-sensitive rewrite, float fold
+    # order) passes the sf0.01 gate and would otherwise poison every
+    # bench number silently.
+    from twitch_chat_analyser_spark.registry import SCALE_EXCLUDED
+
+    corr_scale = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "CORRECTNESS_SCALE.json",
+    )
+    if not os.path.isfile(corr_scale):
+        problems.append(
+            "CORRECTNESS_SCALE.json missing — run "
+            "`python tools/check_correctness.py /root/testdata/sf0.1` "
+            "to produce the cross-scale oracle artifact"
+        )
+    else:
+        with open(corr_scale) as fh:
+            cs = json.load(fh)
+        problems += check_scale_artifact(
+            cs, qnames, SCALE_EXCLUDED, ROWS_ONLY
+        )
+    return problems
+
+
+def check_scale_artifact(
+    cs: dict,
+    qnames: set,
+    scale_excluded: dict,
+    rows_only: frozenset = frozenset(),
+) -> list[str]:
+    """Validate the cross-scale oracle artifact (CORRECTNESS_SCALE):
+    produced at a non-sf0.01 dir, exclusions in sync with the registry's
+    declared quadratic-oracle list (each with a written reason), full
+    coverage of every non-excluded query, and zero non-green entries."""
+    problems: list[str] = []
+    sentries = cs.get("queries", {})
+    declared_excl = set(cs.get("excluded", {}))
+    if declared_excl != set(scale_excluded):
+        problems.append(
+            "CORRECTNESS_SCALE exclusion list drifted from "
+            "registry.SCALE_EXCLUDED: "
+            f"artifact-only={sorted(declared_excl - set(scale_excluded))} "
+            f"registry-only={sorted(set(scale_excluded) - declared_excl)}"
+        )
+    want = qnames - set(scale_excluded)
+    if set(sentries) != want:
+        problems.append(
+            "CORRECTNESS_SCALE coverage drifted from the registry "
+            "(every non-excluded query must be checked at scale): "
+            f"missing={sorted(want - set(sentries))} "
+            f"extra={sorted(set(sentries) - want)}"
+        )
+    if os.path.basename(
+        os.path.normpath(cs.get("sf_dir", ""))
+    ) == "sf0.01":
+        problems.append(
+            "CORRECTNESS_SCALE was produced at sf0.01 — the whole "
+            "point is the 10x-up check; rerun at the bench sf dir"
+        )
+    sbad = sorted(
+        n for n, e in sentries.items()
+        if e.get("err") is not None
+        or (n not in rows_only and e.get("hash_match") is not True)
+        or (n in rows_only and not e.get("spark_rows"))
+    )
+    if sbad:
+        problems.append(f"CORRECTNESS_SCALE non-green entries: {sbad}")
+    unknown_excl = set(scale_excluded) - qnames
+    if unknown_excl:
+        problems.append(
+            f"SCALE_EXCLUDED names not in queries(): {sorted(unknown_excl)}"
+        )
+    empty_reason = sorted(
+        n for n, r in scale_excluded.items() if not str(r).strip()
+    )
+    if empty_reason:
+        problems.append(
+            f"SCALE_EXCLUDED entries without a reason: {empty_reason}"
+        )
     return problems
 
 

@@ -123,6 +123,8 @@ def type_mismatches(
 
 
 def main() -> int:
+    import os
+
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -162,10 +164,26 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Cross-scale gate (VERDICT r11 task 2): a FULL-registry run at a
+    # non-sf0.01 dir is the 10x-up correctness sweep — it skips the
+    # declared quadratic-oracle queries (registry.SCALE_EXCLUDED, each
+    # with a written reason) and records its result as
+    # CORRECTNESS_SCALE.json, which check_artifacts.py asserts exists,
+    # covers the whole non-excluded registry, and is green.
+    from twitch_chat_analyser_spark.registry import SCALE_EXCLUDED
+
+    scale_mode = (
+        not only
+        and not types_only
+        and os.path.basename(os.path.normpath(sf_dir)) != "sf0.01"
+    )
     failures = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if scale_mode and name in SCALE_EXCLUDED:
+            print(f"  {name}: excluded at scale ({SCALE_EXCLUDED[name][:60]}...)")
             continue
         t0 = time.time()
         entry = {
@@ -265,19 +283,22 @@ def main() -> int:
     # artifact — their entries carry no row/hash results
     if not only and not types_only:
         # full-registry run: commitably record the complete gate result
+        # (CORRECTNESS_FULL at sf0.01; CORRECTNESS_SCALE at the bench
+        # scale, with the quadratic-oracle exclusions spelled out)
         import json
-        import os
 
+        art = {"sf_dir": sf_dir, "n_queries": len(results),
+               "n_fail": len(failures), "queries": results}
+        fname = "CORRECTNESS_FULL.json"
+        if scale_mode:
+            fname = "CORRECTNESS_SCALE.json"
+            art["excluded"] = dict(SCALE_EXCLUDED)
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_FULL.json",
+            fname,
         )
         with open(out_path, "w") as fh:
-            json.dump(
-                {"sf_dir": sf_dir, "n_queries": len(results),
-                 "n_fail": len(failures), "queries": results},
-                fh, indent=1,
-            )
+            json.dump(art, fh, indent=1)
         print(f"wrote {out_path}")
         # re-check drift now that the artifact is freshly written: a
         # stale CORRECTNESS_FULL must not fail the run that refreshes it

@@ -484,6 +484,92 @@ _PARA_SUFFIX_DUCK = (
 )
 
 
+def split_paragraphs(docs: DataFrame) -> DataFrame:
+    """Paragraph grain shared by the batch stats/scrub operators and the
+    streaming incremental store: split on newlines, trim, drop empties,
+    hash. The md5 is the dedup identity — downstream joins and the
+    streaming fingerprint store key on it so paragraph BYTES never ride
+    a shuffle that only needs equality.
+
+    -> doc_id, idx, para, h
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias(
+                "idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+        .withColumn("h", F.md5("para"))
+    )
+
+
+def scrub_duplicate_paragraphs(docs: DataFrame) -> DataFrame:
+    """Remove duplicated paragraphs from every document, keeping each
+    paragraph's global first occurrence by (doc_id, idx) — the actual
+    Dolma/RefinedWeb curation WRITE (paragraph_dedup_stats above is the
+    accounting read): boilerplate nav/footer lines survive only in the
+    first document that carried them, every document keeps its remaining
+    paragraphs in original order.
+
+    Scale shape: the winner election stays hash-only (32-byte keys);
+    paragraph text rides exactly two shuffles — the winners equi-join
+    and the per-doc reassembly groupBy — both unavoidable because the
+    output *is* the scrubbed text. `collect_list` over a document's
+    paragraphs is bounded by document size, not corpus size.
+
+    -> doc_id, text, n_paras, n_kept
+    """
+    from pyspark.sql import functions as F
+
+    paras = split_paragraphs(docs)
+    winners = paras.select("doc_id", "idx", "h").groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    flagged = paras.join(winners, "h").select(
+        "doc_id",
+        "idx",
+        "para",
+        (
+            (F.col("w.doc_id") == F.col("doc_id"))
+            & (F.col("w.idx") == F.col("idx"))
+        ).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("idx", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    ).select("doc_id", "text", "n_paras", "n_kept")
+
+
+def _q_paragraph_scrub(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PARA_SUFFIX_SPARK).alias("text")
+    )
+    return scrub_duplicate_paragraphs(enriched)
+
+
 def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-document paragraph dedup accounting: split on newlines, trim,
     drop empties, and mark every paragraph whose trimmed text already
@@ -499,17 +585,7 @@ def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    paras = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.col("text"), "\n")).alias(
-                "idx", "para"
-            ),
-        )
-        .withColumn("para", F.trim("para"))
-        .filter(F.col("para") != "")
-    )
-    keyed = paras.select("doc_id", "idx", F.md5("para").alias("h"))
+    keyed = split_paragraphs(docs).select("doc_id", "idx", "h")
     winners = keyed.groupBy("h").agg(
         F.min(F.struct("doc_id", "idx")).alias("w")
     )
@@ -1190,6 +1266,7 @@ LLM_QUERIES = {
     "salted_channel_counts": _q_salted_channel_counts,
     "curate_url_domains": _q_url_domains,
     "dedup_paragraphs": _q_paragraph_dedup,
+    "dedup_paragraph_scrub": _q_paragraph_scrub,
 }
 
 
@@ -2510,6 +2587,29 @@ flagged AS (
 )
 SELECT doc_id, COUNT(*) AS n_paras,
        CAST(SUM(is_dup) AS BIGINT) AS n_dup_paras
+FROM flagged GROUP BY doc_id""",
+        "dedup_paragraph_scrub": f"""
+WITH enriched AS (SELECT doc_id, {_PARA_SUFFIX_DUCK} AS text
+                  FROM documents),
+paras0 AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx,
+           trim(unnest(string_split(text, chr(10)))) AS para
+    FROM enriched
+),
+paras AS (SELECT * FROM paras0 WHERE para <> ''),
+flagged AS (
+    SELECT doc_id, idx, para,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY para ORDER BY doc_id, idx) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM paras
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, chr(10) ORDER BY idx)
+                FILTER (WHERE keep = 1), '') AS text,
+       COUNT(*) AS n_paras,
+       CAST(SUM(keep) AS BIGINT) AS n_kept
 FROM flagged GROUP BY doc_id""",
         "decontaminate_ngram_overlap": f"""
 WITH {_DOC_CTES.strip()},

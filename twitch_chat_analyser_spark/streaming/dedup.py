@@ -425,6 +425,115 @@ def start_bloom_corpus_dedup(
     )
 
 
+# --------------------------------------------------------------------------
+# Incremental PARAGRAPH-level dedup: boilerplate scrub on the ingest path
+# --------------------------------------------------------------------------
+
+
+def start_paragraph_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuously scrub duplicated paragraphs from a document stream —
+    the streaming twin of ``llmops.scrub_duplicate_paragraphs`` (VERDICT
+    r11 task 8): boilerplate (nav text, footers, subscribe prompts)
+    arrives continuously in a real crawl, and the batch operator would
+    re-scan the whole corpus to catch a footer first seen months ago.
+    Per micro-batch: split documents at the paragraph grain, elect the
+    in-batch first occurrence per paragraph hash (min (doc_id, idx) —
+    the batch operator's exact rule), drop every paragraph whose hash
+    already lives in the persistent fingerprint store, and append each
+    document re-assembled from its surviving paragraphs.
+
+    Feeding batches in doc_id order yields BIT-IDENTICAL output to the
+    batch scrub over the union (tested) — backfill and live ingest
+    agree, the same contract the message-dedup pair above keeps.
+
+    Scale shape: the store holds 32-byte paragraph hashes ONLY (never
+    paragraph text), the history probe is a hash-keyed anti-join over
+    winners (one row per DISTINCT new paragraph, not per occurrence),
+    and paragraph bytes ride only the two unavoidable shuffles the batch
+    operator documents. Replay safety and exactly-once follow
+    :func:`_dedup_against_history`: ``batch=<id>`` overwrite partitions,
+    history read excludes the replaying batch's own partition.
+
+    Layout: ``out_dir/corpus/batch=N/`` (doc_id, text, n_paras, n_kept)
+    and ``out_dir/para_fps/batch=N/`` (h).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.llmops import split_paragraphs
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    fp_path = os.path.join(out_dir, "para_fps")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        paras = split_paragraphs(batch_df.select("doc_id", "text"))
+        winners = (
+            paras.select("doc_id", "idx", "h")
+            .groupBy("h")
+            .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        )
+        if _has_history(fp_path):
+            seen = (
+                spark.read.parquet(fp_path)
+                .filter(F.col("batch") != batch_id)
+                .select("h")
+            )
+            winners = winners.join(seen, "h", "left_anti")
+        winners = winners.localCheckpoint(eager=True)
+        # keep = in-batch first occurrence of a hash never seen before:
+        # a historical dup lost its winners row to the anti-join (w is
+        # NULL after the left join), an in-batch dup loses the
+        # (doc_id, idx) tiebreak
+        flagged = paras.join(winners, "h", "left").select(
+            "doc_id",
+            "idx",
+            "para",
+            (
+                F.col("w").isNotNull()
+                & (F.col("w.doc_id") == F.col("doc_id"))
+                & (F.col("w.idx") == F.col("idx"))
+            ).alias("keep"),
+        )
+        out = flagged.groupBy("doc_id").agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"),
+                                    F.struct("idx", "para"),
+                                )
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    "\n",
+                ),
+                F.lit(""),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        ).select("doc_id", "text", "n_paras", "n_kept")
+        out.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"batch={batch_id}")
+        )
+        winners.select("h").write.mode("overwrite").parquet(
+            os.path.join(fp_path, f"batch={batch_id}")
+        )
+
+    return _start_doc_stream(
+        spark, docs_dir, checkpoint_dir, sink, max_files_per_trigger
+    )
+
+
 def minhash_slot_candidates(
     probe: DataFrame,
     reference: DataFrame,
