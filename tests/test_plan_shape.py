@@ -533,3 +533,46 @@ def test_latency_percentiles_no_python_and_user_keyed_merge(spark, sf_dir):
     assert "Python" not in plan
     # the as-of core merges on the user key
     assert "hashpartitioning(user_id" in plan
+
+
+def test_quality_top_fraction_has_single_join(spark, sf_dir):
+    """review r12: `source` must ride through quality_score's own
+    projection — the old second corpus-sized join back onto docs was a
+    whole avoidable shuffle. The only join left is the scorer's internal
+    base<->per_doc merge."""
+    from twitch_chat_analyser_spark.operators import sampling
+
+    df = sampling.quality_top_fraction(
+        ingest.load(spark, sf_dir, "documents")
+    )
+    # simpleString prints each node ONCE (explain("formatted") repeats
+    # every node in the detail section, which double-counts)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    ))
+    assert n_joins == 1, plan
+
+
+def test_unbounded_vocab_sides_are_not_forced_broadcasts(spark, sf_dir):
+    """review r12: tfidf's df table and bpe_encode's symbol table grow
+    with the corpus vocabulary — a forced broadcast OOMs the driver at
+    scale. The logical plans must carry no join hint on those sides;
+    AQE is free to broadcast at runtime when they are actually small."""
+    from twitch_chat_analyser_spark.operators import sampling, textops
+
+    docs = ingest.load(spark, sf_dir, "documents")
+    # tfidf: its only remaining hint is the legitimate 1-row n_docs
+    # broadcast. The vocabulary-sized df join carries NO hint — at test
+    # scale the optimizer still picks broadcast from its SIZE estimate
+    # (which is the point: size-driven, it flips to a shuffle join when
+    # the vocabulary outgrows the threshold; a hint never flips)
+    tfidf = sampling.tfidf_top_terms(docs)
+    logical = tfidf._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1, logical
+    # bpe_encode: no hints at all (the symbol-table join and the
+    # in-loop 1-row argmax crossJoins are AQE's call)
+    bpe = textops.bpe_encode(docs.limit(50))
+    logical = bpe._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical

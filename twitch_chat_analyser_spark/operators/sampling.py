@@ -109,10 +109,13 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
     sweep, round 7).
 
     Plan: one token-explode aggregation for tf, one reaggregation for
-    df (vocabulary-sized — tiny relative to the corpus), one join back
-    on token, and a per-document top-n window. At 100 TB the df side is
-    broadcastable and the window partitions by doc_id (no skew: bounded
-    tokens per document).
+    df, one join back on token, and a per-document top-n window (no
+    skew: bounded tokens per document). The df side is NOT
+    broadcast-hinted (review r12): the distinct-token set grows with
+    the corpus (ids, typos, noise — same reasoning as
+    textops.unigram_surprise), so a forced broadcast OOMs the driver at
+    scale; AQE broadcasts it at runtime whenever it is actually small,
+    and splits the Zipf-head token partitions when it is not.
 
     -> doc_id, token, tf, df, tfidf_micro, term_rank
     """
@@ -125,7 +128,7 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
         F.count("*").cast("double").alias("n_docs")
     )
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -322,15 +325,19 @@ def quality_top_fraction(
     with a deterministic (score desc, doc_id) tie-break — so membership
     is stable and engine-portable. One shuffle on ``source``; the rank
     and the per-source count come from the SAME partitioned window, so
-    there is no second pass. Source cardinality is small and bounded; a
-    skewed giant source is an AQE skew case, not a plan change.
+    there is no second pass. ``source`` rides through the scorer's own
+    projection (``quality_score(extra_cols=...)``) instead of a second
+    corpus-sized join back onto ``docs`` (review r12 — that join was a
+    whole avoidable shuffle of the corpus). Source cardinality is small
+    and bounded; a skewed giant source is an AQE skew case, not a plan
+    change.
 
     -> doc_id, source, quality_score, q_rank
     """
     from .textops import quality_score
 
-    scored = quality_score(docs).select("doc_id", "quality_score").join(
-        docs.select("doc_id", "source"), "doc_id"
+    scored = quality_score(docs, extra_cols=("source",)).select(
+        "doc_id", "source", "quality_score"
     )
     w = Window.partitionBy("source")
     rank = F.row_number().over(

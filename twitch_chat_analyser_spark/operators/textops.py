@@ -61,13 +61,21 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality features + combined score
     (length/stopword/punctuation ratios — the C4/Gopher-style cheap
     filters).
 
-    -> doc_id, n_chars_text, n_tokens, stopword_ratio, punct_ratio,
-       avg_token_len, quality_score
+    ``extra_cols`` rides named input columns through to the output for
+    free — they join the projection the operator already makes, so a
+    caller needing (score, source) pairs avoids a second corpus-sized
+    join back onto ``docs`` (review r12: sampling.quality_top_fraction
+    paid a whole extra shuffle join for the ``source`` column).
+
+    -> doc_id, *extra_cols, n_chars_text, n_tokens, stopword_ratio,
+       punct_ratio, avg_token_len, quality_score
     """
     all_stop = sorted({w for ws in LANG_PROFILES.values() for w in ws})
     tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
@@ -80,6 +88,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     base = docs.select(
         "doc_id",
+        *extra_cols,
         F.length("text").cast("long").alias("n_chars_text"),
         (
             F.length("text")
@@ -100,6 +109,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return j.select(
         "doc_id",
+        *extra_cols,
         "n_chars_text",
         "n_tokens",
         stopword_ratio.alias("stopword_ratio"),
@@ -905,8 +915,14 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
     single symbols. Output is the per-document symbol histogram — the
     relation a token-count budgeter or vocabulary auditor consumes.
 
-    Scale shape: the vocabulary table is O(vocab) and broadcastable;
-    encode is one explode + broadcast join + doc-keyed rollup.
+    Scale shape: encode is one explode + word-keyed join + doc-keyed
+    rollup. The symbol table is NOT broadcast-hinted (review r12): its
+    row count is the full corpus WORD vocabulary — unbounded growth,
+    and each row carries a symbol array, so it is heavier than the df
+    tables this repo already refuses to force-broadcast
+    (unigram_surprise). AQE broadcasts it at runtime when it is small
+    and falls back to a shuffle join (with skew splitting on the Zipf
+    head) when it is not.
 
     -> doc_id, symbol, sym_count
     """
@@ -914,7 +930,7 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
     words = docs.select("doc_id", F.explode(tokens()).alias("word"))
     return (
         words.join(
-            F.broadcast(vocab_syms.select("word", "syms")), "word", "left"
+            vocab_syms.select("word", "syms"), "word", "left"
         )
         .select(
             "doc_id",
