@@ -1151,3 +1151,89 @@ def test_bpe_exhausted_merges_noop_instead_of_wiping_vocab(spark):
     # earlier merges survive the exhausted rounds: words encode as the
     # merged symbols, not per-char fallbacks
     assert enc == {(1, "ab"): 3, (1, "cd"): 2}
+
+
+def test_sharded_topk_equals_unsharded(spark):
+    """review r12: the opt-in two-stage top-k pre-cut must be EXACT —
+    per-shard top-k under the total (score, neighbor_id) order is a
+    superset of the global top-k — across the brute-force family and
+    the quantized paths' expand window."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, VEC_SCHEMA)
+    qids = [0, 7, 13]
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    assert key(similarity.brute_force_topk(vecs, qids, k=4)) == key(
+        similarity.brute_force_topk(vecs, qids, k=4, shards=5)
+    )
+    assert key(similarity.hamming_topk(vecs, qids, k=4, bits=8)) == key(
+        similarity.hamming_topk(vecs, qids, k=4, bits=8, shards=5)
+    )
+    assert key(similarity.hard_negative_topk(vecs, qids, k=4)) == key(
+        similarity.hard_negative_topk(vecs, qids, k=4, shards=5)
+    )
+    assert key(similarity.sq8_topk(vecs, qids, k=3, expand=2)) == key(
+        similarity.sq8_topk(vecs, qids, k=3, expand=2, shards=5)
+    )
+    assert key(similarity.pq_topk(vecs, qids, m=4, k=3, expand=2)) == key(
+        similarity.pq_topk(vecs, qids, m=4, k=3, expand=2, shards=5)
+    )
+
+
+def test_embedding_dedup_block_cap_bounds_and_keeps_connectivity(spark):
+    """review r12: embedding_dedup_pairs was the one banded pair
+    generator without the occupancy cap. A mass-duplicated bucket must
+    emit at most block_cap * R pairs, every duplicate must still pair
+    with a pivot, and under-occupied corpora must be EXACTLY the
+    uncapped result."""
+    # 12 identical vectors (one giant bucket) + 3 distinct ones
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(12)] + [
+        (20, [0.0, 1.0, 0.0, 0.0], 1),
+        (21, [0.0, 0.9, 0.1, 0.0], 1),
+        (22, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    vecs = spark.createDataFrame(rows, VEC_SCHEMA)
+    kw = dict(top_n=1000, num_planes=4, band_bits=2)
+    uncapped = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dedup_pairs(vecs, **kw).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dedup_pairs(
+            vecs, block_cap=2, **kw
+        ).collect()
+    }
+    assert capped <= uncapped
+    # every member of the duplicate clique still pairs with a pivot
+    dup_ids = set(range(12))
+    flagged = {a for (a, b) in capped if b in dup_ids} | {
+        b for (a, b) in capped if a in dup_ids
+    }
+    assert dup_ids <= flagged | {0}  # 0 is the first pivot itself
+    # the cap bit: smaller-id side of every pair is a pivot (first 2 by
+    # vec_id in its bucket) — the 12-clique emits far fewer pairs
+    clique_pairs = [p for p in capped if p[0] in dup_ids and p[1] in dup_ids]
+    assert len(clique_pairs) <= 2 * 12
+    assert len(
+        [p for p in uncapped if p[0] in dup_ids and p[1] in dup_ids]
+    ) == 12 * 11 // 2
+    # under-occupancy exactness: with a cap above every bucket size the
+    # result is bit-identical
+    roomy = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dedup_pairs(
+            vecs, block_cap=100, **kw
+        ).collect()
+    }
+    assert roomy == uncapped

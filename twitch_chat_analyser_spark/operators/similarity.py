@@ -9,8 +9,14 @@ precision, bit-identical to the DuckDB oracle's ``list_dot_product``
 
 Scale notes (100 TB):
 - brute-force top-k is O(Q x N) with a broadcast of the query set —
-  the candidate side never shuffles; per-partition top-k
-  (TakeOrderedAndProject after the window filter) bounds memory.
+  the candidate side never shuffles for the scoring. The top-k cut is
+  a window partitioned by query_id, whose partitions are CORPUS-sized
+  (one reducer sorts N scored rows per query — spillable but serial);
+  pass ``shards=`` to the brute-force family to pre-cut per
+  (query, hash-shard) partition first (review r12), which bounds every
+  sort at N/shards and keeps the result exactly equal (the global
+  top-k is a subset of the union of per-shard top-k under the total
+  (score, neighbor_id) order).
 - the IVF variant is the scale path: a coarse quantizer (centroid
   assignment, broadcast centroids) partitions the corpus; queries probe
   only their cluster — O(Q x N/C) with data pre-partitioned by
@@ -63,10 +69,42 @@ def cosine(a: str, b: str, a_nrm: str | None = None, b_nrm: str | None = None):
     return F.expr(DOT_EXPR.format(a=a, b=b)) / (F.col(a_nrm) * F.col(b_nrm))
 
 
+def _shard_precut(
+    scored: DataFrame, order: list, k: int, shards: int | None
+) -> DataFrame:
+    """Optional two-stage top-k pre-cut (review r12): rank each scored
+    row within its (query_id, hash(neighbor_id) % shards) cell and keep
+    only rank <= k before the per-query window runs. EXACT under the
+    callers' total (score, neighbor_id) orders — every global top-k row
+    is also in its own shard's top-k — but the big sort becomes
+    ``shards`` independent N/shards sorts and the final per-query
+    window sees at most ``shards * k`` rows. ``None`` (default) skips
+    the extra exchange: right for corpora where one reducer can sort N
+    scored rows; set it when a single query's partition outgrows a
+    task."""
+    if not shards:
+        return scored
+    sw = Window.partitionBy(
+        "query_id", F.pmod(F.hash("neighbor_id"), F.lit(shards))
+    ).orderBy(*order)
+    return (
+        scored.withColumn("_sr", F.row_number().over(sw))
+        .filter(F.col("_sr") <= k)
+        .drop("_sr")
+    )
+
+
 def brute_force_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shards: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).
+
+    ``shards`` bounds the top-k sort at N/shards rows per task (see
+    :func:`_shard_precut`) — same exact result, no corpus-sized window
+    partition.
 
     -> query_id, neighbor_id, cos_sim, rank
     """
@@ -82,7 +120,9 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine("q", "v").alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    order = [F.desc("cos_sim"), F.asc("neighbor_id")]
+    scored = _shard_precut(scored, order, k, shards)
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -148,15 +188,19 @@ def _expand_rerank(
     queries: DataFrame,
     k: int,
     expand: int,
+    shards: int | None = None,
 ) -> DataFrame:
     """Shared tail of every quantized-ANN path: cut the approximate
     scores to ``expand * k`` candidates per query (a_sim desc, NULLs —
     undefined directions — last, neighbor_id tie-break) and re-rank
     them at full precision. One copy so the candidate-selection
-    contract can't drift between the SQ/PQ/IVF variants."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc_nulls_last("a_sim"), "neighbor_id"
-    )
+    contract can't drift between the SQ/PQ/IVF variants. ``shards``
+    pre-cuts the approximate scores per hash-shard first (see
+    :func:`_shard_precut`) — exact same candidate set, no corpus-sized
+    window partition on the full-scan variants."""
+    order = [F.desc_nulls_last("a_sim"), F.asc("neighbor_id")]
+    approx = _shard_precut(approx, order, expand * k, shards)
+    w = Window.partitionBy("query_id").orderBy(*order)
     cands = (
         approx.withColumn("rr", F.row_number().over(w))
         .filter(F.col("rr") <= expand * k)
@@ -323,6 +367,7 @@ def embedding_dedup_pairs(
     top_n: int = 20,
     num_planes: int = 16,
     band_bits: int = 8,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: most-similar candidate pairs, with
     candidates from the sign-bit hyperplane band join
@@ -340,13 +385,33 @@ def embedding_dedup_pairs(
     "most similar" ranking is over candidates, not all pairs. More
     planes in more bands push recall up at bounded bucket sizes.
 
+    BLOCK-OCCUPANCY BOUND (``block_cap``, review r12 — the same opt-in
+    knob :func:`knn_graph` / :func:`semdedup_pairs` /
+    ``dedup.simhash_pairs_from_signatures`` already carry; this was the
+    one banded pair generator without it): an R-occupancy ``(band,
+    sig)`` bucket emits R^2/2 pairs, and a mass-duplicated corpus puts
+    every copy in the SAME bucket no matter how many planes are added
+    — re-banding cannot split identical vectors. With the cap, only
+    the ``block_cap`` lowest-``vec_id`` members are eligible as the
+    ``vec_a`` (smaller-id) side, so the bucket emits at most
+    ``block_cap * R`` pairs; every duplicate still pairs with a pivot,
+    so dedup connectivity survives. ``None`` (default, the oracle's
+    contract) is the exact banded result.
+
     -> vec_a, vec_b, cos_sim
     """
     vecs = as_double_vec(embeddings)
     bands = hyperplane_band_buckets(vecs, num_planes, band_bits)
+    a_side = bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    if block_cap is not None:
+        pw = Window.partitionBy("band", "sig").orderBy("vec_id")
+        a_side = (
+            bands.withColumn("prank", F.row_number().over(pw))
+            .filter(F.col("prank") <= block_cap)
+            .select(F.col("vec_id").alias("vec_a"), "band", "sig")
+        )
     cands = (
-        bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-        .join(
+        a_side.join(
             bands.select(F.col("vec_id").alias("vec_b"), "band", "sig"),
             ["band", "sig"],
         )
@@ -403,6 +468,7 @@ def hamming_topk(
     query_ids: list[int],
     k: int = 5,
     bits: int = 64,
+    shards: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest neighbors in HAMMING space over the packed
     sign-bit signature — the binary-quantization endpoint of the ANN
@@ -433,7 +499,9 @@ def hamming_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    order = [F.asc("hamming"), F.asc("neighbor_id")]
+    scored = _shard_precut(scored, order, k, shards)
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -931,7 +999,10 @@ def kmeans_label_purity(
 
 
 def hard_negative_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shards: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training-pair construction:
     per query vector, the top-k most cosine-similar vectors carrying a
@@ -970,7 +1041,9 @@ def hard_negative_topk(
             cosine("q", "v").alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    order = [F.desc("cos_sim"), F.asc("neighbor_id")]
+    scored = _shard_precut(scored, order, k, shards)
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -1197,6 +1270,7 @@ def sq8_topk(
     query_ids: list[int],
     k: int = 5,
     expand: int = 4,
+    shards: int | None = None,
 ) -> DataFrame:
     """Scalar-quantized ANN with asymmetric re-rank (the SQ path every
     large-scale vector store ships alongside IVF/PQ): the corpus is
@@ -1236,7 +1310,7 @@ def sq8_topk(
             cosine("q", "recon").alias("a_sim"),
         )
     )
-    return _expand_rerank(approx, vecs, queries, k, expand)
+    return _expand_rerank(approx, vecs, queries, k, expand, shards)
 
 
 def ivf_sq8_topk(
@@ -1316,6 +1390,7 @@ def pq_topk(
     k: int = 5,
     expand: int = 4,
     dim: int | None = None,
+    shards: int | None = None,
 ) -> DataFrame:
     """Product-quantized ANN with asymmetric distance computation (ADC)
     and exact re-rank — the OTHER classic vector-compression layout
@@ -1441,7 +1516,7 @@ def pq_topk(
         "neighbor_id",
         F.when(ccs > 0, adc / (F.col("q_nrm") * F.sqrt(ccs))).alias("a_sim"),
     )
-    return _expand_rerank(approx, vecs, queries, k, expand)
+    return _expand_rerank(approx, vecs, queries, k, expand, shards)
 
 
 def ivf_pq_topk(
