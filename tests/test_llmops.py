@@ -1237,3 +1237,65 @@ def test_embedding_dedup_block_cap_bounds_and_keeps_connectivity(spark):
         ).collect()
     }
     assert roomy == uncapped
+
+
+def _span_removal_model(corpus, k):
+    """Pure-Python transliteration of dedup.remove_duplicate_spans'
+    contract (review r12 — the B15-sweep recipe applied to the span
+    rewriter): per doc, grams at 0-based pos (whole-doc gram when
+    shorter than k); every occurrence AFTER a gram's global first by
+    (doc_id, pos) covers its span; kept tokens rebuild the text."""
+    grams = []  # (gram, doc_id, pos, span)
+    for doc_id, toks in enumerate(corpus):
+        if len(toks) < k:
+            grams.append((" ".join(toks), doc_id, 0, len(toks)))
+        else:
+            for i in range(len(toks) - k + 1):
+                grams.append((" ".join(toks[i : i + k]), doc_id, i, k))
+    first = {}
+    for g, d, p, _ in sorted(grams, key=lambda t: (t[1], t[2])):
+        first.setdefault(g, (d, p))
+    covered = {i: set() for i in range(len(corpus))}
+    for g, d, p, span in grams:
+        if first[g] != (d, p):
+            covered[d].update(range(p, p + span))
+    out = {}
+    for doc_id, toks in enumerate(corpus):
+        kept = [t for i, t in enumerate(toks) if i not in covered[doc_id]]
+        out[doc_id] = (
+            len(toks), len(kept), len(toks) - len(kept), " ".join(kept)
+        )
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=14
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.sampled_from([2, 3, 5]),
+)
+def test_remove_duplicate_spans_matches_model_exactly(spark, corpus, k):
+    """EXACT equality against the transliterated model over random
+    small-alphabet corpora (dense collisions) and k values, including
+    the short-doc whole-gram branch (k=5 vs docs down to 1 token)."""
+    rows = [
+        (i, " ".join(toks), "en", "s", len(" ".join(toks)))
+        for i, toks in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_kept"], r["n_removed"], r["text_dedup"]
+        )
+        for r in dedup.remove_duplicate_spans(df, shingle_k=k).collect()
+    }
+    assert got == _span_removal_model(corpus, k)
