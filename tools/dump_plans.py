@@ -219,6 +219,15 @@ def main() -> None:
         f"Generated by `tools/dump_plans.py` at `{sf_dir}`. Each section: a\n"
         "mechanical audit (shuffle count, join strategies, pushdown,\n"
         "Python-free check) followed by `explain(\"formatted\")` output.\n\n"
+        "These are the STATIC plans (`isFinalPlan=false`): since the r12\n"
+        "review, SF-scaled join sides (TPC-H customer/part/supplier, the\n"
+        "operator modules' vocabulary tables) carry no broadcast hint, so\n"
+        "a side whose static size estimate crosses the threshold plans as\n"
+        "a sort-merge join here and AQE converts it back to broadcast at\n"
+        "runtime while it actually fits (timings verified unchanged) —\n"
+        "a `sort-merge` line on such a join is the size-adaptive design\n"
+        "working, not a lost broadcast. Fixed-cardinality sides (region,\n"
+        "nation, 1-row aggregates, dims) remain hint-pinned broadcasts.\n\n"
         + "\n".join(sections)
     )
     with open(out_md, "w") as fh:

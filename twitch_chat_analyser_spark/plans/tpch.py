@@ -12,10 +12,16 @@ Scale notes (100 TB):
 - q1 is a pure scan+agg: predicate and the 7-column projection push to
   the parquet scan; partial aggregation reduces each task to ≤ |groups|
   rows before the single shuffle.
-- q3/q5 join small-dimension-filtered sides into the big fact; Catalyst
-  broadcasts customer/nation/region-sized inputs (verified via explain
-  in tests) so lineitem never shuffles for the join — only for the
-  final group-by.
+- q3/q5 join small-dimension-filtered sides into the big fact. Only
+  FIXED-cardinality relations carry a broadcast hint (region = 5 rows,
+  nation = 25, 1-row aggregates): customer/part/supplier grow linearly
+  with SF — billions of rows at 100 TB — so hinting them would OOM the
+  driver at scale (review r12, same policy as the operator modules'
+  vocabulary-sized sides). At test SFs Catalyst still broadcasts those
+  sides from its size estimate (verified via explain in tests), so
+  lineitem never shuffles for the join locally; past the threshold the
+  plan flips to a shuffle join with AQE skew splitting — size-adaptive
+  instead of hint-pinned.
 - top-k per group is a window + filter: shuffle on the partition key,
   no global sort; global top-k (q3's LIMIT) is TakeOrderedAndProject.
 """
@@ -156,7 +162,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
@@ -184,16 +190,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(
-                cust.join(
-                    F.broadcast(
-                        nation.join(
-                            F.broadcast(region),
-                            nation.n_regionkey == region.r_regionkey,
-                        )
-                    ),
-                    cust.c_nationkey == nation.n_nationkey,
-                )
+            cust.join(
+                F.broadcast(
+                    nation.join(
+                        F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey,
+                    )
+                ),
+                cust.c_nationkey == nation.n_nationkey,
             ),
             (orders.o_custkey == cust.c_custkey)
             & (supp.s_nationkey == cust.c_nationkey),
@@ -421,13 +425,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     orders = ingest.load(spark, sf_dir, "orders").join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     li = ingest.load(spark, sf_dir, "lineitem").filter(
         F.year("l_shipdate").isin(*Q7_YEARS)
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("l_shipdate").alias("l_year"))
         .agg(_rev_d().alias("revenue"))
@@ -458,7 +462,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(_rev_d().alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -487,7 +491,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond1 | cond2)
         .agg(_rev_d().alias("revenue"))
     )
@@ -509,14 +513,14 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     assoc = (
         ingest.load(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(part),
+            part,
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("p_partkey", "p_brand", "l_suppkey")
         .distinct()
     )
     joined = assoc.join(
-        F.broadcast(ingest.load(spark, sf_dir, "supplier")),
+        ingest.load(spark, sf_dir, "supplier"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     best = joined.groupBy("p_partkey").agg(
@@ -609,10 +613,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = ingest.load(spark, sf_dir, "orders")
     vol_i4 = F.expr(_REV_I4_SPARK)
     joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     grouped = joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.sum(
@@ -680,7 +684,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev), F.col("rev") == F.col("max_rev"))
         .join(
-            F.broadcast(ingest.load(spark, sf_dir, "supplier")),
+            ingest.load(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select(
@@ -742,7 +746,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qualified.join(
-            F.broadcast(ingest.load(spark, sf_dir, "supplier")),
+            ingest.load(spark, sf_dir, "supplier"),
             F.col("skey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -835,8 +839,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         le_c2 * (F.lit(100) - disc_c2) - rp_c2 * qty * F.lit(10)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
@@ -863,7 +867,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     per_part = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_i4("l_extendedprice")).alias("val"))
     )
@@ -921,7 +925,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(promo_i4).alias("p"),
             F.sum(disc_i4).alias("t"),
@@ -958,9 +962,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey"
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -988,7 +992,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_quantity")).alias("sq"), F.count("*").alias("cnt")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(
             F.lit(5).cast(DEC) * _dec("l_quantity") * F.col("cnt")
@@ -1019,7 +1023,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -1051,7 +1055,7 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(
             (F.col("l_shipdate") >= Q20_START) & (F.col("l_shipdate") < Q20_END)
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > F.lit(Q20_MIN_QTY).cast(DEC))
