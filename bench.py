@@ -92,37 +92,56 @@ def main() -> None:
     _llm.ensure_phrase_postings(spark, sf_dir, force=True)
     index_build = {"phrase_postings_sec": round(time.time() - t0, 3)}
 
-    # Best-of-2 per query, BOTH runs recorded: a single pass in a
-    # long-lived session folds one-time JIT/GC events into whichever
-    # query they land on (measured: a query at 1.2s steady-state
-    # recorded 15s when a C2 compile hit it). The min of two runs is
-    # the steady-state cost of the PLAN — the number that scales — and
-    # keeping both runs in BENCH_FULL makes session noise visible, so a
-    # real regression can't hide behind "probably GC luck".
+    # Per-query timing protocol (r13, VERDICT r12 item 1 — the r11
+    # contingency triggered: driver and builder disagreed >1.5x on
+    # identical code and min-of-2 could not rebut load). Two runs per
+    # query as before — a single pass folds one-time JIT/GC events into
+    # whichever query they land on — but a 2-run spread above
+    # SPREAD_SUSPECT escalates to a THIRD run and the reported time is
+    # the median of 3 (one contaminated run can no longer set the
+    # number; two contaminated runs are flagged, see below). All runs
+    # land in BENCH_FULL.queries_runs, the legacy min-of-2 in
+    # queries_min2 (round-over-round comparability), and queries whose
+    # FINAL spread still exceeds SPREAD_SUSPECT are named in
+    # measurement_suspect so a polluted total is self-identifying
+    # instead of reading as a code regression (r12: 207 s driver vs
+    # 152 s builder+judge on identical code).
+    SPREAD_SUSPECT = 1.5
+    load_start = os.getloadavg()
+
+    def run_once(fn) -> float:
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: evaluates EVERY projection column (count()
+        # would let Catalyst prune unevaluated expressions, under-
+        # measuring map-only transforms like text_pii_redaction)
+        # while still never collecting to the driver
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
+    min2: dict[str, float] = {}
     query_runs: dict[str, list[float]] = {}
     for name in names:
         fn = all_queries[name]
-        runs: list[float] = []
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # noop sink: evaluates EVERY projection column (count()
-            # would let Catalyst prune unevaluated expressions, under-
-            # measuring map-only transforms like text_pii_redaction)
-            # while still never collecting to the driver
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
+        runs = [run_once(fn) for _ in range(2)]
+        min2[name] = min(runs)
+        if max(runs) / max(min(runs), 1e-9) > SPREAD_SUSPECT:
+            runs.append(run_once(fn))
+            timings[name] = sorted(runs)[1]  # median of 3
+        else:
+            timings[name] = min(runs)
         query_runs[name] = runs
-        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
-    # per-query run spread (max/min): > ~1.5 means the min is masking a
-    # noisy session for that query — read BENCH_FULL.queries_runs
+    # per-query run spread (max/min): > SPREAD_SUSPECT after escalation
+    # means even 3 runs disagreed — treat that query's number as
+    # measurement-suspect, not as a regression signal
     spreads = {
         n: round(max(r) / max(min(r), 1e-9), 2) for n, r in query_runs.items()
     }
     noisy = {n: s for n, s in sorted(spreads.items(), key=lambda kv: -kv[1])[:10]}
+    suspect = sorted(n for n, s in spreads.items() if s > SPREAD_SUSPECT)
 
     # Streaming write-path throughput: all five fact pipelines (the
     # reference's unit of work — one message through five aggregation
@@ -158,7 +177,7 @@ def main() -> None:
         "unit": "sec",
         "queries": compact_queries,
         "n_queries": len(timings),
-        "timing": "min_of_2_runs",
+        "timing": "min_of_2_runs_median_of_3_on_spread",
         "index_build": index_build,
         # eval_* queries compute recall/purity against per-sf ground
         # truth: their input SIZE changes with sf and their wall time is
@@ -187,8 +206,16 @@ def main() -> None:
                 {
                     **line,
                     "queries": timings,
+                    "queries_min2": min2,
                     "queries_runs": query_runs,
                     "run_spread_top10": noisy,
+                    "measurement_suspect": suspect,
+                    "spread_suspect_threshold": SPREAD_SUSPECT,
+                    # 1/5/15-min load BEFORE the query sweep and at
+                    # artifact-write time: a contaminated run names
+                    # itself (r12: a loaded box produced a phantom +24%)
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                     "streaming": streaming,
                     "streaming_jdbc": streaming_jdbc,
                 },

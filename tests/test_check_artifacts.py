@@ -86,6 +86,66 @@ def test_unmarked_eval_query_is_red():
     assert check_bench_budgets(bad) == []
 
 
+# ---- per-query timing protocol gate (VERDICT r12 item 1) ----
+
+from check_artifacts import check_bench_protocol  # noqa: E402
+
+GOOD_PROTO = {
+    "queries": {"fast_q": 1.0, "noisy_q": 2.0},
+    "queries_runs": {"fast_q": [1.0, 1.1], "noisy_q": [1.0, 3.0, 2.0]},
+    "measurement_suspect": ["noisy_q"],
+    "spread_suspect_threshold": 1.5,
+    "loadavg_start": [0.5, 0.6, 0.7],
+    "loadavg_end": [8.0, 4.0, 2.0],
+}
+
+
+def test_protocol_compliant_is_green():
+    assert check_bench_protocol(copy.deepcopy(GOOD_PROTO)) == []
+
+
+def test_protocol_unescalated_high_spread_is_red():
+    bad = copy.deepcopy(GOOD_PROTO)
+    # noisy 2-run query without the 3rd escalation run
+    bad["queries_runs"]["noisy_q"] = [1.0, 3.0]
+    bad["queries"]["noisy_q"] = 1.0
+    probs = check_bench_protocol(bad)
+    assert any("no escalation run" in p for p in probs)
+
+
+def test_protocol_timing_not_median_is_red():
+    bad = copy.deepcopy(GOOD_PROTO)
+    bad["queries"]["noisy_q"] = 1.0  # min, but 3 runs demand the median
+    probs = check_bench_protocol(bad)
+    assert any("median-of-3" in p for p in probs)
+
+
+def test_protocol_timing_not_min2_is_red():
+    bad = copy.deepcopy(GOOD_PROTO)
+    bad["queries"]["fast_q"] = 1.1  # 2 runs demand the min
+    probs = check_bench_protocol(bad)
+    assert any("min-of-2" in p and "fast_q" in p for p in probs)
+
+
+def test_protocol_suspect_list_drift_is_red():
+    bad = copy.deepcopy(GOOD_PROTO)
+    bad["measurement_suspect"] = []  # hides the still-spread noisy_q
+    probs = check_bench_protocol(bad)
+    assert any("measurement_suspect" in p for p in probs)
+
+
+def test_protocol_missing_load_telemetry_is_red():
+    bad = copy.deepcopy(GOOD_PROTO)
+    del bad["loadavg_start"]
+    probs = check_bench_protocol(bad)
+    assert any("loadavg_start" in p for p in probs)
+
+
+def test_protocol_missing_runs_is_red():
+    probs = check_bench_protocol({"queries": {"q": 1.0}})
+    assert any("queries_runs" in p for p in probs)
+
+
 # ---- cross-scale artifact gate (VERDICT r11 task 2) ----
 
 from check_artifacts import check_scale_artifact  # noqa: E402

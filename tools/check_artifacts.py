@@ -27,6 +27,78 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 TRIGGER_BUDGET_MS = 5000
 
 
+def check_bench_protocol(b: dict) -> list[str]:
+    """Assert the r13 per-query timing protocol (VERDICT r12 item 1 —
+    the r11 builder/driver >1.5x disagreement contingency triggered):
+    every query records its raw runs; any query whose runs spread
+    beyond the threshold must have been escalated to a 3rd run with
+    the median reported; queries still spread after escalation are
+    named in ``measurement_suspect``; and the artifact carries load
+    telemetry so a contaminated run is self-identifying. A doctored
+    artifact (high-spread query with only 2 runs, or a timing that is
+    neither the min-of-2 nor the median-of-3) goes red here."""
+    problems: list[str] = []
+    runs = b.get("queries_runs")
+    timings = b.get("queries", {})
+    thr = b.get("spread_suspect_threshold")
+    if not isinstance(runs, dict) or not runs:
+        return ["BENCH_FULL missing per-query raw runs 'queries_runs'"]
+    if not isinstance(thr, (int, float)):
+        problems.append(
+            "BENCH_FULL missing 'spread_suspect_threshold' (the "
+            "escalate-to-3-runs cutoff must live in the artifact)"
+        )
+        thr = 1.5
+    for field in ("loadavg_start", "loadavg_end"):
+        if not isinstance(b.get(field), list) or len(b.get(field) or []) != 3:
+            problems.append(
+                f"BENCH_FULL missing load telemetry '{field}' "
+                "(1/5/15-min os.getloadavg triple)"
+            )
+    suspect = b.get("measurement_suspect")
+    if suspect is None:
+        problems.append(
+            "BENCH_FULL missing 'measurement_suspect' (queries whose "
+            "runs still disagree after escalation)"
+        )
+        suspect = []
+    expect_suspect = sorted(
+        n
+        for n, r in runs.items()
+        if r and max(r) / max(min(r), 1e-9) > thr + 1e-9
+    )
+    if sorted(suspect) != expect_suspect:
+        problems.append(
+            "BENCH_FULL measurement_suspect does not match the recorded "
+            f"run spreads: artifact={sorted(suspect)} "
+            f"recomputed={expect_suspect}"
+        )
+    for name, r in runs.items():
+        if len(r) < 2:
+            problems.append(
+                f"BENCH_FULL queries_runs[{name!r}] has {len(r)} run(s); "
+                "the protocol requires at least 2"
+            )
+            continue
+        two_spread = max(r[:2]) / max(min(r[:2]), 1e-9)
+        if two_spread > thr + 1e-9 and len(r) < 3:
+            problems.append(
+                f"BENCH_FULL {name}: 2-run spread {two_spread:.2f} "
+                f"exceeds {thr} but no escalation run was recorded"
+            )
+        t = timings.get(name)
+        if t is None:
+            continue
+        expected = sorted(r)[1] if len(r) >= 3 else min(r)
+        if abs(t - expected) > 1e-9:
+            problems.append(
+                f"BENCH_FULL {name}: reported {t} is not the "
+                f"{'median-of-3' if len(r) >= 3 else 'min-of-2'} of its "
+                f"recorded runs {r}"
+            )
+    return problems
+
+
 def check_bench_budgets(b: dict) -> list[str]:
     """Assert the streaming twins' steady-state p50s are PRESENT and
     UNDER the reference's 5 s trigger budget, and that the measurement
@@ -141,6 +213,7 @@ def check() -> list[str]:
                         f"field '{f}'"
                     )
         problems += check_bench_budgets(b)
+        problems += check_bench_protocol(b)
 
     # every round bench artifact must be valid JSON with a parsed bench
     # line (VERDICT r8 nit: BENCH_r01 has parsed=null — its tail is
