@@ -1190,6 +1190,63 @@ def test_sharded_topk_equals_unsharded(spark):
     )
 
 
+def test_auto_shards_triggers_on_size_and_stays_exact(
+    spark, monkeypatch, tmp_path
+):
+    """VERDICT r12 item 3: the shard pre-cut must be size-derived, not
+    opt-in. Below the threshold the default plan is identical to
+    shards=None (no pmod pre-cut window); with the threshold forced
+    under the corpus estimate, the DEFAULT path plans the sharded
+    two-stage rank AND still returns exactly the unsharded result.
+    The corpus goes through parquet so the trigger reads a REAL scan
+    estimate (session-local Arrow relations report the unknown-size
+    sentinel, which _auto_shards must treat as un-triggered — covered
+    at the end)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    local = spark.createDataFrame(rows, VEC_SCHEMA)
+    pq = str(tmp_path / "vecs.parquet")
+    local.write.parquet(pq)
+    vecs = spark.read.parquet(pq)
+    qids = [0, 7, 13]
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    # small corpus: auto == None (no pre-cut window in the plan)
+    small = similarity.brute_force_topk(vecs, qids, k=4)
+    assert "pmod" not in plan(small)
+    baseline = key(small)
+
+    # force the trigger under the corpus estimate: the DEFAULT path now
+    # plans the two-stage rank and the result is unchanged
+    monkeypatch.setattr(similarity, "SHARD_AUTO_THRESHOLD_BYTES", 1)
+    monkeypatch.setattr(similarity, "SHARD_AUTO_TARGET_BYTES", 1024)
+    sharded = similarity.brute_force_topk(vecs, qids, k=4)
+    assert "pmod" in plan(sharded)
+    assert key(sharded) == baseline
+    # the quantized path's expand window shards the same way
+    sq = similarity.sq8_topk(vecs, qids, k=3, expand=2)
+    assert "pmod" in plan(sq)
+    # unknown-size relations (local Arrow data, sentinel estimate) must
+    # NOT trigger even under a tiny threshold
+    assert "pmod" not in plan(
+        similarity.brute_force_topk(local, qids, k=4)
+    )
+    monkeypatch.undo()
+    assert key(sq) == key(similarity.sq8_topk(vecs, qids, k=3, expand=2))
+
+
 def test_embedding_dedup_block_cap_bounds_and_keeps_connectivity(spark):
     """review r12: embedding_dedup_pairs was the one banded pair
     generator without the occupancy cap. A mass-duplicated bucket must

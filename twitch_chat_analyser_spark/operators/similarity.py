@@ -12,11 +12,14 @@ Scale notes (100 TB):
   the candidate side never shuffles for the scoring. The top-k cut is
   a window partitioned by query_id, whose partitions are CORPUS-sized
   (one reducer sorts N scored rows per query — spillable but serial);
-  pass ``shards=`` to the brute-force family to pre-cut per
-  (query, hash-shard) partition first (review r12), which bounds every
-  sort at N/shards and keeps the result exactly equal (the global
-  top-k is a subset of the union of per-shard top-k under the total
-  (score, neighbor_id) order).
+  the brute-force family pre-cuts per (query, hash-shard) partition
+  first (review r12), which bounds every sort at N/shards and keeps
+  the result exactly equal (the global top-k is a subset of the union
+  of per-shard top-k under the total (score, neighbor_id) order).
+  Since r13 the pre-cut is SIZE-TRIGGERED by default (``shards="auto"``
+  reads the corpus relation's Catalyst size estimate — see
+  ``_auto_shards``): small corpora plan exactly as before, corpora past
+  the threshold get the two-stage rank without any caller opting in.
 - the IVF variant is the scale path: a coarse quantizer (centroid
   assignment, broadcast centroids) partitions the corpus; queries probe
   only their cluster — O(Q x N/C) with data pre-partitioned by
@@ -94,21 +97,66 @@ def _shard_precut(
     )
 
 
+# Auto-trigger for the shard pre-cut (r13, VERDICT r12 item 3: the r12
+# fix was opt-in only — nothing switched it on when the corpus grew, so
+# the corpus-wide single-reducer sort the review flagged returned
+# silently at scale). shards="auto" (now the default) derives the shard
+# count from the CORPUS relation's Catalyst size estimate: below
+# SHARD_AUTO_THRESHOLD_BYTES one reducer comfortably sorts the scored
+# rows and the pre-cut's extra exchange is pure overhead (None-
+# equivalent — keeps every small-corpus plan and bench number
+# unchanged); above it, one shard per SHARD_AUTO_TARGET_BYTES of corpus
+# bounds each pre-cut sort cell. The corpus side's estimate tracks the
+# parquet scan size (measured accurate at sf0.1: ~1.2 MB for the 2k
+# embeddings); the cross-joined scored relation's estimate is useless
+# (size-product, measured 648 GB for 10k real rows), which is why the
+# trigger reads the corpus frame, not the scored frame. Production
+# values: 256 MB ~= a few million scored rows per query — past the
+# point where a single rank-window task is comfortable; the cap only
+# bounds degenerate estimates.
+SHARD_AUTO_THRESHOLD_BYTES = 256 * 1024**2
+SHARD_AUTO_TARGET_BYTES = 128 * 1024**2
+SHARD_AUTO_MAX = 4096
+
+
+def _auto_shards(corpus: DataFrame) -> int | None:
+    est = int(
+        str(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    # Catalyst reports ~Long.MaxValue-scale sentinels when a relation's
+    # size is UNKNOWN (e.g. session-local Arrow data). Unknown is not
+    # "huge": fall back to the unsharded plan rather than bolting two
+    # extra exchanges onto a corpus nobody measured. Parquet-backed
+    # corpora (every production path) always carry a real scan estimate.
+    if est <= SHARD_AUTO_THRESHOLD_BYTES or est >= 1 << 60:
+        return None
+    return min(SHARD_AUTO_MAX, max(2, est // SHARD_AUTO_TARGET_BYTES))
+
+
+def _resolve_shards(shards, corpus: DataFrame) -> int | None:
+    return _auto_shards(corpus) if isinstance(shards, str) else shards
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    shards: int | None = None,
+    shards: int | None | str = "auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).
 
     ``shards`` bounds the top-k sort at N/shards rows per task (see
     :func:`_shard_precut`) — same exact result, no corpus-sized window
-    partition.
+    partition. Default ``"auto"`` derives it from the corpus size
+    estimate (:func:`_auto_shards`): small corpora plan exactly as
+    ``None``, large ones get the two-stage rank without opt-in.
 
     -> query_id, neighbor_id, cos_sim, rank
     """
     vecs = as_double_vec(embeddings)
+    shards = _resolve_shards(shards, vecs)
     queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q"),
@@ -468,7 +516,7 @@ def hamming_topk(
     query_ids: list[int],
     k: int = 5,
     bits: int = 64,
-    shards: int | None = None,
+    shards: int | None | str = "auto",
 ) -> DataFrame:
     """Exact top-k nearest neighbors in HAMMING space over the packed
     sign-bit signature — the binary-quantization endpoint of the ANN
@@ -484,6 +532,7 @@ def hamming_topk(
     -> query_id, neighbor_id, hamming, rank
     """
     sig = embedding_signbits(embeddings, bits)
+    shards = _resolve_shards(shards, sig)
     queries = sig.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
     )
@@ -1002,7 +1051,7 @@ def hard_negative_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    shards: int | None = None,
+    shards: int | None | str = "auto",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training-pair construction:
     per query vector, the top-k most cosine-similar vectors carrying a
@@ -1016,6 +1065,7 @@ def hard_negative_topk(
     -> query_id, neighbor_id, neighbor_label, cos_sim, rank
     """
     vecs = as_double_vec(embeddings)
+    shards = _resolve_shards(shards, vecs)
     queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
@@ -1270,7 +1320,7 @@ def sq8_topk(
     query_ids: list[int],
     k: int = 5,
     expand: int = 4,
-    shards: int | None = None,
+    shards: int | None | str = "auto",
 ) -> DataFrame:
     """Scalar-quantized ANN with asymmetric re-rank (the SQ path every
     large-scale vector store ships alongside IVF/PQ): the corpus is
@@ -1294,6 +1344,7 @@ def sq8_topk(
     -> query_id, neighbor_id, cos_sim, rank
     """
     vecs = as_double_vec(embeddings)
+    shards = _resolve_shards(shards, vecs)
     enc = sq8_encode(vecs, sq8_codebook(vecs))
     queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -1390,7 +1441,7 @@ def pq_topk(
     k: int = 5,
     expand: int = 4,
     dim: int | None = None,
-    shards: int | None = None,
+    shards: int | None | str = "auto",
 ) -> DataFrame:
     """Product-quantized ANN with asymmetric distance computation (ADC)
     and exact re-rank — the OTHER classic vector-compression layout
@@ -1423,6 +1474,7 @@ def pq_topk(
     -> query_id, neighbor_id, cos_sim, rank
     """
     vecs = as_double_vec(embeddings)
+    shards = _resolve_shards(shards, vecs)
     if dim is None:
         # bounded 1-row probe; callers on the serving path pass dim
         # explicitly so the plan builds without any driver action
