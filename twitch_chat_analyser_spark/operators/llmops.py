@@ -3404,21 +3404,26 @@ def _q_curation_scoreboard(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
+    # ONE token-counts table (r13, guide §2.3: aggregate once, share
+    # everywhere) feeds the rules computation, the NB classifier's
+    # vocabulary/count/scoring passes AND the LM's vocabulary size;
     # ONE rules computation, lazily checkpointed, feeds the scoreboard
     # column AND both learned filters' weak labels (their `labels`
-    # hook) — without it the rules token-explode runs three times
+    # hook). Corpus explodes across the whole scoreboard: tokens once
+    # + bigrams once (was 6 before the r13 tf/bf collapse).
+    tf = textops.doc_token_counts(docs)
     labels = (
-        textops.quality_rule_flags(docs)
+        textops.quality_rule_flags(docs, tf=tf)
         .select("doc_id", "quality_pass")
         .localCheckpoint(eager=False)
     )
     rules = labels.select(
         "doc_id", F.col("quality_pass").alias("rules_pass")
     )
-    nb = textops.nb_quality_score(docs, labels=labels).select(
+    nb = textops.nb_quality_score(docs, labels=labels, tf=tf).select(
         "doc_id", "nb_pass"
     )
-    lm = textops.bigram_lm_surprise(docs, labels=labels).select(
+    lm = textops.bigram_lm_surprise(docs, labels=labels, tf=tf).select(
         "doc_id", "lm_pass"
     )
     n_pass = (

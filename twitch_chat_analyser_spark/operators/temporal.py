@@ -100,10 +100,26 @@ def incident_purchase_counts(
     ``[ms, ms + window_ms)``; count the ``purchase`` events (any user)
     falling inside each interval. Intervals overlap freely.
 
-    Bucket width == interval width, so each interval overlaps exactly
-    two buckets and each purchase lands in exactly one — the equi-join
-    on bucket never double-counts and amplifies the interval side 2x,
-    independent of data volume.
+    r13 rewrite (guide §2.2/§3.5: shuffle input bytes, not candidate
+    pairs). The previous shape equi-joined exploded intervals with raw
+    purchases on the shared bucket — correct, but the joined row count
+    is SUM over buckets of (errors_b x purchases_b): with a 1 h window
+    over a dense event stream that is quadratic-in-bucket-occupancy
+    amplification (measured at sf0.1: ~151 M joined rows from 100 k
+    events, 10.3 s isolated). Counting needs no pairs: with
+    ``cum_b(t)`` = purchases in bucket ``b`` before ``t``, an interval
+    ``[s, s + W)`` starting in bucket ``b0`` counts
+
+        (total_{b0} - cum_{b0}(s)) + cum_{b0+1}(s + W)
+
+    so each error contributes two boundary PROBES, unioned with the
+    purchases and resolved by ONE running count per bucket partition
+    (the union-merge technique the as-of join already uses). Probes
+    sort before purchases at equal ms (strict ``<`` boundary), both
+    cumulative and per-bucket totals come off the same window pass,
+    and every error keeps its row (zero-purchase incidents need no
+    join-back). Shuffled rows: P + 2E, independent of bucket
+    occupancy; the per-bucket sort replaces the quadratic join.
 
     -> error_event_id, start_ms, n_purchases
     """
@@ -115,27 +131,71 @@ def incident_purchase_counts(
         F.col("ms").alias("p_ms")
     )
     b0 = F.expr(f"start_ms div {window_ms}")
-    e_buckets = errors.withColumn(
-        "bucket", F.explode(F.array(b0, b0 + F.lit(1)))
-    )
-    p_buckets = purchases.withColumn(
-        "bucket", F.expr(f"p_ms div {window_ms}")
-    )
-    hits = (
-        e_buckets.join(p_buckets, "bucket")
-        .filter(
-            (F.col("p_ms") >= F.col("start_ms"))
-            & (F.col("p_ms") < F.col("start_ms") + window_ms)
-        )
-        .groupBy("error_event_id", "start_ms")
-        .agg(F.count("*").alias("n_purchases"))
-    )
-    return errors.join(
-        hits, ["error_event_id", "start_ms"], "left"
+    # two probes per error off ONE scan: (b0, s) reads the count BELOW
+    # the window start in its own bucket; (b0+1, s+W) the count below
+    # the window end in the next bucket
+    probes = errors.select(
+        "error_event_id",
+        "start_ms",
+        F.explode(
+            F.array(
+                F.struct(
+                    b0.alias("bucket"),
+                    F.col("start_ms").alias("t"),
+                    F.lit(0).alias("hi"),
+                ),
+                F.struct(
+                    (b0 + F.lit(1)).alias("bucket"),
+                    (F.col("start_ms") + F.lit(window_ms)).alias("t"),
+                    F.lit(1).alias("hi"),
+                ),
+            )
+        ).alias("pr"),
     ).select(
         "error_event_id",
         "start_ms",
-        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        F.col("pr.bucket").alias("bucket"),
+        F.col("pr.t").alias("t"),
+        F.col("pr.hi").alias("hi"),
+        F.lit(0).alias("is_p"),
+    )
+    pts = purchases.select(
+        F.expr(f"p_ms div {window_ms}").alias("bucket"),
+        F.col("p_ms").alias("t"),
+        F.lit(None).cast("long").alias("error_event_id"),
+        F.lit(None).cast("long").alias("start_ms"),
+        F.lit(None).cast("int").alias("hi"),
+        F.lit(1).alias("is_p"),
+    )
+    # is_p orders probes BEFORE purchases at equal t: cum at a probe is
+    # the count of purchases STRICTLY before t (>= s inclusive lower
+    # bound / < s+W exclusive upper bound both reduce to strict-< reads)
+    wcum = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("bucket")
+    merged = probes.unionByName(pts).select(
+        "error_event_id",
+        "start_ms",
+        "hi",
+        "is_p",
+        F.sum("is_p").over(wcum).alias("cum"),
+        F.sum("is_p").over(wtot).alias("tot"),
+    )
+    return (
+        merged.filter(F.col("is_p") == 0)
+        .groupBy("error_event_id", "start_ms")
+        .agg(
+            F.sum(
+                F.when(F.col("hi") == 1, F.col("cum")).otherwise(
+                    F.col("tot") - F.col("cum")
+                )
+            )
+            .cast("long")
+            .alias("n_purchases")
+        )
     )
 
 

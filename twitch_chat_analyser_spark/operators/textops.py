@@ -131,7 +131,9 @@ RULE_MIN_ALPHA_RATIO = 0.8
 RULE_MIN_STOP_HITS = 2
 
 
-def quality_rule_flags(docs: DataFrame) -> DataFrame:
+def quality_rule_flags(
+    docs: DataFrame, tf: DataFrame | None = None
+) -> DataFrame:
     """Gopher-style hard filter: each rule is its own boolean column so
     downstream curation can ablate rules independently; ``quality_pass``
     is their conjunction. Rules: word count in bounds, mean word length
@@ -140,22 +142,32 @@ def quality_rule_flags(docs: DataFrame) -> DataFrame:
     (the Gopher "stop word" requirement).
 
     One token explode + one aggregation per document — embarrassingly
-    parallel, no joins wider than the doc_id rollup.
+    parallel, no joins wider than the doc_id rollup. ``tf`` (r13) lets
+    a composing caller (the curation scoreboard / learned filters)
+    substitute its shared :func:`doc_token_counts` table: every rule
+    statistic is an exact integer sum over occurrences, so weighting
+    the distinct (doc, token) rows by ``tf`` is bit-identical (the
+    default path keeps the cheaper single direct aggregation).
 
     -> doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
        stop_hits, ok_word_count, ok_mean_len, ok_symbol, ok_alpha,
        ok_stopwords, quality_pass
     """
     all_stop = sorted({w for ws in LANG_PROFILES.values() for w in ws})
-    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    if tf is None:
+        tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+        wt = F.lit(1)
+    else:
+        tok = tf
+        wt = F.col("tf")
     agg = tok.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.sum(F.length("token")).cast("long").alias("token_chars"),
+        F.sum(wt).cast("long").alias("n_words"),
+        F.sum(F.length("token") * wt).cast("long").alias("token_chars"),
         F.sum(
-            F.when(F.col("token").rlike("^[^a-zA-Z0-9]+$"), 1).otherwise(0)
+            F.when(F.col("token").rlike("^[^a-zA-Z0-9]+$"), wt).otherwise(0)
         ).cast("long").alias("symbol_toks"),
         F.sum(
-            F.when(F.col("token").rlike("[a-zA-Z]"), 1).otherwise(0)
+            F.when(F.col("token").rlike("[a-zA-Z]"), wt).otherwise(0)
         ).cast("long").alias("alpha_toks"),
         F.count_distinct(
             F.when(F.col("token").isin(all_stop), F.col("token"))
@@ -494,10 +506,27 @@ NB_VOCAB = 512  # top-V tokens by corpus count; bounds the broadcast side
 NB_SCALE = 1_000_000  # log-likelihood-ratio fixed-point scale (micro-nats)
 
 
+def doc_token_counts(docs: DataFrame) -> DataFrame:
+    """Per-document term frequencies — the shared input of the learned
+    quality filters (r13): one token explode + one partial-mergeable
+    aggregation, lineage-capped so composing operators that reference it
+    several times compute it once.
+
+    -> doc_id, token, tf (BIGINT)
+    """
+    return (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def nb_quality_score(
     docs: DataFrame,
     vocab_size: int = NB_VOCAB,
     labels: DataFrame | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Train-and-score a multinomial Naive-Bayes quality classifier in
     one job. Weak supervision comes from the pipeline's own hard rules
@@ -523,26 +552,41 @@ def nb_quality_score(
     ``labels`` (doc_id, quality_pass) lets a composing caller (the
     curation scoreboard) share ONE rules computation across filters;
     default None derives them from ``docs`` so the operator and its
-    oracle stay self-contained.
+    oracle stay self-contained. ``tf`` (doc_id, token, tf) likewise
+    shares a per-document term-frequency table.
+
+    r13 rewrite (guide §2.3 "aggregate before you shuffle" / §2.4): the
+    token explode previously ran THREE times (vocabulary top-V, class-
+    conditional counts, per-doc scoring). All three consumers only need
+    per-(doc, token) COUNTS, so the explode now collapses into one
+    ``tf`` aggregation (lineage-capped so the shared subtree computes
+    once) and every downstream sum weights by ``tf`` — exact integer
+    math, bit-identical outputs (sum over occurrences == sum of
+    count * weight over distinct pairs), 2 corpus passes instead of 4.
 
     -> doc_id, n_vocab_tokens, nb_score_micro, nb_pass
     """
+    if tf is None:
+        tf = doc_token_counts(docs)
     if labels is None:
-        labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
-    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+        # the shared tf table feeds the weak labels too (bit-identical
+        # integer sums) — self-contained nb is ONE corpus explode total
+        labels = quality_rule_flags(docs, tf=tf).select(
+            "doc_id", "quality_pass"
+        )
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("cnt"))
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
         .limit(vocab_size)
         .select("token")
     )
-    vtok = tok.join(F.broadcast(vocab), "token").join(labels, "doc_id")
+    vtok = tf.join(F.broadcast(vocab), "token").join(labels, "doc_id")
     per_token = vtok.groupBy("token").agg(
-        F.sum(F.when(F.col("quality_pass"), 1).otherwise(0))
+        F.sum(F.when(F.col("quality_pass"), F.col("tf")).otherwise(0))
         .cast("long")
         .alias("pos_cnt"),
-        F.sum(F.when(F.col("quality_pass"), 0).otherwise(1))
+        F.sum(F.when(F.col("quality_pass"), F.lit(0)).otherwise(F.col("tf")))
         .cast("long")
         .alias("neg_cnt"),
     )
@@ -579,11 +623,13 @@ def nb_quality_score(
         0,
     ).cast("long")
     doc_sums = (
-        tok.join(F.broadcast(llr_table), "token")
+        tf.join(F.broadcast(llr_table), "token")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_vocab_tokens"),
-            F.sum("llr_micro").cast("long").alias("tok_micro"),
+            F.sum("tf").cast("long").alias("n_vocab_tokens"),
+            F.sum(F.col("tf") * F.col("llr_micro"))
+            .cast("long")
+            .alias("tok_micro"),
         )
     )
     return (
@@ -706,8 +752,27 @@ def _bigram_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_bigram_counts(docs: DataFrame) -> DataFrame:
+    """Per-document bigram frequencies — the bigram twin of
+    :func:`doc_token_counts` (r13): one pair explode + one
+    partial-mergeable aggregation, lineage-capped so the LM's two
+    consumers (training counts, scoring) compute it once.
+
+    -> doc_id, w1, w2, bf (BIGINT)
+    """
+    return (
+        _bigram_pairs(docs)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("bf"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def bigram_lm_surprise(
-    docs: DataFrame, labels: DataFrame | None = None
+    docs: DataFrame,
+    labels: DataFrame | None = None,
+    tf: DataFrame | None = None,
+    bf: DataFrame | None = None,
 ) -> DataFrame:
     """Train-and-score a Laplace-smoothed bigram LM in one job.
 
@@ -730,24 +795,38 @@ def bigram_lm_surprise(
     crossJoins. No window, no sort, no Python.
 
     ``labels`` shares a caller's rules computation (see
-    nb_quality_score); default None stays self-contained.
+    nb_quality_score); ``tf``/``bf`` likewise share per-document
+    token/bigram count tables; default None stays self-contained.
+
+    r13 rewrite (guide §2.3 partial aggregation / §2.4 shuffle fewer
+    bytes): the bigram explode previously ran TWICE (training counts,
+    per-doc scoring) and the vocabulary size re-exploded the training
+    docs' tokens a third time. Bigrams now collapse once into a
+    per-(doc, w1, w2) count table (lineage-capped) and every downstream
+    sum weights by ``bf``; the vocabulary size reads the shared
+    :func:`doc_token_counts` table (distinct tokens of distinct
+    (doc, token) pairs == distinct tokens of occurrences). Exact
+    integer math — bit-identical outputs, 2 corpus explodes -> 1 when
+    self-contained, 0 when the caller shares both tables.
 
     -> doc_id, n_bigrams, lm_logprob_micro, lm_pass
     """
+    if tf is None:
+        tf = doc_token_counts(docs)
     if labels is None:
-        labels = quality_rule_flags(docs).select("doc_id", "quality_pass")
-    big = _bigram_pairs(docs)
+        labels = quality_rule_flags(docs, tf=tf).select(
+            "doc_id", "quality_pass"
+        )
+    if bf is None:
+        bf = doc_bigram_counts(docs)
     train_docs = labels.filter("quality_pass").select("doc_id")
-    train_big = big.join(train_docs, "doc_id")
+    train_big = bf.join(train_docs, "doc_id")
     c2 = train_big.groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("c2")
+        F.sum("bf").cast("long").alias("c2")
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    from .dedup import tokens
-
     vsize = (
-        docs.join(train_docs, "doc_id")
-        .select(F.explode(tokens()).alias("token"))
+        tf.join(train_docs, "doc_id")
         .agg(F.countDistinct("token").cast("long").alias("v"))
     )
     # greatest(v, 1): an all-fail-rules corpus has an empty model
@@ -765,13 +844,15 @@ def bigram_lm_surprise(
         0,
     ).cast("long")
     scored = (
-        big.join(c2, ["w1", "w2"], "left")
+        bf.join(c2, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
         .crossJoin(F.broadcast(vsize))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(lp_micro).cast("long").alias("lm_logprob_micro"),
+            F.sum("bf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("bf") * lp_micro)
+            .cast("long")
+            .alias("lm_logprob_micro"),
         )
     )
     return (
