@@ -281,6 +281,32 @@ def test_kcore_converged_flag_false_when_budget_too_small(spark):
     assert full == []
 
 
+def test_kcore_both_paths_agree(spark):
+    """The adaptive small-graph (driver peel) and distributed
+    (aggregate + semi-joins per round) paths produce identical
+    (node, core_degree, converged) rows — including on a budget too
+    small to converge (r13 driver escape)."""
+    from twitch_chat_analyser_spark.operators import graph
+
+    # K4 clique + pendant chain + separate triangle + pure path
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 10), (10, 11), (20, 21), (21, 22), (20, 22)]
+    edges += [(30, 31), (31, 32), (32, 33)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 6):
+        fast = sorted(
+            (r["node"], r["core_degree"], r["converged"])
+            for r in graph.kcore(df, k=2, rounds=rounds).collect()
+        )
+        dist = sorted(
+            (r["node"], r["core_degree"], r["converged"])
+            for r in graph.kcore(
+                df, k=2, rounds=rounds, small_graph_edges=0
+            ).collect()
+        )
+        assert fast == dist, rounds
+
+
 def test_kcore_gate_rounds_reach_fixpoint(spark, sf_dir):
     # the committed round budget must be a true fixpoint on gate data:
     # one extra round changes nothing

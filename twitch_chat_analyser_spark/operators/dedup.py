@@ -101,28 +101,48 @@ def minhash_signatures(
         docs.withColumn("toks", tokens())
         .select("doc_id", F.explode(shingles("toks", shingle_k)).alias("sh"))
     )
+
+    # each slot's min is taken over the NUMERIC value of its 8-hex-char
+    # digest substring, not the substring itself: fixed-width lowercase
+    # hex is order-isomorphic to its unsigned value, so min-by-long ==
+    # min-by-string — but min(string) carries a var-length aggregation
+    # buffer, which forces Catalyst off HashAggregate onto
+    # SortAggregate, i.e. a full sort of the exploded SHINGLE stream on
+    # both sides of the band join (r13 plan audit; guide §2: the sort
+    # was the single largest cost in every minhash-family query).
+    # min(long) hash-aggregates with no sort anywhere.
+    def slot(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("x" * (i // 4)), F.col("sh"))),
+                (i % 4) * 8 + 1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
     # one min-aggregate PER SLOT over the shingle rows — no row
     # multiplication before the shuffle (a posexplode of the slots would
     # 8x the exploded-shingle row count); the groupBy ships at most
     # num_hashes partial minima per (doc, input-partition)
     mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit("x" * (i // 4)), F.col("sh"))),
-                    (i % 4) * 8 + 1,
-                    8,
-                )
-            ).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(slot(i)).alias(f"m{i}") for i in range(num_hashes)]
     )
-    # tiny post-shuffle reshape: num_hashes rows per doc
+    # tiny post-shuffle reshape: num_hashes rows per doc, each min
+    # re-encoded to the exact 8-hex-char string the substring produced
+    # (lowercase, zero-padded) — the output contract is byte-identical
+    # to the pre-r13 version, pinned by the oracle and the streaming
+    # fingerprint-store twin
     return mins.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
-        ).alias("seed", "minhash"),
+        ).alias("seed", "mh_val"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.lpad(F.lower(F.hex("mh_val")), 8, "0").alias("minhash"),
     )
 
 
