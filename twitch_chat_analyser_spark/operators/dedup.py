@@ -819,14 +819,36 @@ def jaccard_threshold_pairs(
         .select("doc_a", "doc_b", "size_a", "size_b")
         .distinct()
     )
+    # exact-intersection verify on ARRAYS (r13): attaching each side's
+    # distinct-token array to the (already small) candidate-pair
+    # relation and intersecting per pair replaces the former exploded
+    # 3-way join — |cand| x avg-tokens-per-doc rows through two shuffles
+    # and a groupBy — with two candidate-pair-sized joins and a map-side
+    # JVM array_intersect. Counts are identical by construction (both
+    # sides are distinct token sets, and every candidate pair shares at
+    # least its matched prefix token, so no zero-intersection rows are
+    # introduced).
+    tok_arrays = docs.select(
+        "doc_id", F.array_distinct(tokens()).alias("ts")
+    )
     inter = (
-        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
-        .join(
-            toks.select(F.col("doc_id").alias("doc_b"), "token"),
-            ["doc_b", "token"],
+        cand.join(
+            tok_arrays.withColumnsRenamed({"doc_id": "doc_a", "ts": "ta"}),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count("*").cast("long").alias("inter_tokens"))
+        .join(
+            tok_arrays.withColumnsRenamed({"doc_id": "doc_b", "ts": "tb"}),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("ta", "tb"))
+            .cast("long")
+            .alias("inter_tokens"),
+        )
     )
     jac = F.col("inter_tokens").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("inter_tokens")

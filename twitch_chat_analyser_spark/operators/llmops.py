@@ -1012,8 +1012,15 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
         F.md5(dedup.norm_text()).alias("content_hash"),
         F.size(dedup.tokens()).cast("long").alias("ws_tokens"),
     )
-    q = textops.quality_score(docs).select("doc_id", "quality_score")
-    qr = textops.quality_rule_flags(docs).select("doc_id", "quality_pass")
+    # ONE token explode shared by both quality passes (r13, guide §2.3
+    # — same doc_token_counts sharing as the curation scoreboard; both
+    # operators' statistics are exact integer sums over occurrences, so
+    # the tf-weighted path is bit-identical to their standalone ones)
+    tf = textops.doc_token_counts(docs)  # lineage-capped internally
+    q = textops.quality_score(docs, tf=tf).select("doc_id", "quality_score")
+    qr = textops.quality_rule_flags(docs, tf=tf).select(
+        "doc_id", "quality_pass"
+    )
     j = base.join(q, "doc_id").join(qr, "doc_id")
     per_source = j.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),

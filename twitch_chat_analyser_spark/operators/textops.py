@@ -62,7 +62,7 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 
 def quality_score(
-    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+    docs: DataFrame, extra_cols: tuple[str, ...] = (), tf: DataFrame | None = None
 ) -> DataFrame:
     """Heuristic quality features + combined score
     (length/stopword/punctuation ratios — the C4/Gopher-style cheap
@@ -74,17 +74,37 @@ def quality_score(
     join back onto ``docs`` (review r12: sampling.quality_top_fraction
     paid a whole extra shuffle join for the ``source`` column).
 
+    ``tf`` (r13) lets a composing caller substitute a shared
+    :func:`doc_token_counts` table for this operator's own token
+    explode — every per-doc statistic is an exact integer sum over
+    occurrences, so weighting the distinct (doc, token) rows by ``tf``
+    is bit-identical (same contract as :func:`quality_rule_flags`).
+
     -> doc_id, *extra_cols, n_chars_text, n_tokens, stopword_ratio,
        punct_ratio, avg_token_len, quality_score
     """
+    reserved = {
+        "doc_id", "n_chars_text", "n_tokens", "stopword_ratio",
+        "punct_ratio", "avg_token_len", "quality_score",
+    }
+    clash = reserved.intersection(extra_cols)
+    if clash:
+        # ADVICE r12: a colliding extra_col would silently produce
+        # duplicate/ambiguous output columns at the final select
+        raise ValueError(f"extra_cols collide with output columns: {sorted(clash)}")
     all_stop = sorted({w for ws in LANG_PROFILES.values() for w in ws})
-    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    if tf is None:
+        tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+        wt = F.lit(1)
+    else:
+        tok = tf
+        wt = F.col("tf")
     per_doc = tok.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("token").isin(all_stop), 1).otherwise(0))
+        F.sum(wt).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isin(all_stop), wt).otherwise(0))
         .cast("long")
         .alias("stop_hits"),
-        F.sum(F.length("token")).cast("long").alias("token_chars"),
+        F.sum(F.length("token") * wt).cast("long").alias("token_chars"),
     )
     base = docs.select(
         "doc_id",
