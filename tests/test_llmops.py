@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from twitch_chat_analyser_spark import ingest
 from twitch_chat_analyser_spark.operators import dedup, llmops, similarity, textops
 
 DOCS = [
@@ -1151,6 +1152,28 @@ def test_bpe_exhausted_merges_noop_instead_of_wiping_vocab(spark):
     # earlier merges survive the exhausted rounds: words encode as the
     # merged symbols, not per-char fallbacks
     assert enc == {(1, "ab"): 3, (1, "cd"): 2}
+
+
+def test_bpe_driver_and_distributed_paths_agree(spark, sf_dir, monkeypatch):
+    """r13 driver escape for the BPE merge loop: below the corpus-size
+    gate the 8 rounds run on the driver over the collected vocabulary.
+    Both paths must produce identical merge tables AND identical
+    encodings over real (parquet) documents — the distributed loop stays
+    the 100 TB path and must not drift from its driver twin."""
+    docs = ingest.load(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # sf0.001 documents are far under the gate -> driver path
+    assert textops._catalyst_size(docs) <= textops.BPE_DRIVER_CORPUS_BYTES
+    train_drv = rows(textops.bpe_train(docs))
+    enc_drv = rows(textops.bpe_encode(docs))
+    assert len(train_drv) == textops.BPE_TRAIN_MERGES
+    # force the distributed loop
+    monkeypatch.setattr(textops, "BPE_DRIVER_CORPUS_BYTES", -1)
+    assert rows(textops.bpe_train(docs)) == train_drv
+    assert rows(textops.bpe_encode(docs)) == enc_drv
 
 
 def test_sharded_topk_equals_unsharded(spark):

@@ -63,13 +63,32 @@ def test_tfidf_df_join_broadcasts_at_bench_scale(spark):
 
 
 def test_bpe_encode_symbol_join_broadcasts_at_bench_scale(spark):
+    """At sf0.1 the r13 driver escape kicks in (documents are under the
+    corpus-size gate), so the encoder join's build side is the
+    driver-built symbol LocalRelation — it must still broadcast."""
     from twitch_chat_analyser_spark.operators import textops
 
     docs = ingest.load(spark, SF01, "documents")
     plan = final_plan(textops.bpe_encode(docs))
     assert "isFinalPlan=true" in plan
-    # the word->syms encoder join (and the in-loop argmax crossJoins)
-    # must not fall back to a corpus shuffle at bench scale
+    # the word->syms encoder join must not fall back to a corpus shuffle
+    assert "SortMergeJoin" not in plan, plan
+    assert _broadcast_joins(plan) >= 1, plan
+
+
+def test_bpe_encode_distributed_loop_broadcasts_at_bench_scale(
+    spark, monkeypatch
+):
+    """The ORIGINAL r12 pin, kept meaningful past the driver escape:
+    with the gate forced off, the distributed loop's unhinted symbol
+    join (and in-loop argmax crossJoins) must still resolve to
+    broadcast at sf0.1 — this is the shape the 100 TB path plans."""
+    from twitch_chat_analyser_spark.operators import textops
+
+    monkeypatch.setattr(textops, "BPE_DRIVER_CORPUS_BYTES", -1)
+    docs = ingest.load(spark, SF01, "documents")
+    plan = final_plan(textops.bpe_encode(docs))
+    assert "isFinalPlan=true" in plan
     assert "SortMergeJoin" not in plan, plan
     assert _broadcast_joins(plan) >= 1, plan
 

@@ -908,6 +908,69 @@ def bigram_lm_surprise(
 
 BPE_TRAIN_MERGES = 8
 
+# Driver escape gate for the BPE merge loop (r13, guide §1.2/§2.4: the
+# loop's per-round cost at small scale is pure scheduler/shuffle
+# overhead — 8 rounds x (pair agg + argmax + rewrite checkpoint) ~= 24
+# sequential jobs). Gated on the DOCS relation's Catalyst size estimate
+# (the same trigger shape as similarity._auto_shards, read from the
+# parquet scan, so the gate costs zero jobs): below the threshold the
+# word vocabulary is at most a few hundred thousand rows and the whole
+# merge loop runs on the driver in milliseconds; above it (or when the
+# estimate is the unknown-size sentinel) the distributed loop is
+# unchanged — that remains the 100 TB path, where the vocabulary is
+# unbounded and per-round job overhead is noise.
+BPE_DRIVER_CORPUS_BYTES = 64 * 1024**2
+
+
+def _catalyst_size(df: DataFrame) -> int:
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+
+
+def _bpe_loop_driver(spark, vocab: DataFrame, n_merges: int):
+    """Driver-side twin of the distributed merge loop: identical math
+    (pair counts weighted by word freq over every adjacent position,
+    argmax by count desc / pair asc, left-to-right fold rewrite) on the
+    collected vocabulary. String ties compare equally in both engines:
+    Spark orders strings by UTF-8 bytes, Python by code points, and
+    UTF-8 byte order IS code-point order. Exhausting merges before
+    n_merges stops emitting rows, exactly like the distributed loop's
+    empty-argmax identity rounds."""
+    words = [
+        (r["word"], r["freq"], list(r["word"])) for r in vocab.collect()
+    ]
+    step_rows = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, freq, syms in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ab = a + b
+        step_rows.append((step, a, b, ab, c))
+        for _w, _f, syms in words:
+            # fold-rewrite, identical to the distributed aggregate CASE
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            syms[:] = out
+    steps_df = spark.createDataFrame(
+        step_rows,
+        schema="step int, pair_a string, pair_b string, "
+        "merged string, pair_count long",
+    )
+    cur_df = spark.createDataFrame(
+        words, schema="word string, freq long, syms array<string>"
+    )
+    return [steps_df], cur_df
+
 
 def bpe_train(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus vocabulary and
@@ -945,6 +1008,9 @@ def _bpe_loop(docs: DataFrame, n_merges: int):
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
     )
+    est = _catalyst_size(docs)
+    if est <= BPE_DRIVER_CORPUS_BYTES:
+        return _bpe_loop_driver(docs.sparkSession, vocab, n_merges)
     cur = vocab.select(
         "word",
         "freq",
