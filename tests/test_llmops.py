@@ -401,6 +401,37 @@ def test_kmeans_centroids_iterative(vecs):
     )
 
 
+def test_assign_to_centroids_map_side_argmax_and_ties(spark):
+    """r13: nearest-centroid assignment is a map-side fold over the
+    broadcast codebook array (no aggregate). Semantics pinned against
+    the old max_by(struct(cos_c, -centroid_id)) contract: max cosine
+    wins, an EQUAL cosine goes to the smallest centroid_id (exercised
+    with a duplicated centroid vector), and ``cos_col=`` emits the
+    winner's cosine from the same expression tree."""
+    vecs = similarity.as_double_vec(spark.createDataFrame(VECS, VEC_SCHEMA))
+    # centroids 0 and 2 are IDENTICAL vectors -> every vector's cosine
+    # ties between them and the argmax must pick id 0, never 2
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "centroid_id long, c array<double>",
+    ).withColumn(
+        "c_nrm",
+        F.sqrt(F.expr(similarity.DOT_EXPR.format(a="c", b="c"))),
+    )
+    got = similarity._assign_to_centroids(vecs, cents, cos_col="pc").collect()
+    assert len(got) == len(VECS)
+    assert got[0].__fields__ == ["vec_id", "v", "v_nrm", "centroid_id", "pc"]
+    by_id = {r["vec_id"]: r for r in got}
+    # vec 4 = (-1,0,0): cos is -1 / 0 / -1 -> centroid 1 wins outright
+    assert {i: by_id[i]["centroid_id"] for i in range(5)} == {
+        0: 0, 1: 0, 2: 1, 3: 1, 4: 1,
+    }
+    # the emitted cosine is the winner's score
+    assert by_id[0]["pc"] == pytest.approx(1.0)
+    assert by_id[2]["pc"] == pytest.approx(1.0)
+    assert by_id[4]["pc"] == pytest.approx(0.0)
+
+
 def test_redact_pii_goldens(spark):
     docs = spark.createDataFrame(
         [

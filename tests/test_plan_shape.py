@@ -433,6 +433,31 @@ def test_bloom_probe_broadcasts_the_bit_table(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_centroid_assignment_no_sort_aggregate(spark, sf_dir):
+    """r13: the assignment max_by's buffer carried the v ARRAY, which
+    is not hash-aggregable, so every centroid consumer paid
+    SortAggregates over the N x C exploded stream (8 in the semdedup
+    plan). The map-side fold argmax must leave ZERO SortAggregates —
+    and zero Python nodes — in all of them."""
+    from twitch_chat_analyser_spark.registry import queries
+
+    qs = queries()
+    for name in (
+        "dedup_semantic_clusters",
+        "ann_ivf_kmeans_topk",
+        "curate_prototype_prune",
+        "eval_kmeans_purity",
+        # the PQ encoder's min_by(struct...) had the same buffer
+        # problem — its codebook fold (_pq_encode) is pinned here too
+        "ann_pq_topk",
+        "ann_ivf_pq_topk",
+        "eval_ivf_recall",
+    ):
+        plan = plan_of(qs[name](spark, sf_dir))
+        assert "SortAggregate" not in plan, name
+        assert "Python" not in plan, name
+
+
 def test_weighted_sample_is_take_ordered(spark, sf_dir):
     """A-Res selection is global top-k: TakeOrderedAndProject (merged
     per-partition heaps), not a full sort of the corpus."""

@@ -178,30 +178,70 @@ def brute_force_topk(
     )
 
 
-def _assign_to_centroids(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment shared by the IVF family: broadcast
-    the (small) codebook, argmax by cosine via ``max_by`` in a hash
-    aggregate — partial+final, map-side combinable; the window form
-    would shuffle AND sort all N x C scored rows. Tie-break: max cos,
-    then min centroid_id (must stay in lockstep with the oracles).
-
-    -> vec_id, v, v_nrm, centroid_id
-    """
-    return (
-        vecs.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "v_nrm", "centroid_id",
-            cosine("v", "c").alias("cos_c"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(struct(v, v_nrm, centroid_id),"
-                " struct(cos_c, -centroid_id)) AS best"
-            )
-        )
-        .select("vec_id", "best.v", "best.v_nrm", "best.centroid_id")
+def _centroid_entries(centroids: DataFrame) -> DataFrame:
+    """Collapse the (small) codebook into ONE row holding the
+    id-sorted entry array — the broadcast unit of the map-side argmax
+    (``array_sort`` on the struct orders by its first field,
+    ``centroid_id``, which is what makes the fold's first-wins
+    tie-break equal ``min centroid_id``)."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "c", "c_nrm"))
+        ).alias("_cents")
     )
+
+
+def _centroid_argmax(v: str = "v", v_nrm: str = "v_nrm"):
+    """Nearest-centroid argmax evaluated per ROW over the broadcast
+    ``_cents`` array: score each centroid with the exact cosine
+    expression the old aggregate form used (dot fold / norm product —
+    bit-identical doubles), then left-fold to the maximum. The fold
+    replaces only on STRICT cos-greater — Spark's ``>`` on doubles is
+    the same NaN-largest total order ``max_by``'s struct comparison
+    uses — so equal-cos ties keep the earliest entry, i.e. the
+    smallest ``centroid_id``: exactly ``max_by(struct(cos_c,
+    -centroid_id))``. Returns struct<cos double, cid bigint>.
+
+    Why (r13, guide §1.2/§7.2): the aggregate form planned
+    crossJoin(broadcast) -> max_by whose buffer carries the ``v``
+    ARRAY — not hash-aggregable, so Catalyst fell back to
+    SortAggregate: a full sort of the N x C exploded stream per
+    assignment pass (8 SortAggregates in the semdedup plan, 2 per
+    Lloyd's iteration). This form is a Project: zero aggregate, zero
+    sort, zero exploded stream, and v/v_nrm ride along untouched
+    instead of traveling through an aggregation buffer."""
+    dot = DOT_EXPR.format(a=v, b="e.c")
+    return F.expr(
+        "aggregate("
+        f"transform(_cents, e -> named_struct("
+        f"'cos', {dot} / ({v_nrm} * e.c_nrm), 'cid', e.centroid_id)), "
+        "named_struct('cos', CAST('-Infinity' AS DOUBLE), "
+        "'cid', CAST(-1 AS BIGINT)), "
+        "(best, s) -> IF(s.cos > best.cos, s, best))"
+    )
+
+
+def _assign_to_centroids(
+    vecs: DataFrame, centroids: DataFrame, cos_col: str | None = None
+) -> DataFrame:
+    """Nearest-centroid assignment shared by the IVF family: broadcast
+    the (small, never-empty) codebook as one id-sorted array row and
+    take the per-row fold argmax (:func:`_centroid_argmax`) — a
+    map-only Project, no aggregation. Tie-break: max cos, then min
+    centroid_id (must stay in lockstep with the oracles).
+    ``cos_col`` optionally emits the winner's cosine — the fold
+    already computed it, so callers that need prototypicality
+    (``prototype_prune``) skip a re-join + re-score.
+
+    -> vec_id, v, v_nrm, centroid_id[, <cos_col>]
+    """
+    out = vecs.crossJoin(F.broadcast(_centroid_entries(centroids))).select(
+        "vec_id", "v", "v_nrm", _centroid_argmax().alias("_best")
+    )
+    cols = ["vec_id", "v", "v_nrm", F.col("_best.cid").alias("centroid_id")]
+    if cos_col is not None:
+        cols.append(F.col("_best.cos").alias(cos_col))
+    return out.select(*cols)
 
 
 def _exact_rerank(
@@ -698,23 +738,14 @@ def kmeans_centroids(
         F.col("v_nrm").alias("c_nrm"),
     )
     for _ in range(iterations):
-        # same max_by argmax as ivf_topk: hash agg, no per-vec_id sort
-        assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .select(
-                "vec_id",
-                "v",
-                "centroid_id",
-                cosine("v", "c", "v_nrm", "c_nrm").alias("cos_c"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.expr(
-                    "max_by(struct(v, centroid_id),"
-                    " struct(cos_c, -centroid_id)) AS best"
-                )
-            )
-            .select("vec_id", "best.v", "best.centroid_id")
+        # same map-side fold argmax as _assign_to_centroids: a Project
+        # over the corpus, no N x C exploded stream, no SortAggregate
+        assigned = vecs.crossJoin(
+            F.broadcast(_centroid_entries(centroids))
+        ).select(
+            "vec_id",
+            "v",
+            _centroid_argmax().getField("cid").alias("centroid_id"),
         )
         # elementwise mean per cluster WITHOUT collecting vectors:
         # explode by dimension, sum/avg per (centroid, dim) — k*D group
@@ -753,7 +784,7 @@ def semdedup_pairs(
     comparison collapses to Σ cluster_size^2.
 
     Scale (100 TB): assignment is a broadcast of k tiny centroids +
-    hash-agg argmax (:func:`_assign_to_centroids`); the pair join is a
+    map-side fold argmax (:func:`_assign_to_centroids`); the pair join is a
     self-equi-join on ``centroid_id``. Cluster sizes are the first
     scale knob — production sweeps k with corpus size (k ~ N/10k) so
     each cell stays bounded — and ``block_cap`` is the HARD bound
@@ -1011,7 +1042,7 @@ def kmeans_label_purity(
     ``ivf_kmeans`` so it evaluates exactly the clustering the pipeline
     ships.
 
-    Shape (100 TB): assignment is the broadcast + hash-agg argmax; the
+    Shape (100 TB): assignment is the broadcast + map-side fold argmax; the
     evaluation itself is a (centroid, label) rollup plus windows over
     the tiny per-centroid count frame.
 
@@ -1136,12 +1167,12 @@ def prototype_prune(
     cents = kmeans_centroids(embeddings, k, iterations).withColumn(
         "c_nrm", F.sqrt(F.expr(DOT_EXPR.format(a="c", b="c")))
     )
-    assigned = _assign_to_centroids(as_double_vec(embeddings), cents)
-    scored = assigned.join(F.broadcast(cents), "centroid_id").select(
-        "vec_id",
-        "centroid_id",
-        cosine("v", "c", "v_nrm", "c_nrm").alias("pc"),
-    )
+    # the assignment fold already computed cos(v, own centroid) — take
+    # it as the prototypicality score (same dot/norm expression tree,
+    # bit-identical) instead of re-joining the codebook and re-scoring
+    scored = _assign_to_centroids(
+        as_double_vec(embeddings), cents, cos_col="pc"
+    ).select("vec_id", "centroid_id", "pc")
     w = Window.partitionBy("centroid_id")
     wrank = w.orderBy(F.desc("pc"), "vec_id")
     return (
@@ -1433,6 +1464,48 @@ def _block_slices(col: str, m: int, sub: int):
     )
 
 
+def _pq_encode(vblocks: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per (vec, block) nearest sub-centroid by exact squared L2
+    (``xx + cc - 2 x.c``), tie-break min cid — evaluated map-side by a
+    fold over the per-block broadcast codebook array (r13, the same
+    shape as :func:`_centroid_argmax`: ``min_by``'s struct buffer is
+    not hash-aggregable, so the aggregate form planned SortAggregates
+    over the N x m x ksub exploded stream). The fold seeds with the
+    array's FIRST entry and replaces on STRICT dist-less over
+    cid-ascending entries, which reproduces ``min_by(struct(dist,
+    cid))`` exactly — including degenerate all-equal and (unreachable
+    with finite vectors) all-NaN distances, where both keep the
+    smallest cid.
+
+    ``vblocks``: vec_id, blk, x, xx;  ``cents``: blk, cid, c, cc.
+    -> vec_id, blk, cid, cc
+    """
+    cb = cents.groupBy("blk").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c", "cc"))).alias("_cb")
+    )
+    dot = DOT_EXPR.format(a="x", b="e.c")
+    scored = F.expr(
+        f"transform(_cb, e -> named_struct("
+        f"'dist', xx + e.cc - 2.0D * {dot}, 'cid', e.cid, 'cc', e.cc))"
+    )
+    best = F.expr(
+        "aggregate(slice(_scored, 2, size(_scored) - 1), "
+        "element_at(_scored, 1), "
+        "(best, s) -> IF(s.dist < best.dist, s, best))"
+    )
+    return (
+        vblocks.join(F.broadcast(cb), "blk")
+        .select("vec_id", "blk", scored.alias("_scored"))
+        .select("vec_id", "blk", best.alias("_best"))
+        .select(
+            "vec_id",
+            "blk",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.cc").alias("cc"),
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1503,26 +1576,9 @@ def pq_topk(
         .select("vec_id", "s.blk", F.col("s.c").alias("x"))
         .withColumn("xx", F.expr(DOT_EXPR.format(a="x", b="x")))
     )
-    # per (vec, block): nearest centroid by exact squared L2
-    # (xx + cc - 2 x.c), tie-break min cid
-    enc = (
-        vblocks.join(F.broadcast(cents), "blk")
-        .select(
-            "vec_id",
-            "blk",
-            "cid",
-            "cc",
-            (
-                F.col("xx") + F.col("cc")
-                - 2.0 * F.expr(DOT_EXPR.format(a="x", b="c"))
-            ).alias("dist"),
-        )
-        .groupBy("vec_id", "blk")
-        .agg(
-            F.expr("min_by(struct(cid, cc), struct(dist, cid)) AS best")
-        )
-        .select("vec_id", "blk", "best.cid", "best.cc")
-    )
+    # per (vec, block): nearest centroid by exact squared L2, tie-break
+    # min cid — map-side codebook fold (r13), see _pq_encode
+    enc = _pq_encode(vblocks, cents)
     queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q"),
@@ -1636,20 +1692,7 @@ def ivf_pq_topk(
         .select("vec_id", "s.blk", F.col("s.c").alias("x"))
         .withColumn("xx", F.expr(DOT_EXPR.format(a="x", b="x")))
     )
-    enc = (
-        vblocks.join(F.broadcast(cents), "blk")
-        .select(
-            "vec_id", "blk", "cid", "cc",
-            (
-                F.col("xx") + F.col("cc")
-                - 2.0 * F.expr(DOT_EXPR.format(a="x", b="c"))
-            ).alias("dist"),
-        )
-        .groupBy("vec_id", "blk")
-        .agg(F.expr("min_by(struct(cid, cc), struct(dist, cid)) AS best"))
-        .select("vec_id", "blk", "best.cid", "best.cc")
-        .join(cells, "vec_id")
-    )
+    enc = _pq_encode(vblocks, cents).join(cells, "vec_id")
     queries = vecs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q"),

@@ -40,7 +40,8 @@ EMB_SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
 
 def assign_to_codebook(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (max cosine, ties to min centroid_id)
-    via broadcast + max_by hash aggregate. ``vecs`` needs (vec_id, v,
+    via the broadcast codebook-array + map-side fold argmax
+    (a Project, no aggregation — streaming-friendly). ``vecs`` needs (vec_id, v,
     v_nrm); ``centroids`` needs (centroid_id, c, c_nrm).
 
     Delegates to the batch IVF family's kernel
