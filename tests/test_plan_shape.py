@@ -422,14 +422,17 @@ def test_datacard_and_group_samplers_are_bounded(spark, sf_dir):
 
 
 def test_bloom_probe_broadcasts_the_bit_table(spark, sf_dir):
-    """The Bloom probe must be a map-side broadcast join against the
-    <= BLOOM_M-row bit table — never a shuffle of the probe corpus
-    keyed on bit position."""
+    """The Bloom probe must be map-side against the broadcast filter —
+    never a shuffle of the probe corpus keyed on bit position. r13
+    tightened the shape: the filter travels as ONE dense lane-array row
+    (no per-position posexplode, no re-aggregation of the K x probes
+    stream back to probe grain)."""
     from twitch_chat_analyser_spark.registry import queries
 
     plan = plan_of(queries()["bloom_ngram_membership"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # the exact-hits history join
+    assert "posexplode" not in plan
     assert "Python" not in plan
 
 

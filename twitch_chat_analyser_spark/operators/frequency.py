@@ -258,33 +258,82 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _bloom_lanes(bits: DataFrame) -> DataFrame:
+    """Compress the set-position table into ONE row holding a dense
+    ``BLOOM_M/64``-entry 64-bit lane array (lane ``w`` = OR of
+    ``1 << (pos % 64)`` over set positions with ``pos div 64 == w``;
+    absent lanes 0) — the broadcast unit of the map-side probe. An
+    EMPTY bits table yields the all-zero array (global agg emits one
+    row), so probing a fresh/empty filter still answers maybe=0 for
+    everything, exactly like the old left-join form.
+
+    The map->dense-array step costs one ``n_lanes x |entries|`` scan on
+    a single row — done once, before the broadcast."""
+    n_lanes = BLOOM_M // 64
+    lanes = (
+        bits.select(
+            F.shiftright(F.col("pos"), 6).alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    return lanes.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bm"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0L, {n_lanes - 1}L), "
+            "w -> coalesce(element_at(m, w), 0L))"
+        ).alias("_bloom_lanes")
+    )
+
+
+def _lane_membership(item: Column) -> Column:
+    """All-``BLOOM_K``-positions-set test evaluated map-side against the
+    crossJoined ``_bloom_lanes`` array: for each position, O(1)
+    element_at into the dense lane array + a variable-distance shift.
+    Replaces (r13) the posexplode -> broadcast-join-on-pos ->
+    re-aggregate-the-probe-stream pipeline with a single Project
+    (guide §2.4: the groupBy re-shuffled K x probes rows only to AND
+    K bits together)."""
+
+    def bit_set(p: Column) -> Column:
+        lane = F.element_at(
+            F.col("_bloom_lanes"), F.shiftright(p, 6).cast("int") + F.lit(1)
+        )
+        one = F.lit(1).cast("long")
+        return (
+            F.call_function(
+                "shiftright", lane, p.bitwiseAND(F.lit(63)).cast("int")
+            ).bitwiseAND(one)
+            == one
+        )
+
+    return F.forall(_bloom_positions(item), bit_set)
+
+
 def bloom_maybe_contains(
     probes: DataFrame, bits: DataFrame, col: str
 ) -> DataFrame:
     """Probe the filter: a key is *maybe present* iff all ``BLOOM_K`` of
     its positions are set (no false negatives; false-positive rate set
-    by the filter's fill factor). The bit table is ≤ BLOOM_M small rows
-    — broadcast, so probing is map-side however many keys stream
-    through.
+    by the filter's fill factor). The position table is compressed to a
+    ``BLOOM_M``-bit lane array broadcast as one row
+    (:func:`_bloom_lanes`), so probing is a map-side Project however
+    many keys stream through — no per-position explode, no
+    re-aggregation of the probe stream.
 
     -> *probes.columns, maybe INT (1 = all positions set)
 
-    One output row per DISTINCT probe row: probes are deduplicated
-    before exploding, because the all-positions-set test compares
-    ``sum(hit) == BLOOM_K`` within the group — a duplicated probe row
-    would collapse into one group whose sum can reach 2*BLOOM_K and
-    mis-flag a fully-set key as absent.
+    One output row per DISTINCT probe row (contract unchanged from the
+    join form: callers rely on the dedup).
     """
-    pp = probes.distinct().select(
-        "*", F.posexplode(_bloom_positions(F.col(col))).alias("j", "pos")
-    )
     return (
-        pp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
-        .groupBy(*probes.columns)
-        .agg(
-            (F.sum(F.coalesce("hit", F.lit(0))) == BLOOM_K)
-            .cast("int")
-            .alias("maybe")
+        probes.distinct()
+        .crossJoin(F.broadcast(_bloom_lanes(bits)))
+        .select(
+            *probes.columns,
+            _lane_membership(F.col(col)).cast("int").alias("maybe"),
         )
     )
 
@@ -306,22 +355,38 @@ def bloom_ngram_overlap(
     from .dedup import shingles, tokens
 
     def doc_shingles(d: DataFrame) -> DataFrame:
+        # distinct-by-md5 INSIDE the per-doc array (map-side): exactly
+        # the oracle's SELECT DISTINCT doc_id, md5(sh) — so the probe
+        # stream needs NO downstream (doc_id, shh) re-aggregation
+        # (r13; the old shape exploded raw shingles, md5'd after, and
+        # paid a distinct exchange in the probe to collapse md5 dups)
         return (
             d.withColumn("toks", tokens())
             .select(
                 "doc_id",
                 F.explode(
-                    F.array_distinct(shingles("toks", shingle_k))
-                ).alias("s"),
+                    F.array_distinct(
+                        F.transform(
+                            shingles("toks", shingle_k), lambda s: F.md5(s)
+                        )
+                    )
+                ).alias("shh"),
             )
-            .select("doc_id", F.md5("s").alias("shh"))
         )
 
     hist = doc_shingles(history_docs).select("shh").distinct()
     bits = bloom_build(hist, "shh")
+    # probe rows are distinct per (doc_id, shh) by construction, so the
+    # membership flag is a direct map-side Project (no distinct pass)
     probe = doc_shingles(probe_docs)
-    flagged = bloom_maybe_contains(probe, bits, "shh").join(
-        hist.withColumn("ex", F.lit(1)), "shh", "left"
+    flagged = (
+        probe.crossJoin(F.broadcast(_bloom_lanes(bits)))
+        .select(
+            "doc_id",
+            "shh",
+            _lane_membership(F.col("shh")).cast("int").alias("maybe"),
+        )
+        .join(hist.withColumn("ex", F.lit(1)), "shh", "left")
     )
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
