@@ -546,8 +546,13 @@ def test_ohlc_single_hash_agg_no_window(spark, sf_dir):
     df = temporal.ohlc_downsample(ingest.load(spark, sf_dir, "events"))
     plan = plan_of(df)
     # candles build in ONE partial-mergeable hash aggregation — the
-    # order statistics ride min_by/max_by, never a window sort
+    # order statistics ride min_by/max_by, never a window sort. r13:
+    # the decimal-packed ordering key is load-bearing — a struct key
+    # would silently fall back to SortAggregate (sorts the whole event
+    # stream per task), so its absence is pinned too
     assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
     assert "Python" not in plan
 
 

@@ -267,31 +267,40 @@ def ohlc_downsample(
     type — the financial-style first/last/min/max rollup that a plain
     min/max/avg time-series rollup (rollups.py) can't express because
     open/close are ORDER-dependent. Determinism: open/close pick the
-    value at the (ms, event_id) extremes via min_by/max_by on a struct
-    key — total order, engine-identical; high/low/count are order-free.
-    No float arithmetic at all, so no summation-order concern.
+    value at the (ms, event_id) extremes via min_by/max_by on a single
+    DECIMAL(38,0)-packed key ``ms * 10^19 + event_id`` — order-
+    isomorphic to the lexicographic (ms, event_id) struct because both
+    components are non-negative and event_id < 10^19 (BIGINT max is
+    9.22e18) and the packed maximum ~8.6e31 fits DECIMAL(38,0) exactly;
+    total order, engine-identical. high/low/count are order-free. No
+    float arithmetic at all, so no summation-order concern.
 
-    Shape (100 TB): ONE hash aggregation on (event_type, bucket) —
-    min_by/max_by are partial-mergeable, so candles build map-side
-    exactly like sum/count; no window, no sort.
+    The packing is a performance contract, not cosmetics (r13, guide
+    §7.2): a min_by/max_by whose ordering is a STRUCT has a
+    non-mutable aggregation buffer, so Catalyst planned SortAggregate —
+    a per-task sort of the whole event stream (x2, partial+final) that
+    the docstring used to wrongly call hash-aggregation. The decimal
+    buffer is UnsafeRow-mutable, so candles now genuinely build in ONE
+    hash aggregation on (event_type, bucket), map-side partials and
+    all; no window, no sort (pinned by test_ohlc_single_hash_agg).
 
     -> event_type, bucket_ms, open, high, low, close, n_events
     """
     ms = F.unix_millis("ts")
     bucket = (F.floor(ms / bucket_ms) * bucket_ms).cast("long")
+    pack = (
+        "CAST(unix_millis(ts) AS DECIMAL(38,0))"
+        " * 10000000000000000000 + event_id"
+    )
     return (
         events.groupBy(
             "event_type", bucket.alias("bucket_ms")
         )
         .agg(
-            F.expr(
-                "min_by(value, struct(unix_millis(ts) AS ms, event_id))"
-            ).alias("open"),
+            F.expr(f"min_by(value, {pack})").alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.expr(
-                "max_by(value, struct(unix_millis(ts) AS ms, event_id))"
-            ).alias("close"),
+            F.expr(f"max_by(value, {pack})").alias("close"),
             F.count("*").cast("long").alias("n_events"),
         )
         .orderBy("event_type", "bucket_ms")
