@@ -92,6 +92,20 @@ def main() -> None:
     _llm.ensure_phrase_postings(spark, sf_dir, force=True)
     index_build = {"phrase_postings_sec": round(time.time() - t0, 3)}
 
+    # Ground-truth construction for the recall evals, hoisted OUT of the
+    # timed region (VERDICT r13 item 6): the truth memos
+    # (llmops._IVF_TRUTH_ROWS / _JACCARD_TRUTH_ROWS) previously filled
+    # on the first timed run, so min-of-2 reported the memo-warm second
+    # run. Build them here and report the cost like phrase_postings_sec;
+    # with truth warm, eval_* run-1 ~= run-2 and the
+    # eval_queries_excluded_from_regression carve-out is dropped.
+    t0 = time.time()
+    _llm._ivf_truth(spark, sf_dir)
+    index_build["ivf_truth_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _llm._jaccard_truth(spark, sf_dir)
+    index_build["jaccard_truth_sec"] = round(time.time() - t0, 3)
+
     # Per-query timing protocol (r13, VERDICT r12 item 1 — the r11
     # contingency triggered: driver and builder disagreed >1.5x on
     # identical code and min-of-2 could not rebut load). Two runs per
@@ -179,14 +193,6 @@ def main() -> None:
         "n_queries": len(timings),
         "timing": "min_of_2_runs_median_of_3_on_spread",
         "index_build": index_build,
-        # eval_* queries compute recall/purity against per-sf ground
-        # truth: their input SIZE changes with sf and their wall time is
-        # dominated by the truth cache, so round-over-round ratios on
-        # them are not code regressions (VERDICT r9 task 8 / r10 task 5:
-        # they read as phantom regressions every slow-box round)
-        "eval_queries_excluded_from_regression": sorted(
-            n for n in timings if n.startswith("eval_")
-        ),
         "sf": sf,
         **{k: v for k, v in streaming.items()
            if not isinstance(v, (dict, list))},
@@ -196,10 +202,18 @@ def main() -> None:
 
     # the committed artifact records the driver's scale (sf0.1); a
     # smoke run at another sf prints its JSON line but must not
-    # clobber the sf0.1 record
+    # clobber the sf0.1 record. The artifact is also keyed on the core
+    # count: the driver benches BOTH local[32] and a lower count to
+    # measure scaling, and an unkeyed path let the c8 sweep overwrite
+    # the 32-core record (VERDICT r13 item 2) — non-default counts
+    # land in BENCH_FULL_c{N}.json.
     if abs(sf - 0.1) < 1e-9:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        fname = (
+            "BENCH_FULL.json" if cpus == "32" else f"BENCH_FULL_c{cpus}.json"
+        )
         full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            os.path.dirname(os.path.abspath(__file__)), fname
         )
         with open(full_path, "w") as fh:
             json.dump(

@@ -18,6 +18,11 @@ sys.path.insert(
 from check_artifacts import TRIGGER_BUDGET_MS, check_bench_budgets
 
 GOOD = {
+    "index_build": {
+        "phrase_postings_sec": 2.8,
+        "ivf_truth_sec": 1.2,
+        "jaccard_truth_sec": 3.1,
+    },
     "streaming": {
         "streaming_trigger_p50_steady_ms": 3900.0,
         "timing_protocol": "min_of_2_runs_by_steady_p50",
@@ -76,14 +81,21 @@ def test_missing_isolated_table_is_red():
     assert any("merge_isolated_vs_contended" in p for p in probs)
 
 
-def test_unmarked_eval_query_is_red():
+def test_missing_truth_build_field_is_red():
+    # r14: eval ground truth must be built (and timed) in the index-
+    # build phase — an artifact without the named cost fields means the
+    # first timed eval run silently paid the truth cost again
     bad = copy.deepcopy(GOOD)
-    bad["queries"] = {"eval_lsh_recall": 1.0, "channel_stats": 0.5}
-    bad["eval_queries_excluded_from_regression"] = []
+    del bad["index_build"]["ivf_truth_sec"]
     probs = check_bench_budgets(bad)
-    assert any("eval_lsh_recall" in p for p in probs)
+    assert any("ivf_truth_sec" in p for p in probs)
+
+
+def test_retired_eval_carveout_is_red():
+    bad = copy.deepcopy(GOOD)
     bad["eval_queries_excluded_from_regression"] = ["eval_lsh_recall"]
-    assert check_bench_budgets(bad) == []
+    probs = check_bench_budgets(bad)
+    assert any("retired" in p for p in probs)
 
 
 # ---- per-query timing protocol gate (VERDICT r12 item 1) ----

@@ -46,7 +46,14 @@ def child(name: str, runs: int) -> None:
 
     warm = once()
     times = sorted(once() for _ in range(runs))
-    med = times[len(times) // 2] if runs % 2 else times[runs // 2 - 1]
+    # true median: odd -> middle element, even -> mean of the two
+    # middle elements (the old times[runs//2 - 1] reported the MIN for
+    # runs=2 while labeling it median — ADVICE r13)
+    med = (
+        times[runs // 2]
+        if runs % 2
+        else round((times[runs // 2 - 1] + times[runs // 2]) / 2, 3)
+    )
     print(
         "ISOPROBE "
         + json.dumps(
