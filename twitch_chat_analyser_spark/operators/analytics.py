@@ -165,22 +165,43 @@ def channel_cooccurrence(messages: DataFrame) -> DataFrame:
     """Channel-pair audience overlap: Jaccard similarity of the chatter
     sets of every channel pair (who shares an audience with whom).
 
-    Shape: distinct (channel, username) — one aggregation — then a
-    self-equi-join on username to count shared users. The pair space is
-    (channels choose 2); channel cardinality is small in this domain, so
-    the result is tiny even when the input is 100 TB, and the join
-    shuffles on username (high-cardinality, uniform).
+    Shape (r14 rewrite, guide §2.4): ONE aggregation collapses each
+    user to their sorted distinct channel SET (collect_set partial-
+    aggregates map-side, bounded by the tiny channel cardinality), the
+    channel pairs are then generated ARRAY-LOCALLY per user (i < j over
+    the sorted set — the a < b ordering and dedup the old distinct +
+    self-equi-join produced), and the per-channel audience sizes come
+    from exploding the same sets. The username self-join and its
+    second data-sized exchange are gone; the pair rollup is
+    (channels choose 2)-sized. NULL usernames count toward audience
+    sizes (the old distinct kept them) but contribute no pairs (the
+    old equi-join never matched NULL), preserved exactly.
 
     -> channel_a, channel_b, shared_users, users_a, users_b, jaccard
     """
-    cu = messages.select("channel", "username").distinct()
-    per_channel = cu.groupBy("channel").agg(F.count("*").alias("n_users"))
-    a = cu.select(F.col("channel").alias("channel_a"), "username")
-    b = cu.select(F.col("channel").alias("channel_b"), "username")
+    user_sets = messages.groupBy("username").agg(
+        F.array_sort(F.collect_set("channel")).alias("chs")
+    )
+    per_channel = (
+        user_sets.select(F.explode("chs").alias("channel"))
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_users"))
+    )
     shared = (
-        a.join(b, "username")
-        .filter(F.col("channel_a") < F.col("channel_b"))
-        .groupBy("channel_a", "channel_b")
+        user_sets.filter(F.col("username").isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(chs, (a, i) -> "
+                    "transform(slice(chs, i + 2, size(chs)), "
+                    "b -> struct(a AS channel_a, b AS channel_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.channel_a").alias("channel_a"),
+            F.col("p.channel_b").alias("channel_b"),
+        )
         .agg(F.count("*").alias("shared_users"))
     )
     pa = per_channel.select(

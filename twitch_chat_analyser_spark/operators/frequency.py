@@ -326,14 +326,20 @@ def bloom_maybe_contains(
     -> *probes.columns, maybe INT (1 = all positions set)
 
     One output row per DISTINCT probe row (contract unchanged from the
-    join form: callers rely on the dedup).
+    join form: callers rely on the dedup). A NULL probe key answers
+    maybe=0, matching the pre-r13 left-join form (a NULL key never
+    matched a position row) — without the coalesce the forall over a
+    NULL position array yields NULL, which the streaming dedup's
+    ``maybe == 0`` keep-filter would silently drop (ADVICE r13).
     """
     return (
         probes.distinct()
         .crossJoin(F.broadcast(_bloom_lanes(bits)))
         .select(
             *probes.columns,
-            _lane_membership(F.col(col)).cast("int").alias("maybe"),
+            F.coalesce(_lane_membership(F.col(col)), F.lit(False))
+            .cast("int")
+            .alias("maybe"),
         )
     )
 

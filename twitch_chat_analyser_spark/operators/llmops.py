@@ -1137,62 +1137,78 @@ def bm25_retrieval(
     doubles. No LIMIT: membership is decided by the exact tf > 0
     predicate, not a float rank cutoff.
 
-    Scale shape: the corpus is scanned once (explode + filter to query
-    terms only — the filter prunes the exploded stream immediately);
-    df/N/avgdl are tiny aggregates broadcast back. groupBy doc_id is
-    the single data-sized shuffle.
+    Scale shape (r14 rewrite, guide §2.3/§2.4): the per-doc statistics
+    the formula needs — doc length and each query term's tf — are
+    ARRAY-computable per row (size / size-of-filter over the token
+    split), so the corpus explode, the (doc_id, token) rollup, the
+    doc-length rollup AND the dl join are all gone: one map-side
+    Project per document, ONE 1-row global aggregate (N, avgdl, every
+    term's df — broadcast back), zero data-sized shuffles. Integer
+    inputs (tf, dl, df, N) are identical to the exploded form's counts
+    by construction, and the score expression tree is unchanged, so
+    the doubles stay bit-identical to the oracle.
 
     -> doc_id, n_matched, bm25_micro
     """
     from pyspark.sql import functions as F
 
-    toks = docs.select(
-        "doc_id", F.explode(dedup.tokens()).alias("token")
+    base = (
+        docs.select("doc_id", dedup.tokens().alias("_t"))
+        .select(
+            "doc_id",
+            F.size("_t").alias("dl"),
+            *[
+                F.size(
+                    F.filter(F.col("_t"), lambda x: x == F.lit(term))
+                ).alias(f"tf{i}")
+                for i, term in enumerate(query_terms)
+            ],
+        )
+        # dl >= 1 for every non-null text (split yields at least one
+        # element); this drops only null-text rows, exactly the docs
+        # the exploded form never saw
+        .filter(F.col("dl") > 0)
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     # avgdl from the exact integer sum (not engine-internal avg, whose
-    # accumulation strategy differs between engines)
-    corpus = dl.agg(
+    # accumulation strategy differs between engines); each term's df
+    # rides in the same 1-row aggregate
+    corpus = base.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("token").isin(*query_terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    joined = (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    term_score = idf * (
-        F.col("tf")
-        * (k1 + 1.0)
-        / (
-            F.col("tf")
-            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = base.crossJoin(F.broadcast(corpus))
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}")
+        df_ = F.col(f"df{i}")
+        idf = F.log(
+            (F.col("n_docs") - df_ + 0.5) / (df_ + 0.5) + 1.0
         )
-    )
-    scored = joined.select("doc_id", "token", term_score.alias("s"))
-    pivot_cols = [
-        F.max(F.when(F.col("token") == t, F.col("s"))).alias(f"s{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    per_doc = scored.groupBy("doc_id").agg(*pivot_cols)
+        s = idf * (
+            tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(tf > 0, s)
+
     total = None
-    for i in range(len(query_terms)):
-        c = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
-        total = c if total is None else total + c
     n_matched = None
     for i in range(len(query_terms)):
-        c = F.when(F.col(f"s{i}").isNotNull(), 1).otherwise(0)
-        n_matched = c if n_matched is None else n_matched + c
-    return per_doc.select(
+        c = F.coalesce(term_score(i), F.lit(0.0))
+        total = c if total is None else total + c
+        m = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        n_matched = m if n_matched is None else n_matched + m
+    match_any = None
+    for i in range(len(query_terms)):
+        p = F.col(f"tf{i}") > 0
+        match_any = p if match_any is None else match_any | p
+    return scored.filter(match_any).select(
         "doc_id",
         n_matched.cast("int").alias("n_matched"),
         F.round(total * 1_000_000, 0).cast("long").alias("bm25_micro"),

@@ -445,93 +445,81 @@ def kmv_overlap(messages: DataFrame, k: int = KMV_K) -> DataFrame:
 
     Shape (100 TB): after :func:`kmv_kmin` the WHOLE computation runs
     on ≤ k rows per channel (the sketches), never the fact table — the
-    pair cross join is |channels|² tiny sketch rows, exactly the
-    sketch-synopsis promise. The sketch table is lazily checkpointed
-    because three branches (per-side estimates, both union sides)
-    consume it.
+    pair cross join is |channels|² tiny sketch-array rows, exactly the
+    sketch-synopsis promise. (The r13 lazy checkpoint is gone: since
+    the r14 array rewrite the sketch has exactly ONE consumer.)
 
     -> channel_a, channel_b, est_a, est_b, kmin_overlap, est_union,
        est_intersection
     """
-    sk = kmv_kmin(messages, k).localCheckpoint(eager=False)
-    return kmv_overlap_from_sketch(sk, k)
+    return kmv_overlap_from_sketch(kmv_kmin(messages, k), k)
 
 
 def kmv_overlap_from_sketch(sk: DataFrame, k: int = KMV_K) -> DataFrame:
     """Pair estimates from an ALREADY-built (channel, hv) k-min sketch
     table — the serving entry point for the streaming-maintained store
     (streaming/kmv.py); :func:`kmv_overlap` is the batch composition.
+
+    r14 rewrite (guide §2.4): each channel's sketch collapses into ONE
+    sorted array row (bounded by k — always safe to collect), and every
+    pair statistic the old 6-exchange pipeline computed (per-side
+    estimates, the union's k-min via union+window, the k-min agreement
+    count via ia/ib flag re-aggregation) is now a map-side array
+    expression over the crossJoined pair of ≤k-element arrays:
+    union k-min = slice(sort(array_union), 1, k), overlap =
+    |ukmin ∩ a ∩ b|, side stats = size/last-element. Same integers in,
+    same float expression trees, bit-identical milli-quantized outputs.
     """
-    per = sk.groupBy("channel").agg(
-        F.count("*").alias("n"), F.max("hv").alias("hk")
-    )
-    per = per.select(
-        "channel", _kmv_est(F.col("n"), F.col("hk"), k).alias("est")
+    arrs = sk.groupBy("channel").agg(
+        F.array_sort(F.collect_list("hv")).alias("hvs")
     )
     pairs = (
-        per.alias("a")
-        .crossJoin(per.alias("b"))
-        .filter(F.col("a.channel") < F.col("b.channel"))
+        arrs.select(
+            F.col("channel").alias("channel_a"), F.col("hvs").alias("_ha")
+        )
+        .crossJoin(
+            F.broadcast(
+                arrs.select(
+                    F.col("channel").alias("channel_b"),
+                    F.col("hvs").alias("_hb"),
+                )
+            )
+        )
+        .filter(F.col("channel_a") < F.col("channel_b"))
         .select(
-            F.col("a.channel").alias("channel_a"),
-            F.col("b.channel").alias("channel_b"),
-            F.col("a.est").alias("est_a_raw"),
-            F.col("b.est").alias("est_b_raw"),
+            "channel_a",
+            "channel_b",
+            "_ha",
+            "_hb",
+            F.expr(f"slice(array_sort(array_union(_ha, _hb)), 1, {k})")
+            .alias("_uk"),
         )
     )
-    # broadcast the |channels|^2-row pair key set: without the hint the
-    # optimizer (no stats behind the window) picks sort-merge joins for
-    # relations that are k*|channels| rows at most
-    keys = F.broadcast(pairs.select("channel_a", "channel_b"))
-    side_a = keys.join(
-        sk.withColumnRenamed("channel", "channel_a"), "channel_a"
-    ).select(
-        "channel_a", "channel_b", "hv",
-        F.lit(1).alias("ia"), F.lit(0).alias("ib"),
-    )
-    side_b = keys.join(
-        sk.withColumnRenamed("channel", "channel_b"), "channel_b"
-    ).select(
-        "channel_a", "channel_b", "hv",
-        F.lit(0).alias("ia"), F.lit(1).alias("ib"),
-    )
-    merged = (
-        side_a.unionByName(side_b)
-        .groupBy("channel_a", "channel_b", "hv")
-        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
-    )
-    wu = Window.partitionBy("channel_a", "channel_b").orderBy("hv")
-    ukmin = merged.withColumn("r", F.row_number().over(wu)).filter(
-        F.col("r") <= k
-    )
-    pu = ukmin.groupBy("channel_a", "channel_b").agg(
-        F.count("*").alias("un"),
-        F.max("hv").alias("hku"),
-        F.sum(((F.col("ia") == 1) & (F.col("ib") == 1)).cast("int"))
+    n_a = F.size("_ha")
+    n_b = F.size("_hb")
+    hk_a = F.expr("element_at(_ha, size(_ha))")
+    hk_b = F.expr("element_at(_hb, size(_hb))")
+    un = F.size("_uk")
+    hku = F.expr("element_at(_uk, size(_uk))")
+    overlap = (
+        F.expr("size(array_intersect(_uk, array_intersect(_ha, _hb)))")
         .cast("long")
-        .alias("overlap"),
     )
-    eu = _kmv_est(F.col("un"), F.col("hku"), k)
+    est_a = _kmv_est(n_a, hk_a, k)
+    est_b = _kmv_est(n_b, hk_b, k)
+    eu = _kmv_est(un, hku, k)
     return (
-        pairs.join(F.broadcast(pu), ["channel_a", "channel_b"])
-        .select(
+        pairs.select(
             "channel_a",
             "channel_b",
             # estimates quantized ONCE to milli-units as BIGINTs so no
             # derived DOUBLE reaches a value-hash (float sweep, round 7)
-            F.round(F.col("est_a_raw") * 1000, 0).cast("long").alias(
-                "est_a_milli"
-            ),
-            F.round(F.col("est_b_raw") * 1000, 0).cast("long").alias(
-                "est_b_milli"
-            ),
-            F.col("overlap").alias("kmin_overlap"),
+            F.round(est_a * 1000, 0).cast("long").alias("est_a_milli"),
+            F.round(est_b * 1000, 0).cast("long").alias("est_b_milli"),
+            overlap.alias("kmin_overlap"),
             F.round(eu * 1000, 0).cast("long").alias("est_union_milli"),
             F.round(
-                F.col("overlap").cast("double")
-                / F.col("un").cast("double")
-                * eu
-                * 1000,
+                overlap.cast("double") / un.cast("double") * eu * 1000,
                 0,
             )
             .cast("long")

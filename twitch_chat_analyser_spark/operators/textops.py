@@ -594,21 +594,43 @@ def nb_quality_score(
         labels = quality_rule_flags(docs, tf=tf).select(
             "doc_id", "quality_pass"
         )
-    vocab = (
-        tf.groupBy("token")
-        .agg(F.sum("tf").alias("cnt"))
-        .orderBy(F.desc("cnt"), "token")
-        .limit(vocab_size)
-        .select("token")
+    # r14 fusion (guide §2.3): the vocabulary top-V and the class-
+    # conditional counts were TWO token-keyed aggregations over the full
+    # tf stream (vocab: tf -> token; counts: tf x vocab x labels ->
+    # token). Both only need per-token sums, so ONE aggregation now
+    # computes the corpus count AND both class counts per token; the
+    # top-V cut (TakeOrderedAndProject, no global sort) and the class
+    # totals then run on the already-aggregated ~|vocab|-row stream.
+    # Exactness: per-token integer sums are identical whether the vocab
+    # filter runs before or after the token rollup (filtering a token
+    # SUBSET commutes with per-token aggregation), and the label join
+    # is LEFT so tokens of unlabeled docs still count toward the
+    # corpus-frequency vocabulary ranking (as before) while landing in
+    # neither class (the old inner vtok join dropped them from counts;
+    # quality_pass IS NULL matches neither branch below).
+    per_token_all = (
+        tf.join(labels, "doc_id", "left")
+        .groupBy("token")
+        .agg(
+            F.sum("tf").alias("cnt"),
+            F.sum(
+                F.when(F.col("quality_pass") == F.lit(True), F.col("tf"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("pos_cnt"),
+            F.sum(
+                F.when(F.col("quality_pass") == F.lit(False), F.col("tf"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("neg_cnt"),
+        )
     )
-    vtok = tf.join(F.broadcast(vocab), "token").join(labels, "doc_id")
-    per_token = vtok.groupBy("token").agg(
-        F.sum(F.when(F.col("quality_pass"), F.col("tf")).otherwise(0))
-        .cast("long")
-        .alias("pos_cnt"),
-        F.sum(F.when(F.col("quality_pass"), F.lit(0)).otherwise(F.col("tf")))
-        .cast("long")
-        .alias("neg_cnt"),
+    per_token = (
+        per_token_all.orderBy(F.desc("cnt"), "token")
+        .limit(vocab_size)
+        .select("token", "pos_cnt", "neg_cnt")
     )
     class_tot = per_token.agg(
         F.sum("pos_cnt").cast("long").alias("pos_tot"),

@@ -732,12 +732,24 @@ def _q_dynamic_sort(spark, sf_dir):
 
 def _q_emotes_per_channel_json(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
-    emote_totals = agg.totals(
-        agg.emote_stats(msgs, dims.emotes_df(spark)), ["channel", "emote"], "occurrences"
+    channels = dims.channels_df(spark)
+    # r14 fold (guide §2.3, the _q_user_quartiles pattern): the sum of
+    # per-tumbling-window counts IS the total count, so the per-window
+    # emote_stats layer + totals rollup collapse into ONE groupBy over
+    # the occurrence stream; the hidden-channel semi-join moves BELOW
+    # the aggregation (a channel filter commutes with a channel-keyed
+    # groupBy), so hidden channels never enter the shuffle. Identical
+    # rows (timestamp is the totals sentinel 0 on every row either way).
+    occ = visible_only(
+        agg.emote_occurrences(msgs, dims.emotes_df(spark)), channels
     )
-    return emotes_per_channel_json(
-        emote_totals.filter(F.col("timestamp") == 0), dims.channels_df(spark)
+    emote_totals = occ.groupBy("channel", "emote").agg(
+        F.count("*").alias("occurrences")
+    ).select(
+        "channel", "emote",
+        F.lit(0).cast("long").alias("timestamp"), "occurrences",
     )
+    return emotes_per_channel_json(emote_totals, channels)
 
 
 def _q_legacy_deviation(spark, sf_dir):
