@@ -280,7 +280,15 @@ def test_no_quadratic_pair_join_in_dedup_family(spark, sf_dir, name):
         # 2 physical nodes = 4 string hits. The pair join itself must
         # be a hash/sort-merge equi-join.
         assert plan.count("BroadcastNestedLoopJoin") <= 4
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # r14: banding is a map-side fold, so the banded side carries a
+        # real (corpus-proportional) size estimate and the planner may
+        # legitimately broadcast it at test scale — any EQUI-join
+        # strategy is fine, only an all-pairs product is banned
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        )
     else:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} fell back to a nested-loop join:\n{plan[:2000]}"

@@ -93,41 +93,44 @@ def minhash_signatures(
     order per hash function; lexicographic order on fixed-width hex is
     one, and identical in DuckDB.
 
-    The min-aggregation is partial (map-side combine) before any
-    shuffle: per input partition Spark reduces each doc's shingles to at
-    most ``num_hashes`` candidate minima.
+    r14 shape (guide §2.3/§2.4, the simhash-fold pattern): each doc's
+    per-slot minima are ``array_min`` folds over the doc's OWN shingle
+    array — one map-side Project per document — replacing the shingle
+    explode + (doc_id groupBy) aggregation, whose exchange shuffled the
+    per-partition partial minima of every document (r13 already made
+    that aggregation hash-based via min-by-long; r14 removes it
+    outright). The digests are materialized once per doc (one array per
+    md5 prefix, four 32-bit slots each), so the md5 count per shingle
+    is unchanged. min over the same integer set == min — signatures
+    are byte-identical.
     """
-    sh = (
-        docs.withColumn("toks", tokens())
-        .select("doc_id", F.explode(shingles("toks", shingle_k)).alias("sh"))
-    )
-
     # each slot's min is taken over the NUMERIC value of its 8-hex-char
     # digest substring, not the substring itself: fixed-width lowercase
     # hex is order-isomorphic to its unsigned value, so min-by-long ==
-    # min-by-string — but min(string) carries a var-length aggregation
-    # buffer, which forces Catalyst off HashAggregate onto
-    # SortAggregate, i.e. a full sort of the exploded SHINGLE stream on
-    # both sides of the band join (r13 plan audit; guide §2: the sort
-    # was the single largest cost in every minhash-family query).
-    # min(long) hash-aggregates with no sort anywhere.
-    def slot(i: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("x" * (i // 4)), F.col("sh"))),
-                (i % 4) * 8 + 1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    # one min-aggregate PER SLOT over the shingle rows — no row
-    # multiplication before the shuffle (a posexplode of the slots would
-    # 8x the exploded-shingle row count); the groupBy ships at most
-    # num_hashes partial minima per (doc, input-partition)
-    mins = sh.groupBy("doc_id").agg(
-        *[F.min(slot(i)).alias(f"m{i}") for i in range(num_hashes)]
+    # min-by-string (r13; the string min forced SortAggregate, the long
+    # min hash-aggregated, and the r14 fold needs no aggregate at all).
+    base = (
+        docs.withColumn("toks", tokens())
+        .withColumn("_shs", shingles("toks", shingle_k))
+        # split(NULL) cascades to a NULL shingle array: the old explode
+        # dropped those docs
+        .filter(F.col("_shs").isNotNull())
+    )
+    n_digests = (num_hashes + 3) // 4
+    for j in range(n_digests):
+        base = base.withColumn(
+            f"_d{j}",
+            F.expr(f"transform(_shs, sh -> md5(concat('{'x' * j}', sh)))"),
+        )
+    mins = base.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(_d{i // 4}, h -> cast(conv("
+                f"substring(h, {(i % 4) * 8 + 1}, 8), 16, 10) AS bigint)))"
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
     )
     # tiny post-shuffle reshape: num_hashes rows per doc, each min
     # re-encoded to the exact 8-hex-char string the substring produced
@@ -210,31 +213,45 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     ``bits/4`` hex chars of md5(token), nibble decoded via strpos to stay
     engine-portable); the signature bit is 1 where the sum is positive.
 
+    r14 shape (guide §2.3/§2.4): the per-bit ±1 sums are a fold over the
+    doc's OWN token array — one map-side Project per document (md5 once
+    per token into an array, then one pass accumulating all ``bits``
+    counters via zip_with) — replacing the token explode + (doc_id
+    groupBy) aggregation, whose exchange shuffled every token row. The
+    per-bit integer sums are identical (same ±1 terms, integer
+    addition), so signatures are bit-identical; docs with NULL text are
+    filtered exactly as the old explode dropped them.
+
     -> doc_id, simhash (BIGINT)
 
     At 100 TB swap md5-nibble decoding for ``xxhash64`` (Spark built-in)
     — kept md5 here so the DuckDB oracle reproduces signatures exactly.
     """
-    tok = docs.withColumn("toks", tokens()).select(
-        "doc_id", F.explode("toks").alias("token")
-    ).withColumn("h", F.md5("token"))
-    bit_sums = []
-    for b in range(bits):
-        hex_pos = b // 4 + 1  # 1-based char index into the md5 hex string
-        shift = b % 4
-        # instr (1-based) exists with identical semantics in Spark and
-        # DuckDB — decodes a hex nibble without engine-specific casts
-        nibble = (
-            F.expr(f"instr('0123456789abcdef', substr(h, {hex_pos}, 1))") - 1
-        )
-        bit = F.shiftright(nibble, shift) % 2
-        bit_sums.append(
-            F.sum(bit * 2 - 1).alias(f"s{b}")
-        )
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    # per-token contribution to bit b, decoded from the md5 hex string h:
+    # instr (1-based) exists with identical semantics in Spark and
+    # DuckDB — decodes a hex nibble without engine-specific casts
+    contribs = ", ".join(
+        "(shiftright(instr('0123456789abcdef', "
+        f"substr(h, {b // 4 + 1}, 1)) - 1, {b % 4}) % 2) * 2 - 1"
+        for b in range(bits)
+    )
+    sums_expr = (
+        "aggregate(transform(toks, t -> md5(t)), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, array({contribs}), "
+        "(a, c) -> a + cast(c AS bigint)))"
+    )
+    sums = (
+        docs.withColumn("toks", tokens())
+        # split(NULL) is NULL: the old explode dropped those docs
+        .filter(F.col("toks").isNotNull())
+        .select("doc_id", F.expr(sums_expr).alias("_s"))
+    )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            F.element_at("_s", b + 1) > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
 

@@ -235,8 +235,13 @@ def _assign_to_centroids(
 
     -> vec_id, v, v_nrm, centroid_id[, <cos_col>]
     """
-    out = vecs.crossJoin(F.broadcast(_centroid_entries(centroids))).select(
-        "vec_id", "v", "v_nrm", _centroid_argmax().alias("_best")
+    out = (
+        vecs.crossJoin(F.broadcast(_centroid_entries(centroids)))
+        # empty codebook -> zero rows, matching the pre-r13 crossJoin
+        # form (the agg's single empty-array row would otherwise leak
+        # the fold seed: every vector assigned centroid_id=-1)
+        .filter(F.size("_cents") > 0)
+        .select("vec_id", "v", "v_nrm", _centroid_argmax().alias("_best"))
     )
     cols = ["vec_id", "v", "v_nrm", F.col("_best.cid").alias("centroid_id")]
     if cos_col is not None:
@@ -425,29 +430,48 @@ def hyperplane_band_buckets(
     ``band_bits`` bits each. Vectors agreeing on ANY full band are
     near-dup candidates.
 
-    ``vecs`` must be the :func:`as_double_vec` projection. The N x P
-    sign matrix is a broadcast nested-loop over P tiny planes, collapsed
-    by a groupBy before anything wide moves — same shape as
-    :func:`lsh_topk`. Each band splits the corpus into ``2^band_bits``
-    buckets; at 100 TB raise ``band_bits`` (e.g. 64 planes in 16-bit
-    bands) so bucket sizes stay bounded.
+    ``vecs`` must be the :func:`as_double_vec` projection. r14 shape
+    (guide §2.4, the centroid-fold pattern): the P planes collapse into
+    ONE broadcast array row and every vector's band signatures are a
+    map-side fold over it — the N x P crossJoin stream and the
+    ``groupBy(vec_id, band)`` exchange (a full-corpus shuffle) are gone;
+    banding is a pure Project + posexplode of the per-vector band
+    array. The per-plane dot folds and the integer bit sums are
+    expression-identical, so signatures are bit-identical, including
+    with sparse/short plane sets (band/bit positions come from the
+    plane's own id, not its array position). Each band splits the
+    corpus into ``2^band_bits`` buckets; at 100 TB raise ``band_bits``
+    (e.g. 64 planes in 16-bit bands) so bucket sizes stay bounded.
 
     -> vec_id, band, sig
     """
     planes = vecs.filter(F.col("vec_id") < num_planes).select(
         F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
     )
-    sbits = vecs.select("vec_id", "v").crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        (F.col("plane_id") / band_bits).cast("int").alias("band"),
-        F.when(
-            F.expr(DOT_EXPR.format(a="v", b="p")) > 0,
-            F.expr(f"shiftleft(1L, cast(plane_id AS int) % {band_bits})"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("bv"),
+    prow = planes.agg(
+        F.expr("array_sort(collect_list(struct(plane_id, p)))").alias("_ps")
     )
-    return sbits.groupBy("vec_id", "band").agg(F.sum("bv").alias("sig"))
+    dot_sp = DOT_EXPR.format(a="v", b="s.p")
+    # per-plane (band, bit-value) structs, dot evaluated once per plane
+    pbs = (
+        f"transform(_ps, s -> struct("
+        f"cast(s.plane_id / {band_bits} AS int) AS band, "
+        f"IF({dot_sp} > 0, "
+        f"shiftleft(1L, cast(s.plane_id AS int) % {band_bits}), 0L) AS bv))"
+    )
+    # one (band, sig) struct per DISTINCT band present among the planes
+    # — exactly the rows the old groupBy(vec_id, band) emitted
+    sig_arr = (
+        "transform(array_distinct(transform(_pbs, x -> x.band)), bd -> "
+        "struct(bd AS band, aggregate(filter(_pbs, x -> x.band = bd), 0L, "
+        "(acc2, x) -> acc2 + x.bv) AS sig))"
+    )
+    return (
+        vecs.select("vec_id", "v")
+        .crossJoin(F.broadcast(prow))
+        .withColumn("_pbs", F.expr(pbs))
+        .select("vec_id", F.expr(f"inline({sig_arr})"))
+    )
 
 
 def embedding_dedup_pairs(
@@ -673,16 +697,19 @@ def knn_graph(
     bands = hyperplane_band_buckets(vecs, num_planes, band_bits)
     # pivot rank: position of each member within its bucket by vec_id.
     # The window shuffles on (band, sig) — the same key the candidate
-    # join needs, so the exchange is reused, and sorting R rows in one
-    # partition is O(R log R), far below the R^2 pairs it prevents.
+    # join needs. BOTH candidate-join sides derive from the SAME ranked
+    # frame (r14): the src side just ignores prank, so the window's
+    # exchange subtree is shared/reused instead of the banding pass
+    # running twice (once plain, once under the window), and the join
+    # inputs arrive already partitioned on (band, sig).
     pw = Window.partitionBy("band", "sig").orderBy("vec_id")
+    ranked = bands.withColumn("prank", F.row_number().over(pw))
     pivots = (
-        bands.withColumn("prank", F.row_number().over(pw))
-        .filter(F.col("prank") <= block_cap)
+        ranked.filter(F.col("prank") <= block_cap)
         .select(F.col("vec_id").alias("dst"), "band", "sig")
     )
     cands = (
-        bands.select(F.col("vec_id").alias("src"), "band", "sig")
+        ranked.select(F.col("vec_id").alias("src"), "band", "sig")
         .join(pivots, ["band", "sig"])
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -1746,10 +1773,11 @@ def ivf_pq_topk(
 # de-biasing / "all-but-the-top" post-processing (Mu & Viswanath 2018)
 # and as the split axis for balanced space partitioning. Scale shape:
 # ONE corpus pass builds the d x d scatter table (map-side partial sums
-# to d^2 cells — the only data-sized stage); every power-iteration
-# round then runs on the d^2-row state and a d-row vector, so iteration
-# count never touches the corpus. The projection pass at the end is a
-# second corpus scan with a broadcast d-row join.
+# to d^2 cells — the only data-sized stage); the power iteration then
+# runs entirely on a 1-row broadcastable (matrix, vector) state as
+# map-side folds, so iteration count never touches the corpus or the
+# scheduler. The projection pass at the end is a second corpus scan
+# folding each vector against the broadcast (mu, v) row.
 # ---------------------------------------------------------------------------
 
 PCA_ITERATIONS = 6
@@ -1769,72 +1797,89 @@ def pca_power_projection(
 
     -> vec_id, pc1_score
     """
-    vecs = as_double_vec(embeddings)
-    cells = vecs.select(
-        F.posexplode("v").alias("d", "xd")
-    ).groupBy("d").agg(
-        F.sum("xd").alias("s"), F.count("*").alias("n")
-    ).select("d", (F.col("s") / F.col("n")).alias("mu"))
-    # assemble mu as ONE broadcast array row; centering is then a pure
-    # per-row zip_with — no per-dimension join anywhere
-    mu_row = cells.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, mu))), s -> s.mu)"
+    vecs = as_double_vec(embeddings).filter(F.col("v").isNotNull())
+    # pass 1 — mu as ONE aggregate of d element sums + a count (no
+    # posexplode, no d-keyed shuffle: the partial agg is d+1 doubles per
+    # task), assembled directly as the broadcastable mu array row
+    mu_row = vecs.agg(
+        F.array(
+            *[
+                F.sum(F.element_at("v", d + 1)) / F.count(F.lit(1))
+                for d in range(dim)
+            ]
         ).alias("mu_arr")
     )
     cvecs = vecs.crossJoin(F.broadcast(mu_row)).select(
         "vec_id",
         F.expr("zip_with(v, mu_arr, (x, m) -> x - m)").alias("cv"),
     )
-    centered = cvecs.select("vec_id", F.posexplode("cv").alias("d", "c"))
-    # d^2 scatter cells in one corpus pass: the (d, e) pair products are
-    # generated ARRAY-LOCALLY per row (no self-join, no shuffle before
-    # the map-side-partial d^2-cell aggregation). (A symmetric
-    # upper-triangle + mirror variant was measured and is NOT faster
-    # here — the extra union/exchange costs more than the halved
-    # explode saves once normalization is deferred.)
-    scatter = (
-        cvecs.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(cv, (xd, d) -> "
-                    "transform(cv, (xe, e) -> "
-                    "struct(d AS dd, e AS de, xd * xe AS p))))"
-                )
-            ).alias("cell")
+    # pass 2 — d^2 scatter cells in one corpus pass: explode only the d
+    # axis (d rows per vector, r14 — the r13 shape generated d^2 structs
+    # per vector) and sum the e axis as d wide agg columns; the hash agg
+    # is d groups x d sum buffers, partial map-side. Same cv[d]*cv[e]
+    # product multiset per (d, e) cell as the d^2-struct form (float sum
+    # order differs, which distributed partial aggregation already makes
+    # nondeterministic — the round-6 output quantization absorbs it).
+    scat_rows = (
+        cvecs.select(F.posexplode("cv").alias("d", "xd"), "cv")
+        .groupBy("d")
+        .agg(
+            *[
+                F.sum(F.col("xd") * F.element_at("cv", e + 1)).alias(f"c{e}")
+                for e in range(dim)
+            ]
         )
-        .groupBy(F.col("cell.dd").alias("dd"), F.col("cell.de").alias("de"))
-        .agg(F.sum("cell.p").alias("cde"))
-        .localCheckpoint(eager=False)
     )
-    v = None  # d-row (pos, val) relation; starts as e_0
-    spark = embeddings.sparkSession
-    v = spark.range(dim).select(
-        F.col("id").cast("int").alias("pos"),
-        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("val"),
+    # assemble the whole d x d scatter as ONE nested-array row; the
+    # power iteration then never leaves the 1-row relation — each round
+    # is a map-side matvec fold (r13 ran 1 join + 1 agg + 1 exchange per
+    # round on a d-row relation: 6 rounds of pure scheduler overhead)
+    mat_row = scat_rows.select(
+        "d", F.array(*[F.col(f"c{e}") for e in range(dim)]).alias("row")
+    ).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, row))), s -> s.row)"
+        ).alias("mat")
     )
-    # the whole power iteration stays ONE Catalyst plan: the state is d
-    # rows, so chained join+agg rounds are a trivial lineage — no
-    # per-round checkpoint (each was a separate job + scheduler
-    # round-trip; only the d^2 scatter above is worth materializing).
+    # the WHOLE power iteration is one fold over the round sequence —
+    # the accumulator is a materialized VALUE at every step, so round k
+    # evaluates exactly once (chaining one Project per round instead
+    # would CollapseProject into a single expression whose pv subtree
+    # re-evaluates per lambda element: exponential runtime).
     # Normalization is DEFERRED to one final step: per-round normalize
-    # only rescales the direction, and each mid-plan broadcast of the
-    # norm was re-executing every earlier round. Magnitudes grow as
-    # lambda^k — at 6 rounds that stays far inside double range even
-    # for a 100 TB-scale eigenvalue (lambda ~ 1e11 -> 1e66 << 1e308).
-    for _ in range(iterations):
-        v = (
-            scatter.join(v, scatter["de"] == v["pos"])
-            .groupBy(F.col("dd").alias("pos2"))
-            .agg(F.sum(F.col("cde") * F.col("val")).alias("wv"))
-            .select(F.col("pos2").alias("pos"), F.col("wv").alias("val"))
-        )
-    nrm = v.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
-    v = v.crossJoin(F.broadcast(nrm)).select(
-        "pos", (F.col("val") / F.col("nrm")).alias("val")
+    # only rescales the direction. Magnitudes grow as lambda^k — at 6
+    # rounds that stays far inside double range even for a 100 TB-scale
+    # eigenvalue (lambda ~ 1e11 -> 1e66 << 1e308).
+    state = mat_row.crossJoin(mu_row).select(
+        "mu_arr",
+        F.expr(
+            f"aggregate(sequence(1, {iterations}), "
+            f"array(1.0D{', 0.0D' * (dim - 1)}), "
+            "(pv, k) -> transform(mat, r -> aggregate("
+            "zip_with(r, pv, (m, x) -> m * x), 0D, (a2, y2) -> a2 + y2)))"
+        ).alias("pv"),
     )
-    return (
-        centered.join(F.broadcast(v), centered["d"] == v["pos"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum(F.col("c") * F.col("val")), 6).alias("pc1_score"))
+    # pv is referenced twice below (numerator element and norm fold), so
+    # CollapseProject keeps this boundary and the iteration fold above
+    # runs once per (single) row
+    final = state.select(
+        "mu_arr",
+        F.expr(
+            "transform(pv, x -> x / sqrt(aggregate("
+            "transform(pv, e -> e * e), 0D, (acc, y) -> acc + y)))"
+        ).alias("vf"),
+    )
+    # projection — a map-side fold per vector against the broadcast
+    # (mu, vf) row: no posexplode, no per-dimension join, and no
+    # vec_id-keyed re-aggregation (the r13 tail was a full corpus-sized
+    # exchange just to sum 64 products per vector)
+    return vecs.crossJoin(F.broadcast(final)).select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(zip_with(v, mu_arr, (x, m) -> x - m), "
+                "vf, (c, w) -> c * w), 0D, (acc, y) -> acc + y)"
+            ),
+            6,
+        ).alias("pc1_score"),
     )
