@@ -93,44 +93,48 @@ def minhash_signatures(
     order per hash function; lexicographic order on fixed-width hex is
     one, and identical in DuckDB.
 
-    r14 shape (guide §2.3/§2.4, the simhash-fold pattern): each doc's
-    per-slot minima are ``array_min`` folds over the doc's OWN shingle
-    array — one map-side Project per document — replacing the shingle
-    explode + (doc_id groupBy) aggregation, whose exchange shuffled the
-    per-partition partial minima of every document (r13 already made
-    that aggregation hash-based via min-by-long; r14 removes it
-    outright). The digests are materialized once per doc (one array per
-    md5 prefix, four 32-bit slots each), so the md5 count per shingle
-    is unchanged. min over the same integer set == min — signatures
-    are byte-identical.
+    The min-aggregation is partial (map-side combine) before any
+    shuffle: per input partition Spark reduces each doc's shingles to at
+    most ``num_hashes`` candidate minima.
+
+    (r14 note: a per-doc array_min-fold variant — the simhash-fold
+    pattern, removing the doc_id groupBy — was built, measured and
+    REVERTED: higher-order-function lambdas evaluate interpreted,
+    outside whole-stage codegen, and 2 md5 + 8 conv per shingle under
+    interpretation ran ~5x slower than this codegen'd explode +
+    hash-agg pipeline: isolated dedup_minhash_lsh 3.5 -> 10.0 s.)
     """
+    sh = (
+        docs.withColumn("toks", tokens())
+        .select("doc_id", F.explode(shingles("toks", shingle_k)).alias("sh"))
+    )
+
     # each slot's min is taken over the NUMERIC value of its 8-hex-char
     # digest substring, not the substring itself: fixed-width lowercase
     # hex is order-isomorphic to its unsigned value, so min-by-long ==
-    # min-by-string (r13; the string min forced SortAggregate, the long
-    # min hash-aggregated, and the r14 fold needs no aggregate at all).
-    base = (
-        docs.withColumn("toks", tokens())
-        .withColumn("_shs", shingles("toks", shingle_k))
-        # split(NULL) cascades to a NULL shingle array: the old explode
-        # dropped those docs
-        .filter(F.col("_shs").isNotNull())
-    )
-    n_digests = (num_hashes + 3) // 4
-    for j in range(n_digests):
-        base = base.withColumn(
-            f"_d{j}",
-            F.expr(f"transform(_shs, sh -> md5(concat('{'x' * j}', sh)))"),
-        )
-    mins = base.select(
-        "doc_id",
-        *[
-            F.expr(
-                f"array_min(transform(_d{i // 4}, h -> cast(conv("
-                f"substring(h, {(i % 4) * 8 + 1}, 8), 16, 10) AS bigint)))"
-            ).alias(f"m{i}")
-            for i in range(num_hashes)
-        ],
+    # min-by-string — but min(string) carries a var-length aggregation
+    # buffer, which forces Catalyst off HashAggregate onto
+    # SortAggregate, i.e. a full sort of the exploded SHINGLE stream on
+    # both sides of the band join (r13 plan audit; guide §2: the sort
+    # was the single largest cost in every minhash-family query).
+    # min(long) hash-aggregates with no sort anywhere.
+    def slot(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("x" * (i // 4)), F.col("sh"))),
+                (i % 4) * 8 + 1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # one min-aggregate PER SLOT over the shingle rows — no row
+    # multiplication before the shuffle (a posexplode of the slots would
+    # 8x the exploded-shingle row count); the groupBy ships at most
+    # num_hashes partial minima per (doc, input-partition)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(slot(i)).alias(f"m{i}") for i in range(num_hashes)]
     )
     # tiny post-shuffle reshape: num_hashes rows per doc, each min
     # re-encoded to the exact 8-hex-char string the substring produced

@@ -40,29 +40,39 @@ SMALL_GRAPH_EDGES = 1_000_000
 # r14 gate shape (VERDICT r13 item 7): the r13 gate materialized the
 # edge set (eager localCheckpoint) and ran a count() on EVERY call, so
 # the 100 TB path paid a full extra materialization just to learn it is
-# big. Two-stage gate instead: the Catalyst size estimate (zero jobs —
-# same instrument as similarity._auto_shards / the BPE gate) rules out
-# scale corpora outright; only plausibly-small edge sets pay ONE bounded
-# probe job (LIMIT cap+1 collect — at most cap+1 narrow rows ever cross
-# to the driver, so the probe is driver-safe even when the estimate
-# lies low), and a probe that fits IS the driver path's input, so the
-# small path costs one job where r13 cost three (checkpoint + count +
-# collect). The ~Long.MaxValue UNKNOWN-size sentinel (session-local
-# non-parquet relations — tests, notebooks) probes rather than assuming
-# huge: the probe is bounded, and every production edge source is a
-# derived-from-parquet plan with a real estimate.
-SMALL_GRAPH_PROBE_BYTES = 1 << 30
+# big. Two-stage gate instead: the Catalyst size estimate of the BASE
+# relation the edges derive from (zero jobs — the same instrument as
+# similarity._auto_shards / the BPE gate; the edge PLAN's own estimate
+# is useless, a join-size product) rules out scale corpora outright;
+# only plausibly-small graphs pay ONE bounded probe job (LIMIT cap+1
+# collect — at most cap+1 narrow rows ever cross to the driver, so the
+# probe is driver-safe even when the estimate lies low), and a probe
+# that fits IS the driver path's input, so the small path costs one
+# job where r13 cost three (checkpoint + count + collect). Callers
+# that pass no base (tests, session-local graphs) probe
+# unconditionally — the probe is bounded and those graphs are small by
+# construction.
+SMALL_GRAPH_PROBE_BYTES = 256 * 1024**2
 
 
-def _small_edges_probe(edges: DataFrame, cap: int) -> list | None:
+def _small_edges_probe(
+    edges: DataFrame, cap: int, base: DataFrame | None = None
+) -> list | None:
     """Collected edge rows when the graph provably fits under ``cap``
-    edges, else None — deciding via the zero-job Catalyst estimate
-    first so a scale corpus never runs a gate job at all."""
-    est = int(
-        str(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
-    if SMALL_GRAPH_PROBE_BYTES < est < 1 << 60:
-        return None
+    edges, else None — deciding via the base relation's zero-job
+    Catalyst estimate first so a scale corpus never runs a gate job."""
+    if base is not None:
+        est = int(
+            str(
+                base._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        )
+        # the ~Long.MaxValue sentinel (UNKNOWN size — session-local
+        # relations) probes rather than assuming huge: the probe is
+        # bounded, and every parquet-backed base has a real estimate
+        if SMALL_GRAPH_PROBE_BYTES < est < 1 << 60:
+            return None
     rows = edges.limit(cap + 1).collect()
     return None if len(rows) > cap else rows
 
@@ -90,6 +100,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = MAX_ITERATIONS,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Minimum-label connected components on an undirected edge list
     ``(src, dst)``. Converges when labels stop changing (checked with a
@@ -108,7 +119,7 @@ def connected_components(
     # no longer materializes the edge set just to evaluate the gate.
     edges = edges.select("src", "dst")
     spark = edges.sparkSession
-    probe = _small_edges_probe(edges, small_graph_edges)
+    probe = _small_edges_probe(edges, small_graph_edges, base)
     if probe is not None:
         # union-find is direction-agnostic: the probe rows ARE the raw
         # edges — skip the symmetrize+distinct pass entirely (it exists
@@ -213,7 +224,8 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     -> doc_id, cluster_id, is_survivor
     """
     comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        base=docs,
     )
     return (
         docs.select("doc_id")
@@ -362,6 +374,7 @@ def kcore(
     k: int = KCORE_K,
     rounds: int = KCORE_ROUNDS,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: drop every node whose
     degree is < k, re-count, repeat. The surviving subgraph (every node
@@ -402,7 +415,7 @@ def kcore(
     # the big-graph path no longer pays the r13 eager checkpoint +
     # count() materialization just to evaluate the gate.
     edges = edges.select("src", "dst")
-    probe = _small_edges_probe(edges, small_graph_edges)
+    probe = _small_edges_probe(edges, small_graph_edges, base)
     if probe is not None:
         spark = edges.sparkSession
         rows, converged = _driver_kcore(
@@ -469,7 +482,8 @@ def _q_dedup_kcore(spark, sf_dir):
         llmops.MINHASH_JACCARD_THRESHOLD, sort=False,
     )
     return kcore(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        base=docs,
     )
 
 
@@ -525,6 +539,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` — fixed
     iteration count, simplified handling of dangling nodes (their mass
@@ -544,7 +559,7 @@ def pagerank(
     # r14 gate: zero-job estimate + bounded probe (_small_edges_probe)
     # instead of the r13 eager checkpoint + count()
     edges = edges.select("src", "dst").distinct()
-    probe = _small_edges_probe(edges, small_graph_edges)
+    probe = _small_edges_probe(edges, small_graph_edges, base)
     if probe is not None:
         spark = edges.sparkSession
         labels = _driver_pagerank(
@@ -606,6 +621,9 @@ def _q_channel_pagerank(spark, sf_dir):
             F.col("channel_b").alias("src"), F.col("channel_a").alias("dst")
         )
     )
+    # no base hint: the pair set is (channels choose 2)-bounded at ANY
+    # corpus scale, so the unconditional bounded probe (and with it the
+    # driver path) is the right gate even at 100 TB
     return pagerank(sym).orderBy(F.desc("rank"), "node")
 
 

@@ -532,6 +532,15 @@ def doc_token_counts(docs: DataFrame) -> DataFrame:
     aggregation, lineage-capped so composing operators that reference it
     several times compute it once.
 
+    (r14 note: an array-local counting fold — inline over
+    array_distinct, counted per row — was built, measured and REVERTED
+    both with and without the checkpoint: higher-order-function lambdas
+    evaluate interpreted, and the O(distinct x len) per-doc counting
+    lost to this codegen'd explode + hash-agg pipeline on every
+    consumer — isolated text_nb_quality 2.8 -> 3.7 s, curation
+    scoreboard 5.0 -> 5.7 s. Same lesson as the minhash-signature
+    fold.)
+
     -> doc_id, token, tf (BIGINT)
     """
     return (
@@ -772,7 +781,7 @@ BIGRAM_PASS_MICRO = -3_450_000
 
 def _bigram_pairs(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) for every adjacent token pair; short docs
-    (< 2 tokens) contribute none. The sequence guard matters: Spark's
+    (< 2 tokens) contribute none. The CASE guard matters: Spark's
     ``sequence(0, -1)`` counts DOWN, so an unguarded transform would
     fabricate a reversed pair for 1-token docs."""
     from .dedup import tokens
