@@ -174,9 +174,18 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def token_jaccard(left_tokens: str, right_tokens: str) -> Column:
-    """Exact Jaccard similarity of two distinct-token array columns."""
+    """Exact Jaccard similarity of two distinct-token array columns.
+
+    |union| is derived as |a| + |b| - |intersect| (exact for the
+    distinct arrays every caller passes) instead of materializing an
+    ``array_union`` per pair: the union array was allocated and hashed
+    only to take its size, doubling the per-pair set work in the verify
+    stage (r14; guide §2.3 — the verify step is the largest slice of
+    the minhash pipeline and runs once per candidate pair). Integer
+    size math, so the double division is bit-identical.
+    """
     i = F.size(F.array_intersect(F.col(left_tokens), F.col(right_tokens)))
-    u = F.size(F.array_union(F.col(left_tokens), F.col(right_tokens)))
+    u = F.size(F.col(left_tokens)) + F.size(F.col(right_tokens)) - i
     return i.cast("double") / u
 
 
@@ -528,9 +537,14 @@ def lsh_recall_eval(
         .select(
             "doc_a",
             "doc_b",
+            # |union| = |a| + |b| - |intersect| for distinct arrays —
+            # same union-free verify as token_jaccard (r14)
             (
                 F.size(F.array_intersect("ta", "tb")).cast("double")
-                / F.size(F.array_union("ta", "tb"))
+                / (
+                    F.size("ta") + F.size("tb")
+                    - F.size(F.array_intersect("ta", "tb"))
+                )
             ).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
