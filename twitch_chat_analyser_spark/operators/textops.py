@@ -110,10 +110,14 @@ def quality_score(
         "doc_id",
         *extra_cols,
         F.length("text").cast("long").alias("n_chars_text"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
-        )
+        # count of punctuation CHARS: regexp_count of the single-char
+        # class equals the old length(text) - length(regexp_replace(..))
+        # exactly (each match is one char) without allocating a full
+        # stripped copy of every document (r14; guide §2.3 — this
+        # projection runs once per corpus pass in quality_score and its
+        # composing callers). Python-API pattern passed verbatim, same
+        # as token_counts.
+        F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"))
         .cast("long")
         .alias("punct_chars"),
     )

@@ -531,7 +531,10 @@ def _facts(spark: SparkSession, sf_dir: str):
 
 def _q_index_totals(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
-    totals = agg.totals(agg.channel_stats(msgs), ["channel"], "messages")
+    # r14 window-elision (agg.totals_from_rows): identical totals, no
+    # discarded per-window rollup — applied at every totals-from-
+    # scratch site in this file
+    totals = agg.totals_from_rows(msgs, ["channel"], "messages")
     return index_totals(totals, dims.channels_df(spark))
 
 
@@ -565,21 +568,30 @@ def _q_top_emotes(spark, sf_dir):
 
 def _q_emote_leaderboard(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
-    emote_totals = agg.totals(
-        agg.emote_stats(msgs, dims.emotes_df(spark)), ["channel", "emote"], "occurrences"
+    emote_totals = agg.totals_from_rows(
+        agg.emote_occurrences(msgs, dims.emotes_df(spark)),
+        ["channel", "emote"],
+        "occurrences",
     )
     return emote_leaderboard(dims.emotes_df(spark), emote_totals, CHANNEL)
 
 
 def _q_user_emote_across_channels(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
-    ue_totals = agg.totals(
-        agg.user_emote_stats(msgs, dims.emotes_df(spark)),
+    ue_totals = agg.totals_from_rows(
+        agg.emote_occurrences(msgs, dims.emotes_df(spark)),
         ["channel", "emote", "username"],
         "occurrences",
     )
+    # the operator consumes its first argument only as a DISTINCT
+    # channel driver; the distinct channels of raw messages are the
+    # identical set (every message lands in some window), so skip the
+    # full tumbling-window aggregation pass the old
+    # agg.channel_stats(msgs) wiring paid just to throw away its
+    # windows (r14; guide §2.3 — project before the exchange: the
+    # distinct now shuffles one pruned column's partial distincts)
     return user_emote_across_channels(
-        agg.channel_stats(msgs), ue_totals, EMOTE, USERNAME,
+        msgs.select("channel"), ue_totals, EMOTE, USERNAME,
         dims.channels_df(spark),
     )
 
@@ -593,8 +605,8 @@ def _q_last_seen(spark, sf_dir):
 
 def _q_users_leaderboard(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
-    user_totals = agg.totals(
-        agg.user_stats(msgs), ["channel", "username"], "messages"
+    user_totals = agg.totals_from_rows(
+        msgs, ["channel", "username"], "messages"
     )
     return users_leaderboard(
         user_totals, CHANNEL, dims.channels_df(spark), dims.EXCLUDED_USERS
@@ -723,8 +735,10 @@ def _q_empty_series(spark, sf_dir):
 
 def _q_dynamic_sort(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
-    emote_totals = agg.totals(
-        agg.emote_stats(msgs, dims.emotes_df(spark)), ["channel", "emote"], "occurrences"
+    emote_totals = agg.totals_from_rows(
+        agg.emote_occurrences(msgs, dims.emotes_df(spark)),
+        ["channel", "emote"],
+        "occurrences",
     )
     board = emote_leaderboard(dims.emotes_df(spark), emote_totals, CHANNEL)
     return dynamic_sort(board, "type", descending=True)
@@ -758,8 +772,8 @@ def _q_legacy_deviation(spark, sf_dir):
 
 def _q_pct_of_total(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
-    ue_totals = agg.totals(
-        agg.user_emote_stats(msgs, dims.emotes_df(spark)),
+    ue_totals = agg.totals_from_rows(
+        agg.emote_occurrences(msgs, dims.emotes_df(spark)),
         ["channel", "emote", "username"],
         "occurrences",
     )
@@ -770,9 +784,24 @@ def _q_pct_of_total(spark, sf_dir):
 
 def _q_index_page(spark, sf_dir):
     msgs = _facts(spark, sf_dir)
+    # ONE corpus pass (r14): the page's three aggregates (all-time
+    # totals, in-window recent, top chatter) all sit at or above the
+    # user_stats grain — channel_stats is its exact integer rollup
+    # (count by (channel, window) == sum of the per-username counts) —
+    # so compute user_stats once and lazily checkpoint it (it is
+    # aggregate-sized: |channel x user x window| rows, tiny next to
+    # messages). The previous wiring scanned + window-aggregated the
+    # messages relation THREE times: column pruning gives each branch a
+    # differently-pruned subtree, so ReuseExchange never fired (r14
+    # executed-plan audit: 6 parquet scans, 10 exchanges, 0 reused).
+    # Guide §2.4/§8 — share the pass, move the big rows once.
+    us = agg.user_stats(msgs).localCheckpoint(eager=False)
+    cs = us.groupBy("channel", "timestamp").agg(
+        F.sum("messages").alias("messages")
+    )
     return index_page(
-        agg.channel_stats(msgs),
-        agg.user_stats(msgs),
+        cs,
+        us,
         dims.channels_df(spark),
         dims.EXCLUDED_USERS,
         START_MS,
