@@ -151,11 +151,18 @@ def main() -> None:
     # per-query run spread (max/min): > SPREAD_SUSPECT after escalation
     # means even 3 runs disagreed — treat that query's number as
     # measurement-suspect, not as a regression signal
-    spreads = {
-        n: round(max(r) / max(min(r), 1e-9), 2) for n, r in query_runs.items()
+    # suspect membership thresholds on the UNROUNDED ratio — the
+    # display rounding used to run first, so a spread of 1.5019
+    # rounded to 1.50, failed `> 1.5`, and disagreed with
+    # check_artifacts' unrounded recomputation (r14 drift finding)
+    raw_spreads = {
+        n: max(r) / max(min(r), 1e-9) for n, r in query_runs.items()
     }
+    spreads = {n: round(s, 2) for n, s in raw_spreads.items()}
     noisy = {n: s for n, s in sorted(spreads.items(), key=lambda kv: -kv[1])[:10]}
-    suspect = sorted(n for n, s in spreads.items() if s > SPREAD_SUSPECT)
+    suspect = sorted(
+        n for n, s in raw_spreads.items() if s > SPREAD_SUSPECT + 1e-9
+    )
 
     # Streaming write-path throughput: all five fact pipelines (the
     # reference's unit of work — one message through five aggregation
